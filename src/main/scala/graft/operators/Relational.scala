@@ -1,0 +1,387 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** Relational operator battery over the TESTDATA star schema.
+  *
+  * The reference (tdehoff/462MapReduceWordCount) ships only scan → tokenize
+  * → filter → group-count → sort (SURVEY.md §2.1); this module supplies the
+  * full relational surface the engine plan commits to (SURVEY.md §2.2):
+  * projection/filter with parquet pushdown, broadcast + shuffle joins,
+  * aggregation families, windows, sorts/limits, set ops, semi/anti joins,
+  * subqueries, rollup.
+  *
+  * Conventions shared with the DuckDB oracle (driver correctness gate):
+  *  - every float aggregate is `round(..., n)` IDENTICALLY on both sides;
+  *  - every query has a total deterministic ORDER BY (unique tiebreak key);
+  *  - column names are aliased identically on both sides.
+  *
+  * Scale notes are per-query; dimension joins are explicitly `broadcast()`.
+  */
+object Relational {
+
+  /** TPC-H Q1-style pricing summary. Scale: partial agg map-side, 6-group
+    * result — shuffle carries only (flag,status) partials. */
+  def q1PricingSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        round(sum($"l_quantity"), 2).as("sum_qty"),
+        round(sum($"l_extendedprice"), 2).as("sum_base_price"),
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("sum_disc_price"),
+        round(avg($"l_quantity"), 4).as("avg_qty"),
+        round(avg($"l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** Projection + filter; predicate and column pruning must reach the scan
+    * (PushedFilters in `.explain`). */
+  def q2FilterProject(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .filter($"l_quantity" > 45.0 && $"l_returnflag" === "R")
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity",
+        ($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("net_price"))
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  /** Broadcast dim join: orders ⋈ customer, revenue per market segment.
+    * customer is the small side at any SF ratio here; at 100 TB the dim
+    * tables stay broadcastable while facts shuffle only for the agg. */
+  def q3JoinRevenueBySegment(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy($"c_mktsegment")
+      .agg(
+        round(sum($"o_totalprice"), 2).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy($"c_mktsegment")
+  }
+
+  /** Multi-way star join (TPC-H Q5 shape): fact lineitem ⋈ orders, dims
+    * broadcast. Revenue per nation. */
+  def q4StarJoinNationRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    val n = Tables.nation(spark, sfDir)
+    val r = Tables.region(spark, sfDir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy($"r_name", $"n_name")
+      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"))
+      .orderBy($"r_name", $"n_name")
+  }
+
+  /** Top-k by value with unique tiebreak → TakeOrderedAndProject (no full
+    * sort materialization; k rows per partition then merge). */
+  def q5TopOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir)
+      .select($"o_orderkey", $"o_custkey", round($"o_totalprice", 2).as("o_totalprice"))
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+      .limit(100)
+  }
+
+  /** Distinct-count family (O13 analogue on relational data). */
+  def q6Distinct(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir)
+      .agg(
+        countDistinct($"o_custkey").as("n_customers"),
+        countDistinct($"o_orderstatus").as("n_statuses"),
+        count(lit(1)).as("n_orders"))
+  }
+
+  /** Window functions: rank within partition + running sum.
+    * Scale: partitioned window (by custkey) — parallel, no global funnel. */
+  def q7WindowRank(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+    Tables.orders(spark, sfDir)
+      .withColumn("order_seq", row_number().over(w))
+      .withColumn("running_spend",
+        round(sum($"o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2))
+      .filter($"order_seq" <= 3)
+      .select($"o_custkey", $"o_orderkey", $"order_seq", $"running_spend")
+      .orderBy($"o_custkey", $"order_seq")
+  }
+
+  /** Set operations: customers in BUILDING ∪ AUTOMOBILE high-balance,
+    * minus those with low balance — union/intersect/except surface. */
+  def q8SetOps(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, sfDir)
+    val building = c.filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+    val auto = c.filter($"c_mktsegment" === "AUTOMOBILE").select($"c_custkey")
+    val rich = c.filter($"c_acctbal" > 5000.0).select($"c_custkey")
+    building.union(auto).intersect(rich)
+      .except(c.filter($"c_acctbal" > 9000.0).select($"c_custkey"))
+      .orderBy($"c_custkey")
+  }
+
+  /** Semi/anti join (EXISTS / NOT EXISTS): customers without orders,
+    * counted per segment. left_anti avoids materializing the join. */
+  def q9AntiJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+      .filter($"o_orderstatus" === "F").select($"o_custkey")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_customers_no_orders"))
+      .orderBy($"c_mktsegment")
+  }
+
+  /** CASE WHEN + scalar function projection (conditional aggregation). */
+  def q10CaseAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .groupBy($"l_returnflag")
+      .agg(
+        round(sum(when($"l_discount" > 0.05, $"l_extendedprice").otherwise(lit(0.0))), 2)
+          .as("high_disc_price"),
+        round(sum(when($"l_tax" > 0.04, lit(1)).otherwise(lit(0))), 0).cast("long")
+          .as("n_high_tax"),
+        count(lit(1)).as("n_rows"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** GROUP BY + HAVING: suppliers-per-nation having ≥ threshold. */
+  def q11Having(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val s = Tables.supplier(spark, sfDir)
+    val n = Tables.nation(spark, sfDir)
+    s.join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .groupBy($"n_name")
+      .agg(count(lit(1)).as("n_suppliers"),
+        round(sum($"s_acctbal"), 2).as("total_bal"))
+      .filter($"n_suppliers" >= 2)
+      .orderBy($"n_name")
+  }
+
+  /** ROLLUP over (status, priority) — grouping-sets family. Null group
+    * markers made explicit with grouping() to keep oracle parity clean. */
+  def q12Rollup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir)
+      .rollup($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("total"))
+      .select(
+        coalesce($"o_orderstatus", lit("ALL")).as("o_orderstatus"),
+        coalesce($"o_orderpriority", lit("ALL")).as("o_orderpriority"),
+        $"n", $"total")
+      .orderBy($"o_orderstatus", $"o_orderpriority")
+  }
+
+  /** Scalar subquery: parts priced above the global average. The scalar agg
+    * is computed once and broadcast into the filter by Catalyst. */
+  def q13AboveAvg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val p = Tables.part(spark, sfDir)
+    val avgPrice = p.agg(avg($"p_retailprice").as("a"))
+    p.join(broadcast(avgPrice))
+      .filter($"p_retailprice" > $"a")
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("n_above_avg"),
+        round(max($"p_retailprice"), 2).as("max_price"))
+      .orderBy($"p_brand")
+  }
+
+  /** Event-time bucketed aggregation (hourly tumbling window as date_trunc
+    * — batch analogue of the streaming path). */
+  def q14EventsHourly(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .groupBy(date_trunc("hour", $"ts").as("hour"), $"event_type")
+      .agg(count(lit(1)).as("n"),
+        round(sum($"value"), 2).as("total_value"))
+      .orderBy($"hour", $"event_type")
+  }
+
+  /** Top-N per group via window — the distributed form of the reference's
+    * single global ranking (O15), partitioned so it scales. */
+  def q15TopPerGroup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"event_type").orderBy($"value".desc, $"event_id".asc)
+    Tables.events(spark, sfDir)
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 5)
+      .select($"event_type", $"rk", $"event_id", round($"value", 4).as("value"))
+      .orderBy($"event_type", $"rk")
+  }
+
+  /** Correlated-aggregate pattern: each customer's order count + spend vs
+    * their nation's average spend (join of two aggregation levels). */
+  def q16NationBenchmark(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    val perCust = o.groupBy($"o_custkey")
+      .agg(sum($"o_totalprice").as("spend"), count(lit(1)).as("n_orders"))
+      .join(broadcast(c), $"o_custkey" === c("c_custkey"))
+      .select($"o_custkey", $"c_nationkey", $"spend", $"n_orders")
+    val perNation = perCust.groupBy($"c_nationkey".as("nk"))
+      .agg(avg($"spend").as("nation_avg"))
+    perCust.join(broadcast(perNation), $"c_nationkey" === $"nk")
+      .filter($"spend" > $"nation_avg" * 2.0)
+      .select($"o_custkey", $"c_nationkey", round($"spend", 2).as("spend"), $"n_orders")
+      .orderBy($"o_custkey")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> q1PricingSummary,
+    "q2_filter_project" -> q2FilterProject,
+    "q3_join_segment_revenue" -> q3JoinRevenueBySegment,
+    "q4_star_join_nation" -> q4StarJoinNationRevenue,
+    "q5_top_orders" -> q5TopOrders,
+    "q6_distinct" -> q6Distinct,
+    "q7_window_rank" -> q7WindowRank,
+    "q8_setops" -> q8SetOps,
+    "q9_anti_join" -> q9AntiJoin,
+    "q10_case_agg" -> q10CaseAgg,
+    "q11_having" -> q11Having,
+    "q12_rollup" -> q12Rollup,
+    "q13_above_avg" -> q13AboveAvg,
+    "q14_events_hourly" -> q14EventsHourly,
+    "q15_top_per_group" -> q15TopPerGroup,
+    "q16_nation_benchmark" -> q16NationBenchmark,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        |  l_extendedprice * (1.0 - l_discount) AS net_price
+        |FROM lineitem
+        |WHERE l_quantity > 45.0 AND l_returnflag = 'R'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q3_join_segment_revenue" ->
+      """SELECT c_mktsegment,
+        |  round(sum(o_totalprice), 2) AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+    "q4_star_join_nation" ->
+      """SELECT r_name, n_name,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
+    "q5_top_orders" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+        |FROM orders
+        |ORDER BY round(o_totalprice, 2) DESC, o_orderkey ASC
+        |LIMIT 100""".stripMargin,
+    "q6_distinct" ->
+      """SELECT count(DISTINCT o_custkey) AS n_customers,
+        |  count(DISTINCT o_orderstatus) AS n_statuses,
+        |  count(*) AS n_orders
+        |FROM orders""".stripMargin,
+    "q7_window_rank" ->
+      """SELECT o_custkey, o_orderkey, order_seq, running_spend FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER w AS order_seq,
+        |    round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+        |) t WHERE order_seq <= 3
+        |ORDER BY o_custkey, order_seq""".stripMargin,
+    "q8_setops" ->
+      """SELECT c_custkey FROM (
+        |  (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |   UNION ALL
+        |   SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
+        |  INTERSECT
+        |  SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0
+        |  EXCEPT
+        |  SELECT c_custkey FROM customer WHERE c_acctbal > 9000.0
+        |) t ORDER BY c_custkey""".stripMargin,
+    "q9_anti_join" ->
+      """SELECT c_mktsegment, count(*) AS n_customers_no_orders
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+    "q10_case_agg" ->
+      """SELECT l_returnflag,
+        |  round(sum(CASE WHEN l_discount > 0.05 THEN l_extendedprice ELSE 0.0 END), 2) AS high_disc_price,
+        |  CAST(round(sum(CASE WHEN l_tax > 0.04 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_high_tax,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q11_having" ->
+      """SELECT n_name, count(*) AS n_suppliers, round(sum(s_acctbal), 2) AS total_bal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name
+        |HAVING count(*) >= 2
+        |ORDER BY n_name""".stripMargin,
+    "q12_rollup" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+        |  coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+    "q13_above_avg" ->
+      """SELECT p_brand, count(*) AS n_above_avg, round(max(p_retailprice), 2) AS max_price
+        |FROM part
+        |WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin,
+    "q14_events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        |  count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events
+        |GROUP BY date_trunc('hour', ts), event_type
+        |ORDER BY hour, event_type""".stripMargin,
+    "q15_top_per_group" ->
+      """SELECT event_type, rk, event_id, round(value, 4) AS value FROM (
+        |  SELECT event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id ASC) AS rk
+        |  FROM events
+        |) t WHERE rk <= 5
+        |ORDER BY event_type, rk""".stripMargin,
+    "q16_nation_benchmark" ->
+      """WITH per_cust AS (
+        |  SELECT o_custkey, c_nationkey, sum(o_totalprice) AS spend, count(*) AS n_orders
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY o_custkey, c_nationkey
+        |), per_nation AS (
+        |  SELECT c_nationkey AS nk, avg(spend) AS nation_avg FROM per_cust GROUP BY c_nationkey
+        |)
+        |SELECT o_custkey, c_nationkey, round(spend, 2) AS spend, n_orders
+        |FROM per_cust JOIN per_nation ON c_nationkey = nk
+        |WHERE spend > nation_avg * 2.0
+        |ORDER BY o_custkey""".stripMargin,
+  )
+}
