@@ -158,16 +158,21 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
-  /** GROUP BY + HAVING: suppliers-per-nation having ≥ threshold. */
+  /** GROUP BY + HAVING with a scalar-subquery threshold: nations whose
+    * customer count exceeds the cross-nation average (scale-invariant —
+    * selective at every SF, unlike a fixed constant). */
   def q11Having(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val s = Tables.supplier(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
     val n = Tables.nation(spark, sfDir)
-    s.join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+    val perNation = c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .groupBy($"n_name")
-      .agg(count(lit(1)).as("n_suppliers"),
-        round(sum($"s_acctbal"), 2).as("total_bal"))
-      .filter($"n_suppliers" >= 2)
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum($"c_acctbal"), 2).as("total_bal"))
+    val avgN = perNation.agg(avg($"n_customers").as("avg_n"))
+    perNation.join(broadcast(avgN))
+      .filter($"n_customers" > $"avg_n")
+      .select($"n_name", $"n_customers", $"total_bal")
       .orderBy($"n_name")
   }
 
@@ -340,10 +345,13 @@ object Relational {
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
     "q11_having" ->
-      """SELECT n_name, count(*) AS n_suppliers, round(sum(s_acctbal), 2) AS total_bal
-        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
-        |GROUP BY n_name
-        |HAVING count(*) >= 2
+      """WITH per_nation AS (
+        |  SELECT n_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS total_bal
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY n_name
+        |)
+        |SELECT n_name, n_customers, total_bal FROM per_nation
+        |WHERE n_customers > (SELECT avg(n_customers) FROM per_nation)
         |ORDER BY n_name""".stripMargin,
     "q12_rollup" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,

@@ -1,0 +1,153 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import graft.functions.NormalizeWord
+import graft.sources.Tables
+
+/** The reference's one true query — tokenize / normalize / count / rank —
+  * as a composable Spark pipeline (SURVEY.md §2.1 operators O1–O15).
+  *
+  * Layout of the physical plan Catalyst produces for `counts`:
+  * FileScan text → WholeStageCodegen(Generate(split) + normalize_word +
+  * Filter) → HashAggregate(partial) → Exchange(hash word) →
+  * HashAggregate(final). Map-side partial aggregation (the reference's
+  * hand-built combiner, `omp.cpp:92-141`) falls out automatically.
+  */
+object WordCount {
+
+  /** O1: text source. `spark.read.text` keeps raw bytes in UTF8String (no
+    * java.lang.String decode), so byte-exact O3 semantics survive ingest. */
+  def linesFromFiles(spark: SparkSession, paths: Seq[String]): DataFrame =
+    spark.read.text(paths: _*)
+
+  /** O2–O4 over any string column: tokenize on whitespace runs (Java regex
+    * \s = the istream>> set " \t\n\x0B\f\r"), byte-normalize, drop empties.
+    * Returns single column `word`. */
+  def tokenize(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(split(col(textCol), "\\s+")).as("raw"))
+      .select(NormalizeWord(col("raw")).as("word"))
+      .filter(length(col("word")) > 0)
+
+  /** O5–O10: distributed count per distinct word. */
+  def counts(words: DataFrame): DataFrame =
+    words.groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  /** O14+O15: ascending byte-order sort with a contiguous 0-based rank.
+    * Implemented as range-partitioned sort + `zipWithIndex` (per-partition
+    * offsets, one lightweight extra job) instead of a global-window
+    * `row_number`, which would funnel every row through one partition —
+    * the scalable form of the reference's driver-side sort+index. */
+  def ranked(countsDf: DataFrame): DataFrame = {
+    val spark = countsDf.sparkSession
+    val sorted = countsDf.orderBy("word")
+    val schema = StructType(StructField("idx", LongType, nullable = false) +: sorted.schema.fields)
+    val rdd = sorted.rdd.zipWithIndex().map { case (row, i) => Row.fromSeq(i +: row.toSeq) }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** O12+O13 in one pass over the grouped result: total = sum of counts
+    * (≡ `words.count()` by definition), unique = number of groups. */
+  def totals(countsDf: DataFrame): DataFrame =
+    countsDf.agg(
+      sum(col("cnt")).as("total_words"),
+      count(lit(1)).as("unique_words"))
+
+  /** Reference CLI contract (`omp.cpp:219-223`, `hybrid.cpp:444-453`):
+    * header + `[i] word: count` lines, ascending byte order. Collects the
+    * final result to the driver — the one deliberate parity cost
+    * (SURVEY.md §7.5); cardinality = vocabulary size, not corpus size.
+    * Words are materialized as raw bytes (cast to binary) so invalid-UTF-8
+    * vocabularies round-trip exactly. */
+  def formattedBytes(spark: SparkSession, paths: Seq[String],
+      headerLabel: String, includeUnique: Boolean): Array[Byte] = {
+    val words = tokenize(linesFromFiles(spark, paths), "value")
+    val cnts = counts(words)
+    val rows = cnts.orderBy("word")
+      .select(col("word").cast("binary"), col("cnt"))
+      .collect()
+    var total = 0L
+    rows.foreach(r => total += r.getLong(1))
+    val out = new java.io.ByteArrayOutputStream(rows.length * 16 + 64)
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    out.write(s"Filename: $headerLabel, total words: $total\n".getBytes(ascii))
+    if (includeUnique)
+      out.write(s"Unique words found: ${rows.length}\n".getBytes(ascii))
+    var i = 0
+    while (i < rows.length) {
+      out.write(s"[$i] ".getBytes(ascii))
+      out.write(rows(i).getAs[Array[Byte]](0))
+      out.write(s": ${rows(i).getLong(1)}\n".getBytes(ascii))
+      i += 1
+    }
+    out.toByteArray
+  }
+
+  // ---- driver-contract queries over the documents table ----------------
+
+  private def docWords(spark: SparkSession, sfDir: String): DataFrame =
+    tokenize(Tables.documents(spark, sfDir), "text")
+
+  def wcWordCounts(spark: SparkSession, sfDir: String): DataFrame =
+    counts(docWords(spark, sfDir)).orderBy("word")
+
+  def wcTotals(spark: SparkSession, sfDir: String): DataFrame =
+    totals(counts(docWords(spark, sfDir)))
+
+  def wcRanked(spark: SparkSession, sfDir: String): DataFrame =
+    ranked(counts(docWords(spark, sfDir)))
+
+  def wcTopK(spark: SparkSession, sfDir: String): DataFrame =
+    counts(docWords(spark, sfDir))
+      .orderBy(col("cnt").desc, col("word").asc)
+      .limit(20)
+
+  /** Per-document token counts — the reference's per-file accounting
+    * generalized to a document table (exercises split without explode
+    * fan-out: size(split(...))). */
+  def wcPerDoc(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(split(col("text"), "\\s+")).cast("long").as("n_tokens"))
+      .orderBy("doc_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "wc_word_counts" -> wcWordCounts,
+    "wc_totals" -> wcTotals,
+    "wc_ranked" -> wcRanked,
+    "wc_topk" -> wcTopK,
+    "wc_per_doc" -> wcPerDoc,
+  )
+
+  /** DuckDB oracles. The documents corpus is ASCII lowercase + single
+    * spaces (verified), so `normalize_word` is the identity there and the
+    * oracle can tokenize with a plain regexp split; byte-exact normalize
+    * semantics are covered by the unit probe table + reference-corpus
+    * golden test instead (not SQL-expressible). */
+  val oracles: Map[String, String] = Map(
+    "wc_word_counts" ->
+      """SELECT word, count(*) AS cnt
+        |FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS word FROM documents) t
+        |WHERE word <> ''
+        |GROUP BY word ORDER BY word""".stripMargin,
+    "wc_totals" ->
+      """SELECT count(*) AS total_words, count(DISTINCT word) AS unique_words
+        |FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS word FROM documents) t
+        |WHERE word <> ''""".stripMargin,
+    "wc_ranked" ->
+      """SELECT row_number() OVER (ORDER BY word) - 1 AS idx, word, cnt FROM (
+        |  SELECT word, count(*) AS cnt
+        |  FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS word FROM documents) t
+        |  WHERE word <> '' GROUP BY word
+        |) c ORDER BY word""".stripMargin,
+    "wc_topk" ->
+      """SELECT word, count(*) AS cnt
+        |FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS word FROM documents) t
+        |WHERE word <> ''
+        |GROUP BY word ORDER BY cnt DESC, word ASC LIMIT 20""".stripMargin,
+    "wc_per_doc" ->
+      """SELECT doc_id, len(regexp_split_to_array(text, '\s+')) AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.WordCount
+
+/** Differential golden tests against freshly regenerated committed-source
+  * reference output (FIXTURES.md §3 — the goldens in
+  * src/test/resources/golden/ were produced by compiling the committed
+  * `omp.cpp` and running it over the reference corpus; the committed
+  * `*_out.txt` artifacts are stale and never used). */
+class WordCountGoldenSpec extends AnyFunSuite {
+  private val corpusDir = "/root/reference/raw_text_input"
+
+  private def golden(name: String): Array[Byte] = {
+    val in = getClass.getResourceAsStream(s"/golden/$name")
+    assert(in != null, s"missing golden resource $name")
+    try in.readAllBytes() finally in.close()
+  }
+
+  /** Shell-glob order = byte-order sort of ASCII names. */
+  private def corpusPaths: Seq[String] =
+    new java.io.File(corpusDir).list().sorted.toSeq
+      .map(f => s"$corpusDir/$f")
+
+  test("Text5: engine output byte-identical to reference (omp format)") {
+    val got = WordCount.formattedBytes(SparkTestSession.spark,
+      Seq(s"$corpusDir/Text5.txt"), "raw_text_input/Text5.txt",
+      includeUnique = false)
+    assert(got.toSeq === golden("golden_text5.txt").toSeq)
+  }
+
+  test("Text5+Text6: all-files aggregation, header names first path") {
+    val got = WordCount.formattedBytes(SparkTestSession.spark,
+      Seq(s"$corpusDir/Text5.txt", s"$corpusDir/Text6.txt"),
+      "raw_text_input/Text5.txt", includeUnique = false)
+    assert(got.toSeq === golden("golden_text56.txt").toSeq)
+  }
+
+  test("full 29-file corpus: byte-identical, 2658450 total / 56642 unique") {
+    val paths = corpusPaths
+    assert(paths.size === 29)
+    val label = "raw_text_input/" + new java.io.File(paths.head).getName
+    val got = WordCount.formattedBytes(SparkTestSession.spark, paths, label,
+      includeUnique = false)
+    val exp = golden("golden_corpus.txt")
+    val gotHead = new String(got.take(80), "UTF-8")
+    assert(gotHead.startsWith("Filename: raw_text_input/1399.txt.utf-8.txt, total words: 2658450"), gotHead)
+    assert(got.length === exp.length, s"byte length ${got.length} vs ${exp.length}")
+    assert(got.toSeq === exp.toSeq)
+  }
+}
