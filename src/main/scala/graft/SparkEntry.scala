@@ -17,12 +17,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ WordCount.queries ++ Dedup.queries
+    Relational.queries ++ WordCount.queries ++ Dedup.queries ++
+      Similarity.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver records a weaker
     * rows-only check (used for ops whose exact semantics aren't
     * SQL-expressible, e.g. byte-exact normalize, LSH bucketing). */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ WordCount.oracles ++ Dedup.oracles
+    Relational.oracles ++ WordCount.oracles ++ Dedup.oracles ++
+      Similarity.oracles
 }
