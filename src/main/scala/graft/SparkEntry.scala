@@ -18,7 +18,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ WordCount.queries ++ Dedup.queries ++
-      Similarity.queries
+      Similarity.queries ++ TextAnalysis.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver records a weaker
@@ -26,5 +26,5 @@ object SparkEntry {
     * SQL-expressible, e.g. byte-exact normalize, LSH bucketing). */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ WordCount.oracles ++ Dedup.oracles ++
-      Similarity.oracles
+      Similarity.oracles ++ TextAnalysis.oracles
 }

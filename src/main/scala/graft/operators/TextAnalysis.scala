@@ -1,0 +1,181 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Text-analysis operators for a training-data pipeline: language ID,
+  * quality scoring, token counting, and content fingerprinting — all as
+  * codegen'd column expressions over the `documents` table (no UDFs).
+  *
+  * Scale: every query here is a pure per-row map (+ one final agg for the
+  * grouped stats) — embarrassingly parallel, no shuffle except the
+  * explicit groupBy, pushdown-friendly. */
+object TextAnalysis {
+
+  /** Marker function-word profiles (public-knowledge high-frequency
+    * words). Scores are the fraction of tokens in each profile; argmax
+    * with a confidence floor, CJK short-circuit on non-ASCII ratio. */
+  private val profiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "was", "for", "with", "as"),
+    "fr" -> Seq("le", "la", "les", "de", "des", "et", "un", "une", "est", "que", "pour", "dans"),
+    "es" -> Seq("el", "los", "las", "de", "y", "un", "una", "es", "que", "por", "para", "con"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "von", "mit", "nicht"),
+  )
+
+  private def toks(c: Column): Column = split(lower(c), "\\s+")
+
+  private def markerScore(tokens: Column, markers: Seq[String]): Column =
+    size(filter(tokens, t => t.isInCollection(markers))).cast("double") /
+      greatest(size(tokens), lit(1)).cast("double")
+
+  /** Predicted language + confidence per document. */
+  def langIdFrame(df: DataFrame, textCol: String): DataFrame = {
+    val tokens = toks(col(textCol))
+    val nonAsciiRatio =
+      (length(col(textCol)) - length(regexp_replace(col(textCol), "[^\\x00-\\x7F]", "")))
+        .cast("double") / greatest(length(col(textCol)), lit(1)).cast("double")
+    val scored = profiles.map { case (lang, ms) => (lang, markerScore(tokens, ms)) }
+    // argmax via chained when; ties break toward the earlier profile
+    val maxScore = scored.map(_._2).reduce((a, b) => greatest(a, b))
+    val lang = scored.foldRight(lit("unknown")) { case ((l, s), elseCol) =>
+      when(s === maxScore && maxScore > 0.05, lit(l)).otherwise(elseCol)
+    }
+    df.withColumn("pred_lang",
+        when(nonAsciiRatio > 0.3, lit("cjk_or_other")).otherwise(lang))
+      .withColumn("lang_score", round(maxScore, 4))
+  }
+
+  def textLangId(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    langIdFrame(Tables.documents(spark, sfDir), "text")
+      .select($"doc_id", $"pred_lang", $"lang_score")
+      .orderBy($"doc_id")
+  }
+
+  /** Per-document quality metrics (lengths, ratios) and a composite
+    * score — the standard cheap pre-filters for corpus curation. */
+  def textQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables.documents(spark, sfDir)
+    val t = $"text"
+    val tokens = split(t, " ")
+    val nChars = length(t).cast("double")
+    val nTokens = size(tokens).cast("double")
+    val punct = (length(t) - length(regexp_replace(t, "[\\p{Punct}]", ""))).cast("double")
+    val digits = (length(t) - length(regexp_replace(t, "[0-9]", ""))).cast("double")
+    val stop = size(filter(tokens, x => x.isInCollection(Seq(
+      "the", "a", "an", "and", "or", "of", "to", "in", "is", "it")))).cast("double")
+    d.select(
+        $"doc_id",
+        length(t).as("n_chars"),
+        size(tokens).cast("long").as("n_tokens"),
+        round(nChars / greatest(nTokens, lit(1.0)), 4).as("avg_token_len"),
+        round(punct / greatest(nChars, lit(1.0)), 4).as("punct_ratio"),
+        round(digits / greatest(nChars, lit(1.0)), 4).as("digit_ratio"),
+        round(stop / greatest(nTokens, lit(1.0)), 4).as("stopword_ratio"),
+        round(
+          when(nTokens >= 10.0, lit(1.0)).otherwise(nTokens / 10.0) *
+            (lit(1.0) - punct / greatest(nChars, lit(1.0))) *
+            (lit(0.5) + stop / greatest(nTokens, lit(1.0))), 4).as("quality"))
+      .orderBy($"doc_id")
+  }
+
+  /** Token counting two ways: whitespace tokens and a BPE-ish regex
+    * (letter runs / digit runs / single other-symbols) — the usual cheap
+    * proxy for LLM token budgets. */
+  def textTokenCount(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables.documents(spark, sfDir)
+    d.select(
+        $"doc_id",
+        size(split($"text", "\\s+")).cast("long").as("ws_tokens"),
+        regexp_count($"text", lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]")).cast("long")
+          .as("bpeish_tokens"),
+        ceil(length($"text").cast("double") / 4.0).cast("long").as("char4_estimate"))
+      .orderBy($"doc_id")
+  }
+
+  /** Content fingerprint: minimum md5 over all character 8-grams —
+    * winnowing-style document fingerprinting with an exactly mirrorable
+    * SQL form (the rolling-FNV fast path at scale is SimHash64; this
+    * variant keeps oracle parity). */
+  def textFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables.documents(spark, sfDir)
+    d.select(
+        $"doc_id",
+        array_min(transform(
+          sequence(lit(1), greatest(length($"text") - 7, lit(1))),
+          i => md5($"text".substr(i, lit(8))))).as("fingerprint"))
+      .orderBy($"doc_id")
+  }
+
+  /** Corpus-curation rollup: quality metrics aggregated per (lang,
+    * source) block. */
+  def textStatsByGroup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables.documents(spark, sfDir)
+    d.select($"lang", $"source", $"n_chars",
+        size(split($"text", " ")).cast("long").as("n_tokens"))
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_tokens").as("total_tokens"),
+        round(avg($"n_tokens"), 4).as("avg_tokens"),
+        min($"n_chars").as("min_chars"),
+        max($"n_chars").as("max_chars"))
+      .orderBy($"lang")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_langid" -> textLangId,
+    "text_quality" -> textQuality,
+    "text_tokencount" -> textTokenCount,
+    "text_fingerprint" -> textFingerprint,
+    "text_stats_by_lang" -> textStatsByGroup,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "text_quality" ->
+      """SELECT doc_id,
+        |  length(text) AS n_chars,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  round(length(text)::DOUBLE / greatest(len(string_split(text, ' ')), 1), 4) AS avg_token_len,
+        |  round((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
+        |    / greatest(length(text), 1), 4) AS punct_ratio,
+        |  round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
+        |    / greatest(length(text), 1), 4) AS digit_ratio,
+        |  round(len(list_filter(string_split(text, ' '),
+        |      x -> x IN ('the','a','an','and','or','of','to','in','is','it')))::DOUBLE
+        |    / greatest(len(string_split(text, ' ')), 1), 4) AS stopword_ratio,
+        |  round(
+        |    (CASE WHEN len(string_split(text, ' ')) >= 10 THEN 1.0
+        |          ELSE len(string_split(text, ' ')) / 10.0 END) *
+        |    (1.0 - (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
+        |      / greatest(length(text), 1)) *
+        |    (0.5 + len(list_filter(string_split(text, ' '),
+        |        x -> x IN ('the','a','an','and','or','of','to','in','is','it')))::DOUBLE
+        |      / greatest(len(string_split(text, ' ')), 1)), 4) AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_tokencount" ->
+      """SELECT doc_id,
+        |  len(regexp_split_to_array(text, '\s+')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS bpeish_tokens,
+        |  CAST(ceil(length(text)::DOUBLE / 4.0) AS BIGINT) AS char4_estimate
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  list_min([md5(text[i:i+7]) for i in range(1, greatest(length(text) - 7, 1) + 1)]) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_stats_by_lang" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  sum(len(string_split(text, ' '))) AS total_tokens,
+        |  round(avg(len(string_split(text, ' '))), 4) AS avg_tokens,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // text_langid: heuristic classifier, not SQL-expressible — rows-only
+    // for the driver; accuracy asserted on real-language sentences in
+    // TextAnalysisSpec.
+  )
+}

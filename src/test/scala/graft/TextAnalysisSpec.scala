@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.TextAnalysis
+
+class TextAnalysisSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("langid identifies real-language sentences") {
+    import spark.implicits._
+    val samples = Seq(
+      ("the quick brown fox jumps over the lazy dog and it is fast", "en"),
+      ("le chat est dans la maison et il mange le pain pour le matin", "fr"),
+      ("el perro es grande y las casas son blancas por la noche", "es"),
+      ("der Hund ist groß und die Katze ist klein zu Hause mit den Kindern", "de"),
+      ("你好世界这是一个测试文档没有空格", "cjk_or_other"),
+    ).toDF("text", "expected")
+    val got = TextAnalysis.langIdFrame(samples, "text")
+      .select("expected", "pred_lang").collect()
+    got.foreach(r => assert(r.getString(1) === r.getString(0),
+      s"misclassified: expected ${r.getString(0)} got ${r.getString(1)}"))
+  }
+
+  test("langid yields unknown on marker-free text") {
+    import spark.implicits._
+    val df = Seq("zzz qqq xxx www yyy").toDF("text")
+    val got = TextAnalysis.langIdFrame(df, "text").select("pred_lang").collect()
+    assert(got(0).getString(0) === "unknown")
+  }
+
+  test("quality score is in (0, 1.5] and ratios in [0, 1] on real data") {
+    val rows = TextAnalysis.textQuality(spark, SparkTestSession.sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val q = r.getAs[Double]("quality")
+      assert(q > 0 && q <= 1.5, s"quality $q out of range")
+      Seq("punct_ratio", "digit_ratio", "stopword_ratio").foreach { c =>
+        val v = r.getAs[Double](c)
+        assert(v >= 0 && v <= 1, s"$c = $v out of range")
+      }
+    }
+  }
+
+  test("fingerprint is stable and order-sensitive") {
+    import spark.implicits._
+    val df = Seq("abcdefghij", "abcdefghij", "jihgfedcba").toDF("text")
+      .withColumn("doc_id", org.apache.spark.sql.functions.monotonically_increasing_id())
+    val fps = df.select(org.apache.spark.sql.functions.array_min(
+      org.apache.spark.sql.functions.transform(
+        org.apache.spark.sql.functions.sequence(
+          org.apache.spark.sql.functions.lit(1),
+          org.apache.spark.sql.functions.greatest(
+            org.apache.spark.sql.functions.length($"text") - 7,
+            org.apache.spark.sql.functions.lit(1))),
+        i => org.apache.spark.sql.functions.md5($"text".substr(i,
+          org.apache.spark.sql.functions.lit(8)))))).collect().map(_.getString(0))
+    assert(fps(0) === fps(1))
+    assert(fps(0) !== fps(2))
+  }
+}
