@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators._
+import graft.streaming.Streaming
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,7 +19,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ WordCount.queries ++ Dedup.queries ++
-      Similarity.queries ++ TextAnalysis.queries
+      Similarity.queries ++ TextAnalysis.queries ++ Multimodal.queries ++
+      Streaming.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver records a weaker
@@ -26,5 +28,6 @@ object SparkEntry {
     * SQL-expressible, e.g. byte-exact normalize, LSH bucketing). */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ WordCount.oracles ++ Dedup.oracles ++
-      Similarity.oracles ++ TextAnalysis.oracles
+      Similarity.oracles ++ TextAnalysis.oracles ++ Multimodal.oracles ++
+      Streaming.oracles
 }

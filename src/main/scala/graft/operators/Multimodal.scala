@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.Tables
+
+/** Multimodal-column plumbing: images/audio/video as opaque `binary`
+  * payloads with typed metadata, processed in partition-batched form.
+  *
+  * The decode step is a STUB — image/audio codecs are not available in
+  * this environment — implemented as a deterministic fake (a byte
+  * histogram "feature vector") so the Spark-side contract is real and
+  * testable end-to-end: schema (binary + metadata struct), partitioning
+  * (pure map, no shuffle), batch shape (mapPartitions processes an
+  * iterator per partition — the Scala analogue of mapInPandas batches),
+  * and the feature-vector output type `array<float>`.
+  *
+  * Payloads are derived deterministically from the `documents` table
+  * (UTF-8 bytes of `text`) rather than synthesizing new inputs. */
+object Multimodal {
+
+  final val FeatureDim = 16
+  final val FrameSize = 64 // bytes per fake "video frame"
+
+  /** Manifest: documents reinterpreted as a media table. media_type
+    * cycles by doc_id; metadata is a typed struct, payload is binary. */
+  def mediaManifest(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir).select(
+      $"doc_id",
+      element_at(
+        typedlit(Seq("image", "audio", "video")),
+        (pmod($"doc_id", lit(3)) + 1).cast("int")).as("media_type"),
+      $"text".cast("binary").as("payload"),
+      struct(
+        length($"text").as("n_bytes"),
+        pmod($"doc_id" * 37 + 640, lit(1280)).cast("int").as("width"),
+        pmod($"doc_id" * 53 + 360, lit(720)).cast("int").as("height"),
+        lit("stub/v1").as("codec")).as(metaColName))
+  }
+
+  final val metaColName = "meta"
+
+  /** Deterministic fake "decode": length-normalized byte histogram over
+    * FeatureDim buckets. ??? -> a real decoder would replace exactly this
+    * function; everything around it (batching, schema, partitioning) is
+    * the production path. */
+  private[graft] def decodeStub(payload: Array[Byte]): Array[Float] = {
+    val hist = new Array[Float](FeatureDim)
+    var i = 0
+    while (i < payload.length) {
+      hist((payload(i) & 0xff) % FeatureDim) += 1f
+      i += 1
+    }
+    if (payload.length > 0) {
+      var b = 0
+      while (b < FeatureDim) { hist(b) /= payload.length.toFloat; b += 1 }
+    }
+    hist
+  }
+
+  private val featureSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("media_type", StringType, nullable = true),
+    StructField("n_bytes", IntegerType, nullable = true),
+    StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)))
+
+  /** Batched decode over partitions: one iterator per partition (the
+    * batch boundary), rows streamed through without materializing the
+    * partition — the shape a heavyweight codec UDF needs. Pure map: no
+    * shuffle, parallelism = input file splits. */
+  def mediaFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    val manifest = mediaManifest(spark, sfDir)
+    val out = manifest
+      .select("doc_id", "media_type", s"$metaColName.n_bytes", "payload")
+      .rdd.mapPartitions { rows =>
+        // per-batch (partition) init would go here: codec handles, model
+        // weights, pinned buffers — allocated once, reused across rows.
+        rows.map { r =>
+          Row(r.getLong(0), r.getString(1), r.getInt(2),
+            decodeStub(r.getAs[Array[Byte]](3)).toSeq)
+        }
+      }
+    spark.createDataFrame(out, featureSchema).orderBy("doc_id")
+  }
+
+  /** Fake video frame sampling: slice the payload into FrameSize-byte
+    * frames, keep every k-th — array/binary surgery in pure column
+    * expressions (substr on binary), exploded to one row per frame. */
+  def mediaFrameSample(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val m = mediaManifest(spark, sfDir).filter($"media_type" === "video")
+    val nFrames = ceil(length($"payload").cast("double") / FrameSize).cast("int")
+    m.select($"doc_id", $"payload", nFrames.as("n_frames"))
+      .select($"doc_id", $"n_frames",
+        explode(sequence(lit(0), $"n_frames" - 1)).as("frame_idx"),
+        $"payload")
+      .filter(pmod($"frame_idx", lit(4)) === 0) // sample every 4th frame
+      .select($"doc_id", $"frame_idx",
+        length($"payload".substr($"frame_idx" * FrameSize + 1, lit(FrameSize)))
+          .as("frame_bytes"))
+      .orderBy($"doc_id", $"frame_idx")
+  }
+
+  /** Manifest projection with SQL-derivable fields only (oracle-backed):
+    * proves the binary payload and metadata struct round-trip. */
+  def mmManifest(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    mediaManifest(spark, sfDir).select(
+        $"doc_id", $"media_type",
+        length($"payload").as("payload_bytes"),
+        col(s"$metaColName.width").as("width"),
+        col(s"$metaColName.height").as("height"))
+      .orderBy($"doc_id")
+  }
+
+  def mmFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    mediaFeatures(spark, sfDir).select(
+      $"doc_id", $"media_type", $"n_bytes",
+      round(element_at($"features", 1).cast("double"), 4).as("f0"),
+      round(aggregate($"features", lit(0.0), (a, x) => a + x.cast("double")), 4)
+        .as("feature_sum"))
+  }
+
+  def mmFrames(spark: SparkSession, sfDir: String): DataFrame =
+    mediaFrameSample(spark, sfDir)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_manifest" -> mmManifest,
+    "mm_features" -> mmFeatures,
+    "mm_frames" -> mmFrames,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "mm_manifest" ->
+      """SELECT doc_id,
+        |  ['image', 'audio', 'video'][(doc_id % 3) + 1] AS media_type,
+        |  octet_length(encode(text)) AS payload_bytes,
+        |  CAST((doc_id * 37 + 640) % 1280 AS INT) AS width,
+        |  CAST((doc_id * 53 + 360) % 720 AS INT) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_frames" ->
+      """SELECT doc_id, frame_idx,
+        |  least(64, octet_length(encode(text)) - frame_idx * 64) AS frame_bytes
+        |FROM (
+        |  SELECT doc_id, text, unnest(range(0,
+        |    CAST(ceil(octet_length(encode(text)) / 64.0) AS INT))) AS frame_idx
+        |  FROM documents WHERE doc_id % 3 = 2
+        |) t
+        |WHERE frame_idx % 4 = 0
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+    // mm_features: decode stub not SQL-expressible — rows-only; the
+    // histogram math is asserted in MultimodalSpec.
+  )
+}

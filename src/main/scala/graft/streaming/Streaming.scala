@@ -1,0 +1,123 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.WordCount
+
+/** Structured Streaming surface: the reference's pipeline-parallel
+  * "streaming" (reader→mapper queues, `omp.cpp:13,73-109`) re-expressed
+  * as real event/file streams. Batch and streaming share the same
+  * transform code, so every streaming query is correctness-checked
+  * against the batch oracle by running the stream to completion into a
+  * memory sink (`processAllAvailable`) and returning the materialized
+  * table.
+  *
+  * At scale these run with file-source triggers + checkpointing; the
+  * memory sink is the local-test harness, not the production sink. */
+object Streaming {
+
+  private val counter = new AtomicInteger(0)
+
+  /** Run a streaming DataFrame to completion into a memory table. */
+  private def runToMemory(sdf: DataFrame, mode: String): DataFrame = {
+    val name = s"graft_stream_${counter.incrementAndGet()}"
+    val q = sdf.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    sdf.sparkSession.table(name)
+  }
+
+  /** Streaming scan of the events parquet with the same nanos→timestamp
+    * handling as the batch path (Tables.events). */
+  private def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    // file stream sources take a directory; select the one table via glob
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+  }
+
+  /** Hourly windowed event aggregation as a stream — same semantics as
+    * the batch q14, same DuckDB oracle. Uses a real event-time window
+    * with watermark (no-op for a bounded replay, load-bearing for an
+    * unbounded source). */
+  def streamEventsHourly(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val agg = eventsStream(spark, sfDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total_value"))
+      .select($"w.start".as("hour"), $"event_type", $"n", $"total_value")
+    runToMemory(agg, "complete").orderBy($"hour", $"event_type")
+  }
+
+  /** Streaming word count over the documents table — the reference query
+    * in `Complete` output mode (running totals per word), checked against
+    * the batch oracle. */
+  def streamWordCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val docs = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+    val counts = WordCount.counts(WordCount.tokenize(docs, "text"))
+    runToMemory(counts, "complete").orderBy($"word")
+  }
+
+  /** Custom streaming state via `mapGroupsWithState`: per-user running
+    * totals (the `KeyValueGroupedDataset` stateful path). The memory sink
+    * in update mode receives one row per (user, batch); the final
+    * projection keeps the row with the highest running count — a no-op
+    * for a single-batch bounded replay, correct under multi-batch
+    * triggers too (counts are monotone). */
+  def streamUserTotals(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val ds = eventsStream(spark, sfDir)
+      .select($"user_id", $"value").as[(Long, Double)]
+    val updated = ds.groupByKey(_._1)
+      .mapGroupsWithState[(Long, Double), (Long, Long, Double)](
+        GroupStateTimeout.NoTimeout) { (uid, events, state) =>
+          var (n, tot) = state.getOption.getOrElse((0L, 0.0))
+          events.foreach { e => n += 1; tot += e._2 }
+          state.update((n, tot))
+          (uid, n, tot)
+        }
+      .toDF("user_id", "n", "total")
+    val all = runToMemory(updated, "update")
+    all.groupBy($"user_id")
+      .agg(max(struct($"n", $"total")).as("s"))
+      .select($"user_id", $"s.n".as("n_events"),
+        round($"s.total", 2).as("total_value"))
+      .orderBy($"user_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_events_hourly" -> streamEventsHourly,
+    "stream_wc_counts" -> streamWordCounts,
+    "stream_user_totals" -> streamUserTotals,
+  )
+
+  /** Streaming results are checked against the same SQL as their batch
+    * twins — the point: stream and batch agree with the oracle. */
+  val oracles: Map[String, String] = Map(
+    "stream_events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        |  count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events
+        |GROUP BY date_trunc('hour', ts), event_type
+        |ORDER BY hour, event_type""".stripMargin,
+    "stream_wc_counts" ->
+      """SELECT word, count(*) AS cnt
+        |FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS word FROM documents) t
+        |WHERE word <> ''
+        |GROUP BY word ORDER BY word""".stripMargin,
+    "stream_user_totals" ->
+      """SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+  )
+}
