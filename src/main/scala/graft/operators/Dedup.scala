@@ -83,13 +83,19 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
-  /** MinHash signatures: sig[i] = min over shingles of hash_i(shingle),
-    * hash_i = xxhash64 seeded by chaining the band index as a column. */
+  /** MinHash signatures: sig[i] = min over shingles of hash_i(shingle).
+    * One strong hash per variable-length shingle string (xxhash64,
+    * computed once into `hv`), then 64 re-hashes of the fixed-width
+    * (long, seed) pair — the one-hash/many-permutations trick. A wrapping
+    * multiply-add mix would be cheaper still but ANSI mode (Spark 4
+    * default) raises on long overflow, so the fixed-width hash is the
+    * portable form. */
   private def withSignature(sh: DataFrame): DataFrame = {
+    val hashed = sh.withColumn("hv", transform(col("sh"), s => xxhash64(s)))
     val sigCols = (0 until NumHashes).map { i =>
-      array_min(transform(col("sh"), s => xxhash64(lit(i), s))).as(s"sig$i")
+      array_min(transform(col("hv"), h => xxhash64(h, lit(i)))).as(s"sig$i")
     }
-    sh.select(col("doc_id") +: col("sh") +: sigCols: _*)
+    hashed.select(col("doc_id") +: col("sh") +: sigCols: _*)
   }
 
   /** MinHash + LSH banded near-dup detection, exact-Jaccard verified.

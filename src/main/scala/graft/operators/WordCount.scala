@@ -22,10 +22,18 @@ object WordCount {
   def linesFromFiles(spark: SparkSession, paths: Seq[String]): DataFrame =
     spark.read.text(paths: _*)
 
-  /** O2–O4 over any string column: tokenize on whitespace runs (Java regex
-    * \s = the istream>> set " \t\n\x0B\f\r"), byte-normalize, drop empties.
-    * Returns single column `word`. */
+  /** O2–O4 over any string column: tokenize on whitespace runs (the
+    * istream>> set " \t\n\x0B\f\r"), byte-normalize, drop empties — fused
+    * into a single custom Generator (graft.functions.TokenizeNormalize,
+    * one byte pass, no regex, zero-copy slices). Returns column `word`.
+    * The unfused composition (explode∘split → NormalizeWord → filter)
+    * is kept as `tokenizeUnfused` for differential testing. */
   def tokenize(df: DataFrame, textCol: String): DataFrame =
+    df.select(graft.functions.TokenizeNormalize(col(textCol)))
+
+  /** Reference composition of built-ins; semantically identical to
+    * `tokenize` (asserted in WordCountGoldenSpec). */
+  def tokenizeUnfused(df: DataFrame, textCol: String): DataFrame =
     df.select(explode(split(col(textCol), "\\s+")).as("raw"))
       .select(NormalizeWord(col("raw")).as("word"))
       .filter(length(col("word")) > 0)
@@ -64,9 +72,15 @@ object WordCount {
       headerLabel: String, includeUnique: Boolean): Array[Byte] = {
     val words = tokenize(linesFromFiles(spark, paths), "value")
     val cnts = counts(words)
-    val rows = cnts.orderBy("word")
-      .select(col("word").cast("binary"), col("cnt"))
-      .collect()
+    // collect unsorted and sort on the driver: the result is vocabulary-
+    // sized, and skipping orderBy avoids range-partitioning's extra
+    // sampling job + shuffle. Unsigned byte compare ≡ UTF8String binary
+    // order ≡ C++ std::string <.
+    val rows = cnts.select(col("word").cast("binary"), col("cnt")).collect()
+    java.util.Arrays.sort(rows, { (a: Row, b: Row) =>
+      java.util.Arrays.compareUnsigned(
+        a.getAs[Array[Byte]](0), b.getAs[Array[Byte]](0))
+    })
     var total = 0L
     rows.foreach(r => total += r.getLong(1))
     val out = new java.io.ByteArrayOutputStream(rows.length * 16 + 64)

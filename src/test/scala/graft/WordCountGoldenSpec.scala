@@ -22,6 +22,23 @@ class WordCountGoldenSpec extends AnyFunSuite {
     new java.io.File(corpusDir).list().sorted.toSeq
       .map(f => s"$corpusDir/$f")
 
+  test("fused tokenizer ≡ unfused explode/split/normalize/filter composition") {
+    val spark = SparkTestSession.spark
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val fused = WordCount.counts(WordCount.tokenize(docs, "text"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val unfused = WordCount.counts(WordCount.tokenizeUnfused(docs, "text"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fused === unfused)
+    // and on the nastiest real input: the full reference corpus
+    val lines = WordCount.linesFromFiles(spark, corpusPaths)
+    val a = WordCount.counts(WordCount.tokenize(lines, "value"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = WordCount.counts(WordCount.tokenizeUnfused(lines, "value"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a === b)
+  }
+
   test("Text5: engine output byte-identical to reference (omp format)") {
     val got = WordCount.formattedBytes(SparkTestSession.spark,
       Seq(s"$corpusDir/Text5.txt"), "raw_text_input/Text5.txt",
