@@ -20,7 +20,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ WordCount.queries ++ Dedup.queries ++
       Similarity.queries ++ TextAnalysis.queries ++ Multimodal.queries ++
-      Streaming.queries
+      Streaming.queries ++ Temporal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver records a weaker
@@ -29,5 +29,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ WordCount.oracles ++ Dedup.oracles ++
       Similarity.oracles ++ TextAnalysis.oracles ++ Multimodal.oracles ++
-      Streaming.oracles
+      Streaming.oracles ++ Temporal.oracles
 }

@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** Temporal operators Spark lacks as built-ins, composed Spark-first.
+  *
+  * As-of join (point-in-time lookup): for each left row, the most recent
+  * right row with key equality and right.time <= left.time. Implemented
+  * with the union-marker technique: stack both sides, one window sorted
+  * by (key, time, side) carrying `last(right value, ignoreNulls)` — a
+  * single shuffle on the key, no range-join blowup, no per-row probe.
+  * This is the standard scalable formulation (one exchange + one sort,
+  * same cost class as a sort-merge join). DuckDB's native ASOF JOIN is
+  * the oracle. */
+object Temporal {
+
+  /** Generic as-of join on (keyCol, timeCol): returns left rows enriched
+    * with the as-of right columns (null when no prior right row).
+    * `tieBreak` (one of rightCols) makes ties at equal right-time
+    * deterministic: the row with the greatest tieBreak value wins. */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, time: String,
+      rightCols: Seq[String], tieBreak: String): DataFrame = {
+    val leftTagged = left
+      .withColumn("__side", lit(1))
+      .select(Seq(col(key), col(time), col("__side")) ++
+        left.columns.filterNot(c => c == key || c == time).map(c => col(c)) ++
+        rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
+    val rightTagged = right
+      .withColumn("__side", lit(0))
+      .select(Seq(col(key), col(time), col("__side")) ++
+        left.columns.filterNot(c => c == key || c == time)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        rightCols.map(c => col(c).as(s"__r_$c")): _*)
+    // right rows sort before left rows at equal time (side 0 < 1) —
+    // matching ASOF's t_right <= t_left inclusive semantics; among right
+    // rows at equal time, ascending tieBreak puts the winner last so
+    // last() selects it, and both filled columns come from the same row
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(time).asc, col("__side").asc, col(s"__r_$tieBreak").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val filled = rightCols.foldLeft(leftTagged.unionByName(rightTagged)) {
+      case (df, c) => df.withColumn(s"__r_$c",
+        last(col(s"__r_$c"), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__side") === 1)
+      .select(Seq(col(key), col(time)) ++
+        left.columns.filterNot(c => c == key || c == time).map(c => col(c)) ++
+        rightCols.map(c => col(s"__r_$c").as(s"asof_$c")): _*)
+  }
+
+  /** Events enriched with each user's most recent order at event time
+    * (user_id ≡ o_custkey in the synthetic schema). */
+  def q17AsofEventOrder(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, sfDir)
+      .select($"user_id".as("k"), $"ts".as("t"), $"event_id", $"event_type")
+    val o = Tables.orders(spark, sfDir)
+      .select($"o_custkey".as("k"), $"o_orderdate".as("t"), $"o_orderkey", $"o_totalprice")
+    asofJoin(e, o, "k", "t", Seq("o_orderkey", "o_totalprice"), tieBreak = "o_orderkey")
+      .select($"event_id", $"k".as("user_id"),
+        $"asof_o_orderkey".as("last_orderkey"),
+        round($"asof_o_totalprice", 2).as("last_order_price"))
+      .orderBy($"event_id")
+  }
+
+  /** Analytic-function battery: lead/lag deltas, dense_rank, ntile over
+    * per-user event sequences. */
+  def q18Analytics(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    Tables.events(spark, sfDir)
+      .withColumn("prev_value", lag($"value", 1).over(w))
+      .withColumn("next_type", lead($"event_type", 1).over(w))
+      .withColumn("seq", dense_rank().over(w))
+      .withColumn("quartile", ntile(4).over(Window.partitionBy($"user_id")
+        .orderBy($"value".asc, $"event_id".asc)))
+      .filter($"seq" <= 4)
+      .select($"user_id", $"seq", $"event_id",
+        round($"value" - coalesce($"prev_value", lit(0.0)), 4).as("value_delta"),
+        coalesce($"next_type", lit("none")).as("next_type"),
+        $"quartile")
+      .orderBy($"user_id", $"seq")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q17_asof_event_order" -> q17AsofEventOrder,
+    "q18_analytics" -> q18Analytics,
+  )
+
+  val oracles: Map[String, String] = Map(
+    // correlated-subquery form instead of native ASOF JOIN: the data has
+    // duplicate (custkey, orderdate) pairs, and ASOF's tie choice is
+    // unspecified — this form pins the same max-orderkey tiebreak as the
+    // engine's window formulation
+    "q17_asof_event_order" ->
+      """SELECT e.event_id, e.user_id,
+        |  (SELECT o.o_orderkey FROM orders o
+        |   WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        |   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) AS last_orderkey,
+        |  (SELECT round(o.o_totalprice, 2) FROM orders o
+        |   WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        |   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) AS last_order_price
+        |FROM events e
+        |ORDER BY e.event_id""".stripMargin,
+    "q18_analytics" ->
+      """SELECT user_id, seq, event_id,
+        |  round(value - coalesce(prev_value, 0.0), 4) AS value_delta,
+        |  coalesce(next_type, 'none') AS next_type, quartile
+        |FROM (
+        |  SELECT user_id, event_id, value, event_type, ts,
+        |    lag(value, 1) OVER w AS prev_value,
+        |    lead(event_type, 1) OVER w AS next_type,
+        |    dense_rank() OVER w AS seq,
+        |    ntile(4) OVER (PARTITION BY user_id ORDER BY value ASC, event_id ASC) AS quartile
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |) t WHERE seq <= 4
+        |ORDER BY user_id, seq""".stripMargin,
+  )
+}

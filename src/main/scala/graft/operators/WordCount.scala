@@ -126,7 +126,29 @@ object WordCount {
         size(split(col("text"), "\\s+")).cast("long").as("n_tokens"))
       .orderBy("doc_id")
 
+  /** Skew-resistant two-stage count: explicit per-partition pre-aggregate
+    * (salt = physical partition id) before the keyed shuffle — the
+    * salting pattern for hot keys, made deterministic. Result must equal
+    * the plain count (same oracle); at 100 TB this caps the per-key
+    * shuffle fan-in at #partitions regardless of key skew. */
+  def wcWordCountsSalted(spark: SparkSession, sfDir: String): DataFrame =
+    docWords(spark, sfDir)
+      .groupBy(col("word"), spark_partition_id().as("salt"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("word").agg(sum(col("c")).as("cnt"))
+      .orderBy("word")
+
+  /** O13's approximate variant: HyperLogLog++ distinct estimate next to
+    * the exact count (rows-only for the driver; the ≤5% relative-error
+    * contract is asserted in WordCountGoldenSpec). */
+  def wcApproxDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    docWords(spark, sfDir).agg(
+      countDistinct(col("word")).as("exact_distinct"),
+      approx_count_distinct(col("word"), 0.02).as("approx_distinct"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "wc_word_counts_salted" -> wcWordCountsSalted,
+    "wc_approx_distinct" -> wcApproxDistinct,
     "wc_word_counts" -> wcWordCounts,
     "wc_totals" -> wcTotals,
     "wc_ranked" -> wcRanked,
@@ -140,6 +162,11 @@ object WordCount {
     * semantics are covered by the unit probe table + reference-corpus
     * golden test instead (not SQL-expressible). */
   val oracles: Map[String, String] = Map(
+    "wc_word_counts_salted" ->
+      """SELECT word, count(*) AS cnt
+        |FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS word FROM documents) t
+        |WHERE word <> ''
+        |GROUP BY word ORDER BY word""".stripMargin,
     "wc_word_counts" ->
       """SELECT word, count(*) AS cnt
         |FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS word FROM documents) t

@@ -39,6 +39,15 @@ class WordCountGoldenSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("approx distinct is within its 2% standard error contract (<=5% observed)") {
+    val r = WordCount.wcApproxDistinct(SparkTestSession.spark, "/root/testdata/sf0.001")
+      .collect()(0)
+    val exact = r.getLong(0).toDouble
+    val approx = r.getLong(1).toDouble
+    assert(math.abs(approx - exact) / exact <= 0.05,
+      s"approx=$approx exact=$exact")
+  }
+
   test("Text5: engine output byte-identical to reference (omp format)") {
     val got = WordCount.formattedBytes(SparkTestSession.spark,
       Seq(s"$corpusDir/Text5.txt"), "raw_text_input/Text5.txt",
