@@ -12,15 +12,17 @@ import graft.streaming.Streaming
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The reference's own query — tokenize/normalize/count — through the
+    * fused byte-exact pipeline. */
   def entry(spark: SparkSession): DataFrame =
-    Relational.q1PricingSummary(spark, "/root/testdata/sf0.001")
+    WordCount.wcWordCounts(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ WordCount.queries ++ Dedup.queries ++
       Similarity.queries ++ TextAnalysis.queries ++ Multimodal.queries ++
-      Streaming.queries ++ Temporal.queries
+      Streaming.queries ++ Temporal.queries ++ Sessions.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver records a weaker
@@ -29,5 +31,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ WordCount.oracles ++ Dedup.oracles ++
       Similarity.oracles ++ TextAnalysis.oracles ++ Multimodal.oracles ++
-      Streaming.oracles ++ Temporal.oracles
+      Streaming.oracles ++ Temporal.oracles ++ Sessions.oracles
 }

@@ -245,7 +245,40 @@ object Relational {
       .orderBy($"o_custkey")
   }
 
+  /** Full CUBE over two dimensions (all 4 grouping sets). */
+  def q20Cube(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n"), round(sum($"l_quantity"), 2).as("qty"))
+      .select(
+        coalesce($"l_returnflag", lit("ALL")).as("l_returnflag"),
+        coalesce($"l_linestatus", lit("ALL")).as("l_linestatus"),
+        $"n", $"qty")
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** Scalar string-function battery over part names: regexp extraction,
+    * trim/pad/case/concat/substring/replace/position — the everyday
+    * projection surface, all codegen'd built-ins. */
+  def q21StringFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.part(spark, sfDir)
+      .select(
+        $"p_partkey",
+        upper(substring($"p_name", 1, 8)).as("name_prefix"),
+        length($"p_name").as("name_len"),
+        regexp_extract($"p_type", "^(\\w+)", 1).as("type_head"),
+        replace($"p_brand", lit("Brand"), lit("B")).as("brand_short"),
+        concat_ws("|", $"p_brand", $"p_type").as("brand_type"),
+        instr($"p_name", "a").cast("long").as("first_a"),
+        lpad($"p_size".cast("string"), 3, "0").as("size_padded"))
+      .orderBy($"p_partkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_cube" -> q20Cube,
+    "q21_string_funcs" -> q21StringFuncs,
     "q1_pricing_summary" -> q1PricingSummary,
     "q2_filter_project" -> q2FilterProject,
     "q3_join_segment_revenue" -> q3JoinRevenueBySegment,
@@ -265,6 +298,23 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q20_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS l_linestatus,
+        |  count(*) AS n, round(sum(l_quantity), 2) AS qty
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q21_string_funcs" ->
+      """SELECT p_partkey,
+        |  upper(substring(p_name, 1, 8)) AS name_prefix,
+        |  length(p_name) AS name_len,
+        |  regexp_extract(p_type, '^(\w+)', 1) AS type_head,
+        |  replace(p_brand, 'Brand', 'B') AS brand_short,
+        |  concat_ws('|', p_brand, p_type) AS brand_type,
+        |  CAST(instr(p_name, 'a') AS BIGINT) AS first_a,
+        |  lpad(CAST(p_size AS VARCHAR), 3, '0') AS size_padded
+        |FROM part ORDER BY p_partkey""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

@@ -1,0 +1,42 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Temporal
+
+/** SQL registration surface + as-of miss-path coverage. */
+class GraftSqlSpec extends AnyFunSuite {
+  private lazy val spark = { Graft.install(SparkTestSession.spark) }
+
+  test("custom functions are callable from SQL after Graft.install") {
+    val r = spark.sql(
+      "SELECT normalize_word('Hello,') AS w, simhash64(array('a','b')) AS h").collect()(0)
+    assert(r.getString(0) === "hello")
+    assert(r.getLong(1) !== 0L)
+    val toks = spark.sql(
+      "SELECT tokenize_normalize('Foo,  BAR!! ...') AS word").collect()
+    assert(toks.map(_.getString(0)).toSeq === Seq("foo", "bar"))
+  }
+
+  test("as-of join emits nulls for left rows with no prior right row") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, "e1"), (1L, 5L, "e0"), (2L, 50L, "e2"))
+      .toDF("k", "t", "name")
+    val right = Seq((1L, 10L, 7.0), (1L, 90L, 9.0), (3L, 1L, 1.0))
+      .toDF("k", "t", "price")
+    val got = Temporal.asofJoin(left, right, "k", "t", Seq("price"), tieBreak = "price")
+      .select($"name", $"asof_price").collect()
+      .map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(got("e1") === Some(9.0)) // latest right at t<=100
+    assert(got("e0") === None)      // t=5 precedes all right rows -> miss
+    assert(got("e2") === None)      // key 2 has no right rows at all
+  }
+
+  test("as-of tie at equal time resolves to the greatest tiebreak value") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "e")).toDF("k", "t", "name")
+    val right = Seq((1L, 10L, 3.0), (1L, 10L, 8.0)).toDF("k", "t", "price")
+    val got = Temporal.asofJoin(left, right, "k", "t", Seq("price"), tieBreak = "price")
+      .select($"asof_price").collect()(0).getDouble(0)
+    assert(got === 8.0)
+  }
+}
