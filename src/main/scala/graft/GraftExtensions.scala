@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.{NormalizeWord, SimHash64, TokenizeNormalize}
+
+/** `SparkSessionExtensions` installer — the config-driven alternative to
+  * `Graft.install`: add `spark.sql.extensions=graft.GraftExtensions` to
+  * any session (spark-submit, thrift server, notebooks) and the custom
+  * functions resolve in SQL with no code changes. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, name, usage, "", "")
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((FunctionIdentifier("normalize_word"),
+      info("normalize_word", "byte-exact reference word normalization"),
+      (es: Seq[Expression]) => NormalizeWord(es.head)))
+    e.injectFunction((FunctionIdentifier("simhash64"),
+      info("simhash64", "64-bit SimHash of a token array"),
+      (es: Seq[Expression]) => SimHash64(es.head)))
+    e.injectFunction((FunctionIdentifier("tokenize_normalize"),
+      info("tokenize_normalize", "fused whitespace tokenize + normalize generator"),
+      (es: Seq[Expression]) => TokenizeNormalize(es.head)))
+  }
+}

@@ -146,7 +146,23 @@ object WordCount {
       countDistinct(col("word")).as("exact_distinct"),
       approx_count_distinct(col("word"), 0.02).as("approx_distinct"))
 
+  /** Typed-Dataset aggregation via the custom WordStatsAggregator UDAF:
+    * per first-letter group, one-pass (n_words, total_cnt, max_cnt,
+    * max_word_len) over the counted vocabulary. */
+  def wcWordStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.WordStatsAggregator
+    counts(docWords(spark, sfDir))
+      .as[(String, Long)]
+      .groupByKey { case (w, _) => w.substring(0, 1) }
+      .agg(WordStatsAggregator.toColumn.name("s"))
+      .select($"key".as("letter"), $"s.n_words", $"s.total_cnt",
+        $"s.max_cnt", $"s.max_word_len")
+      .orderBy($"letter")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "wc_word_stats" -> wcWordStats,
     "wc_word_counts_salted" -> wcWordCountsSalted,
     "wc_approx_distinct" -> wcApproxDistinct,
     "wc_word_counts" -> wcWordCounts,
@@ -162,6 +178,16 @@ object WordCount {
     * semantics are covered by the unit probe table + reference-corpus
     * golden test instead (not SQL-expressible). */
   val oracles: Map[String, String] = Map(
+    "wc_word_stats" ->
+      """WITH c AS (
+        |  SELECT word, count(*) AS cnt
+        |  FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS word FROM documents) t
+        |  WHERE word <> '' GROUP BY word
+        |)
+        |SELECT substring(word, 1, 1) AS letter,
+        |  count(*) AS n_words, sum(cnt) AS total_cnt,
+        |  max(cnt) AS max_cnt, max(length(word)) AS max_word_len
+        |FROM c GROUP BY substring(word, 1, 1) ORDER BY letter""".stripMargin,
     "wc_word_counts_salted" ->
       """SELECT word, count(*) AS cnt
         |FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS word FROM documents) t

@@ -17,6 +17,29 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(toks.map(_.getString(0)).toSeq === Seq("foo", "bar"))
   }
 
+  test("GraftExtensions wires the same functions via spark.sql.extensions") {
+    import org.apache.spark.sql.SparkSession
+    // a sibling session on the same context picks up the extensions class
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    // withExtensions: the conf-string path (spark.sql.extensions) only
+    // applies when the SparkContext itself is created, which the shared
+    // test context precludes — the class is the same either way
+    val s2 = SparkSession.builder()
+      .master("local[2]")
+      .withExtensions(new GraftExtensions)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      val r = s2.sql("SELECT normalize_word('--DASH--') AS w").collect()(0)
+      assert(r.getString(0) === "dash")
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.setDefaultSession(SparkTestSession.spark)
+      SparkSession.setActiveSession(SparkTestSession.spark)
+    }
+  }
+
   test("as-of join emits nulls for left rows with no prior right row") {
     import spark.implicits._
     val left = Seq((1L, 100L, "e1"), (1L, 5L, "e0"), (2L, 50L, "e2"))
