@@ -276,9 +276,42 @@ object Relational {
       .orderBy($"p_partkey")
   }
 
+  /** Collection columns: per-nation sorted key arrays + array functions,
+    * emitted as joined strings so the oracle compare stays scalar. */
+  def q22Collections(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.supplier(spark, sfDir)
+      .groupBy($"s_nationkey")
+      .agg(sort_array(collect_list($"s_suppkey")).as("keys"),
+        count(lit(1)).as("n"))
+      .select(
+        $"s_nationkey",
+        $"n",
+        array_join($"keys", ",").as("supp_keys"),
+        element_at($"keys", 1).as("min_key"),
+        element_at($"keys", -1).as("max_key"),
+        array_join(slice($"keys", 1, 2), ",").as("first_two"))
+      .orderBy($"s_nationkey")
+  }
+
+  /** Pivot: order counts per priority pivoted by status (fixed column
+    * set so the schema is stable; the oracle uses conditional aggs). */
+  def q23Pivot(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir)
+      .groupBy($"o_orderpriority")
+      .pivot($"o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .select($"o_orderpriority", $"F".as("n_f"), $"O".as("n_o"), $"P".as("n_p"))
+      .orderBy($"o_orderpriority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_cube" -> q20Cube,
     "q21_string_funcs" -> q21StringFuncs,
+    "q22_collections" -> q22Collections,
+    "q23_pivot" -> q23Pivot,
     "q1_pricing_summary" -> q1PricingSummary,
     "q2_filter_project" -> q2FilterProject,
     "q3_join_segment_revenue" -> q3JoinRevenueBySegment,
@@ -305,6 +338,19 @@ object Relational {
         |FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q22_collections" ->
+      """SELECT s_nationkey, count(*) AS n,
+        |  array_to_string(list_sort(list(s_suppkey)), ',') AS supp_keys,
+        |  min(s_suppkey) AS min_key,
+        |  max(s_suppkey) AS max_key,
+        |  array_to_string(list_sort(list(s_suppkey))[1:2], ',') AS first_two
+        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+    "q23_pivot" ->
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+        |  count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+        |  count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q21_string_funcs" ->
       """SELECT p_partkey,
         |  upper(substring(p_name, 1, 8)) AS name_prefix,

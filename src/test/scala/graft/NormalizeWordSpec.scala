@@ -60,6 +60,24 @@ class NormalizeWordSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("Scala UDF fallback agrees with the catalyst expression") {
+    val spark = SparkTestSession.spark
+    import org.apache.spark.sql.functions.col
+    // the §7.4 "Scala UDF first" fallback: same byte semantics via the
+    // String surface (valid-UTF-8 inputs only — the expression is the
+    // byte-exact path; this pins the two in agreement where both apply)
+    val normUdf = org.apache.spark.sql.functions.udf { (s: String) =>
+      new String(WordNorm.normalize(
+        UTF8String.fromString(s)).getBytes, "UTF-8")
+    }
+    import spark.implicits._
+    val in = probes.map(_._1).toDF("raw")
+    val viaUdf = in.select(normUdf(col("raw"))).collect().map(_.getString(0))
+    val viaExpr = in.select(graft.functions.NormalizeWord(col("raw")))
+      .collect().map(_.getString(0))
+    assert(viaUdf.toSeq === viaExpr.toSeq)
+  }
+
   test("codegen path (DataFrame select) agrees with direct eval") {
     val spark = SparkTestSession.spark
     import spark.implicits._
