@@ -105,6 +105,11 @@ object Dedup {
     * planted similarity levels; see NumBands). */
   def dedupMinHashLsh(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // cache: the shingle frame feeds both the signature branch and the
+    // exact-verify branch of this one query. Spark's cache manager keys
+    // on the canonicalized plan, so repeated invocations (bench warm-up,
+    // driver re-runs) reuse ONE bounded entry per sfDir rather than
+    // accumulating; it lives until session stop.
     val sh = shingles(spark, sfDir).cache()
     val sig = withSignature(sh)
     val rowsPerBand = NumHashes / NumBands
@@ -154,15 +159,13 @@ object Dedup {
     * vacuous; top-k is the non-degenerate formulation here.) */
   def dedupEmbedCosine(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    import graft.functions.VectorOps
     val e = Tables.embeddings(spark, sfDir)
-      .select($"vec_id", $"label", transform($"embedding", x => x.cast("double")).as("v"))
-    def dot(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+      .select($"vec_id", $"label", VectorOps.toDouble($"embedding").as("v"))
     val pairs = e.as("a").join(e.as("b"),
         $"a.label" === $"b.label" && $"a.vec_id" < $"b.vec_id")
       .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"), $"a.label".as("label"),
-        (dot($"a.v", $"b.v") / (sqrt(dot($"a.v", $"a.v")) * sqrt(dot($"b.v", $"b.v"))))
-          .as("cos"))
+        VectorOps.cosine($"a.v", $"b.v").as("cos"))
     pairs.orderBy($"cos".desc, $"vec_a".asc, $"vec_b".asc)
       .limit(20)
       .select($"vec_a", $"vec_b", $"label", round($"cos", 4).as("cosine"))

@@ -34,7 +34,7 @@ object Multimodal {
         (pmod($"doc_id", lit(3)) + 1).cast("int")).as("media_type"),
       $"text".cast("binary").as("payload"),
       struct(
-        length($"text").as("n_bytes"),
+        length($"text".cast("binary")).as("n_bytes"), // bytes, not chars
         pmod($"doc_id" * 37 + 640, lit(1280)).cast("int").as("width"),
         pmod($"doc_id" * 53 + 360, lit(720)).cast("int").as("height"),
         lit("stub/v1").as("codec")).as(metaColName))
@@ -93,6 +93,7 @@ object Multimodal {
     val m = mediaManifest(spark, sfDir).filter($"media_type" === "video")
     val nFrames = ceil(length($"payload").cast("double") / FrameSize).cast("int")
     m.select($"doc_id", $"payload", nFrames.as("n_frames"))
+      .filter($"n_frames" > 0) // empty payload: sequence(0,-1) descends, not empties
       .select($"doc_id", $"n_frames",
         explode(sequence(lit(0), $"n_frames" - 1)).as("frame_idx"),
         $"payload")

@@ -27,15 +27,25 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** events.parquet stores `ts` as INT64 TIMESTAMP(NANOS) which Spark's
-    * parquet reader rejects; read nanos as long and rebuild a (µs) timestamp
-    * column. Truncation ns→µs is exact for this data (driver generates
-    * ms-resolution values) and harmless for bucketed aggs either way. */
+  /** Rebuild a (µs) timestamp from an INT64 nanosecond column. MUST be
+    * integer division: `/` on longs is double division in Spark, and a
+    * ns epoch (~1.7e18) exceeds 2^53 — the rounded quotient comes out
+    * 1 µs low for ~13% of rows, silently shifting ms-boundary
+    * comparisons vs the oracle. `div` truncates toward zero, which
+    * matches floor for these post-1970 values. */
+  private[graft] def nanosToTimestamp(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** events.parquet stores `ts` as INT64 TIMESTAMP(NANOS), which Spark's
+    * parquet reader rejects. `nanosAsLong` is a session-global legacy
+    * flag (no per-read option exists); setting it here is a deliberate
+    * one-way switch — any other NANOS column read on this session will
+    * also surface as LongType. The testdata has exactly one such column. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    import org.apache.spark.sql.functions._
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    nanosToTimestamp(load(s, d, "events"))
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

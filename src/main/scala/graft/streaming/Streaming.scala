@@ -36,10 +36,12 @@ object Streaming {
   private def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    // file stream sources take a directory; select the one table via glob
-    spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    // file stream sources take a directory; select the one table via glob.
+    // ns→µs conversion shared with the batch path (integer division —
+    // see Tables.nanosToTimestamp).
+    graft.sources.Tables.nanosToTimestamp(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(sfDir))
   }
 
   /** Hourly windowed event aggregation as a stream — same semantics as

@@ -15,11 +15,16 @@ class QueriesSmokeSpec extends AnyFunSuite {
 
   test("module query maps do not collide on keys") {
     import graft.operators._
-    val maps = Seq(
-      "relational" -> Relational.queries.keySet,
-      "wordcount" -> WordCount.queries.keySet)
-    val all = maps.flatMap(_._2)
-    assert(all.size === all.distinct.size, "duplicate query keys across modules")
+    import graft.streaming.Streaming
+    // every module that feeds SparkEntry.queries — a collision would be
+    // silently resolved by Map ++ and drop a query from the driver surface
+    val moduleSizes = Seq(
+      Relational.queries.size, WordCount.queries.size, Dedup.queries.size,
+      Similarity.queries.size, TextAnalysis.queries.size,
+      Multimodal.queries.size, Streaming.queries.size,
+      Temporal.queries.size, Sessions.queries.size)
+    assert(SparkEntry.queries.size === moduleSizes.sum,
+      "duplicate query keys across modules (Map ++ dropped an entry)")
   }
 
   test("every query returns rows at sf0.001") {
