@@ -307,7 +307,25 @@ object Relational {
       .orderBy($"o_orderpriority")
   }
 
+  /** Semi-structured JSON column: parse events.props with an explicit
+    * schema (from_json — vectorizable, no schema inference pass) and
+    * aggregate on the extracted field. */
+  def q24Json(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("k", LongType)))
+    Tables.events(spark, sfDir)
+      .select($"event_type", from_json($"props", schema).getField("k").as("k"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"k").as("k_sum"),
+        min($"k").as("k_min"),
+        max($"k").as("k_max"))
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q24_json" -> q24Json,
     "q20_cube" -> q20Cube,
     "q21_string_funcs" -> q21StringFuncs,
     "q22_collections" -> q22Collections,
@@ -338,6 +356,12 @@ object Relational {
         |FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q24_json" ->
+      """SELECT event_type, count(*) AS n,
+        |  sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_sum,
+        |  min(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_min,
+        |  max(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_max
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q22_collections" ->
       """SELECT s_nationkey, count(*) AS n,
         |  array_to_string(list_sort(list(s_suppkey)), ',') AS supp_keys,
