@@ -128,7 +128,36 @@ object TextAnalysis {
       .orderBy($"lang")
   }
 
+  /** Corpus-level bigram frequencies, top 20 — n-gram statistics for
+    * vocabulary analysis (explode fan-out + count + bounded top-k). */
+  def textTopBigrams(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(split($"text", " ").as("t"))
+      .filter(size($"t") >= 2)
+      .select(explode(transform(sequence(lit(0), size($"t") - 2),
+        i => concat_ws(" ", element_at($"t", i + 1), element_at($"t", i + 2))))
+        .as("bigram"))
+      .groupBy($"bigram").agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"bigram".asc)
+      .limit(20)
+  }
+
+  /** Stopword-filtered token counts — the curation transform that feeds
+    * most downstream text statistics. */
+  def textStopwordFiltered(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val stop = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+    Tables.documents(spark, sfDir)
+      .select(explode(split($"text", " ")).as("word"))
+      .filter(length($"word") > 0 && !$"word".isInCollection(stop))
+      .groupBy($"word").agg(count(lit(1)).as("cnt"))
+      .orderBy($"word")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_top_bigrams" -> textTopBigrams,
+    "text_stopword_filtered" -> textStopwordFiltered,
     "text_langid" -> textLangId,
     "text_quality" -> textQuality,
     "text_tokencount" -> textTokenCount,
@@ -137,6 +166,17 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_top_bigrams" ->
+      """SELECT bigram, count(*) AS cnt FROM (
+        |  SELECT unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS bigram
+        |  FROM (SELECT string_split(text, ' ') t FROM documents) s
+        |  WHERE len(t) >= 2
+        |) b GROUP BY bigram ORDER BY cnt DESC, bigram ASC LIMIT 20""".stripMargin,
+    "text_stopword_filtered" ->
+      """SELECT word, count(*) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+        |WHERE word <> '' AND word NOT IN ('the','a','an','and','or','of','to','in','is','it')
+        |GROUP BY word ORDER BY word""".stripMargin,
     "text_quality" ->
       """SELECT doc_id,
         |  length(text) AS n_chars,
