@@ -85,16 +85,17 @@ object Dedup {
 
   /** MinHash signatures: sig[i] = min over shingles of hash_i(shingle).
     * One strong hash per variable-length shingle string (xxhash64,
-    * computed once into `hv`), then 64 re-hashes of the fixed-width
-    * (long, seed) pair — the one-hash/many-permutations trick. A wrapping
-    * multiply-add mix would be cheaper still but ANSI mode (Spark 4
-    * default) raises on long overflow, so the fixed-width hash is the
-    * portable form. */
+    * computed once into `hv`), then ALL 64 minima in a single array
+    * traversal via the custom MinHashSignatures expression (wrapping
+    * multiplicative mixes inside JVM code — where ANSI overflow checking
+    * doesn't apply — instead of 64 separate array_min∘transform
+    * projections). */
   private def withSignature(sh: DataFrame): DataFrame = {
-    val hashed = sh.withColumn("hv", transform(col("sh"), s => xxhash64(s)))
-    val sigCols = (0 until NumHashes).map { i =>
-      array_min(transform(col("hv"), h => xxhash64(h, lit(i)))).as(s"sig$i")
-    }
+    val hashed = sh
+      .withColumn("hv", transform(col("sh"), s => xxhash64(s)))
+      .withColumn("sigs", graft.functions.MinHashSignatures(col("hv")))
+    val sigCols = (0 until NumHashes).map(i =>
+      element_at(col("sigs"), i + 1).as(s"sig$i"))
     hashed.select(col("doc_id") +: col("sh") +: sigCols: _*)
   }
 
