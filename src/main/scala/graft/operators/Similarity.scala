@@ -31,34 +31,21 @@ object Similarity {
   // 1-(1-0.18)^16 ≈ 0.96. Fewer, wider tables trade candidate volume for
   // recall — the right trade on weakly-similar (worst-case) data; on real
   // corpora with tight clusters, more bits per table re-sharpens buckets.
-  final val LshTables = 16
-  final val LshBits = 4
+  // (Values live in LshImpl so the one-pass expression and this module
+  // can never drift apart.)
+  final val LshTables: Int = graft.functions.LshImpl.Tables
+  final val LshBits: Int = graft.functions.LshImpl.Bits
 
   private def embeddings(spark: SparkSession, sfDir: String): DataFrame =
     Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("label"), VectorOps.toDouble(col("embedding")).as("v"))
 
   /** Deterministic pseudo-random hyperplane for (table, bit): components
-    * in [-1, 1) derived from FNV-1a of the index triple, materialized as
-    * a plan-time literal array (computed once on the driver, shipped in
-    * the plan — no per-row hashing, no RNG state). */
+    * in [-1, 1) derived from FNV-1a of the index triple — the same values
+    * the one-pass LshSignatures expression bakes in (delegated so spec
+    * assertions pin them equal). No RNG state, no fitted model. */
   private[graft] def hyperplane(table: Int, bit: Int): Seq[Double] =
-    (0 until 64).map { d =>
-      val h = graft.functions.SimHashImpl.fnv1a64(
-        s"graft-lsh-$table-$bit-$d".getBytes("UTF-8"))
-      (java.lang.Math.floorMod(h, 2000000L).toDouble / 1000000.0) - 1.0
-    }
-
-  /** k-bit signature for one LSH table: bit_j = sign(v · r_j). */
-  private def signature(table: Int, v: Column): Column = {
-    val bits = (0 until LshBits).map { b =>
-      val proj = aggregate(
-        zip_with(v, typedlit(hyperplane(table, b)), (x, r) => x * r),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, lit(1L << b)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
+    (0 until 64).map(d => graft.functions.LshImpl.component(table, bit, d))
 
   /** Exact brute-force cosine top-k for the query set (vec_id < NumQueries),
     * excluding self-matches. */
@@ -77,13 +64,12 @@ object Similarity {
       .orderBy($"query_id", $"rk")
   }
 
-  /** Per-vector LSH signatures, exploded to (vec_id, table, sig). */
-  private[graft] def signatures(e: DataFrame): DataFrame = {
-    val sigCols = (0 until LshTables).map(t =>
-      struct(lit(t).as("t"), signature(t, col("v")).as("sig")))
-    e.select(col("vec_id"), col("v"), explode(array(sigCols: _*)).as("ts"))
-      .select(col("vec_id"), col("v"), col("ts.t").as("t"), col("ts.sig").as("sig"))
-  }
+  /** Per-vector LSH signatures, exploded to (vec_id, table, sig) — all
+    * tables from one pass over the vector (custom LshSignatures
+    * expression), then posexplode for the band join. */
+  private[graft] def signatures(e: DataFrame): DataFrame =
+    e.withColumn("sigs", graft.functions.LshSignatures(col("v")))
+      .select(col("vec_id"), col("v"), posexplode(col("sigs")).as(Seq("t", "sig")))
 
   /** ANN top-k: candidates = vectors sharing any (table, signature) bucket
     * with the query, then exact cosine re-rank within candidates. Sublinear
