@@ -324,7 +324,33 @@ object Relational {
       .orderBy($"event_type")
   }
 
+  /** Exact percentiles per group (Spark's `percentile` aggregate — the
+    * exact, interpolating one — not percentile_approx). */
+  def q26Percentiles(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .groupBy($"l_returnflag")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"),
+        count(lit(1)).as("n"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Histogram binning: fixed-width value buckets with counts — the
+    * standard distribution profile, group key computed by the engine. */
+  def q27Histogram(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .select(floor($"value" / 10.0).cast("long").as("bin"))
+      .groupBy($"bin").agg(count(lit(1)).as("n"))
+      .orderBy($"bin")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q26_percentiles" -> q26Percentiles,
+    "q27_histogram" -> q27Histogram,
     "q24_json" -> q24Json,
     "q20_cube" -> q20Cube,
     "q21_string_funcs" -> q21StringFuncs,
@@ -356,6 +382,16 @@ object Relational {
         |FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q26_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+        |  round(quantile_cont(l_extendedprice, 0.99), 4) AS p99,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q27_histogram" ->
+      """SELECT CAST(floor(value / 10.0) AS BIGINT) AS bin, count(*) AS n
+        |FROM events GROUP BY bin ORDER BY bin""".stripMargin,
     "q24_json" ->
       """SELECT event_type, count(*) AS n,
         |  sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_sum,

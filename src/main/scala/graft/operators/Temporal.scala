@@ -85,9 +85,38 @@ object Temporal {
       .orderBy($"user_id", $"seq")
   }
 
+  /** Bucketized range join — the scalable form of a time-range join:
+    * instead of a nested-loop range predicate, both sides land on coarse
+    * time buckets and equi-join on (key, bucket); the exact range
+    * predicate then filters the bucket-matched candidates. Probe side
+    * spans at most 2 buckets (bucket size = window size), so fan-out is
+    * bounded at any scale. Query: for each event, how many OTHER events
+    * the same user produced in the preceding hour. (The obvious
+    * events×orders formulation is vacuous here — the synthetic tables'
+    * time ranges don't overlap.) */
+  def q25RangeJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val bucketMs = 3600L * 1000 // bucket size = window size (1h)
+    val e = Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", unix_millis($"ts").as("t_ms"))
+    val probe = e.select($"event_id", $"user_id", $"t_ms",
+      explode(array(expr(s"t_ms div $bucketMs"),
+        expr(s"(t_ms - $bucketMs) div $bucketMs"))).as("bucket"))
+      .distinct()
+    val build = e.select($"event_id".as("other_id"), $"user_id".as("uid"),
+      $"t_ms".as("other_ms"), expr(s"t_ms div $bucketMs").as("bucket"))
+    probe.join(build, $"user_id" === $"uid" && probe("bucket") === build("bucket"))
+      .filter($"other_id" =!= $"event_id" &&
+        $"other_ms" > $"t_ms" - bucketMs && $"other_ms" <= $"t_ms")
+      .groupBy($"event_id")
+      .agg(count(lit(1)).as("n_recent_events"))
+      .orderBy($"event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q17_asof_event_order" -> q17AsofEventOrder,
     "q18_analytics" -> q18Analytics,
+    "q25_range_join" -> q25RangeJoin,
   )
 
   val oracles: Map[String, String] = Map(
@@ -105,6 +134,13 @@ object Temporal {
         |   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) AS last_order_price
         |FROM events e
         |ORDER BY e.event_id""".stripMargin,
+    "q25_range_join" ->
+      """SELECT e.event_id, count(*) AS n_recent_events
+        |FROM events e JOIN events o ON e.user_id = o.user_id
+        |  AND o.event_id <> e.event_id
+        |  AND epoch_ms(o.ts) > epoch_ms(e.ts) - 3600000
+        |  AND epoch_ms(o.ts) <= epoch_ms(e.ts)
+        |GROUP BY e.event_id ORDER BY e.event_id""".stripMargin,
     "q18_analytics" ->
       """SELECT user_id, seq, event_id,
         |  round(value - coalesce(prev_value, 0.0), 4) AS value_delta,

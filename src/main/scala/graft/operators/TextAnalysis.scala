@@ -105,6 +105,16 @@ object TextAnalysis {
     val d = Tables.documents(spark, sfDir)
     d.select(
         $"doc_id",
+        graft.functions.MinMd5Grams($"text").as("fingerprint"))
+      .orderBy($"doc_id")
+  }
+
+  /** The built-in-composition form of the fingerprint, kept for the
+    * differential spec pinning MinMd5Grams to identical output. */
+  private[graft] def fingerprintUnfused(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir).select(
+        $"doc_id",
         array_min(transform(
           sequence(lit(1), greatest(length($"text") - 7, lit(1))),
           i => md5($"text".substr(i, lit(8))))).as("fingerprint"))

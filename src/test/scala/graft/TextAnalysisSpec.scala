@@ -41,6 +41,23 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("MinMd5Grams equals the built-in composition, incl. short strings") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val fused = TextAnalysis.textFingerprint(spark, SparkTestSession.sf0001)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val unfused = TextAnalysis.fingerprintUnfused(spark, SparkTestSession.sf0001)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fused === unfused)
+    // edge lengths: shorter than, equal to, just above the 8-char window
+    val edges = Seq("", "abc", "abcdefgh", "abcdefghi").toDF("text")
+    val a = edges.select(graft.functions.MinMd5Grams($"text")).collect().map(_.getString(0))
+    val b = edges.select(array_min(transform(
+        sequence(lit(1), greatest(length($"text") - 7, lit(1))),
+        i => md5($"text".substr(i, lit(8)))))).collect().map(_.getString(0))
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("fingerprint is stable and order-sensitive") {
     import spark.implicits._
     val df = Seq("abcdefghij", "abcdefghij", "jihgfedcba").toDF("text")
