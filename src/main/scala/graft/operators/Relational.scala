@@ -348,7 +348,23 @@ object Relational {
       .orderBy($"bin")
   }
 
+  /** Statistical aggregates: sample stddev/variance, Pearson correlation
+    * and sample covariance per group — the profiling surface. */
+  def q28Stats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .groupBy($"l_returnflag")
+      .agg(
+        round(stddev_samp($"l_quantity"), 4).as("qty_stddev"),
+        round(var_samp($"l_discount"), 6).as("disc_var"),
+        round(corr($"l_quantity", $"l_extendedprice"), 4).as("qty_price_corr"),
+        round(covar_samp($"l_quantity", $"l_extendedprice"), 2).as("qty_price_covar"),
+        count(lit(1)).as("n"))
+      .orderBy($"l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q28_stats" -> q28Stats,
     "q26_percentiles" -> q26Percentiles,
     "q27_histogram" -> q27Histogram,
     "q24_json" -> q24Json,
@@ -382,6 +398,14 @@ object Relational {
         |FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q28_stats" ->
+      """SELECT l_returnflag,
+        |  round(stddev_samp(l_quantity), 4) AS qty_stddev,
+        |  round(var_samp(l_discount), 6) AS disc_var,
+        |  round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+        |  round(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covar,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q26_percentiles" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,

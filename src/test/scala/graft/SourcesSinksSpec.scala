@@ -38,6 +38,14 @@ class SourcesSinksSpec extends AnyFunSuite {
     assert(nationAgg(back) === nationAgg(n))
   }
 
+  test("orc writer/reader round-trip preserves the table") {
+    val n = Tables.nation(spark, sf)
+    val out = tmpDir("orc")
+    n.write.mode("overwrite").orc(out)
+    val back = spark.read.orc(out)
+    assert(nationAgg(back) === nationAgg(n))
+  }
+
   test("partitioned parquet write prunes partitions on read") {
     val c = Tables.customer(spark, sf)
     val out = tmpDir("part")
