@@ -10,10 +10,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** All random-hyperplane LSH table signatures in one pass over the
   * vector: sig[t] = Σ_b (v·r_{t,b} >= 0) << b. Hyperplane components are
-  * the same FNV-derived deterministic values as Similarity.hyperplane
-  * (asserted equal in SimilaritySpec), precomputed once per JVM.
-  * Replaces `tables × bits` aggregate∘zip_with column projections with
-  * primitive double loops. */
+  * FNV-derived deterministic values precomputed once per JVM; an
+  * independent reimplementation of the formula lives in SimilaritySpec's
+  * differential test, so a constant/loop change here fails CI rather
+  * than silently shifting every signature. Replaces `tables × bits`
+  * aggregate∘zip_with column projections with primitive double loops. */
 object LshImpl {
   final val Tables = 16
   final val Bits = 4
@@ -28,11 +29,19 @@ object LshImpl {
   private val planes: Array[Array[Double]] =
     Array.tabulate(Tables * Bits)(i => Array.tabulate(Dims)(d => component(i / Bits, i % Bits, d)))
 
+  /** Null-propagates on dimension mismatch or null elements (the unsafe
+    * getDouble on a null slot would otherwise read garbage and produce a
+    * plausible-looking wrong signature). */
   def signatures(v: ArrayData): ArrayData = {
-    val n = math.min(v.numElements(), Dims)
+    val n = v.numElements()
+    if (n != Dims) return null
     val vec = new Array[Double](n)
     var d = 0
-    while (d < n) { vec(d) = v.getDouble(d); d += 1 }
+    while (d < n) {
+      if (v.isNullAt(d)) return null
+      vec(d) = v.getDouble(d)
+      d += 1
+    }
     val sigs = new Array[Long](Tables)
     var t = 0
     while (t < Tables) {
@@ -55,6 +64,7 @@ object LshImpl {
 
 case class LshSignatures(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true // null on dim mismatch / null elements
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(

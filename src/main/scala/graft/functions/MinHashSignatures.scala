@@ -32,9 +32,13 @@ object MinHashImpl {
     z ^ (z >>> 31)
   }
 
+  /** Returns null for an empty input: an all-MaxValue signature would
+    * make every empty document an LSH candidate of every other one (all
+    * bands collide) — null band hashes group separately instead. */
   def signatures(hashes: ArrayData): ArrayData = {
-    val mins = Array.fill(NumHashes)(Long.MaxValue)
     val n = hashes.numElements()
+    if (n == 0) return null
+    val mins = Array.fill(NumHashes)(Long.MaxValue)
     var j = 0
     while (j < n) {
       if (!hashes.isNullAt(j)) {
@@ -55,6 +59,7 @@ object MinHashImpl {
 
 case class MinHashSignatures(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true // null for empty input arrays
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(

@@ -25,7 +25,9 @@ import graft.sources.Tables
   */
 object Dedup {
 
-  final val NumHashes = 64
+  // pinned to the expression's constant so the element_at indices below
+  // can never run past the produced signature array
+  final val NumHashes: Int = graft.functions.MinHashImpl.NumHashes
   final val NumBands = 16 // 4 rows per band; P(miss | j>=0.8) < 3e-4, ~0 at the planted j>=0.95
   final val JaccardThreshold = 0.8
 

@@ -99,10 +99,12 @@ object Temporal {
     val bucketMs = 3600L * 1000 // bucket size = window size (1h)
     val e = Tables.events(spark, sfDir)
       .select($"event_id", $"user_id", unix_millis($"ts").as("t_ms"))
+    // array_distinct collapses the duplicate bucket (t_ms < bucketMs →
+    // both divs give 0) per-row, with no shuffle — a full .distinct()
+    // here would add an exchange just for first-bucket events
     val probe = e.select($"event_id", $"user_id", $"t_ms",
-      explode(array(expr(s"t_ms div $bucketMs"),
-        expr(s"(t_ms - $bucketMs) div $bucketMs"))).as("bucket"))
-      .distinct()
+      explode(array_distinct(array(expr(s"t_ms div $bucketMs"),
+        expr(s"(t_ms - $bucketMs) div $bucketMs")))).as("bucket"))
     val build = e.select($"event_id".as("other_id"), $"user_id".as("uid"),
       $"t_ms".as("other_ms"), expr(s"t_ms div $bucketMs").as("bucket"))
     probe.join(build, $"user_id" === $"uid" && probe("bucket") === build("bucket"))

@@ -38,4 +38,53 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Similarity.hyperplane(3, 2) === Similarity.hyperplane(3, 2))
     assert(Similarity.hyperplane(3, 2) !== Similarity.hyperplane(3, 3))
   }
+
+  test("LshSignatures ≡ independent column formulation of the same planes") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // independent reimplementation (FNV formula spelled out here, NOT
+    // delegated to LshImpl) — pins the expression's baked-in constants
+    def planeComponent(t: Int, b: Int, d: Int): Double = {
+      val bytes = s"graft-lsh-$t-$b-$d".getBytes("UTF-8")
+      var h = 0xcbf29ce484222325L
+      bytes.foreach { byte => h ^= (byte & 0xffL); h *= 0x100000001b3L }
+      (java.lang.Math.floorMod(h, 2000000L).toDouble / 1000000.0) - 1.0
+    }
+    def columnSignature(t: Int): org.apache.spark.sql.Column =
+      (0 until Similarity.LshBits).map { b =>
+        val plane = (0 until 64).map(d => planeComponent(t, b, d))
+        val proj = aggregate(
+          zip_with($"v", typedlit(plane), (x, r) => x * r),
+          lit(0.0), (acc, x) => acc + x)
+        when(proj >= 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    val e = graft.sources.Tables.embeddings(spark, sf)
+      .select($"vec_id",
+        graft.functions.VectorOps.toDouble($"embedding").as("v"))
+      .limit(50)
+    val viaExpr = e.select($"vec_id", graft.functions.LshSignatures($"v").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    (0 until Similarity.LshTables).foreach { t =>
+      val viaCols = e.select($"vec_id", columnSignature(t).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      viaCols.foreach { case (id, sig) =>
+        assert(viaExpr(id)(t) === sig, s"table $t vec $id")
+      }
+    }
+  }
+
+  test("LshSignatures null-propagates on wrong dims and null elements") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq.fill(64)(Option(0.5))),
+      (2L, Seq.fill(63)(Option(0.5))),                       // wrong dims
+      (3L, Option(0.5) +: Seq.fill(62)(Option(0.5)) :+ None) // null element
+    ).toDF("id", "v")
+    val got = df.select($"id", graft.functions.LshSignatures($"v").as("s"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got(1L).isDefined)
+    assert(got(2L).isEmpty)
+    assert(got(3L).isEmpty)
+  }
 }
