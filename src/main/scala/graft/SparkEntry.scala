@@ -22,7 +22,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ WordCount.queries ++ Dedup.queries ++
       Similarity.queries ++ TextAnalysis.queries ++ Multimodal.queries ++
-      Streaming.queries ++ Temporal.queries ++ Sessions.queries
+      Streaming.queries ++ Temporal.queries ++ Sessions.queries ++
+      Curation.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver records a weaker
@@ -31,5 +32,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ WordCount.oracles ++ Dedup.oracles ++
       Similarity.oracles ++ TextAnalysis.oracles ++ Multimodal.oracles ++
-      Streaming.oracles ++ Temporal.oracles ++ Sessions.oracles
+      Streaming.oracles ++ Temporal.oracles ++ Sessions.oracles ++
+      Curation.oracles
 }

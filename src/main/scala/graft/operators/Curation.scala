@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** Dataset-curation operators for training pipelines: chunking documents
+  * into overlapping windows, deterministic train/validation splitting,
+  * and token-budget packing. All pure column/window plans — chunking is
+  * per-row fan-out (no shuffle), split is a stateless hash, packing is
+  * one ordered window per (global) sequence.
+  */
+object Curation {
+
+  final val ChunkTokens = 50
+  final val ChunkStride = 40 // 10-token overlap
+  final val PackBudget = 2000
+
+  /** Overlapping fixed-size token chunks per document: starts at
+    * 0, stride, 2·stride, … while < n_tokens; each chunk takes up to
+    * ChunkTokens tokens. */
+  def textChunks(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", split($"text", " ").as("t"))
+      .select($"doc_id", $"t",
+        posexplode(sequence(lit(0), size($"t") - 1, lit(ChunkStride)))
+          .as(Seq("chunk_idx", "start")))
+      .select(
+        $"doc_id", $"chunk_idx",
+        concat_ws(" ", slice($"t", $"start" + 1, lit(ChunkTokens))).as("chunk_text"),
+        least(size($"t") - $"start", lit(ChunkTokens)).cast("long").as("n_tokens"))
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
+  /** Deterministic hash-based 90/10 train/validation assignment (Knuth
+    * multiplicative hash on the key — stateless, reproducible, no RNG). */
+  def splitAssign(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", $"lang",
+        when(pmod($"doc_id" * 2654435761L, lit(10L)) < 9, lit("train"))
+          .otherwise(lit("val")).as("split"))
+      .groupBy($"split", $"lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy($"split", $"lang")
+  }
+
+  /** Token-budget packing: documents in doc_id order are assigned to the
+    * bin their exclusive running token total falls in — the streaming/
+    * deterministic approximation of first-fit packing into context
+    * windows. Output: per-bin document counts and token totals. */
+  def packBins(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("n_tokens"))
+      .withColumn("pre_sum", coalesce(sum($"n_tokens").over(w), lit(0L)))
+      .withColumn("bin", expr(s"pre_sum div $PackBudget"))
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("bin_tokens"))
+      .orderBy($"bin")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cur_text_chunks" -> textChunks,
+    "cur_split_assign" -> splitAssign,
+    "cur_pack_bins" -> packBins,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "cur_text_chunks" ->
+      s"""SELECT doc_id, chunk_idx,
+         |  array_to_string(t[s + 1 : s + $ChunkTokens], ' ') AS chunk_text,
+         |  least(len(t) - s, $ChunkTokens) AS n_tokens
+         |FROM (
+         |  SELECT doc_id, t, unnest(range(0, len(t), $ChunkStride)) AS s,
+         |    generate_subscripts(range(0, len(t), $ChunkStride), 1) - 1 AS chunk_idx
+         |  FROM (SELECT doc_id, string_split(text, ' ') t FROM documents) d
+         |) c
+         |ORDER BY doc_id, chunk_idx""".stripMargin,
+    "cur_split_assign" ->
+      """SELECT CASE WHEN (doc_id * 2654435761) % 10 < 9 THEN 'train' ELSE 'val' END AS split,
+        |  lang, count(*) AS n_docs
+        |FROM documents GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
+    "cur_pack_bins" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+         |), pre AS (
+         |  SELECT doc_id, n_tokens,
+         |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre_sum
+         |  FROM toks
+         |)
+         |SELECT pre_sum // $PackBudget AS bin, count(*) AS n_docs,
+         |  sum(n_tokens) AS bin_tokens
+         |FROM pre GROUP BY 1 ORDER BY bin""".stripMargin,
+  )
+}

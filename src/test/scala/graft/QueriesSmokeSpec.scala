@@ -22,7 +22,7 @@ class QueriesSmokeSpec extends AnyFunSuite {
       Relational.queries.size, WordCount.queries.size, Dedup.queries.size,
       Similarity.queries.size, TextAnalysis.queries.size,
       Multimodal.queries.size, Streaming.queries.size,
-      Temporal.queries.size, Sessions.queries.size)
+      Temporal.queries.size, Sessions.queries.size, Curation.queries.size)
     assert(SparkEntry.queries.size === moduleSizes.sum,
       "duplicate query keys across modules (Map ++ dropped an entry)")
   }
