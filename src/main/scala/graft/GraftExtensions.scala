@@ -10,8 +10,10 @@ import graft.functions.{NormalizeWord, SimHash64, TokenizeNormalize}
   * any session (spark-submit, thrift server, notebooks) and the custom
   * functions resolve in SQL with no code changes. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  private def info(name: String, usage: String) =
-    new ExpressionInfo(classOf[GraftExtensions].getName, name, usage, "", "")
+  private def info(name: String, usage: String) = {
+    val _ = usage // the non-deprecated ctor has no usage slot; kept for call-site docs
+    new ExpressionInfo(classOf[GraftExtensions].getName, name)
+  }
 
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((FunctionIdentifier("normalize_word"),
