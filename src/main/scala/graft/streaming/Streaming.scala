@@ -98,10 +98,40 @@ object Streaming {
       .orderBy($"user_id")
   }
 
+  /** `flatMapGroupsWithState` (0-or-more outputs per group per batch):
+    * emit a row only for users whose cumulative event count has reached
+    * the activity threshold — order-insensitive state (count/sum only),
+    * so the result is deterministic under any partitioning. Re-emits on
+    * later batches update the memory sink; the final projection keeps
+    * the max-count row per user (monotone, same pattern as user totals). */
+  def streamActiveUsers(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val threshold = 80L
+    val ds = eventsStream(spark, sfDir)
+      .select($"user_id", $"value").as[(Long, Double)]
+    val updated = ds.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Double), (Long, Long, Double)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { (uid, events, state) =>
+          var (n, tot) = state.getOption.getOrElse((0L, 0.0))
+          events.foreach { e => n += 1; tot += e._2 }
+          state.update((n, tot))
+          if (n >= threshold) Iterator((uid, n, tot)) else Iterator.empty
+        }
+      .toDF("user_id", "n", "total")
+    val all = runToMemory(updated, "append")
+    all.groupBy($"user_id")
+      .agg(max(struct($"n", $"total")).as("s"))
+      .select($"user_id", $"s.n".as("n_events"),
+        round($"s.total", 2).as("total_value"))
+      .orderBy($"user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_events_hourly" -> streamEventsHourly,
     "stream_wc_counts" -> streamWordCounts,
     "stream_user_totals" -> streamUserTotals,
+    "stream_active_users" -> streamActiveUsers,
   )
 
   /** Streaming results are checked against the same SQL as their batch
@@ -121,5 +151,8 @@ object Streaming {
     "stream_user_totals" ->
       """SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "stream_active_users" ->
+      """SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY user_id HAVING count(*) >= 80 ORDER BY user_id""".stripMargin,
   )
 }
