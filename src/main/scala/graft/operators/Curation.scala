@@ -94,8 +94,8 @@ object Curation {
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre_sum
          |  FROM toks
          |)
-         |SELECT pre_sum // $PackBudget AS bin, count(*) AS n_docs,
-         |  sum(n_tokens) AS bin_tokens
+         |SELECT CAST(pre_sum // $PackBudget AS BIGINT) AS bin, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
          |FROM pre GROUP BY 1 ORDER BY bin""".stripMargin,
   )
 }

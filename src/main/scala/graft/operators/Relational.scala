@@ -418,7 +418,7 @@ object Relational {
         |FROM events GROUP BY bin ORDER BY bin""".stripMargin,
     "q24_json" ->
       """SELECT event_type, count(*) AS n,
-        |  sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_sum,
+        |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
         |  min(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_min,
         |  max(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_max
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

@@ -220,7 +220,7 @@ object TextAnalysis {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "text_stats_by_lang" ->
       """SELECT lang, count(*) AS n_docs,
-        |  sum(len(string_split(text, ' '))) AS total_tokens,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
         |  round(avg(len(string_split(text, ' '))), 4) AS avg_tokens,
         |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,

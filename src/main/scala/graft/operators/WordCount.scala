@@ -185,7 +185,7 @@ object WordCount {
         |  WHERE word <> '' GROUP BY word
         |)
         |SELECT substring(word, 1, 1) AS letter,
-        |  count(*) AS n_words, sum(cnt) AS total_cnt,
+        |  count(*) AS n_words, CAST(sum(cnt) AS BIGINT) AS total_cnt,
         |  max(cnt) AS max_cnt, max(length(word)) AS max_word_len
         |FROM c GROUP BY substring(word, 1, 1) ORDER BY letter""".stripMargin,
     "wc_word_counts_salted" ->

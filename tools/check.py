@@ -24,13 +24,21 @@ def load_result(path):
 
 def canon(df):
     df = df[sorted(df.columns)]
-    # normalize dtypes for compare: timestamps → iso strings, floats stay
+    # normalize dtypes for compare: timestamps → iso strings; integer
+    # widths upcast to int64 and float32 → float64 (the driver tolerates
+    # width drift, NOT int-vs-float — a HUGEINT sum fetched as float64
+    # against Spark's int64 is a real driver hash fail).
     out = df.copy()
     for c in out.columns:
-        if str(out[c].dtype).startswith("datetime"):
+        dt = str(out[c].dtype)
+        if dt.startswith("datetime"):
             out[c] = out[c].astype("datetime64[us]").astype(str)
         elif out[c].dtype == object:
             out[c] = out[c].astype(str)
+        elif dt.startswith(("int", "uint")):
+            out[c] = out[c].astype("int64")
+        elif dt == "float32":
+            out[c] = out[c].astype("float64")
     out = out.sort_values(by=list(out.columns), kind="mergesort").reset_index(drop=True)
     return out
 
@@ -67,12 +75,24 @@ def main():
             n_fail += 1; continue
         if len(g) != len(e):
             print(f"FAIL {name}: rows {len(g)} != {len(e)}"); n_fail += 1; continue
+        # STRICT compare: the driver hashes the value representation, so an
+        # int64-vs-float64 drift (e.g. DuckDB HUGEINT sums fetched as
+        # float64) is a FAIL even when values are numerically equal.
+        # Round 1 shipped 4 such fails under the old rtol-only compare.
         try:
-            pd.testing.assert_frame_equal(g, e, check_dtype=False,
-                                          check_exact=False, rtol=1e-9, atol=1e-9)
+            pd.testing.assert_frame_equal(g, e, check_dtype=True,
+                                          check_exact=True)
             print(f"PASS {name}: {len(g)} rows"); n_pass += 1
         except AssertionError as ex:
-            print(f"FAIL {name}: value mismatch\n{str(ex)[:500]}"); n_fail += 1
+            try:
+                pd.testing.assert_frame_equal(g, e, check_dtype=False,
+                                              check_exact=False,
+                                              rtol=1e-9, atol=1e-9)
+                print(f"FAIL {name}: dtype/bit drift (values equal under "
+                      f"rtol — driver hash would differ)\n{str(ex)[:300]}")
+            except AssertionError:
+                print(f"FAIL {name}: value mismatch\n{str(ex)[:500]}")
+            n_fail += 1
     print(f"\n{n_pass} pass, {n_fail} fail")
     sys.exit(1 if n_fail else 0)
 
