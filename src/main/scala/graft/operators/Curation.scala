@@ -50,8 +50,47 @@ object Curation {
   /** Token-budget packing: documents in doc_id order are assigned to the
     * bin their exclusive running token total falls in — the streaming/
     * deterministic approximation of first-fit packing into context
-    * windows. Output: per-bin document counts and token totals. */
+    * windows. Output: per-bin document counts and token totals.
+    *
+    * Scale shape: a global running sum is NOT a global window (that would
+    * funnel every row through one partition). Instead: range-partitioned
+    * sort on doc_id, then the two-pass per-partition prefix-sum trick also
+    * used by WordCount.ranked — job 1 collects one Long per partition
+    * (#partitions rows to the driver), job 2 adds the partition offset to
+    * a local running sum. Every partition stays parallel. */
   def packBins(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val toks = Tables.documents(spark, sfDir)
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("n_tokens"))
+      .orderBy($"doc_id") // range partition: partitions are globally ordered
+      .rdd
+    val perPart = toks.mapPartitionsWithIndex { (i, it) =>
+      var s = 0L; it.foreach(s += _.getLong(1)); Iterator((i, s))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = perPart.scanLeft(0L)(_ + _) // exclusive prefix per partition
+    val binned = toks.mapPartitionsWithIndex { (i, it) =>
+      var run = offsets(i)
+      it.map { r =>
+        val n = r.getLong(1); val pre = run; run += n
+        Row(pre / PackBudget, n)
+      }
+    }
+    spark.createDataFrame(binned, StructType(Seq(
+        StructField("bin", LongType, nullable = false),
+        StructField("n_tokens", LongType, nullable = false))))
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("bin_tokens"))
+      .orderBy($"bin")
+  }
+
+  /** The window formulation of packBins — the readable spec of the
+    * semantics, kept (test-only) as the differential oracle for the
+    * scale-safe two-pass implementation above. Its global
+    * `Window.orderBy` is exactly the single-partition funnel packBins
+    * avoids; never wire it to a driver query. */
+  private[graft] def packBinsWindowed(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val w = Window.orderBy($"doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)

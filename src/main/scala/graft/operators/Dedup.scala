@@ -18,10 +18,10 @@ import graft.sources.Tables
   *  - embedding-cosine similarity pairs (blocked self-join).
   *
   * At 100 TB: every join here is an equi-join on a hash/band/shingle key
-  * that Spark shuffles by key; no operator enumerates all pairs. The
-  * inverted-index path would add a max-document-frequency filter on
-  * shingles to bound hot keys (standard trick) — at TESTDATA scale DF is
-  * naturally tiny, so the exact semantics are kept for the oracle.
+  * that Spark shuffles by key; no operator enumerates all pairs, and the
+  * inverted-index path caps shingle document frequency (MaxShingleDF) so
+  * a boilerplate shingle cannot make the self-join quadratic on one key.
+  * The oracle applies the identical cap, keeping parity exact.
   */
 object Dedup {
 
@@ -31,10 +31,21 @@ object Dedup {
   final val NumBands = 16 // 4 rows per band; P(miss | j>=0.8) < 3e-4, ~0 at the planted j>=0.95
   final val JaccardThreshold = 0.8
 
+  /** Max document frequency a shingle may have and still enter the
+    * inverted index. A shingle shared by d documents contributes d·(d−1)/2
+    * candidate pairs through one shuffle key — a boilerplate shingle at
+    * 100 TB makes the self-join quadratic on that key. Shingles this
+    * common carry no near-dup signal (they can only dilute Jaccard toward
+    * the corpus average), so both the engine and the oracle drop them
+    * BEFORE pairing; Jaccard is computed over the capped shingle space on
+    * both sides, keeping oracle parity exact. */
+  final val MaxShingleDF = 128
+
   /** Distinct 3-token shingles per doc: (doc_id, shingles array<string>). */
-  private[graft] def shingles(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def shingles(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    Tables.documents(spark, sfDir)
+    docs
       .select($"doc_id", split($"text", " ").as("toks"))
       .filter(size($"toks") >= 3) // guard: sequence(0, n-3) needs n >= 3
       .select($"doc_id", array_distinct(
@@ -42,6 +53,9 @@ object Dedup {
           i => concat_ws(" ", element_at($"toks", i + 1),
             element_at($"toks", i + 2), element_at($"toks", i + 3)))).as("sh"))
   }
+
+  private[graft] def shingles(spark: SparkSession, sfDir: String): DataFrame =
+    shingles(Tables.documents(spark, sfDir))
 
   /** Exact dedup by content hash: one group per distinct text, keeping the
     * lowest doc_id as representative. */
@@ -63,15 +77,26 @@ object Dedup {
       .orderBy($"h")
   }
 
-  /** Exact pairwise 3-gram Jaccard ≥ 0.8 via inverted shingle index:
-    * explode → self-equi-join on shingle → per-pair common count →
-    * |A∩B| / (|A| + |B| - |A∩B|). No all-pairs enumeration. */
-  def dedupNgramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Pairwise 3-gram Jaccard ≥ 0.8 via inverted shingle index:
+    * explode → DF-cap prune → self-equi-join on shingle → per-pair common
+    * count → |A∩B| / (|A| + |B| - |A∩B|). No all-pairs enumeration, and
+    * no shingle key fans out to more than MaxShingleDF index entries. */
+  def dedupNgramJaccard(spark: SparkSession, sfDir: String): DataFrame =
+    dedupNgramJaccardOn(shingles(spark, sfDir))
+
+  private[graft] def dedupNgramJaccardOn(sh: DataFrame,
+      maxDf: Long = MaxShingleDF): DataFrame = {
+    val spark = sh.sparkSession
     import spark.implicits._
-    val sh = shingles(spark, sfDir)
     val exploded = sh.select($"doc_id", explode($"sh").as("s"))
-    val sizes = sh.select($"doc_id", size($"sh").as("n"))
-    val common = exploded.as("a").join(exploded.as("b"),
+    // max-DF prune: one extra keyed aggregation (same shuffle key as the
+    // pairing join, so AQE can reuse the exchange); hot shingles never
+    // reach the self-join.
+    val rare = exploded.groupBy($"s").agg(count(lit(1)).as("df"))
+      .filter($"df" <= maxDf).select($"s")
+    val pruned = exploded.join(rare, "s")
+    val sizes = pruned.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val common = pruned.as("a").join(pruned.as("b"),
         $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
       .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .agg(count(lit(1)).as("c"))
@@ -156,6 +181,55 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** Chunks per fingerprint for the Hamming-banded search: 8 chunks of
+    * 8 bits. Pigeonhole guarantees every pair within Hamming ≤ 7 shares a
+    * chunk; beyond that capture is probabilistic (miss ≈ 0.24% at h=8,
+    * measured 0 misses across all true near-dup pairs at sf0.001/0.01/0.1,
+    * max observed h=13). 8-bit chunks keep bucket fan-in at n/256 per
+    * chunk value — the shuffle-key bound that makes this linear-ish. */
+  final val SimHashChunks = 8
+  final val SimHashChunkBits = 8
+
+  /** SimHash near-dup SEARCH: pigeonhole chunk banding over the 64-bit
+    * fingerprint generates candidates (equi-join on (chunk index, chunk
+    * value) — same shape as the MinHash band join), then candidates are
+    * verified with exact 3-gram Jaccard over the DF-capped shingle space.
+    * Output and oracle are identical to dedup_ngram_jaccard — this is the
+    * fingerprint-driven way to arrive at the same pairs without an
+    * inverted shingle index. */
+  def dedupSimHashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val fp = docs.select($"doc_id", SimHash64(split($"text", " ")).as("f"))
+    val mask = (1L << SimHashChunkBits) - 1
+    val chunkCols = (0 until SimHashChunks).map { c =>
+      struct(lit(c).as("c"),
+        (shiftrightunsigned($"f", c * SimHashChunkBits).bitwiseAND(lit(mask))).as("v"))
+    }
+    val banded = fp.select($"doc_id", explode(array(chunkCols: _*)).as("k"))
+      .select($"doc_id", $"k.c".as("c"), $"k.v".as("v"))
+    val candidates = banded.as("a").join(banded.as("b"),
+        $"a.c" === $"b.c" && $"a.v" === $"b.v" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .distinct()
+    // exact verify over the SAME capped shingle space the oracle uses
+    val sh = shingles(docs)
+    val ex = sh.select($"doc_id", explode($"sh").as("s"))
+    val rare = ex.groupBy($"s").agg(count(lit(1)).as("df"))
+      .filter($"df" <= MaxShingleDF).select($"s")
+    val cappedSets = ex.join(rare, "s")
+      .groupBy($"doc_id").agg(collect_list($"s").as("shc"))
+    candidates
+      .join(cappedSets.select($"doc_id".as("doc_a"), $"shc".as("sh_a")), "doc_a")
+      .join(cappedSets.select($"doc_id".as("doc_b"), $"shc".as("sh_b")), "doc_b")
+      .select($"doc_a", $"doc_b",
+        (size(array_intersect($"sh_a", $"sh_b")).cast("double") /
+          size(array_union($"sh_a", $"sh_b"))).as("jacc"))
+      .filter($"jacc" >= JaccardThreshold)
+      .select($"doc_a", $"doc_b", round($"jacc", 3).as("jaccard"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   /** Embedding-space near-dup/similarity pairs: same-label blocked
     * self-join, cosine in double precision, top-20 most similar pairs.
     * (The data's max cosine is ~0.51, so a fixed high threshold would be
@@ -181,6 +255,7 @@ object Dedup {
     "dedup_minhash_lsh" -> dedupMinHashLsh,
     "dedup_kept" -> dedupKept,
     "dedup_simhash" -> dedupSimHash,
+    "dedup_simhash_pairs" -> dedupSimHashPairs,
     "dedup_embed_cosine" -> dedupEmbedCosine,
   )
 
@@ -205,6 +280,31 @@ object Dedup {
       |WHERE c::DOUBLE / (na.n + nb.n - c) >= 0.8
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** exactJaccardSql with the engine's MaxShingleDF prune mirrored —
+    * Jaccard over the capped shingle space on both sides. */
+  private val cappedJaccardSql =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)])) s
+      |  FROM toks WHERE len(t) >= 3
+      |),
+      |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= $MaxShingleDF),
+      |pr AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
+      |sizes AS (SELECT doc_id, count(*) n FROM pr GROUP BY doc_id),
+      |common AS (
+      |  SELECT a.doc_id ai, b.doc_id bi, count(*) c
+      |  FROM pr a JOIN pr b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id
+      |)
+      |SELECT ai AS doc_a, bi AS doc_b,
+      |  round(c::DOUBLE / (na.n + nb.n - c), 3) AS jaccard
+      |FROM common
+      |JOIN sizes na ON ai = na.doc_id
+      |JOIN sizes nb ON bi = nb.doc_id
+      |WHERE c::DOUBLE / (na.n + nb.n - c) >= 0.8
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dups
@@ -215,13 +315,18 @@ object Dedup {
         |FROM documents
         |GROUP BY md5(array_to_string(list_sort(string_split(text, ' ')), ' '))
         |ORDER BY h""".stripMargin,
-    "dedup_ngram_jaccard" -> exactJaccardSql,
+    "dedup_ngram_jaccard" -> cappedJaccardSql,
+    // SimHash banded search must land on the same capped-Jaccard pairs —
+    // a genuine recall check on the fingerprint search path (see
+    // SimHashChunks for the capture argument).
+    "dedup_simhash_pairs" -> cappedJaccardSql,
     // MinHash LSH output must equal the exact pairs at these similarity
     // levels (recall ≈ 1 − 3e-4 at j = 0.8, ≈ 1 at the planted j ≥ 0.95),
-    // so it shares the exact-Jaccard oracle — a genuine recall check.
+    // so it shares the UNCAPPED exact-Jaccard oracle — a genuine recall
+    // check, independent of the inverted-index DF cap.
     "dedup_minhash_lsh" -> exactJaccardSql,
     "dedup_kept" ->
-      s"""WITH pairs AS ($exactJaccardSql)
+      s"""WITH pairs AS ($cappedJaccardSql)
          |SELECT doc_id, lang, source FROM documents
          |WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
          |ORDER BY doc_id""".stripMargin,

@@ -47,6 +47,39 @@ class DedupSpec extends AnyFunSuite {
     assert(keptIds === allIds -- dropped)
   }
 
+  test("simhash banded search finds exactly the capped-jaccard pairs") {
+    val exact = pairSet(Dedup.dedupNgramJaccard(spark, sf))
+    val banded = pairSet(Dedup.dedupSimHashPairs(spark, sf))
+    assert(exact.nonEmpty)
+    assert(banded === exact)
+  }
+
+  test("max-DF cap keeps a planted hot shingle out of the pair join") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 40 docs that all share one boilerplate shingle ("common header text")
+    // but are otherwise disjoint; plus one genuine near-dup pair.
+    val docs = ((0 until 40).map { i =>
+      (i.toLong, s"common header text unique$i alpha$i beta$i gamma$i delta$i")
+    } ++ Seq(
+      // 12 tokens, last differs: 10 shingles, 9 common → j = 9/11 ≈ 0.818
+      (100L, "zeta eta theta iota kappa lambda mu nu xi omicron pi rho"),
+      (101L, "zeta eta theta iota kappa lambda mu nu xi omicron pi sigma"),
+    )).toDF("doc_id", "text")
+    val sh = Dedup.shingles(docs)
+    // uncapped: the hot shingle alone contributes 40·39/2 = 780 candidate
+    // pairs; capped at DF≤8 it contributes none, and the planted pair
+    // (which shares only rare shingles) is still found at full jaccard.
+    val capped = Dedup.dedupNgramJaccardOn(sh, maxDf = 8L)
+      .select($"doc_a", $"doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(capped.toSet === Set((100L, 101L)))
+    // and the capped inverted index itself is bounded: no shingle fans out
+    // past the cap (this is the 100 TB shuffle-key guarantee)
+    val fanout = sh.select($"doc_id", explode($"sh").as("s"))
+      .groupBy($"s").count().filter(col("count") > 8).count()
+    assert(fanout === 1, "exactly the planted hot shingle family exceeds the cap")
+  }
+
   test("exact dedup partitions all documents (sum of group sizes = row count)") {
     val total = graft.sources.Tables.documents(spark, sf).count()
     val groups = Dedup.dedupExact(spark, sf)
