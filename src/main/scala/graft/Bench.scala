@@ -1,8 +1,13 @@
 package graft
 
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Benchmark main (driver contract): one JSON line on stdout.
+/** Benchmark main (driver contract): one JSON line on stdout, mirrored
+  * to `bench.json` in the working directory (sbt wraps stdout in
+  * `[info]` prefixes, so the file is the machine-parseable copy).
   *
   * Protocol (BASELINE.md): steady-state, warm-session timings — each
   * query is executed once to warm codegen/caches and then timed on a
@@ -12,6 +17,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * reference's own workload (15 MB, file sink) for the direct
   * BASELINE.md comparison: 387.6 ms recompiled-committed-source omp on
   * this machine.
+  *
+  * O17 parity: the reference publishes a per-phase wall-time breakdown
+  * (`omp.cpp:225-230`, `hybrid.cpp:456-463`); here every query carries a
+  * per-stage metrics object (stages, tasks, executor-run/CPU/GC time,
+  * input and shuffle bytes) gathered by a SparkListener over the
+  * measured runs — the Spark-native equivalent of the reference's
+  * read+map / reduce / sort split, and the data that makes a bench
+  * regression diagnosable (scan-bound vs shuffle-bound vs GC-bound).
   */
 object Bench {
 
@@ -25,9 +38,44 @@ object Bench {
     "q25_range_join", "q28_stats",
     "wc_word_counts", "wc_ranked", "wc_word_stats",
     "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_simhash_pairs",
     "sim_topk_brute", "sim_ann_lsh",
     "text_quality", "text_fingerprint", "mm_features",
   )
+
+  /** Aggregates per-stage task metrics between reset() and snapshot(). */
+  private final class StageAgg extends SparkListener {
+    val stages = new AtomicLong
+    val tasks = new AtomicLong
+    val runMs = new AtomicLong
+    val cpuMs = new AtomicLong
+    val gcMs = new AtomicLong
+    val inputBytes = new AtomicLong
+    val shuffleReadBytes = new AtomicLong
+    val shuffleWriteBytes = new AtomicLong
+    override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
+      val m = e.stageInfo.taskMetrics
+      if (m != null) {
+        stages.incrementAndGet()
+        tasks.addAndGet(e.stageInfo.numTasks.toLong)
+        runMs.addAndGet(m.executorRunTime)
+        cpuMs.addAndGet(m.executorCpuTime / 1000000L)
+        gcMs.addAndGet(m.jvmGCTime)
+        inputBytes.addAndGet(m.inputMetrics.bytesRead)
+        shuffleReadBytes.addAndGet(
+          m.shuffleReadMetrics.localBytesRead + m.shuffleReadMetrics.remoteBytesRead)
+        shuffleWriteBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    }
+    def reset(): Unit = Seq(stages, tasks, runMs, cpuMs, gcMs, inputBytes,
+      shuffleReadBytes, shuffleWriteBytes).foreach(_.set(0))
+    def json: String =
+      s"""{"stages":${stages.get},"tasks":${tasks.get},""" +
+        s""""executor_run_ms":${runMs.get},"executor_cpu_ms":${cpuMs.get},""" +
+        s""""gc_ms":${gcMs.get},"input_bytes":${inputBytes.get},""" +
+        s""""shuffle_read_bytes":${shuffleReadBytes.get},""" +
+        s""""shuffle_write_bytes":${shuffleWriteBytes.get}}"""
+  }
 
   private def execute(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
@@ -50,27 +98,46 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val agg = new StageAgg
+    spark.sparkContext.addSparkListener(agg)
+    def drained[A](f: => A): A = {
+      val r = f
+      org.apache.spark.graftshim.ListenerShim.drain(spark.sparkContext)
+      r
+    }
 
     val queries = SparkEntry.queries
+    // dev-loop filter: SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the battery
+    // (the driver never sets it, so driver runs always measure everything)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = only.fold(headline)(s => headline.filter(s.contains))
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
-    headline.filter(queries.contains).foreach { name =>
+    val breakdown = scala.collection.mutable.LinkedHashMap[String, String]()
+    selected.filter(queries.contains).foreach { name =>
       try {
-        execute(queries(name)(spark, sfDir)) // warm-up run
+        drained(execute(queries(name)(spark, sfDir))) // warm-up run
+        agg.reset()
         // best-of-2 measured: steady-state, robust to GC/scheduler noise
         results(name) = math.min(
-          timeSec(execute(queries(name)(spark, sfDir))),
-          timeSec(execute(queries(name)(spark, sfDir))))
+          timeSec(drained(execute(queries(name)(spark, sfDir)))),
+          timeSec(drained(execute(queries(name)(spark, sfDir)))))
+        breakdown(name) = agg.json
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           results(name) = -1.0
       }
+      // scope any cache a query builds (e.g. the MinHash shingle frame)
+      // to that query's measurement — later queries must not run under
+      // its memory footprint
+      spark.catalog.clearCache()
     }
 
     // Reference-workload comparison: full word count over the committed
     // corpus (15 MB), file sink — the BASELINE.md apples-to-apples run.
     val corpusDir = new java.io.File("/root/reference/raw_text_input")
-    if (corpusDir.isDirectory) {
+    if (corpusDir.isDirectory && only.forall(_.contains("wordcount_corpus_15mb"))) {
       val paths = corpusDir.list().sorted.map(f => s"${corpusDir.getPath}/$f").toSeq
       def corpusRun(): Unit = {
         val bytes = graft.operators.WordCount.formattedBytes(
@@ -80,9 +147,11 @@ object Bench {
         finally out.delete()
       }
       try {
-        corpusRun() // warm-up
+        drained(corpusRun()) // warm-up
+        agg.reset()
         results("wordcount_corpus_15mb") =
-          math.min(timeSec(corpusRun()), timeSec(corpusRun()))
+          math.min(timeSec(drained(corpusRun())), timeSec(drained(corpusRun())))
+        breakdown("wordcount_corpus_15mb") = agg.json
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] wordcount_corpus failed: ${e.getMessage}")
@@ -91,8 +160,15 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
+    val bd = breakdown.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"breakdown":$bd,"sf":"$sfDir"}"""
+    println(line)
+    // sbt prefixes stdout with "[info] "; the file copy is the version a
+    // driver can always json.load directly.
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), line + "\n")
     spark.stop()
   }
 }

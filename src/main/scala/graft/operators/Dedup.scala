@@ -41,11 +41,21 @@ object Dedup {
     * both sides, keeping oracle parity exact. */
   final val MaxShingleDF = 128
 
-  /** Distinct 3-token shingles per doc: (doc_id, shingles array<string>). */
+  /** Distinct 3-token shingles per doc: (doc_id, shingles array<string>).
+    *
+    * The repartition spreads the expensive per-row expansion (split +
+    * shingle transform + distinct, ~26x output growth) across the
+    * cluster BEFORE it runs — a small documents file scans as one split,
+    * and without the exchange every shingle-derived plan computes its
+    * hottest expression nearly single-threaded. */
   private[graft] def shingles(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs
+      // explicit width: AQE leaves a user-sized repartition alone; the
+      // bare-column form gets coalesced back to ~1 partition at this data
+      // size, re-serializing the transform
+      .repartition(spark.sparkContext.defaultParallelism, $"doc_id")
       .select($"doc_id", split($"text", " ").as("toks"))
       .filter(size($"toks") >= 3) // guard: sequence(0, n-3) needs n >= 3
       .select($"doc_id", array_distinct(
@@ -88,13 +98,30 @@ object Dedup {
       maxDf: Long = MaxShingleDF): DataFrame = {
     val spark = sh.sparkSession
     import spark.implicits._
-    val exploded = sh.select($"doc_id", explode($"sh").as("s"))
-    // max-DF prune: one extra keyed aggregation (same shuffle key as the
-    // pairing join, so AQE can reuse the exchange); hot shingles never
-    // reach the self-join.
-    val rare = exploded.groupBy($"s").agg(count(lit(1)).as("df"))
-      .filter($"df" <= maxDf).select($"s")
-    val pruned = exploded.join(rare, "s")
+    // ONE explicit shuffle keyed on the shingle, shared by everything
+    // downstream: the DF count aggregates in place, and both self-join
+    // sides are already co-partitioned, so Catalyst plans a single
+    // exchange and reuses it. Without this, the post-aggregation size
+    // estimates let AQE turn the self-join into a broadcast join whose
+    // probe side runs at the (single-file) scan parallelism — measured
+    // 6x slower at sf0.1 than the repartitioned form.
+    // explode_outer + null filter instead of plain explode: the optimizer
+    // infers a `size(sh) > 0 AND isnotnull(sh)` guard for a non-outer
+    // Generate and pushes it below the projection, re-evaluating the
+    // whole shingle transform per row; the outer variant generates no
+    // guard and the null row is dropped on the exploded string instead.
+    val exploded = sh.select($"doc_id", explode_outer($"sh").as("s"))
+      .filter($"s".isNotNull)
+      .repartition($"s")
+    // Max-DF cap as a broadcast ANTI-join: the HOT side (shingles with
+    // DF > maxDf) is tiny by definition — boilerplate keys — so pruning
+    // costs one keyed count plus a broadcast, and the big exploded frame
+    // is never re-shuffled for it. `pruned` is the only subtree the rest
+    // of the query reads — sizes and both self-join sides all replay the
+    // one materialized exchange.
+    val hot = exploded.groupBy($"s").agg(count(lit(1)).as("df"))
+      .filter($"df" > maxDf).select($"s")
+    val pruned = exploded.join(broadcast(hot), Seq("s"), "left_anti")
     val sizes = pruned.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val common = pruned.as("a").join(pruned.as("b"),
         $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
@@ -133,12 +160,12 @@ object Dedup {
     * planted similarity levels; see NumBands). */
   def dedupMinHashLsh(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    // cache: the shingle frame feeds both the signature branch and the
-    // exact-verify branch of this one query. Spark's cache manager keys
-    // on the canonicalized plan, so repeated invocations (bench warm-up,
-    // driver re-runs) reuse ONE bounded entry per sfDir rather than
-    // accumulating; it lives until session stop.
-    val sh = shingles(spark, sfDir).cache()
+    // No cache: shingles() ends in an explicit exchange, and both the
+    // signature branch and the exact-verify branch hang off the same
+    // subtree, so the shuffle files are materialized once and replayed —
+    // reuse without a session-lifetime memory footprint (a .cache() here
+    // would outlive the query and tax everything that runs after it).
+    val sh = shingles(spark, sfDir)
     val sig = withSignature(sh)
     val rowsPerBand = NumHashes / NumBands
     val bandCols = (0 until NumBands).map { b =>
@@ -183,12 +210,25 @@ object Dedup {
 
   /** Chunks per fingerprint for the Hamming-banded search: 8 chunks of
     * 8 bits. Pigeonhole guarantees every pair within Hamming ≤ 7 shares a
-    * chunk; beyond that capture is probabilistic (miss ≈ 0.24% at h=8,
-    * measured 0 misses across all true near-dup pairs at sf0.001/0.01/0.1,
-    * max observed h=13). 8-bit chunks keep bucket fan-in at n/256 per
-    * chunk value — the shuffle-key bound that makes this linear-ish. */
+    * chunk; beyond that capture is probabilistic (measured 0 misses
+    * across all true near-dup pairs at sf0.001/0.01/0.1, max observed
+    * h=12 on shingle fingerprints). 8-bit chunks keep bucket fan-in at
+    * n/256 per chunk value — the shuffle-key bound that makes this
+    * linear-ish. */
   final val SimHashChunks = 8
   final val SimHashChunkBits = 8
+
+  /** Exact-Hamming cut applied to banded candidates BEFORE the Jaccard
+    * verify, on the full 64-bit distance (a cheap long XOR + popcount of
+    * two joined longs). The pairs query fingerprints over 3-gram SHINGLES,
+    * not unigram tokens: over a small vocabulary every document contains
+    * nearly every token, so token-level fingerprints are correlated and
+    * banding admits half of all pairs (measured 6.7M candidates at sf0.1,
+    * 3.4M within h≤16); shingle features are near-orthogonal between
+    * unrelated documents, so the background concentrates at h≈32 and the
+    * cut passes only ~635 pairs at sf0.1. True near-dup pairs measure
+    * h ≤ 12 across all SFs; 16 leaves margin. */
+  final val MaxVerifyHamming = 16
 
   /** SimHash near-dup SEARCH: pigeonhole chunk banding over the 64-bit
     * fingerprint generates candidates (equi-join on (chunk index, chunk
@@ -200,24 +240,34 @@ object Dedup {
   def dedupSimHashPairs(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir)
-    val fp = docs.select($"doc_id", SimHash64(split($"text", " ")).as("f"))
+    val sh0 = shingles(docs)
+    val fp = sh0.select($"doc_id", SimHash64($"sh").as("f"))
     val mask = (1L << SimHashChunkBits) - 1
     val chunkCols = (0 until SimHashChunks).map { c =>
       struct(lit(c).as("c"),
         (shiftrightunsigned($"f", c * SimHashChunkBits).bitwiseAND(lit(mask))).as("v"))
     }
-    val banded = fp.select($"doc_id", explode(array(chunkCols: _*)).as("k"))
-      .select($"doc_id", $"k.c".as("c"), $"k.v".as("v"))
+    // carry the full fingerprint through the band join: the exact-Hamming
+    // cut (long XOR + popcount) then runs INSIDE the join, so the distinct
+    // dedupes only the ~few-hundred surviving pairs, not every chunk
+    // collision
+    val banded = fp.select($"doc_id", $"f", explode(array(chunkCols: _*)).as("k"))
+      .select($"doc_id", $"f", $"k.c".as("c"), $"k.v".as("v"))
+      .repartition($"c", $"v")
     val candidates = banded.as("a").join(banded.as("b"),
-        $"a.c" === $"b.c" && $"a.v" === $"b.v" && $"a.doc_id" < $"b.doc_id")
+        $"a.c" === $"b.c" && $"a.v" === $"b.v" && $"a.doc_id" < $"b.doc_id" &&
+          expr("bit_count(a.f ^ b.f)") <= MaxVerifyHamming)
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .distinct()
-    // exact verify over the SAME capped shingle space the oracle uses
-    val sh = shingles(docs)
-    val ex = sh.select($"doc_id", explode($"sh").as("s"))
-    val rare = ex.groupBy($"s").agg(count(lit(1)).as("df"))
-      .filter($"df" <= MaxShingleDF).select($"s")
-    val cappedSets = ex.join(rare, "s")
+    // exact verify over the SAME capped shingle space the oracle uses;
+    // cap applied as a broadcast anti-join on the tiny hot set (the
+    // rare set is nearly the whole index — joining it would shuffle and
+    // sort millions of strings for nothing)
+    val ex = sh0.select($"doc_id", explode_outer($"sh").as("s"))
+      .filter($"s".isNotNull)
+    val hot = ex.groupBy($"s").agg(count(lit(1)).as("df"))
+      .filter($"df" > MaxShingleDF).select($"s")
+    val cappedSets = ex.join(broadcast(hot), Seq("s"), "left_anti")
       .groupBy($"doc_id").agg(collect_list($"s").as("shc"))
     candidates
       .join(cappedSets.select($"doc_id".as("doc_a"), $"shc".as("sh_a")), "doc_a")

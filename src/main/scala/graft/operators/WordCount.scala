@@ -70,6 +70,32 @@ object WordCount {
     * vocabularies round-trip exactly. */
   def formattedBytes(spark: SparkSession, paths: Seq[String],
       headerLabel: String, includeUnique: Boolean): Array[Byte] = {
+    // Small-corpus split tuning, scoped to this run: the default
+    // openCostInBytes (4 MB) inflates each small file to 4 MB for
+    // bin-packing, so a 29-file / 15 MB corpus packs into ~2 splits and
+    // tokenizes on 2 of 32 cores. Aim for ~2 splits per core, floored so
+    // a genuinely large input keeps large scan partitions (at cluster
+    // scale the default packing is already right; this matters only for
+    // the reference's many-tiny-files workload).
+    val totalBytes = paths.map(p => new java.io.File(p).length()).sum
+    val cores = spark.sparkContext.defaultParallelism.toLong
+    val target = math.max(totalBytes / math.max(cores * 2L, 1L), 256L * 1024)
+    val conf = spark.conf
+    val oldMax = conf.getOption("spark.sql.files.maxPartitionBytes")
+    val oldCost = conf.getOption("spark.sql.files.openCostInBytes")
+    conf.set("spark.sql.files.maxPartitionBytes", target.toString)
+    conf.set("spark.sql.files.openCostInBytes", (64L * 1024).toString)
+    try formattedBytesInner(spark, paths, headerLabel, includeUnique)
+    finally {
+      oldMax.fold(conf.unset("spark.sql.files.maxPartitionBytes"))(
+        conf.set("spark.sql.files.maxPartitionBytes", _))
+      oldCost.fold(conf.unset("spark.sql.files.openCostInBytes"))(
+        conf.set("spark.sql.files.openCostInBytes", _))
+    }
+  }
+
+  private def formattedBytesInner(spark: SparkSession, paths: Seq[String],
+      headerLabel: String, includeUnique: Boolean): Array[Byte] = {
     val words = tokenize(linesFromFiles(spark, paths), "value")
     val cnts = counts(words)
     // collect unsorted and sort on the driver: the result is vocabulary-
