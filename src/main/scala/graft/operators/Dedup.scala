@@ -240,8 +240,26 @@ object Dedup {
   def dedupSimHashPairs(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir)
-    val sh0 = shingles(docs)
-    val fp = sh0.select($"doc_id", SimHash64($"sh").as("f"))
+    // ONE shingle expansion feeds everything: exploded rows shuffle to
+    // the shingle key (shared with the DF-count agg), the capped per-doc
+    // sets come back from one groupBy, and the FINGERPRINT hashes those
+    // same capped sets. Fingerprinting the capped space (a) halves the
+    // heavy transform work vs a separate full-set branch, and (b) makes
+    // search and verify operate on the identical feature space the
+    // oracle uses. The DF cap drops zero shingles at sf0.001/0.01/0.1
+    // (boilerplate keys only appear beyond these corpora), so the banding
+    // capture measurements below apply verbatim.
+    val ex = shingles(docs).select($"doc_id", explode_outer($"sh").as("s"))
+      .filter($"s".isNotNull)
+      .repartition($"s")
+    // cap as a broadcast ANTI-join on the tiny hot set (the rare set is
+    // nearly the whole index — joining it would shuffle and sort millions
+    // of strings for nothing)
+    val hot = ex.groupBy($"s").agg(count(lit(1)).as("df"))
+      .filter($"df" > MaxShingleDF).select($"s")
+    val cappedSets = ex.join(broadcast(hot), Seq("s"), "left_anti")
+      .groupBy($"doc_id").agg(collect_list($"s").as("shc"))
+    val fp = cappedSets.select($"doc_id", SimHash64($"shc").as("f"))
     val mask = (1L << SimHashChunkBits) - 1
     val chunkCols = (0 until SimHashChunks).map { c =>
       struct(lit(c).as("c"),
@@ -259,16 +277,6 @@ object Dedup {
           expr("bit_count(a.f ^ b.f)") <= MaxVerifyHamming)
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .distinct()
-    // exact verify over the SAME capped shingle space the oracle uses;
-    // cap applied as a broadcast anti-join on the tiny hot set (the
-    // rare set is nearly the whole index — joining it would shuffle and
-    // sort millions of strings for nothing)
-    val ex = sh0.select($"doc_id", explode_outer($"sh").as("s"))
-      .filter($"s".isNotNull)
-    val hot = ex.groupBy($"s").agg(count(lit(1)).as("df"))
-      .filter($"df" > MaxShingleDF).select($"s")
-    val cappedSets = ex.join(broadcast(hot), Seq("s"), "left_anti")
-      .groupBy($"doc_id").agg(collect_list($"s").as("shc"))
     candidates
       .join(cappedSets.select($"doc_id".as("doc_a"), $"shc".as("sh_a")), "doc_a")
       .join(cappedSets.select($"doc_id".as("doc_b"), $"shc".as("sh_b")), "doc_b")
