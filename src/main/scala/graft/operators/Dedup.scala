@@ -306,6 +306,62 @@ object Dedup {
       .select($"vec_a", $"vec_b", $"label", round($"cos", 4).as("cosine"))
   }
 
+  /** Quantizer-cell blocking for the embedding self-join: 8 bands of 8
+    * coordinate-sign bits each (64 dims, disjoint). Two vectors are
+    * candidates iff they share a label AND any band cell — the join key
+    * is (label, band, cell), so the pair space is bounded by cell
+    * occupancy (~n/256 per band under a sign-balanced distribution), not
+    * label cardinality. In the operator's target regime (near-dup
+    * embeddings, cos ≥ 0.9, sign-agreement ≥ 0.9/bit) a pair collides in
+    * a band w.p. ≥ 0.43, in ≥1 of 8 w.p. ≥ 0.99; moderate-cosine pairs
+    * (~0.5, the max this synthetic corpus contains) are deliberately NOT
+    * guaranteed — that regime needs the brute-force path above. The
+    * DuckDB oracle mirrors the banding bit-for-bit, so the hash check
+    * pins the approximation's exact semantics at every SF. */
+  final val EmbedBands = 8
+  final val EmbedBandBits = 8
+
+  /** Blocked variant of [[dedupEmbedCosine]]: same output shape (top-20
+    * most-similar same-label pairs), candidates restricted to quantizer-
+    * cell collisions instead of an all-pairs product within the label. */
+  def dedupEmbedCosineBlocked(spark: SparkSession, sfDir: String): DataFrame =
+    dedupEmbedCosineBlockedOn(Tables.embeddings(spark, sfDir))
+
+  private[graft] def dedupEmbedCosineBlockedOn(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    import graft.functions.VectorOps
+    val e = emb.select($"vec_id", $"label", $"embedding",
+      VectorOps.toDouble($"embedding").as("v"))
+    val bandCols = (0 until EmbedBands).map { b =>
+      val cell = (0 until EmbedBandBits).map { j =>
+        (element_at($"embedding", b * EmbedBandBits + j + 1) >= lit(0f))
+          .cast("int") * lit(1 << (EmbedBandBits - 1 - j))
+      }.reduce(_ + _)
+      struct(lit(b).as("c"), cell.as("cell"))
+    }
+    // one explicit exchange on the full join key, shared by both self-join
+    // sides (same AQE-broadcast-collapse guard as the shingle joins above)
+    val banded = e.select($"vec_id", $"label", explode(array(bandCols: _*)).as("k"))
+      .select($"vec_id", $"label", $"k.c".as("c"), $"k.cell".as("cell"))
+      .repartition($"label", $"c", $"cell")
+    val candidates = banded.as("a").join(banded.as("b"),
+        $"a.label" === $"b.label" && $"a.c" === $"b.c" &&
+          $"a.cell" === $"b.cell" && $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
+        $"a.label".as("label"))
+      .distinct()
+    val vecs = e.select($"vec_id", $"v")
+    candidates
+      .join(vecs.select($"vec_id".as("vec_a"), $"v".as("va")), "vec_a")
+      .join(vecs.select($"vec_id".as("vec_b"), $"v".as("vb")), "vec_b")
+      .select($"vec_a", $"vec_b", $"label",
+        VectorOps.cosine($"va", $"vb").as("cos"))
+      .orderBy($"cos".desc, $"vec_a".asc, $"vec_b".asc)
+      .limit(20)
+      .select($"vec_a", $"vec_b", $"label", round($"cos", 4).as("cosine"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> dedupExact,
     "dedup_exact_bow" -> dedupExactBow,
@@ -315,6 +371,7 @@ object Dedup {
     "dedup_simhash" -> dedupSimHash,
     "dedup_simhash_pairs" -> dedupSimHashPairs,
     "dedup_embed_cosine" -> dedupEmbedCosine,
+    "dedup_embed_cosine_blocked" -> dedupEmbedCosineBlocked,
   )
 
   private val exactJaccardSql =
@@ -363,6 +420,18 @@ object Dedup {
       |WHERE c::DOUBLE / (na.n + nb.n - c) >= 0.8
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** The engine's sign-bit band cells, mirrored bit-for-bit in SQL
+    * (generated from the same constants so they cannot drift). */
+  private val embedBandSelect: String = (0 until EmbedBands).map { b =>
+    val bits = (0 until EmbedBandBits).map(j =>
+      s"((embedding[${b * EmbedBandBits + j + 1}] >= 0)::INT * ${1 << (EmbedBandBits - 1 - j)})")
+      .mkString(" + ")
+    s"($bits) AS b$b"
+  }.mkString(", ")
+
+  private val embedBandMatch: String =
+    (0 until EmbedBands).map(b => s"a.b$b = b.b$b").mkString(" OR ")
+
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dups
@@ -399,6 +468,20 @@ object Dedup {
         |    (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
         |     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) DESC,
         |  a.vec_id ASC, b.vec_id ASC
+        |LIMIT 20""".stripMargin,
+    "dedup_embed_cosine_blocked" ->
+      s"""WITH v AS (SELECT vec_id, label, embedding, $embedBandSelect
+        |  FROM embeddings),
+        |cand AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+        |    list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+        |      (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+        |       sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS cos
+        |  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+        |    AND ($embedBandMatch)
+        |)
+        |SELECT vec_a, vec_b, label, round(cos, 4) AS cosine
+        |FROM cand ORDER BY cos DESC, vec_a ASC, vec_b ASC
         |LIMIT 20""".stripMargin,
     // dedup_simhash intentionally has no SQL oracle (FNV-based fingerprint
     // not expressible in DuckDB) — rows-only check + unit-suite coverage.

@@ -80,6 +80,46 @@ class DedupSpec extends AnyFunSuite {
     assert(fanout === 1, "exactly the planted hot shingle family exceeds the cap")
   }
 
+  test("blocked embed-cosine captures planted near-dup embeddings and prunes background") {
+    import spark.implicits._
+    // 200 gaussian base vectors (4 labels) + 15 jittered near-copies
+    // (noise σ=0.15 → cos ≈ 0.99, per-bit sign-flip ≈ 0.05 → a pair
+    // misses all 8 bands w.p. ≈ 1e-4). Deterministic via fixed seed.
+    val rnd = new scala.util.Random(42)
+    val base = (0 until 200).map { i =>
+      (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat), i % 4)
+    }
+    val planted = (0 until 15).map { i =>
+      val (id, v, label) = base(i * 13)
+      (id + 1000L, v.map(x => x + 0.15f * rnd.nextGaussian().toFloat), label)
+    }
+    val emb = (base ++ planted).toDF("vec_id", "embedding", "label")
+    val result = Dedup.dedupEmbedCosineBlockedOn(emb)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    val plantedPairs = (0 until 15).map(i => (base(i * 13)._1, base(i * 13)._1 + 1000L)).toSet
+    val found = result.collect { case (a, b, _) if plantedPairs.contains((a, b)) => (a, b) }.toSet
+    assert(found === plantedPairs,
+      s"blocked search missed planted near-dups: ${plantedPairs -- found}")
+    assert(result.filter(r => plantedPairs.contains((r._1, r._2))).forall(_._3 >= 0.9),
+      "planted pairs should score cos >= 0.9")
+    // the banding genuinely prunes: among the random base vectors, the
+    // fraction of same-label pairs sharing >= 1 band cell must be small
+    // (expected ~8/256 ≈ 3%) — this is the 100 TB pair-space bound.
+    def cells(v: Array[Float]): Seq[Int] = (0 until Dedup.EmbedBands).map { b =>
+      (0 until Dedup.EmbedBandBits).map { j =>
+        (if (v(b * Dedup.EmbedBandBits + j) >= 0) 1 else 0) << (Dedup.EmbedBandBits - 1 - j)
+      }.sum
+    }
+    val sameLabel = for {
+      (ia, va, la) <- base; (ib, _, lb) <- base if la == lb && ia < ib
+    } yield (va, base(ib.toInt)._2)
+    val colliding = sameLabel.count { case (va, vb) =>
+      cells(va).zip(cells(vb)).exists { case (x, y) => x == y }
+    }
+    assert(colliding.toDouble / sameLabel.size < 0.25,
+      s"banding should prune background pairs: $colliding/${sameLabel.size} collide")
+  }
+
   test("exact dedup partitions all documents (sum of group sizes = row count)") {
     val total = graft.sources.Tables.documents(spark, sf).count()
     val groups = Dedup.dedupExact(spark, sf)
