@@ -100,10 +100,26 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val agg = new StageAgg
     spark.sparkContext.addSparkListener(agg)
-    def drained[A](f: => A): A = {
-      val r = f
+    def drain(): Unit =
       org.apache.spark.graftshim.ListenerShim.drain(spark.sparkContext)
-      r
+    // Wall time covers the execution only; the listener-bus drain (needed
+    // before reading the StageAgg snapshot, and so events from run N can't
+    // bleed into run N+1's metrics) happens OUTSIDE the timer, keeping
+    // timings comparable across rounds and to BASELINE.md. Each measured
+    // run gets its own metrics snapshot, and the breakdown kept is the
+    // BEST run's — per-run numbers that line up with the best-of-2 wall
+    // time (round 2's breakdown summed both runs, which doubled every
+    // byte/ms figure relative to the reported time).
+    def timedRun(run: => Unit): (Double, String) = {
+      agg.reset()
+      val t = timeSec(run)
+      drain()
+      (t, agg.json)
+    }
+    def bestOf2(run: => Unit): (Double, String) = {
+      val a = timedRun(run)
+      val b = timedRun(run)
+      if (a._1 <= b._1) a else b
     }
 
     val queries = SparkEntry.queries
@@ -116,13 +132,12 @@ object Bench {
     val breakdown = scala.collection.mutable.LinkedHashMap[String, String]()
     selected.filter(queries.contains).foreach { name =>
       try {
-        drained(execute(queries(name)(spark, sfDir))) // warm-up run
-        agg.reset()
+        execute(queries(name)(spark, sfDir)) // warm-up run
+        drain()
         // best-of-2 measured: steady-state, robust to GC/scheduler noise
-        results(name) = math.min(
-          timeSec(drained(execute(queries(name)(spark, sfDir)))),
-          timeSec(drained(execute(queries(name)(spark, sfDir)))))
-        breakdown(name) = agg.json
+        val (t, bd) = bestOf2(execute(queries(name)(spark, sfDir)))
+        results(name) = t
+        breakdown(name) = bd
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
@@ -147,11 +162,11 @@ object Bench {
         finally out.delete()
       }
       try {
-        drained(corpusRun()) // warm-up
-        agg.reset()
-        results("wordcount_corpus_15mb") =
-          math.min(timeSec(drained(corpusRun())), timeSec(drained(corpusRun())))
-        breakdown("wordcount_corpus_15mb") = agg.json
+        corpusRun() // warm-up
+        drain()
+        val (t, bd) = bestOf2(corpusRun())
+        results("wordcount_corpus_15mb") = t
+        breakdown("wordcount_corpus_15mb") = bd
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] wordcount_corpus failed: ${e.getMessage}")
@@ -163,12 +178,19 @@ object Bench {
     val bd = breakdown.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
+    // The stdout line stays COMPACT (totals + per-query seconds): the
+    // driver captures a bounded stdout tail, and round 2's ~8 KB line
+    // (with the per-stage breakdown inlined) got truncated mid-JSON →
+    // BENCH_r02 "parsed": null. The full breakdown lives only in
+    // bench.json, which is written whole and can't be truncated.
     val line =
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"breakdown":$bd,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)
+    val full =
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"breakdown":$bd,"sf":"$sfDir"}"""
     // sbt prefixes stdout with "[info] "; the file copy is the version a
     // driver can always json.load directly.
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), line + "\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), full + "\n")
     spark.stop()
   }
 }

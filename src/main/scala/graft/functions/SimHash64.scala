@@ -57,6 +57,36 @@ object SimHashImpl {
     }
     out
   }
+
+  /** SimHash over features that are ALREADY 64-bit hashes (e.g. the
+    * xxhash64 shingle keys the dedup pipeline shuffles): same bit-vote,
+    * no string in sight. The feature hash family differs from [[simhash]]
+    * (xxhash64 upstream vs FNV-1a here) but Charikar's construction only
+    * needs a well-dispersed per-feature hash, so the Hamming-distance
+    * geometry is statistically identical. */
+  def simhashOfHashes(hashes: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    val n = hashes.numElements()
+    var i = 0
+    while (i < n) {
+      if (!hashes.isNullAt(i)) {
+        val h = hashes.getLong(i)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
 }
 
 /** `simhash64(array<string>) -> long`, codegen'd via static call (stays
@@ -83,4 +113,30 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 
 object SimHash64 {
   def apply(c: Column): Column = Shim.column(SimHash64(Shim.expression(c)))
+}
+
+/** `simhash64_hashed(array<bigint>) -> long` — SimHash over pre-hashed
+  * features (see [[SimHashImpl.simhashOfHashes]]). */
+case class SimHash64FromHashes(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash64_hashed requires ARRAY<BIGINT>, got ${other.sql}")
+  }
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "simhash64_hashed"
+
+  override def nullSafeEval(input: Any): Any =
+    SimHashImpl.simhashOfHashes(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHashImpl.simhashOfHashes($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64FromHashes =
+    copy(child = newChild)
+}
+
+object SimHash64FromHashes {
+  def apply(c: Column): Column = Shim.column(SimHash64FromHashes(Shim.expression(c)))
 }

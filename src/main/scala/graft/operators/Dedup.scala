@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.functions.SimHash64
 import graft.sources.Tables
 
 /** Deduplication suite over the `documents` table — the operators a
@@ -25,10 +24,10 @@ import graft.sources.Tables
   */
 object Dedup {
 
-  // pinned to the expression's constant so the element_at indices below
-  // can never run past the produced signature array
+  // pinned to the expression's constants so banding arithmetic here can
+  // never drift from what MinHashBandHashes emits
   final val NumHashes: Int = graft.functions.MinHashImpl.NumHashes
-  final val NumBands = 16 // 4 rows per band; P(miss | j>=0.8) < 3e-4, ~0 at the planted j>=0.95
+  final val NumBands: Int = graft.functions.MinHashImpl.NumBands // 4 rows per band; P(miss | j>=0.8) < 3e-4, ~0 at the planted j>=0.95
   final val JaccardThreshold = 0.8
 
   /** Max document frequency a shingle may have and still enter the
@@ -88,9 +87,20 @@ object Dedup {
   }
 
   /** Pairwise 3-gram Jaccard ≥ 0.8 via inverted shingle index:
-    * explode → DF-cap prune → self-equi-join on shingle → per-pair common
-    * count → |A∩B| / (|A| + |B| - |A∩B|). No all-pairs enumeration, and
-    * no shingle key fans out to more than MaxShingleDF index entries. */
+    * explode → hash-to-int64 → DF-cap prune → self-equi-join on the
+    * shingle hash → per-pair common count → |A∩B| / (|A| + |B| - |A∩B|).
+    * No all-pairs enumeration, and no key fans out to more than
+    * MaxShingleDF index entries.
+    *
+    * The index key is xxhash64(shingle), not the shingle STRING: distinct
+    * shingles map to distinct hashes (collision odds ~n²/2⁶⁴ — immaterial
+    * next to the banding approximations already pinned by the oracles),
+    * Jaccard counts over hashes equal Jaccard counts over strings, and
+    * the exchange moves 8-byte longs instead of ~25-byte strings. Round 2
+    * shuffled 92.9 MB of shingle strings from 0.6 MB of input at sf0.1 —
+    * the 150× amplification that melted down under the driver's
+    * memory-squeezed environment; hashing before the repartition cuts the
+    * shuffle to the (doc_id, key) pairs themselves. */
   def dedupNgramJaccard(spark: SparkSession, sfDir: String): DataFrame =
     dedupNgramJaccardOn(shingles(spark, sfDir))
 
@@ -98,33 +108,39 @@ object Dedup {
       maxDf: Long = MaxShingleDF): DataFrame = {
     val spark = sh.sparkSession
     import spark.implicits._
-    // ONE explicit shuffle keyed on the shingle, shared by everything
+    // ONE explicit shuffle keyed on the shingle hash, shared by everything
     // downstream: the DF count aggregates in place, and both self-join
     // sides are already co-partitioned, so Catalyst plans a single
     // exchange and reuses it. Without this, the post-aggregation size
     // estimates let AQE turn the self-join into a broadcast join whose
     // probe side runs at the (single-file) scan parallelism — measured
-    // 6x slower at sf0.1 than the repartitioned form.
+    // 6x slower at sf0.1 than the repartitioned form. Explicit width so
+    // AQE can't coalesce the exchange below the per-core parallelism the
+    // expansion needs (same guard as shingles()).
     // explode_outer + null filter instead of plain explode: the optimizer
     // infers a `size(sh) > 0 AND isnotnull(sh)` guard for a non-outer
     // Generate and pushes it below the projection, re-evaluating the
     // whole shingle transform per row; the outer variant generates no
-    // guard and the null row is dropped on the exploded string instead.
+    // guard and the null row is dropped on the exploded value instead.
     val exploded = sh.select($"doc_id", explode_outer($"sh").as("s"))
       .filter($"s".isNotNull)
-      .repartition($"s")
-    // Max-DF cap as a broadcast ANTI-join: the HOT side (shingles with
-    // DF > maxDf) is tiny by definition — boilerplate keys — so pruning
-    // costs one keyed count plus a broadcast, and the big exploded frame
-    // is never re-shuffled for it. `pruned` is the only subtree the rest
-    // of the query reads — sizes and both self-join sides all replay the
-    // one materialized exchange.
-    val hot = exploded.groupBy($"s").agg(count(lit(1)).as("df"))
-      .filter($"df" > maxDf).select($"s")
-    val pruned = exploded.join(broadcast(hot), Seq("s"), "left_anti")
+      .select($"doc_id", xxhash64($"s").as("h"))
+      .repartition(spark.sparkContext.defaultParallelism, $"h")
+    // Max-DF cap as an ANTI-join on the hot-key set (shingle hashes with
+    // DF > maxDf). Both sides descend from the same exchange on h, so the
+    // anti-join is co-partitioned — no re-shuffle of the big exploded
+    // frame — and AQE upgrades it to a broadcast join at runtime when the
+    // hot set is actually small. No static broadcast() hint: the hot-set
+    // cardinality is bounded only by total-occurrences/maxDf, which at
+    // 100 TB can exceed driver/broadcast limits — the shuffled anti-join
+    // is the form that cannot fail, and AQE recovers the broadcast win
+    // whenever it's safe.
+    val hot = exploded.groupBy($"h").agg(count(lit(1)).as("df"))
+      .filter($"df" > maxDf).select($"h")
+    val pruned = exploded.join(hot, Seq("h"), "left_anti")
     val sizes = pruned.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val common = pruned.as("a").join(pruned.as("b"),
-        $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
+        $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
       .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .agg(count(lit(1)).as("c"))
     common
@@ -137,53 +153,43 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
-  /** MinHash signatures: sig[i] = min over shingles of hash_i(shingle).
-    * One strong hash per variable-length shingle string (xxhash64,
-    * computed once into `hv`), then ALL 64 minima in a single array
-    * traversal via the custom MinHashSignatures expression (wrapping
-    * multiplicative mixes inside JVM code — where ANSI overflow checking
-    * doesn't apply — instead of 64 separate array_min∘transform
-    * projections). */
-  private def withSignature(sh: DataFrame): DataFrame = {
-    val hashed = sh
-      .withColumn("hv", transform(col("sh"), s => xxhash64(s)))
-      .withColumn("sigs", graft.functions.MinHashSignatures(col("hv")))
-    val sigCols = (0 until NumHashes).map(i =>
-      element_at(col("sigs"), i + 1).as(s"sig$i"))
-    hashed.select(col("doc_id") +: col("sh") +: sigCols: _*)
-  }
-
   /** MinHash + LSH banded near-dup detection, exact-Jaccard verified.
     * Candidate generation is an equi-join on (band index, band hash) —
     * the shuffle key that makes this linear-ish at scale. Output equals
     * the exact-Jaccard pairs whenever LSH recall is 1 (certain at the
-    * planted similarity levels; see NumBands). */
+    * planted similarity levels; see NumBands).
+    *
+    * Per document the plan now materializes exactly: one long array of
+    * shingle hashes (hv, reused by banding AND the exact verify) and 16
+    * exploded (band, hash) longs from the fused MinHashBandHashes
+    * expression. The round-2 form carried a 64-long signature array
+    * through a 64-column projection plus 16 structs per doc — allocation
+    * volume that turned into 131 s of GC under the driver's contended
+    * environment. Nothing string-typed crosses a shuffle here: the verify
+    * joins move long arrays, and hashed-set Jaccard equals string-set
+    * Jaccard (distinct shingles ↦ distinct xxhash64 keys; see
+    * dedupNgramJaccard on collision odds). */
   def dedupMinHashLsh(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     // No cache: shingles() ends in an explicit exchange, and both the
-    // signature branch and the exact-verify branch hang off the same
+    // banding branch and the exact-verify branch hang off the same
     // subtree, so the shuffle files are materialized once and replayed —
     // reuse without a session-lifetime memory footprint (a .cache() here
     // would outlive the query and tax everything that runs after it).
-    val sh = shingles(spark, sfDir)
-    val sig = withSignature(sh)
-    val rowsPerBand = NumHashes / NumBands
-    val bandCols = (0 until NumBands).map { b =>
-      val cols = (0 until rowsPerBand).map(r => col(s"sig${b * rowsPerBand + r}"))
-      struct(lit(b).as("band"), xxhash64(cols: _*).as("bh"))
-    }
-    val banded = sig.select($"doc_id", explode(array(bandCols: _*)).as("band_key"))
-      .select($"doc_id", $"band_key.band".as("band"), $"band_key.bh".as("bh"))
+    val hashed = shingles(spark, sfDir)
+      .select($"doc_id", transform($"sh", s => xxhash64(s)).as("hv"))
+    val banded = hashed.select($"doc_id",
+        posexplode(graft.functions.MinHashBandHashes($"hv")).as(Seq("band", "bh")))
     val candidates = banded.as("a").join(banded.as("b"),
         $"a.band" === $"b.band" && $"a.bh" === $"b.bh" && $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .distinct()
     val verified = candidates
-      .join(sh.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), "doc_a")
-      .join(sh.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), "doc_b")
+      .join(hashed.select($"doc_id".as("doc_a"), $"hv".as("hv_a")), "doc_a")
+      .join(hashed.select($"doc_id".as("doc_b"), $"hv".as("hv_b")), "doc_b")
       .select($"doc_a", $"doc_b",
-        (size(array_intersect($"sh_a", $"sh_b")).cast("double") /
-          size(array_union($"sh_a", $"sh_b"))).as("jacc"))
+        (size(array_intersect($"hv_a", $"hv_b")).cast("double") /
+          size(array_union($"hv_a", $"hv_b"))).as("jacc"))
       .filter($"jacc" >= JaccardThreshold)
     verified.select($"doc_a", $"doc_b", round($"jacc", 3).as("jaccard"))
       .orderBy($"doc_a", $"doc_b")
@@ -198,83 +204,104 @@ object Dedup {
     docs.join(drop, Seq("doc_id"), "left_anti").orderBy($"doc_id")
   }
 
-  /** Per-document 64-bit SimHash fingerprint (custom codegen expression).
-    * Hamming-adjacent fingerprints = near-dups; the banding join for
-    * Hamming search is exercised in the unit suite. */
+  /** Per-document 64-bit SimHash fingerprint over unigram tokens
+    * (duplicates kept — token frequency weights the bit vote, per
+    * Charikar's construction). Feature hashes are md5-low-64 so the
+    * DuckDB oracle rebuilds the fingerprint bit-for-bit — this query is
+    * hash-checked, not rows-only. Hamming-adjacent fingerprints =
+    * near-dups; the banded search over shingle-space fingerprints is
+    * dedup_simhash_pairs. */
   def dedupSimHash(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, sfDir)
-      .select($"doc_id", SimHash64(split($"text", " ")).as("simhash"))
+      .select($"doc_id", graft.functions.SimHash64FromHashes(
+        transform(split($"text", " "), t => graft.functions.Md5Lower64(t))).as("simhash"))
       .orderBy($"doc_id")
   }
 
-  /** Chunks per fingerprint for the Hamming-banded search: 8 chunks of
-    * 8 bits. Pigeonhole guarantees every pair within Hamming ≤ 7 shares a
-    * chunk; beyond that capture is probabilistic (measured 0 misses
-    * across all true near-dup pairs at sf0.001/0.01/0.1, max observed
-    * h=12 on shingle fingerprints). 8-bit chunks keep bucket fan-in at
-    * n/256 per chunk value — the shuffle-key bound that makes this
-    * linear-ish. */
+  /** Chunks per fingerprint for the Hamming-banded search: 8 disjoint
+    * chunks of 8 bits. 8-bit chunks keep bucket fan-in at n/256 per
+    * chunk value — the shuffle-key bound that makes this linear-ish. */
   final val SimHashChunks = 8
   final val SimHashChunkBits = 8
 
-  /** Exact-Hamming cut applied to banded candidates BEFORE the Jaccard
-    * verify, on the full 64-bit distance (a cheap long XOR + popcount of
-    * two joined longs). The pairs query fingerprints over 3-gram SHINGLES,
-    * not unigram tokens: over a small vocabulary every document contains
-    * nearly every token, so token-level fingerprints are correlated and
-    * banding admits half of all pairs (measured 6.7M candidates at sf0.1,
-    * 3.4M within h≤16); shingle features are near-orthogonal between
-    * unrelated documents, so the background concentrates at h≈32 and the
-    * cut passes only ~635 pairs at sf0.1. True near-dup pairs measure
-    * h ≤ 12 across all SFs; 16 leaves margin. */
-  final val MaxVerifyHamming = 16
+  /** The fingerprint-distance cut that DEFINES the search output: a pair
+    * is reported iff Hamming(f_a, f_b) ≤ 15 AND capped-Jaccard ≥ 0.8.
+    * 15 is exactly what the multi-probe banding below captures with a
+    * deterministic guarantee — ⌊15/SimHashChunks⌋ = 1, so some chunk of
+    * any qualifying pair differs in ≤ 1 bit and the radius-1 probe ball
+    * hits it (pigeonhole). The cut is part of the query's semantics, not
+    * a heuristic: the DuckDB oracle applies the identical predicate on
+    * the identical md5-derived fingerprints, so the hash gate is exact —
+    * no probabilistic recall left in the contract. True near-dup pairs
+    * measure h ≤ 12 across all SFs, so the ≤ 15 window loses nothing on
+    * this corpus; the recall-vs-exact-Jaccard property is pinned by a
+    * unit spec instead of the driver gate. */
+  final val MaxPairHamming = 15
 
   /** SimHash near-dup SEARCH: pigeonhole chunk banding over the 64-bit
-    * fingerprint generates candidates (equi-join on (chunk index, chunk
-    * value) — same shape as the MinHash band join), then candidates are
-    * verified with exact 3-gram Jaccard over the DF-capped shingle space.
-    * Output and oracle are identical to dedup_ngram_jaccard — this is the
-    * fingerprint-driven way to arrive at the same pairs without an
-    * inverted shingle index. */
+    * fingerprint generates candidates, then candidates are verified with
+    * exact 3-gram Jaccard over the DF-capped shingle space. The banding
+    * is multi-probe: the probe side (smaller doc_id) emits the full
+    * radius-1 Hamming ball of each 8-bit chunk (9 keys per chunk, 72 per
+    * doc), the index side emits the 8 exact chunk values; any pair with
+    * fingerprint Hamming ≤ MaxPairHamming then shares a join key by
+    * pigeonhole — capture is guaranteed, not sampled. Feature hashes are
+    * md5-low-64 (Md5Lower64 ≡ DuckDB md5_number_lower) so the oracle can
+    * rebuild the exact fingerprints; no shingle string survives past the
+    * map side of the first exchange (round 2 shuffled 42.8 MB of strings
+    * here). */
   def dedupSimHashPairs(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir)
-    // ONE shingle expansion feeds everything: exploded rows shuffle to
-    // the shingle key (shared with the DF-count agg), the capped per-doc
-    // sets come back from one groupBy, and the FINGERPRINT hashes those
-    // same capped sets. Fingerprinting the capped space (a) halves the
-    // heavy transform work vs a separate full-set branch, and (b) makes
-    // search and verify operate on the identical feature space the
-    // oracle uses. The DF cap drops zero shingles at sf0.001/0.01/0.1
-    // (boilerplate keys only appear beyond these corpora), so the banding
-    // capture measurements below apply verbatim.
+    // ONE shingle expansion feeds everything: exploded rows hash to int64
+    // and shuffle on the hash key (shared with the DF-count agg), the
+    // capped per-doc hash sets come back from one groupBy, and the
+    // FINGERPRINT bit-votes those same hashes (SimHash64FromHashes).
+    // Fingerprinting the capped space makes search and verify operate on
+    // the identical feature space the oracle uses. The DF cap drops zero
+    // shingles at sf0.001/0.01/0.1 (boilerplate keys only appear beyond
+    // these corpora).
     val ex = shingles(docs).select($"doc_id", explode_outer($"sh").as("s"))
       .filter($"s".isNotNull)
-      .repartition($"s")
-    // cap as a broadcast ANTI-join on the tiny hot set (the rare set is
-    // nearly the whole index — joining it would shuffle and sort millions
-    // of strings for nothing)
-    val hot = ex.groupBy($"s").agg(count(lit(1)).as("df"))
-      .filter($"df" > MaxShingleDF).select($"s")
-    val cappedSets = ex.join(broadcast(hot), Seq("s"), "left_anti")
-      .groupBy($"doc_id").agg(collect_list($"s").as("shc"))
-    val fp = cappedSets.select($"doc_id", SimHash64($"shc").as("f"))
+      .select($"doc_id", graft.functions.Md5Lower64($"s").as("h"))
+      .repartition(spark.sparkContext.defaultParallelism, $"h")
+    // DF cap as a co-partitioned ANTI-join on the hot-key set; AQE
+    // broadcasts it at runtime when it is actually small (see
+    // dedupNgramJaccardOn for why there is no static broadcast hint).
+    val hot = ex.groupBy($"h").agg(count(lit(1)).as("df"))
+      .filter($"df" > MaxShingleDF).select($"h")
+    val cappedSets = ex.join(hot, Seq("h"), "left_anti")
+      .groupBy($"doc_id").agg(collect_list($"h").as("shc"))
+    val fp = cappedSets.select($"doc_id", graft.functions.SimHash64FromHashes($"shc").as("f"))
     val mask = (1L << SimHashChunkBits) - 1
-    val chunkCols = (0 until SimHashChunks).map { c =>
-      struct(lit(c).as("c"),
-        (shiftrightunsigned($"f", c * SimHashChunkBits).bitwiseAND(lit(mask))).as("v"))
+    def chunk(c: Int): Column =
+      shiftrightunsigned($"f", c * SimHashChunkBits).bitwiseAND(lit(mask))
+    // index side: the 8 exact chunk values; probe side: each chunk's
+    // radius-1 Hamming ball (the value itself + its 8 one-bit flips).
+    // The index stays 1 row per (doc, chunk), so AQE can broadcast it at
+    // bench scale while the 9x probe expansion never crosses a shuffle;
+    // at cluster scale both sides shuffle on (c, v) with n/256 fan-in.
+    val indexKeys = (0 until SimHashChunks).map { c =>
+      struct(lit(c).as("c"), chunk(c).as("v"))
     }
-    // carry the full fingerprint through the band join: the exact-Hamming
-    // cut (long XOR + popcount) then runs INSIDE the join, so the distinct
-    // dedupes only the ~few-hundred surviving pairs, not every chunk
-    // collision
-    val banded = fp.select($"doc_id", $"f", explode(array(chunkCols: _*)).as("k"))
+    val probeKeys = (0 until SimHashChunks).flatMap { c =>
+      (Seq(0L) ++ (0 until SimHashChunkBits).map(1L << _)).map { flip =>
+        struct(lit(c).as("c"), chunk(c).bitwiseXOR(lit(flip)).as("v"))
+      }
+    }
+    val index = fp.select($"doc_id", $"f", explode(array(indexKeys: _*)).as("k"))
       .select($"doc_id", $"f", $"k.c".as("c"), $"k.v".as("v"))
-      .repartition($"c", $"v")
-    val candidates = banded.as("a").join(banded.as("b"),
+    val probe = fp.select($"doc_id", $"f", explode(array(probeKeys: _*)).as("k"))
+      .select($"doc_id", $"f", $"k.c".as("c"), $"k.v".as("v"))
+    // carry the full fingerprint through the band join: the exact-Hamming
+    // cut (long XOR + popcount) runs INSIDE the join, so the distinct
+    // dedupes only the surviving pairs, not every chunk collision. The
+    // probe is the smaller-doc_id side; the ball is symmetric, so every
+    // qualifying pair is seen in this orientation.
+    val candidates = probe.as("a").join(index.as("b"),
         $"a.c" === $"b.c" && $"a.v" === $"b.v" && $"a.doc_id" < $"b.doc_id" &&
-          expr("bit_count(a.f ^ b.f)") <= MaxVerifyHamming)
+          expr("bit_count(a.f ^ b.f)") <= MaxPairHamming)
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .distinct()
     candidates
@@ -420,6 +447,52 @@ object Dedup {
       |WHERE c::DOUBLE / (na.n + nb.n - c) >= 0.8
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** The engine's SimHash bit-vote, mirrored in SQL over a grouped
+    * column `h` of UBIGINT feature hashes: fingerprint bit b is set iff
+    * strictly more features have bit b set than clear (counts(b) > 0 in
+    * SimHashImpl ⟺ 2·Σbit_b > n). Generated from the same 64-bit width
+    * so engine and oracle cannot drift. */
+  private val simhashVoteExpr: String = (0 until 64).map { b =>
+    s"(CASE WHEN 2 * sum((h >> $b) & 1) > count(*) THEN ${java.lang.Long.toUnsignedString(1L << b)}::UBIGINT ELSE 0::UBIGINT END)"
+  }.mkString("(", " +\n   ", ")")
+
+  /** UBIGINT fingerprint → the signed BIGINT the engine outputs (two's
+    * complement reinterpretation via HUGEINT arithmetic). */
+  private def toSignedBigint(col: String): String =
+    s"(CASE WHEN $col >= 9223372036854775808::UBIGINT THEN $col::HUGEINT - 18446744073709551616::HUGEINT ELSE $col::HUGEINT END)::BIGINT"
+
+  /** Oracle for [[dedupSimHashPairs]]: the exact output predicate —
+    * capped-Jaccard ≥ threshold AND fingerprint Hamming ≤ MaxPairHamming
+    * — brute-forced over all co-shingled pairs, on fingerprints rebuilt
+    * from md5_number_lower features (≡ Md5Lower64). Deterministic: no
+    * recall assumption anywhere in the gate. */
+  private val simhashPairsSql =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)])) s
+      |  FROM toks WHERE len(t) >= 3
+      |),
+      |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= $MaxShingleDF),
+      |pr AS (SELECT sh.doc_id, md5_number_lower(sh.s) h FROM sh JOIN rare USING (s)),
+      |sizes AS (SELECT doc_id, count(*) n FROM pr GROUP BY doc_id),
+      |fp AS (SELECT doc_id, $simhashVoteExpr f FROM pr GROUP BY doc_id),
+      |common AS (
+      |  SELECT a.doc_id ai, b.doc_id bi, count(*) c
+      |  FROM pr a JOIN pr b ON a.h = b.h AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id
+      |)
+      |SELECT ai AS doc_a, bi AS doc_b,
+      |  round(c::DOUBLE / (na.n + nb.n - c), 3) AS jaccard
+      |FROM common
+      |JOIN sizes na ON ai = na.doc_id
+      |JOIN sizes nb ON bi = nb.doc_id
+      |JOIN fp fa ON ai = fa.doc_id
+      |JOIN fp fb ON bi = fb.doc_id
+      |WHERE c::DOUBLE / (na.n + nb.n - c) >= 0.8
+      |  AND bit_count(xor(fa.f, fb.f)) <= $MaxPairHamming
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   /** The engine's sign-bit band cells, mirrored bit-for-bit in SQL
     * (generated from the same constants so they cannot drift). */
   private val embedBandSelect: String = (0 until EmbedBands).map { b =>
@@ -443,10 +516,15 @@ object Dedup {
         |GROUP BY md5(array_to_string(list_sort(string_split(text, ' ')), ' '))
         |ORDER BY h""".stripMargin,
     "dedup_ngram_jaccard" -> cappedJaccardSql,
-    // SimHash banded search must land on the same capped-Jaccard pairs —
-    // a genuine recall check on the fingerprint search path (see
-    // SimHashChunks for the capture argument).
-    "dedup_simhash_pairs" -> cappedJaccardSql,
+    "dedup_simhash_pairs" -> simhashPairsSql,
+    "dedup_simhash" ->
+      s"""WITH tok AS (
+        |  SELECT doc_id, md5_number_lower(t) h
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) t FROM documents)
+        |),
+        |fp AS (SELECT doc_id, $simhashVoteExpr f FROM tok GROUP BY doc_id)
+        |SELECT doc_id, ${toSignedBigint("f")} AS simhash
+        |FROM fp ORDER BY doc_id""".stripMargin,
     // MinHash LSH output must equal the exact pairs at these similarity
     // levels (recall ≈ 1 − 3e-4 at j = 0.8, ≈ 1 at the planted j ≥ 0.95),
     // so it shares the UNCAPPED exact-Jaccard oracle — a genuine recall
@@ -483,7 +561,5 @@ object Dedup {
         |SELECT vec_a, vec_b, label, round(cos, 4) AS cosine
         |FROM cand ORDER BY cos DESC, vec_a ASC, vec_b ASC
         |LIMIT 20""".stripMargin,
-    // dedup_simhash intentionally has no SQL oracle (FNV-based fingerprint
-    // not expressible in DuckDB) — rows-only check + unit-suite coverage.
   )
 }
