@@ -86,21 +86,23 @@ object Dedup {
       .orderBy($"h")
   }
 
-  /** Pairwise 3-gram Jaccard ≥ 0.8 via inverted shingle index:
-    * explode → hash-to-int64 → DF-cap prune → self-equi-join on the
-    * shingle hash → per-pair common count → |A∩B| / (|A| + |B| - |A∩B|).
-    * No all-pairs enumeration, and no key fans out to more than
-    * MaxShingleDF index entries.
+  /** Pairwise 3-gram Jaccard ≥ 0.8 via a prefix-filtered inverted index
+    * (Bayardo et al. 2007 "Scaling Up All Pairs Similarity Search";
+    * Xiao et al. 2008 PPJoin): explode → hash-to-int64 → DF-cap prune →
+    * per-doc sets sorted rarest-first by global (df, hash) → candidates
+    * from a self-equi-join restricted to each doc's PREFIX (first
+    * |x| − ⌈t·|x|⌉ + 1 elements) → exact set-Jaccard verify. The prefix
+    * principle guarantees any pair with J ≥ t shares a prefix element
+    * under a common global order, so recall is exact — the optimization
+    * is invisible to the oracle. At sf0.1 it cuts candidate pairs from
+    * 1.13M (full inverted index) to 119k, and the pair-space bound at
+    * 100 TB improves the same way: only rare-prefix collisions pair up.
     *
     * The index key is xxhash64(shingle), not the shingle STRING: distinct
-    * shingles map to distinct hashes (collision odds ~n²/2⁶⁴ — immaterial
-    * next to the banding approximations already pinned by the oracles),
-    * Jaccard counts over hashes equal Jaccard counts over strings, and
-    * the exchange moves 8-byte longs instead of ~25-byte strings. Round 2
-    * shuffled 92.9 MB of shingle strings from 0.6 MB of input at sf0.1 —
-    * the 150× amplification that melted down under the driver's
-    * memory-squeezed environment; hashing before the repartition cuts the
-    * shuffle to the (doc_id, key) pairs themselves. */
+    * shingles map to distinct hashes (collision odds ~n²/2⁶⁴ —
+    * immaterial), hashed-set Jaccard equals string-set Jaccard, and the
+    * exchanges move 8-byte longs instead of ~25-byte strings (round 2
+    * shuffled 92.9 MB of strings from 0.6 MB of input at sf0.1). */
   def dedupNgramJaccard(spark: SparkSession, sfDir: String): DataFrame =
     dedupNgramJaccardOn(shingles(spark, sfDir))
 
@@ -108,15 +110,11 @@ object Dedup {
       maxDf: Long = MaxShingleDF): DataFrame = {
     val spark = sh.sparkSession
     import spark.implicits._
-    // ONE explicit shuffle keyed on the shingle hash, shared by everything
-    // downstream: the DF count aggregates in place, and both self-join
-    // sides are already co-partitioned, so Catalyst plans a single
-    // exchange and reuses it. Without this, the post-aggregation size
-    // estimates let AQE turn the self-join into a broadcast join whose
-    // probe side runs at the (single-file) scan parallelism — measured
-    // 6x slower at sf0.1 than the repartitioned form. Explicit width so
-    // AQE can't coalesce the exchange below the per-core parallelism the
-    // expansion needs (same guard as shingles()).
+    val width = spark.sparkContext.defaultParallelism
+    // Explicit exchange on the hash key, shared by the DF count and the
+    // DF join (both co-partitioned on h). Explicit width so AQE can't
+    // coalesce the exchange below the per-core parallelism the expansion
+    // needs (same guard as shingles()).
     // explode_outer + null filter instead of plain explode: the optimizer
     // infers a `size(sh) > 0 AND isnotnull(sh)` guard for a non-outer
     // Generate and pushes it below the projection, re-evaluating the
@@ -125,29 +123,43 @@ object Dedup {
     val exploded = sh.select($"doc_id", explode_outer($"sh").as("s"))
       .filter($"s".isNotNull)
       .select($"doc_id", xxhash64($"s").as("h"))
-      .repartition(spark.sparkContext.defaultParallelism, $"h")
-    // Max-DF cap as an ANTI-join on the hot-key set (shingle hashes with
-    // DF > maxDf). Both sides descend from the same exchange on h, so the
-    // anti-join is co-partitioned — no re-shuffle of the big exploded
-    // frame — and AQE upgrades it to a broadcast join at runtime when the
-    // hot set is actually small. No static broadcast() hint: the hot-set
-    // cardinality is bounded only by total-occurrences/maxDf, which at
-    // 100 TB can exceed driver/broadcast limits — the shuffled anti-join
-    // is the form that cannot fail, and AQE recovers the broadcast win
-    // whenever it's safe.
-    val hot = exploded.groupBy($"h").agg(count(lit(1)).as("df"))
-      .filter($"df" > maxDf).select($"h")
-    val pruned = exploded.join(hot, Seq("h"), "left_anti")
-    val sizes = pruned.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val common = pruned.as("a").join(pruned.as("b"),
+      .repartition(width, $"h")
+    // Max-DF cap + global frequency in one co-partitioned inner join
+    // (keys with df > maxDf simply find no match). No static broadcast:
+    // the frequency table is key-cardinality-sized — at 100 TB it stays
+    // a shuffled join; AQE broadcasts it when it is actually small.
+    val dfs = exploded.groupBy($"h").agg(count(lit(1)).as("df"))
+      .filter($"df" <= maxDf)
+    val withDf = exploded.join(dfs, Seq("h"))
+    // Per-doc capped set as ONE array, globally ordered rarest-first by
+    // (df, h) — (df, h) is a strict total order on distinct shingles, so
+    // every document sorts its elements consistently (the prefix
+    // principle needs a common global order, nothing more).
+    val sets = withDf.groupBy($"doc_id")
+      .agg(array_sort(collect_list(struct($"df", $"h"))).as("sorted"))
+      .select($"doc_id", transform($"sorted", e => e.getField("h")).as("hv"))
+    // Prefix length |x| − ⌈t·|x|⌉ + 1 in exact arithmetic for t = 0.8:
+    // n − ⌊(4n+4)/5⌋ + 1 (the double division is exact for any int n —
+    // both operands and every representable quotient digit fit IEEE754).
+    val prefLen = (size($"hv") - floor((size($"hv") * 4 + 4) / lit(5)) + 1).cast("int")
+    val prefix = sets
+      .select($"doc_id", explode(slice($"hv", lit(1), prefLen)).as("h"))
+      .repartition(width, $"h")
+    val candidates = prefix.as("a").join(prefix.as("b"),
         $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
-      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
-      .agg(count(lit(1)).as("c"))
-    common
-      .join(sizes.as("na"), $"doc_a" === $"na.doc_id")
-      .join(sizes.as("nb"), $"doc_b" === $"nb.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .distinct()
+      // explicit width: the candidate set is small in BYTES, so AQE
+      // coalesces the distinct output to ~1 partition — but each row
+      // fans into O(set size) array-intersect work in the verify, which
+      // then runs single-threaded without this guard
+      .repartition(width, $"doc_a")
+    candidates
+      .join(sets.select($"doc_id".as("doc_a"), $"hv".as("hv_a")), "doc_a")
+      .join(sets.select($"doc_id".as("doc_b"), $"hv".as("hv_b")), "doc_b")
       .select($"doc_a", $"doc_b",
-        ($"c".cast("double") / ($"na.n" + $"nb.n" - $"c")).as("jacc"))
+        (size(array_intersect($"hv_a", $"hv_b")).cast("double") /
+          size(array_union($"hv_a", $"hv_b"))).as("jacc"))
       .filter($"jacc" >= JaccardThreshold)
       .select($"doc_a", $"doc_b", round($"jacc", 3).as("jaccard"))
       .orderBy($"doc_a", $"doc_b")
