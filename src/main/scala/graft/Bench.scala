@@ -40,7 +40,7 @@ object Bench {
     "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
     "dedup_simhash_pairs",
     "sim_topk_brute", "sim_ann_lsh",
-    "text_quality", "text_fingerprint", "mm_features",
+    "text_quality", "text_fingerprint_winnow", "mm_features",
   )
 
   /** Aggregates per-stage task metrics between reset() and snapshot(). */

@@ -121,6 +121,22 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Winnowing fingerprint sketch (Schleimer et al. 2003): one row per
+    * selected gram hash — the distinct per-window minima of Karp–Rabin
+    * 8-gram hashes (see graft.functions.WinnowImpl). This is the benched
+    * fingerprint path: no cryptographic digest, ~8 multiply-adds per
+    * byte, codegen'd and shuffle-free; the exhaustive min-md5 form
+    * (text_fingerprint) stays as the oracle-parity showcase but is no
+    * longer the headline bench entry. */
+  def textFingerprintWinnow(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select($"doc_id",
+        explode(array_sort(array_distinct(
+          graft.functions.GramWindowMins($"text")))).as("gram_min"))
+      .orderBy($"doc_id", $"gram_min")
+  }
+
   /** Corpus-curation rollup: quality metrics aggregated per (lang,
     * source) block. */
   def textStatsByGroup(spark: SparkSession, sfDir: String): DataFrame = {
@@ -172,8 +188,15 @@ object TextAnalysis {
     "text_quality" -> textQuality,
     "text_tokencount" -> textTokenCount,
     "text_fingerprint" -> textFingerprint,
+    "text_fingerprint_winnow" -> textFingerprintWinnow,
     "text_stats_by_lang" -> textStatsByGroup,
   )
+
+  /** The engine's Karp–Rabin term constants, embedded in the oracle SQL
+    * from the same source (WinnowImpl.coef) so they cannot drift. */
+  private val winnowGramTerms: String = graft.functions.WinnowImpl.coef.zipWithIndex
+    .map { case (c, j) => s"ascii(text[i+$j:i+$j])::BIGINT*$c" }
+    .mkString(" + ")
 
   val oracles: Map[String, String] = Map(
     "text_top_bigrams" ->
@@ -218,6 +241,19 @@ object TextAnalysis {
       """SELECT doc_id,
         |  list_min([md5(text[i:i+7]) for i in range(1, greatest(length(text) - 7, 1) + 1)]) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // ascii(char) == the byte the engine hashes, on the verified-ASCII
+    // documents corpus (same contract as the word-count oracles).
+    "text_fingerprint_winnow" ->
+      s"""WITH g AS (
+        |  SELECT doc_id,
+        |    [($winnowGramTerms) % ${graft.functions.WinnowImpl.Mod}
+        |     for i in range(1, greatest(length(text) - ${graft.functions.WinnowImpl.GramLen - 1}, 0) + 1)] h
+        |  FROM documents
+        |)
+        |SELECT doc_id, unnest(list_sort(list_distinct(
+        |  [list_min(h[i:i+${graft.functions.WinnowImpl.Window - 1}])
+        |   for i in range(1, len(h) - ${graft.functions.WinnowImpl.Window} + 2)]))) AS gram_min
+        |FROM g ORDER BY doc_id, gram_min""".stripMargin,
     "text_stats_by_lang" ->
       """SELECT lang, count(*) AS n_docs,
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,

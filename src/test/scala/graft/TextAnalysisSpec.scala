@@ -58,6 +58,53 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("GramWindowMins equals the built-in composition, incl. edge lengths") {
+    import spark.implicits._
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions._
+    import graft.functions.WinnowImpl
+    // built-in composition: per-gram Karp-Rabin polynomial over ascii(),
+    // then array_min per full window — the same definition the DuckDB
+    // oracle embeds. sequence(1, k) is guarded (k < 1 yields a DESCENDING
+    // sequence in Spark, not an empty one).
+    def polyHash(i: Column): Column = WinnowImpl.coef.zipWithIndex.map {
+      case (c, j) => ascii(substring($"text", lit(0) + i + j, lit(1))).cast("long") * c
+    }.reduce(_ + _) % WinnowImpl.Mod
+    val nGrams = length($"text") - (WinnowImpl.GramLen - 1)
+    val grams = when(nGrams >= 1,
+      transform(sequence(lit(1), greatest(nGrams, lit(1))), polyHash(_)))
+      .otherwise(array().cast("array<bigint>"))
+    val nWins = size(grams) - (WinnowImpl.Window - 1)
+    val wins = when(nWins >= 1,
+      transform(sequence(lit(1), greatest(nWins, lit(1))),
+        (j: Column) => array_min(slice(grams, j, lit(WinnowImpl.Window)))))
+      .otherwise(array().cast("array<bigint>"))
+    // edge lengths around GramLen and GramLen + Window - 1, plus real docs
+    val edges = Seq("", "abc", "abcdefgh", "abcdefghijklmn", "abcdefghijklmno",
+      "the quick brown fox jumps over the lazy dog").toDF("text")
+    val docs = graft.sources.Tables.documents(spark, SparkTestSession.sf0001)
+      .select($"text")
+    for (df <- Seq(edges, docs)) {
+      val a = df.select(graft.functions.GramWindowMins($"text").as("w"))
+        .collect().map(_.getSeq[Long](0))
+      val b = df.select(wins.as("w")).collect().map(_.getSeq[Long](0))
+      assert(a.toSeq === b.toSeq)
+    }
+  }
+
+  test("winnowing selects a shared hash for every sufficiently long shared substring") {
+    import spark.implicits._
+    // two documents sharing a substring of length >= GramLen + Window - 1
+    // must share a selected fingerprint hash — the winnowing guarantee.
+    val shared = "winnowing guarantee shared run"
+    val df = Seq(s"prefix one $shared suffix alpha",
+                 s"completely different head $shared other tail").toDF("text")
+    val sel = df.select(org.apache.spark.sql.functions.array_distinct(
+        graft.functions.GramWindowMins($"text")).as("w"))
+      .collect().map(_.getSeq[Long](0).toSet)
+    assert((sel(0) intersect sel(1)).nonEmpty)
+  }
+
   test("fingerprint is stable and order-sensitive") {
     import spark.implicits._
     val df = Seq("abcdefghij", "abcdefghij", "jihgfedcba").toDF("text")
