@@ -39,7 +39,7 @@ object Bench {
     "wc_word_counts", "wc_ranked", "wc_word_stats",
     "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
     "dedup_simhash_pairs",
-    "sim_topk_brute", "sim_ann_lsh",
+    "sim_topk_brute", "sim_ann_lsh", "sim_label_stats_sampled",
     "text_quality", "text_fingerprint_winnow", "mm_features",
   )
 

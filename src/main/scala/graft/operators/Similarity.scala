@@ -115,16 +115,78 @@ object Similarity {
       .orderBy($"label")
   }
 
+  // Deterministic per-label sample cap for the benched label-stats
+  // variant: pairs per label ≤ C(SampleCap, 2) = 120 regardless of label
+  // size, which is what makes the query survive 100 TB (the exact form
+  // is O(n²/labels) and kept as the small-scale baseline/oracle). 16 of
+  // ~50 per label at sf0.01, so the sample is a real subset even at the
+  // driver's scale.
+  final val SampleCap = 16
+  // LCG constants (Knuth/glibc); sampleKey is a pseudo-random but fully
+  // deterministic per-vector order shared bit-for-bit with the DuckDB
+  // oracle. vec_id·1103515245 stays far below 2⁶³ for any plausible id
+  // (< 8.4e9 even at 100 TB), so ANSI overflow cannot trigger.
+  private def sampleKeySql = "(vec_id * 1103515245 + 12345) % 2147483648"
+
+  /** Pairwise cosine stats per label over a deterministic per-label
+    * sample of SampleCap vectors: same shape as simLabelStats with the
+    * pair space bounded at any scale. Rank is a per-label window (one
+    * shuffle on label), not a global sort. */
+  def simLabelStatsSampled(spark: SparkSession, sfDir: String): DataFrame =
+    simLabelStatsSampledOn(spark, sfDir, SampleCap)
+
+  private[graft] def simLabelStatsSampledOn(spark: SparkSession, sfDir: String,
+      cap: Int): DataFrame = {
+    import spark.implicits._
+    val e = embeddings(spark, sfDir)
+      .withColumn("sk", pmod($"vec_id" * lit(1103515245L) + lit(12345L), lit(2147483648L)))
+    val w = Window.partitionBy($"label").orderBy($"sk", $"vec_id")
+    val sampled = e.withColumn("rk", row_number().over(w))
+      .filter($"rk" <= cap)
+      .select($"vec_id", $"label", $"v")
+    sampled.as("a").join(sampled.as("b"),
+        $"a.label" === $"b.label" && $"a.vec_id" < $"b.vec_id")
+      .select($"a.label".as("label"),
+        VectorOps.cosine($"a.v", $"b.v").as("cos"))
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg($"cos"), 4).as("avg_cos"),
+        round(max($"cos"), 4).as("max_cos"))
+      .orderBy($"label")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_brute" -> simTopKBrute,
     "sim_ann_lsh" -> simAnnLsh,
     "sim_label_stats" -> simLabelStats,
+    "sim_label_stats_sampled" -> simLabelStatsSampled,
   )
 
   private def cosSql(a: String, b: String): String =
     s"""list_dot_product($a.embedding::DOUBLE[], $b.embedding::DOUBLE[]) /
        |    (sqrt(list_dot_product($a.embedding::DOUBLE[], $a.embedding::DOUBLE[])) *
        |     sqrt(list_dot_product($b.embedding::DOUBLE[], $b.embedding::DOUBLE[])))""".stripMargin
+
+  /** The engine's deterministic hyperplanes as DuckDB list literals,
+    * generated from LshImpl.component — the identical constants the
+    * one-pass LshSignatures expression bakes in, so oracle and engine
+    * cannot drift. Double.toString is shortest-round-trip and DuckDB
+    * float parsing is correctly rounded, so each literal parses back to
+    * the exact same IEEE double. */
+  private def planeSql(t: Int, b: Int): String =
+    (0 until graft.functions.LshImpl.Dims)
+      .map(d => graft.functions.LshImpl.component(t, b, d))
+      .mkString("[", ", ", "]")
+
+  /** sig[t] = Σ_b (v·r_{t,b} >= 0) << b. Sign-threshold parity between
+    * the engine's sequential loop and list_dot_product holds because the
+    * projection margin is enormous relative to summation-order rounding
+    * (min |proj| ≈ 1e-4 on this data vs ~1e-13 reassociation error;
+    * margin asserted in SimilaritySpec). */
+  private def sigSql(t: Int): String =
+    (0 until LshBits).map { b =>
+      s"(CASE WHEN list_dot_product(embedding::DOUBLE[], ${planeSql(t, b)}) >= 0 THEN ${1L << b} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
 
   val oracles: Map[String, String] = Map(
     "sim_topk_brute" ->
@@ -144,7 +206,51 @@ object Similarity {
          |FROM embeddings a JOIN embeddings b
          |  ON a.label = b.label AND a.vec_id < b.vec_id
          |GROUP BY a.label ORDER BY a.label""".stripMargin,
-    // sim_ann_lsh: approximate by construction — no SQL oracle; recall
-    // vs the brute-force baseline is asserted in SimilaritySpec.
+    // The engine's deterministic LCG sample order, mirrored exactly:
+    // both operands positive, so DuckDB % ≡ Spark pmod.
+    "sim_label_stats_sampled" ->
+      s"""WITH sampled AS (
+         |  SELECT vec_id, label, embedding FROM (
+         |    SELECT vec_id, label, embedding,
+         |      row_number() OVER (PARTITION BY label
+         |        ORDER BY $sampleKeySql, vec_id) AS rk
+         |    FROM embeddings) t
+         |  WHERE rk <= $SampleCap
+         |)
+         |SELECT a.label AS label, count(*) AS n_pairs,
+         |  round(avg(${cosSql("a", "b")}), 4) AS avg_cos,
+         |  round(max(${cosSql("a", "b")}), 4) AS max_cos
+         |FROM sampled a JOIN sampled b
+         |  ON a.label = b.label AND a.vec_id < b.vec_id
+         |GROUP BY a.label ORDER BY a.label""".stripMargin,
+    // Full mirror of the ANN pipeline: signatures from generated
+    // hyperplane constants, candidate equi-join on (table, sig), exact
+    // cosine re-rank. Approximation semantics are therefore pinned by
+    // hash compare, not hand-waved (recall vs brute force is separately
+    // asserted in SimilaritySpec).
+    "sim_ann_lsh" ->
+      s"""WITH sigrows AS (
+         |  SELECT vec_id, unnest([${(0 until LshTables).map(t =>
+               s"struct_pack(t := $t, sig := ${sigSql(t)})").mkString(",\n    ")}]) AS u
+         |  FROM embeddings
+         |),
+         |sig AS (SELECT vec_id, u.t AS t, u.sig AS sig FROM sigrows),
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, e.vec_id AS vec_id
+         |  FROM sig q JOIN sig e ON q.t = e.t AND q.sig = e.sig
+         |  WHERE q.vec_id < $NumQueries AND e.vec_id <> q.vec_id
+         |),
+         |scored AS (
+         |  SELECT c.query_id, c.vec_id,
+         |    ${cosSql("q", "e")} AS cos,
+         |    row_number() OVER (PARTITION BY c.query_id
+         |      ORDER BY ${cosSql("q", "e")} DESC, c.vec_id ASC) AS rk
+         |  FROM cand c
+         |  JOIN embeddings q ON q.vec_id = c.query_id
+         |  JOIN embeddings e ON e.vec_id = c.vec_id
+         |)
+         |SELECT query_id, rk, vec_id, round(cos, 4) AS cosine
+         |FROM scored WHERE rk <= $TopK
+         |ORDER BY query_id, rk""".stripMargin,
   )
 }

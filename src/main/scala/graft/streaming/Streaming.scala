@@ -127,11 +127,43 @@ object Streaming {
       .orderBy($"user_id")
   }
 
+  /** The production streaming shape the memory-sink harness can't show:
+    * file source → parquet file SINK with a real checkpoint, run to
+    * completion, stopped, then RESTARTED from the same checkpoint. The
+    * resumed query finds its offsets committed and processes nothing;
+    * the returned counts aggregate the sink files, so the oracle hash
+    * also proves exactly-once across the restart — any reprocessing
+    * would double every count. (Incremental resume over NEW files is
+    * separately proven in CheckpointResumeSpec with `_metadata`
+    * provenance.) File sinks are append-only, so the raw token stream
+    * goes to the sink and the aggregation runs batch-side over it. */
+  def streamWcFileSink(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_stream_ckpt_").toString
+    val outDir = s"$base/out"
+    val ckpt = s"$base/ckpt"
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    def runOnce(): Unit = {
+      val docs = spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+      val q = WordCount.tokenize(docs, "text").writeStream
+        .outputMode("append").format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    runOnce() // initial run: drains the source into the sink
+    runOnce() // restart from checkpoint: must be a committed no-op
+    WordCount.counts(spark.read.parquet(outDir)).orderBy($"word")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_events_hourly" -> streamEventsHourly,
     "stream_wc_counts" -> streamWordCounts,
     "stream_user_totals" -> streamUserTotals,
     "stream_active_users" -> streamActiveUsers,
+    "stream_wc_file_sink" -> streamWcFileSink,
   )
 
   /** Streaming results are checked against the same SQL as their batch
@@ -154,5 +186,12 @@ object Streaming {
     "stream_active_users" ->
       """SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
         |FROM events GROUP BY user_id HAVING count(*) >= 80 ORDER BY user_id""".stripMargin,
+    // same batch oracle as stream_wc_counts: a hash match across the
+    // stop/restart is the exactly-once proof (reprocessing ⇒ 2× counts)
+    "stream_wc_file_sink" ->
+      """SELECT word, count(*) AS cnt
+        |FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS word FROM documents) t
+        |WHERE word <> ''
+        |GROUP BY word ORDER BY word""".stripMargin,
   )
 }

@@ -73,6 +73,51 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("sampled label stats ≡ exact form when the cap exceeds every label") {
+    // differential pin: the ONLY difference between the benched sampled
+    // variant and the exact baseline is the per-label rank filter — with
+    // the cap above the largest label the two plans must agree row-for-row
+    val exact = Similarity.simLabelStats(spark, sf).collect().map(_.toSeq)
+    val wide = Similarity.simLabelStatsSampledOn(spark, sf, Int.MaxValue)
+      .collect().map(_.toSeq)
+    assert(wide.toSeq === exact.toSeq)
+  }
+
+  test("sampled label stats bounds pairs per label by C(cap, 2)") {
+    val cap = Similarity.SampleCap
+    val rows = Similarity.simLabelStatsSampled(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_pairs")
+      assert(n <= cap.toLong * (cap - 1) / 2,
+        s"label ${r.get(0)}: $n pairs exceeds the sample bound")
+    }
+  }
+
+  test("sign-threshold margin dwarfs summation-order rounding error") {
+    // The DuckDB oracle for sim_ann_lsh recomputes v·r with
+    // list_dot_product, whose summation order is not guaranteed to match
+    // the engine's sequential loop. The sign compare is still exact
+    // because the smallest |projection| across every (vector, table, bit)
+    // is ~9 orders of magnitude above the worst-case reassociation error
+    // of a 64-term double sum (~64·eps·Σ|terms| ≈ 1e-13).
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val e = graft.sources.Tables.embeddings(spark, sf)
+      .select(graft.functions.VectorOps.toDouble($"embedding").as("v"))
+    val projCols = (0 until Similarity.LshTables).flatMap { t =>
+      (0 until Similarity.LshBits).map { b =>
+        val plane = (0 until 64).map(d => graft.functions.LshImpl.component(t, b, d))
+        abs(aggregate(zip_with($"v", typedlit(plane), (x, r) => x * r),
+          lit(0.0), (acc, x) => acc + x))
+      }
+    }
+    val minAbs = e.select(least(projCols: _*).as("m")).agg(min($"m")).head.getDouble(0)
+    info(s"min |proj| = $minAbs")
+    assert(minAbs > 1e-7, s"projection margin $minAbs too small for " +
+      "summation-order-robust sign parity with the oracle")
+  }
+
   test("LshSignatures null-propagates on wrong dims and null elements") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
