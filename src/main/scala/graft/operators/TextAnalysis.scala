@@ -137,6 +137,58 @@ object TextAnalysis {
       .orderBy($"doc_id", $"gram_min")
   }
 
+  /** Word k-grams of a token array as one array column; empty below k
+    * tokens (guarded — sequence(1, k<1) would produce a DESCENDING
+    * sequence, not an empty one). */
+  private def ngramArr(tokens: Column, k: Int): Column = {
+    val n = size(tokens)
+    when(n >= k,
+      transform(sequence(lit(1), n - (k - 1)),
+        i => concat_ws(" ", (0 until k).map(j => element_at(tokens, i + j)): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Repetition signals per document (the Gopher-style curation
+    * filters): duplicate-word fraction, most-frequent-bigram share, and
+    * duplicate-trigram fraction. Ratios are RAW IEEE divisions of exact
+    * integers — bit-identical in any engine — because rounding them
+    * would reopen the HALF_UP-vs-banker's tie hazard on binary-exact
+    * fractions like 1/32 (see the verify notes).
+    *
+    * Scale shape: the word fraction is map-side; bigram/trigram stats
+    * are two-phase aggregations keyed (doc_id, gram) then doc_id —
+    * partial-agg combines before both exchanges, no all-pairs
+    * anywhere. */
+  def textRepetition(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables.documents(spark, sfDir)
+      .select($"doc_id", split($"text", " ").as("t"))
+    // split on " " always yields ≥1 element, so the division is total
+    val base = d.select($"doc_id",
+      size($"t").cast("long").as("n_tokens"),
+      (lit(1.0) - size(array_distinct($"t")).cast("double") /
+        size($"t").cast("double")).as("dup_word_frac"))
+    def gramCounts(k: Int) = d
+      // explode_outer + null filter: the non-outer form makes the
+      // optimizer re-evaluate the gram transform inside an inferred
+      // size()>0 guard (same pattern as the dedup shingle expansion)
+      .select($"doc_id", explode_outer(ngramArr($"t", k)).as("g"))
+      .filter($"g".isNotNull)
+      .groupBy($"doc_id", $"g").agg(count(lit(1)).as("c"))
+    val bgs = gramCounts(2).groupBy($"doc_id")
+      .agg(sum($"c").as("nb"), max($"c").as("mx"))
+    val tgs = gramCounts(3).groupBy($"doc_id")
+      .agg(sum($"c").as("nt"), count(lit(1)).as("dt"))
+    base.join(bgs, Seq("doc_id"), "left")
+      .join(tgs, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_tokens", $"dup_word_frac",
+        coalesce($"mx".cast("double") / $"nb".cast("double"), lit(0.0))
+          .as("top_bigram_frac"),
+        coalesce(lit(1.0) - $"dt".cast("double") / $"nt".cast("double"), lit(0.0))
+          .as("dup_trigram_frac"))
+      .orderBy($"doc_id")
+  }
+
   /** Corpus-curation rollup: quality metrics aggregated per (lang,
     * source) block. */
   def textStatsByGroup(spark: SparkSession, sfDir: String): DataFrame = {
@@ -190,6 +242,7 @@ object TextAnalysis {
     "text_fingerprint" -> textFingerprint,
     "text_fingerprint_winnow" -> textFingerprintWinnow,
     "text_stats_by_lang" -> textStatsByGroup,
+    "text_repetition" -> textRepetition,
   )
 
   /** The engine's Karp–Rabin term constants, embedded in the oracle SQL
@@ -254,6 +307,27 @@ object TextAnalysis {
         |  [list_min(h[i:i+${graft.functions.WinnowImpl.Window - 1}])
         |   for i in range(1, len(h) - ${graft.functions.WinnowImpl.Window} + 2)]))) AS gram_min
         |FROM g ORDER BY doc_id, gram_min""".stripMargin,
+    // ratios are raw IEEE divisions of exact integers on BOTH sides —
+    // identical bit patterns by construction, no rounding anywhere
+    "text_repetition" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
+        |base AS (SELECT doc_id, len(t)::BIGINT AS n_tokens,
+        |  1.0 - len(list_distinct(t))::DOUBLE / len(t)::DOUBLE AS dup_word_frac
+        |  FROM toks),
+        |bg AS (SELECT doc_id,
+        |  unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS g FROM toks),
+        |bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g),
+        |bgs AS (SELECT doc_id, sum(c) AS nb, max(c) AS mx FROM bgc GROUP BY doc_id),
+        |tg AS (SELECT doc_id,
+        |  unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |          for i in range(1, len(t) - 1)]) AS g FROM toks),
+        |tgc AS (SELECT doc_id, g, count(*) AS c FROM tg GROUP BY doc_id, g),
+        |tgs AS (SELECT doc_id, sum(c) AS nt, count(*) AS dt FROM tgc GROUP BY doc_id)
+        |SELECT b.doc_id, b.n_tokens, b.dup_word_frac,
+        |  coalesce(mx::DOUBLE / nb::DOUBLE, 0.0) AS top_bigram_frac,
+        |  coalesce(1.0 - dt::DOUBLE / nt::DOUBLE, 0.0) AS dup_trigram_frac
+        |FROM base b LEFT JOIN bgs USING (doc_id) LEFT JOIN tgs USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "text_stats_by_lang" ->
       """SELECT lang, count(*) AS n_docs,
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,

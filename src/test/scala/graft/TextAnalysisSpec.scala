@@ -105,6 +105,26 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert((sel(0) intersect sel(1)).nonEmpty)
   }
 
+  test("repetition signals match hand-computed values on edge docs") {
+    import spark.implicits._
+    import java.nio.file.Files
+    // stand-in documents table so textRepetition's own scan is exercised
+    val dir = Files.createTempDirectory("graft_rep_").toString
+    Seq(
+      (0L, "a a a b", "en", "t"),   // dup_word 1-2/4; bigrams aa,aa,ab → top 2/3; trigrams aaa,aab → dup 0
+      (1L, "x y z", "en", "t"),     // all unique: 0.0; bigrams xy,yz → top 1/2; one trigram → dup 0
+      (2L, "solo", "en", "t"),      // no bigrams/trigrams → 0.0 fracs
+      (3L, "p q p q p q", "en", "t") // bigrams: pq×3,qp×2 → top 3/5; trigrams pqp×2,qpq×2 → dup 1-2/4
+    ).toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.textRepetition(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got(0L) === ((4L, 1.0 - 2.0 / 4.0, 2.0 / 3.0, 0.0)))
+    assert(got(1L) === ((3L, 0.0, 1.0 / 2.0, 0.0)))
+    assert(got(2L) === ((1L, 0.0, 0.0, 0.0)))
+    assert(got(3L) === ((6L, 1.0 - 2.0 / 6.0, 3.0 / 5.0, 1.0 - 2.0 / 4.0)))
+  }
+
   test("fingerprint is stable and order-sensitive") {
     import spark.implicits._
     val df = Seq("abcdefghij", "abcdefghij", "jihgfedcba").toDF("text")
