@@ -135,9 +135,14 @@ object Dedup {
     // (df, h) — (df, h) is a strict total order on distinct shingles, so
     // every document sorts its elements consistently (the prefix
     // principle needs a common global order, nothing more).
+    // hv: rarest-first (the prefix principle's global order, sliced
+    // below); hvs: the SAME set numerically sorted, for the zero-alloc
+    // merge-walk verify (SetJaccardSorted) — one extra O(n log n) sort
+    // per document buys O(1)-allocation Jaccard per candidate pair
     val sets = withDf.groupBy($"doc_id")
       .agg(array_sort(collect_list(struct($"df", $"h"))).as("sorted"))
       .select($"doc_id", transform($"sorted", e => e.getField("h")).as("hv"))
+      .withColumn("hvs", array_sort($"hv"))
     // Prefix length |x| − ⌈t·|x|⌉ + 1 in exact arithmetic for t = 0.8:
     // n − ⌊(4n+4)/5⌋ + 1 (the double division is exact for any int n —
     // both operands and every representable quotient digit fit IEEE754).
@@ -155,11 +160,10 @@ object Dedup {
       // then runs single-threaded without this guard
       .repartition(width, $"doc_a")
     candidates
-      .join(sets.select($"doc_id".as("doc_a"), $"hv".as("hv_a")), "doc_a")
-      .join(sets.select($"doc_id".as("doc_b"), $"hv".as("hv_b")), "doc_b")
+      .join(sets.select($"doc_id".as("doc_a"), $"hvs".as("hv_a")), "doc_a")
+      .join(sets.select($"doc_id".as("doc_b"), $"hvs".as("hv_b")), "doc_b")
       .select($"doc_a", $"doc_b",
-        (size(array_intersect($"hv_a", $"hv_b")).cast("double") /
-          size(array_union($"hv_a", $"hv_b"))).as("jacc"))
+        graft.functions.SetJaccardSorted($"hv_a", $"hv_b").as("jacc"))
       .filter($"jacc" >= JaccardThreshold)
       .select($"doc_a", $"doc_b", round($"jacc", 3).as("jaccard"))
       .orderBy($"doc_a", $"doc_b")
@@ -188,8 +192,14 @@ object Dedup {
     // subtree, so the shuffle files are materialized once and replayed —
     // reuse without a session-lifetime memory footprint (a .cache() here
     // would outlive the query and tax everything that runs after it).
+    // hv is sorted IN the one shared projection: the merge-walk verify
+    // (SetJaccardSorted) needs sorted arrays, MinHash minima are
+    // order-insensitive, and a separate sorted-copy projection would
+    // split the two consumers onto non-identical subplans — defeating
+    // exchange reuse and running the scan + shuffle twice (measured:
+    // stages 7→8, input and shuffle-write both 2×).
     val hashed = shingles(spark, sfDir)
-      .select($"doc_id", transform($"sh", s => xxhash64(s)).as("hv"))
+      .select($"doc_id", array_sort(transform($"sh", s => xxhash64(s))).as("hv"))
     val banded = hashed.select($"doc_id",
         posexplode(graft.functions.MinHashBandHashes($"hv")).as(Seq("band", "bh")))
     val candidates = banded.as("a").join(banded.as("b"),
@@ -200,8 +210,7 @@ object Dedup {
       .join(hashed.select($"doc_id".as("doc_a"), $"hv".as("hv_a")), "doc_a")
       .join(hashed.select($"doc_id".as("doc_b"), $"hv".as("hv_b")), "doc_b")
       .select($"doc_a", $"doc_b",
-        (size(array_intersect($"hv_a", $"hv_b")).cast("double") /
-          size(array_union($"hv_a", $"hv_b"))).as("jacc"))
+        graft.functions.SetJaccardSorted($"hv_a", $"hv_b").as("jacc"))
       .filter($"jacc" >= JaccardThreshold)
     verified.select($"doc_a", $"doc_b", round($"jacc", 3).as("jaccard"))
       .orderBy($"doc_a", $"doc_b")
@@ -283,8 +292,12 @@ object Dedup {
     // dedupNgramJaccardOn for why there is no static broadcast hint).
     val hot = ex.groupBy($"h").agg(count(lit(1)).as("df"))
       .filter($"df" > MaxShingleDF).select($"h")
+    // sorted IN the shared projection (not per verify-join side): the
+    // bit-vote fingerprint is order-insensitive, the merge-walk verify
+    // needs sorted input, and both consumers staying on the identical
+    // subplan is what keeps the aggregation exchange reused
     val cappedSets = ex.join(hot, Seq("h"), "left_anti")
-      .groupBy($"doc_id").agg(collect_list($"h").as("shc"))
+      .groupBy($"doc_id").agg(array_sort(collect_list($"h")).as("shc"))
     val fp = cappedSets.select($"doc_id", graft.functions.SimHash64FromHashes($"shc").as("f"))
     val mask = (1L << SimHashChunkBits) - 1
     def chunk(c: Int): Column =
@@ -320,8 +333,7 @@ object Dedup {
       .join(cappedSets.select($"doc_id".as("doc_a"), $"shc".as("sh_a")), "doc_a")
       .join(cappedSets.select($"doc_id".as("doc_b"), $"shc".as("sh_b")), "doc_b")
       .select($"doc_a", $"doc_b",
-        (size(array_intersect($"sh_a", $"sh_b")).cast("double") /
-          size(array_union($"sh_a", $"sh_b"))).as("jacc"))
+        graft.functions.SetJaccardSorted($"sh_a", $"sh_b").as("jacc"))
       .filter($"jacc" >= JaccardThreshold)
       .select($"doc_a", $"doc_b", round($"jacc", 3).as("jaccard"))
       .orderBy($"doc_a", $"doc_b")

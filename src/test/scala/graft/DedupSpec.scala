@@ -13,6 +13,37 @@ class DedupSpec extends AnyFunSuite {
     df.select("doc_a", "doc_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  test("SetJaccardSorted ≡ the array_intersect/array_union composition") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rng = new scala.util.Random(42)
+    // small value domain forces real overlaps; unsanitized dup elements
+    // exercise the merge-walk's set semantics; empties exercise 0/0=NaN
+    val data = (0 until 300).map { i =>
+      def arr() = Seq.fill(rng.nextInt(30))(rng.nextInt(20).toLong).sorted
+      if (i == 0) (Seq(1L, 2L), Seq.empty[Long]) else (arr(), arr())
+    }
+    val df = data.toDF("a", "b")
+      // the ANSI built-in composition throws DIVIDE_BY_ZERO on
+      // empty∩empty (unreachable from candidate pairs, which share an
+      // element by construction) — keep it out of the differential rows
+      .filter(size($"a") + size($"b") > 0)
+    val got = df.select(graft.functions.SetJaccardSorted($"a", $"b"))
+      .collect().map(_.getDouble(0))
+    val exp = df.select((size(array_intersect($"a", $"b")).cast("double") /
+        size(array_union($"a", $"b"))))
+      .collect().map(_.getDouble(0))
+    got.zip(exp).zipWithIndex.foreach { case ((g, e), i) =>
+      assert(g == e, s"row $i: $g != $e")
+    }
+    // the expression itself is total: empty∩empty ⇒ NaN, filtered out by
+    // any >= threshold cut downstream
+    val nan = Seq((Seq.empty[Long], Seq.empty[Long])).toDF("a", "b")
+      .select(graft.functions.SetJaccardSorted($"a", $"b"))
+      .head.getDouble(0)
+    assert(nan.isNaN)
+  }
+
   test("minhash LSH finds exactly the exact-jaccard pairs (perfect recall here)") {
     val exact = pairSet(Dedup.dedupNgramJaccard(spark, sf))
     val lsh = pairSet(Dedup.dedupMinHashLsh(spark, sf))
