@@ -127,6 +127,38 @@ object Streaming {
       .orderBy($"user_id")
   }
 
+  /** Stream-stream event-time interval join: every click paired with the
+    * same user's purchases within the following 30 minutes. Both sides
+    * carry watermarks, so the state store evicts rows once event time
+    * passes the join window — the property that makes a stream-stream
+    * join runnable indefinitely (state is bounded by watermark lag ×
+    * rate, not by stream length). The join condition stays on TIMESTAMP
+    * columns (not pre-extracted longs) because that is what Spark's
+    * watermark analysis uses to derive the eviction bound; parity with
+    * the DuckDB oracle is exact since both engines floor the parquet
+    * NANOS timestamps to identical microseconds. Inner-join matches emit
+    * immediately (watermarks gate state cleanup, not emission), so a
+    * bounded replay yields the complete batch-equivalent result. */
+  def streamClickPurchase(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val clicks = eventsStream(spark, sfDir)
+      .filter($"event_type" === "click")
+      .select($"user_id", $"event_id".as("click_id"), $"ts".as("ts_a"))
+      .withWatermark("ts_a", "1 hour")
+    val purchases = eventsStream(spark, sfDir)
+      .filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"event_id".as("purchase_id"),
+        $"ts".as("ts_b"))
+      .withWatermark("ts_b", "1 hour")
+    val joined = clicks.join(purchases,
+      $"user_id" === $"p_user" && $"ts_b" >= $"ts_a" &&
+        $"ts_b" <= $"ts_a" + expr("interval 30 minutes"))
+    runToMemory(joined, "append")
+      .select($"user_id", $"click_id", $"purchase_id",
+        (unix_micros($"ts_b") - unix_micros($"ts_a")).as("gap_us"))
+      .orderBy($"user_id", $"click_id", $"purchase_id")
+  }
+
   /** The production streaming shape the memory-sink harness can't show:
     * file source → parquet file SINK with a real checkpoint, run to
     * completion, stopped, then RESTARTED from the same checkpoint. The
@@ -164,6 +196,7 @@ object Streaming {
     "stream_user_totals" -> streamUserTotals,
     "stream_active_users" -> streamActiveUsers,
     "stream_wc_file_sink" -> streamWcFileSink,
+    "stream_click_purchase" -> streamClickPurchase,
   )
 
   /** Streaming results are checked against the same SQL as their batch
@@ -186,6 +219,17 @@ object Streaming {
     "stream_active_users" ->
       """SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
         |FROM events GROUP BY user_id HAVING count(*) >= 80 ORDER BY user_id""".stripMargin,
+    // time math in integer microseconds on both sides (epoch_us /
+    // unix_micros) — both engines floor the parquet NANOS to µs, so the
+    // interval bound and the gap are exact
+    "stream_click_purchase" ->
+      """SELECT a.user_id, a.event_id AS click_id, b.event_id AS purchase_id,
+        |  epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND a.event_type = 'click' AND b.event_type = 'purchase'
+        | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+        |ORDER BY a.user_id, click_id, purchase_id""".stripMargin,
     // same batch oracle as stream_wc_counts: a hash match across the
     // stop/restart is the exactly-once proof (reprocessing ⇒ 2× counts)
     "stream_wc_file_sink" ->
