@@ -116,12 +116,17 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  /** Raw IEEE outputs (no rounding): the stub's float32 histogram math
+    * is reproduced bit-for-bit by the oracle (DuckDB FLOAT division IS
+    * float32 — verified), so the doubles are identical by construction
+    * and rounding would only reintroduce the HALF_UP-vs-banker's tie
+    * hazard. */
   def mmFeatures(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     mediaFeatures(spark, sfDir).select(
       $"doc_id", $"media_type", $"n_bytes",
-      round(element_at($"features", 1).cast("double"), 4).as("f0"),
-      round(aggregate($"features", lit(0.0), (a, x) => a + x.cast("double")), 4)
+      element_at($"features", 1).cast("double").as("f0"),
+      aggregate($"features", lit(0.0), (a, x) => a + x.cast("double"))
         .as("feature_sum"))
   }
 
@@ -152,7 +157,26 @@ object Multimodal {
         |) t
         |WHERE frame_idx % 4 = 0
         |ORDER BY doc_id, frame_idx""".stripMargin,
-    // mm_features: decode stub not SQL-expressible — rows-only; the
-    // histogram math is asserted in MultimodalSpec.
+    // The decode stub mirrored exactly: per-bucket float32 counts/len
+    // division (DuckDB FLOAT arithmetic IS float32), double-cast, and a
+    // fold-left addition chain in bucket order matching Spark's
+    // aggregate(). ascii(char) == byte on the verified-ASCII corpus.
+    "mm_features" -> {
+      val buckets = (0 until FeatureDim).map { b =>
+        s"CASE WHEN n_bytes = 0 THEN 0.0::DOUBLE ELSE (len(list_filter(cs, c -> c = $b))::FLOAT / n_bytes::FLOAT)::DOUBLE END"
+      }
+      val sumChain = buckets.foldLeft("0.0::DOUBLE")((acc, h) => s"($acc + $h)")
+      s"""WITH codes AS (
+        |  SELECT doc_id,
+        |    ['image', 'audio', 'video'][(doc_id % 3) + 1] AS media_type,
+        |    CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |    [ascii(text[i:i]) % $FeatureDim for i in range(1, len(text) + 1)] AS cs
+        |  FROM documents
+        |)
+        |SELECT doc_id, media_type, n_bytes,
+        |  ${buckets.head} AS f0,
+        |  $sumChain AS feature_sum
+        |FROM codes ORDER BY doc_id""".stripMargin
+    },
   )
 }

@@ -43,7 +43,11 @@ object TextAnalysis {
     }
     df.withColumn("pred_lang",
         when(nonAsciiRatio > 0.3, lit("cjk_or_other")).otherwise(lang))
-      .withColumn("lang_score", round(maxScore, 4))
+      // raw double, not round(·, 4): marker scores are small rationals
+      // (count/n), where binary-exact ties like 5/32 split between Spark
+      // HALF_UP and DuckDB banker's rounding — the unrounded quotient is
+      // bit-identical on both sides
+      .withColumn("lang_score", maxScore)
   }
 
   def textLangId(spark: SparkSession, sfDir: String): DataFrame = {
@@ -251,7 +255,37 @@ object TextAnalysis {
     .map { case (c, j) => s"ascii(text[i+$j:i+$j])::BIGINT*$c" }
     .mkString(" + ")
 
+  /** Marker-fraction SQL for one language profile, generated from the
+    * same `profiles` constants the engine uses. */
+  private def langScoreSql(markers: Seq[String]): String =
+    s"len(list_filter(toks, x -> list_contains(${markers.mkString("['", "', '", "']")}, x)))::DOUBLE / greatest(len(toks), 1)::DOUBLE"
+
   val oracles: Map[String, String] = Map(
+    // Full mirror of langIdFrame: same tokenization (regex whitespace
+    // split keeps empty tokens on both engines), same marker lists
+    // (generated from `profiles`), same argmax-with-floor and tie-break
+    // order, same non-ASCII CJK short-circuit. Raw double score.
+    "text_langid" -> {
+      val sCols = profiles.map { case (l, ms) => s"${langScoreSql(ms)} AS s_$l" }
+      val mx = s"greatest(${profiles.map(p => s"s_${p._1}").mkString(", ")})"
+      val pick = profiles.map(p => s"WHEN s_${p._1} = mx THEN '${p._1}'")
+        .mkString(" ")
+      s"""WITH t AS (
+        |  SELECT doc_id, text, string_split_regex(lower(text), '\\s+') AS toks
+        |  FROM documents
+        |),
+        |s AS (SELECT doc_id, text, ${sCols.mkString(",\n  ")} FROM t),
+        |m AS (SELECT *, $mx AS mx,
+        |  (length(text) - length(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g')))::DOUBLE
+        |    / greatest(length(text), 1)::DOUBLE AS na
+        |  FROM s)
+        |SELECT doc_id,
+        |  CASE WHEN na > 0.3 THEN 'cjk_or_other'
+        |       WHEN mx > 0.05 THEN CASE $pick END
+        |       ELSE 'unknown' END AS pred_lang,
+        |  mx AS lang_score
+        |FROM m ORDER BY doc_id""".stripMargin
+    },
     "text_top_bigrams" ->
       """SELECT bigram, count(*) AS cnt FROM (
         |  SELECT unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS bigram
