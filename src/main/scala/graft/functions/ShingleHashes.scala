@@ -1,0 +1,144 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftshim.Shim
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.Platform
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Fused 3-token shingle hashing: the sorted-distinct hashes of every
+  * 3-token window of `split(text, " ")`, emitted straight from the text
+  * bytes in one pass — no token array, no per-shingle string, no
+  * `array_distinct` over strings.
+  *
+  * Key fact making zero-copy slicing correct: joining CONSECUTIVE
+  * split-on-' ' tokens with ' ' reproduces the original byte range, so
+  * the shingle `tok(i) + " " + tok(i+1) + " " + tok(i+2)` IS the
+  * contiguous slice from tok(i)'s start to tok(i+2)'s end — including
+  * every empty-token edge case (consecutive separators). Each window is
+  * hashed directly over that slice.
+  *
+  * Both hash families are bit-compatible with their composition twins
+  * (differential-tested in DedupSpec):
+  *  - [[ShingleXxh64]]     ≡ sorted array_distinct(transform(shingles, xxhash64))
+  *  - [[ShingleMd5Low64]]  ≡ the same with Md5Lower64 (≡ DuckDB md5_number_lower)
+  *
+  * Output order is ASCENDING (callers previously array_sort'ed anyway:
+  * the merge-walk verify wants sorted sets, MinHash minima and SimHash
+  * bit-votes are order-insensitive). Documents with fewer than 3 tokens
+  * yield an EMPTY array — the `filter(size(toks) >= 3)` of the unfused
+  * path folded into the expression. */
+object ShingleHashImpl {
+  private val XxhSeed = 42L // Spark's xxhash64 default seed
+
+  def hashes(s: UTF8String, useMd5: Boolean): ArrayData = {
+    val bytes = s.getBytes // one copy per document, reused by every window
+    val n = bytes.length
+    // token starts/ends under split-on-single-space semantics
+    var spaces = 0
+    var i = 0
+    while (i < n) { if (bytes(i) == ' ') spaces += 1; i += 1 }
+    val tokens = spaces + 1
+    if (tokens < 3) return ShingleHashImpl.empty
+    val starts = new Array[Int](tokens)
+    val ends = new Array[Int](tokens)
+    starts(0) = 0
+    var t = 0
+    i = 0
+    while (i < n) {
+      if (bytes(i) == ' ') { ends(t) = i; t += 1; starts(t) = i + 1 }
+      i += 1
+    }
+    ends(tokens - 1) = n
+    val w = tokens - 2
+    val out = new Array[Long](w)
+    i = 0
+    while (i < w) {
+      val off = starts(i)
+      val len = ends(i + 2) - off
+      out(i) =
+        if (useMd5) md5Range(bytes, off, len)
+        else XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET + off, len, XxhSeed)
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    // in-place dedupe of the sorted run
+    var d = 1
+    i = 1
+    while (i < w) {
+      if (out(i) != out(i - 1)) { out(d) = out(i); d += 1 }
+      i += 1
+    }
+    new GenericArrayData(if (d == w) out else java.util.Arrays.copyOf(out, d))
+  }
+
+  private val empty = new GenericArrayData(Array.empty[Long])
+
+  private val md5: ThreadLocal[java.security.MessageDigest] =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  /** Same digest + low-64 extraction as Md5Lower64Impl, over a range. */
+  private def md5Range(bytes: Array[Byte], off: Int, len: Int): Long = {
+    val d = md5.get()
+    d.reset()
+    d.update(bytes, off, len)
+    val digest = d.digest()
+    var out = 0L
+    var i = 15
+    while (i >= 8) { out = (out << 8) | (digest(i) & 0xffL); i -= 1 }
+    out
+  }
+
+  def xxh64(s: UTF8String): ArrayData = hashes(s, useMd5 = false)
+  def md5Low64(s: UTF8String): ArrayData = hashes(s, useMd5 = true)
+}
+
+sealed abstract class ShingleHashBase extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING, got ${other.sql}")
+  }
+  // not nullIntolerant — see SetJaccardSorted on inferred-isnotnull
+  // constraints de-canonicalizing exchange-sharing branches
+  protected def implName: String
+  override def nullSafeEval(input: Any): Any = implName match {
+    case "xxh64" => ShingleHashImpl.xxh64(input.asInstanceOf[UTF8String])
+    case _ => ShingleHashImpl.md5Low64(input.asInstanceOf[UTF8String])
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleHashImpl.$implName($c)")
+}
+
+/** `shingle_xxh64(string) -> array<bigint>` — engine-internal key family. */
+case class ShingleXxh64(child: Expression) extends ShingleHashBase {
+  override protected def implName: String = "xxh64"
+  override def prettyName: String = "shingle_xxh64"
+  override protected def withNewChildInternal(newChild: Expression): ShingleXxh64 =
+    copy(child = newChild)
+}
+
+object ShingleXxh64 {
+  def apply(c: Column): Column = Shim.column(ShingleXxh64(Shim.expression(c)))
+}
+
+/** `shingle_md5_low64(string) -> array<bigint>` — oracle-recomputable
+  * family (≡ DuckDB md5_number_lower per shingle). */
+case class ShingleMd5Low64(child: Expression) extends ShingleHashBase {
+  override protected def implName: String = "md5Low64"
+  override def prettyName: String = "shingle_md5_low64"
+  override protected def withNewChildInternal(newChild: Expression): ShingleMd5Low64 =
+    copy(child = newChild)
+}
+
+object ShingleMd5Low64 {
+  def apply(c: Column): Column = Shim.column(ShingleMd5Low64(Shim.expression(c)))
+}

@@ -103,18 +103,30 @@ object Dedup {
     * immaterial), hashed-set Jaccard equals string-set Jaccard, and the
     * exchanges move 8-byte longs instead of ~25-byte strings (round 2
     * shuffled 92.9 MB of strings from 0.6 MB of input at sf0.1). */
-  def dedupNgramJaccard(spark: SparkSession, sfDir: String): DataFrame =
-    dedupNgramJaccardOn(shingles(spark, sfDir))
+  def dedupNgramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val width = spark.sparkContext.defaultParallelism
+    // Fused expansion: ShingleXxh64 emits the sorted-distinct window
+    // hashes straight from the text bytes — no token array, no shingle
+    // strings, no array_distinct (differential-pinned ≡ the string
+    // composition in DedupSpec). The spec path through string shingles
+    // (dedupNgramJaccardOn) shares everything from the exploded frame on.
+    val exploded = Tables.documents(spark, sfDir)
+      .repartition(width, $"doc_id")
+      .select($"doc_id", explode_outer(graft.functions.ShingleXxh64($"text")).as("h"))
+      .filter($"h".isNotNull)
+      .repartition(width, $"h")
+    dedupNgramJaccardOnHashes(exploded, MaxShingleDF)
+  }
 
+  /** String-shingle entry (spec path: plantable inputs + custom maxDf);
+    * production uses the fused byte-level expansion above — the two are
+    * provably the same set via the differential spec. */
   private[graft] def dedupNgramJaccardOn(sh: DataFrame,
       maxDf: Long = MaxShingleDF): DataFrame = {
     val spark = sh.sparkSession
     import spark.implicits._
     val width = spark.sparkContext.defaultParallelism
-    // Explicit exchange on the hash key, shared by the DF count and the
-    // DF join (both co-partitioned on h). Explicit width so AQE can't
-    // coalesce the exchange below the per-core parallelism the expansion
-    // needs (same guard as shingles()).
     // explode_outer + null filter instead of plain explode: the optimizer
     // infers a `size(sh) > 0 AND isnotnull(sh)` guard for a non-outer
     // Generate and pushes it below the projection, re-evaluating the
@@ -124,6 +136,20 @@ object Dedup {
       .filter($"s".isNotNull)
       .select($"doc_id", xxhash64($"s").as("h"))
       .repartition(width, $"h")
+    dedupNgramJaccardOnHashes(exploded, maxDf)
+  }
+
+  /** Everything downstream of the exploded (doc_id, h) frame: DF cap,
+    * rarest-first prefix index, candidate join, merge-walk verify.
+    * Expects `exploded` co-partitioned on h with explicit width (the
+    * exchange is shared by the DF count and the DF join; explicit width
+    * so AQE can't coalesce it below the per-core parallelism the
+    * expansion needs). */
+  private def dedupNgramJaccardOnHashes(exploded: DataFrame,
+      maxDf: Long): DataFrame = {
+    val spark = exploded.sparkSession
+    import spark.implicits._
+    val width = spark.sparkContext.defaultParallelism
     // Max-DF cap + global frequency in one co-partitioned inner join
     // (keys with df > maxDf simply find no match). No static broadcast:
     // the frequency table is key-cardinality-sized — at 100 TB it stays
@@ -192,14 +218,19 @@ object Dedup {
     // subtree, so the shuffle files are materialized once and replayed —
     // reuse without a session-lifetime memory footprint (a .cache() here
     // would outlive the query and tax everything that runs after it).
-    // hv is sorted IN the one shared projection: the merge-walk verify
-    // (SetJaccardSorted) needs sorted arrays, MinHash minima are
-    // order-insensitive, and a separate sorted-copy projection would
-    // split the two consumers onto non-identical subplans — defeating
-    // exchange reuse and running the scan + shuffle twice (measured:
-    // stages 7→8, input and shuffle-write both 2×).
-    val hashed = shingles(spark, sfDir)
-      .select($"doc_id", array_sort(transform($"sh", s => xxhash64(s))).as("hv"))
+    // Fused expansion (ShingleXxh64): sorted-distinct window hashes in
+    // one pass over the text bytes — the same set the string composition
+    // produced (differential-pinned in DedupSpec). hv stays sorted IN
+    // the one shared projection: the merge-walk verify needs sorted
+    // arrays, MinHash minima are order-insensitive, and a separate
+    // sorted-copy projection would split the two consumers onto
+    // non-identical subplans — defeating exchange reuse and running the
+    // scan + shuffle twice (measured: stages 7→8, input and
+    // shuffle-write both 2×).
+    val hashed = Tables.documents(spark, sfDir)
+      .repartition(spark.sparkContext.defaultParallelism, $"doc_id")
+      .select($"doc_id", graft.functions.ShingleXxh64($"text").as("hv"))
+      .filter(size($"hv") > 0)
     val banded = hashed.select($"doc_id",
         posexplode(graft.functions.MinHashBandHashes($"hv")).as(Seq("band", "bh")))
     val candidates = banded.as("a").join(banded.as("b"),
@@ -283,9 +314,11 @@ object Dedup {
     // the identical feature space the oracle uses. The DF cap drops zero
     // shingles at sf0.001/0.01/0.1 (boilerplate keys only appear beyond
     // these corpora).
-    val ex = shingles(docs).select($"doc_id", explode_outer($"sh").as("s"))
-      .filter($"s".isNotNull)
-      .select($"doc_id", graft.functions.Md5Lower64($"s").as("h"))
+    val ex = docs
+      .repartition(spark.sparkContext.defaultParallelism, $"doc_id")
+      .select($"doc_id",
+        explode_outer(graft.functions.ShingleMd5Low64($"text")).as("h"))
+      .filter($"h".isNotNull)
       .repartition(spark.sparkContext.defaultParallelism, $"h")
     // DF cap as a co-partitioned ANTI-join on the hot-key set; AQE
     // broadcasts it at runtime when it is actually small (see

@@ -13,6 +13,33 @@ class DedupSpec extends AnyFunSuite {
     df.select("doc_a", "doc_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  test("fused shingle hashes ≡ the string-shingle composition, both families") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val edges = Seq("", "a", "a b", "a b c", "a b c d", "a  b c",
+      " a b c ", "x y x y x y x y", "a b c a b c a b c").toDF("text")
+    val real = graft.sources.Tables.documents(spark, sf).select($"text")
+    for (df <- Seq(edges, real)) {
+      val toks = split($"text", " ")
+      val shArr = transform(sequence(lit(0), size(toks) - 3),
+        i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2),
+          element_at(toks, i + 3)))
+      val strings = when(size(toks) >= 3, array_distinct(shArr))
+        .otherwise(array().cast("array<string>"))
+      def check(fused: org.apache.spark.sql.Column,
+          viaStrings: org.apache.spark.sql.Column, label: String): Unit = {
+        val a = df.select(fused).collect().map(_.getSeq[Long](0))
+        val b = df.select(viaStrings).collect().map(_.getSeq[Long](0))
+        a.zip(b).zipWithIndex.foreach { case ((x, y), i) =>
+          assert(x === y, s"$label row $i") }
+      }
+      check(graft.functions.ShingleXxh64($"text"),
+        array_sort(transform(strings, s => xxhash64(s))), "xxh64")
+      check(graft.functions.ShingleMd5Low64($"text"),
+        array_sort(transform(strings, s => graft.functions.Md5Lower64(s))), "md5")
+    }
+  }
+
   test("SetJaccardSorted ≡ the array_intersect/array_union composition") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
