@@ -103,10 +103,33 @@ object Curation {
       .orderBy($"bin")
   }
 
+  /** Deterministic global training order: every doc gets a contiguous
+    * 0-based position under a pseudo-random-but-reproducible permutation
+    * (LCG key, doc_id tiebreak) — the "shuffle the corpus once per
+    * epoch" primitive. Scalable form: range-partitioned sort +
+    * zipWithIndex per-partition offsets (one lightweight extra job), not
+    * a global row_number window that would funnel every row through one
+    * partition. doc_id·1103515245 stays far below 2⁶³ for any plausible
+    * id, so ANSI overflow cannot trigger. */
+  def shuffleOrder(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    import spark.implicits._
+    val keyed = Tables.documents(spark, sfDir).select($"doc_id",
+      pmod($"doc_id" * lit(1103515245L) + lit(12345L), lit(2147483648L)).as("k"))
+    val sorted = keyed.orderBy($"k", $"doc_id")
+    val schema = StructType(sorted.schema.fields :+
+      StructField("pos", LongType, nullable = false))
+    val rdd = sorted.rdd.zipWithIndex().map { case (row, i) =>
+      Row.fromSeq(row.toSeq :+ i) }
+    spark.createDataFrame(rdd, schema).orderBy($"pos")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cur_text_chunks" -> textChunks,
     "cur_split_assign" -> splitAssign,
     "cur_pack_bins" -> packBins,
+    "cur_shuffle_order" -> shuffleOrder,
   )
 
   val oracles: Map[String, String] = Map(
@@ -120,6 +143,10 @@ object Curation {
          |  FROM (SELECT doc_id, string_split(text, ' ') t FROM documents) d
          |) c
          |ORDER BY doc_id, chunk_idx""".stripMargin,
+    "cur_shuffle_order" ->
+      """SELECT doc_id, (doc_id * 1103515245 + 12345) % 2147483648 AS k,
+        |  row_number() OVER (ORDER BY (doc_id * 1103515245 + 12345) % 2147483648, doc_id) - 1 AS pos
+        |FROM documents ORDER BY pos""".stripMargin,
     "cur_split_assign" ->
       """SELECT CASE WHEN (doc_id * 2654435761) % 10 < 9 THEN 'train' ELSE 'val' END AS split,
         |  lang, count(*) AS n_docs
