@@ -446,6 +446,51 @@ object Dedup {
       .select($"vec_a", $"vec_b", $"label", round($"cos", 4).as("cosine"))
   }
 
+  /** Near-dup CLUSTER assignment: connected components over the verified
+    * n-gram-Jaccard pair graph, labeling every document with the minimum
+    * doc_id of its component (singletons label themselves) — the step
+    * that turns pairwise matches into dedup groups ("keep one per
+    * cluster"). Min-label propagation: each round every node takes the
+    * minimum of its own and its neighbors' labels — one equi-join + one
+    * min-agg shuffle per round, converging in O(component diameter)
+    * rounds (near-dup clusters are small and dense, so a handful; the
+    * standard distributed CC loop, same shape as GraphX Pregel). The
+    * driver checks only a per-round "any label changed" boolean;
+    * localCheckpoint truncates the iterative lineage. */
+  def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    dedupClustersOn(
+      Tables.documents(spark, sfDir).select($"doc_id"),
+      dedupNgramJaccard(spark, sfDir).select($"doc_a", $"doc_b"))
+  }
+
+  private[graft] def dedupClustersOn(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // both directions once; the edge set is pair-count-sized (tiny
+    // relative to the corpus), localCheckpoint keeps it from re-running
+    // the whole pair pipeline every round
+    val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
+      .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
+      .localCheckpoint()
+    var labels = docs.select($"doc_id", $"doc_id".as("lbl")).localCheckpoint()
+    var changed = true
+    var iter = 0
+    while (changed && iter < 32) {
+      val incoming = edges.join(labels, edges("src") === labels("doc_id"))
+        .select(edges("dst").as("doc_id"), labels("lbl").as("in_lbl"))
+        .groupBy($"doc_id").agg(min($"in_lbl").as("in_lbl"))
+      val updated = labels.join(incoming, Seq("doc_id"), "left")
+        .select($"doc_id", $"lbl",
+          least($"lbl", coalesce($"in_lbl", $"lbl")).as("lbl2"))
+        .localCheckpoint()
+      changed = updated.filter($"lbl2" < $"lbl").limit(1).count() > 0
+      labels = updated.select($"doc_id", $"lbl2".as("lbl"))
+      iter += 1
+    }
+    labels.select($"doc_id", $"lbl".as("cluster")).orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> dedupExact,
     "dedup_exact_bow" -> dedupExactBow,
@@ -456,6 +501,7 @@ object Dedup {
     "dedup_simhash_pairs" -> dedupSimHashPairs,
     "dedup_embed_cosine" -> dedupEmbedCosine,
     "dedup_embed_cosine_blocked" -> dedupEmbedCosineBlocked,
+    "dedup_clusters" -> dedupClusters,
   )
 
   private val exactJaccardSql =
@@ -592,6 +638,22 @@ object Dedup {
          |SELECT doc_id, lang, source FROM documents
          |WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
          |ORDER BY doc_id""".stripMargin,
+    // connected components as a recursive transitive closure over the
+    // same capped-Jaccard pair graph the engine clusters — min reachable
+    // id per node ≡ the label-propagation fixpoint (both are exactly the
+    // component minimum, algorithm-independent)
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE
+         |p AS (SELECT doc_a, doc_b FROM ($cappedJaccardSql)),
+         |e AS (SELECT doc_a AS a, doc_b AS b FROM p
+         |      UNION SELECT doc_b, doc_a FROM p),
+         |reach(n, m) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.b, reach.m FROM e JOIN reach ON e.a = reach.n
+         |)
+         |SELECT n AS doc_id, min(m) AS cluster
+         |FROM reach GROUP BY n ORDER BY doc_id""".stripMargin,
     "dedup_embed_cosine" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
         |  round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /

@@ -71,6 +71,19 @@ class DedupSpec extends AnyFunSuite {
     assert(nan.isNaN)
   }
 
+  test("cluster assignment: component minima on a hand-built graph") {
+    import spark.implicits._
+    // chain 1-2-3 (transitive), pair 5-6, singletons 4/7/8 — labels must
+    // be each component's minimum, which needs >1 propagation round for
+    // the chain end
+    val docs = (1L to 8L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val got = Dedup.dedupClustersOn(docs, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 8L))
+  }
+
   test("minhash LSH finds exactly the exact-jaccard pairs (perfect recall here)") {
     val exact = pairSet(Dedup.dedupNgramJaccard(spark, sf))
     val lsh = pairSet(Dedup.dedupMinHashLsh(spark, sf))
