@@ -42,6 +42,33 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("+- Filter"), p.take(800))
   }
 
+  /** Final (post-execution) AQE plan, truncated before the echoed
+    * "Initial Plan" section so node counts reflect what actually ran. */
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    val cut = s.indexOf("Initial Plan")
+    if (cut >= 0) s.substring(0, cut) else s
+  }
+
+  test("minhash: banding and verify share ONE documents scan (exchange reuse)") {
+    // the regression this pins: a consumer-side projection or an inferred
+    // isnotnull constraint de-canonicalizes one branch of the shared
+    // subtree, and the scan + shuffle silently run twice (stages 7→8,
+    // input 2× — see SetJaccardSorted/dedupMinHashLsh comments)
+    val p = finalPlan(Dedup.dedupMinHashLsh(spark, sf))
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected 1 documents scan in the final plan, got $scans\n${p.take(1200)}")
+    assert(p.contains("ReusedExchange"), p.take(1200))
+  }
+
+  test("winnow fingerprint: pure map + explode, single (range) exchange") {
+    val p = finalPlan(TextAnalysis.textFingerprintWinnow(spark, sf))
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected only the final sort exchange, got $exchanges\n${p.take(1200)}")
+    assert(p.contains("gram_window_mins"), p.take(1200))
+  }
+
   test("q1: partial aggregation precedes the exchange") {
     val p = plan(Relational.q1PricingSummary(spark, sf))
     val exchangeIdx = p.indexOf("Exchange")
