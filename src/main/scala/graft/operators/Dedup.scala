@@ -142,54 +142,79 @@ object Dedup {
   /** Everything downstream of the exploded (doc_id, h) frame: DF cap,
     * rarest-first prefix index, candidate join, merge-walk verify.
     * Expects `exploded` co-partitioned on h with explicit width (the
-    * exchange is shared by the DF count and the DF join; explicit width
-    * so AQE can't coalesce it below the per-core parallelism the
-    * expansion needs). */
+    * exchange is shared by every window/agg below; explicit width so AQE
+    * can't coalesce it below the per-core parallelism the expansion
+    * needs).
+    *
+    * Plan shape (round 4): document frequency is a `count over
+    * (partition by h)` WINDOW on the h-partitioned frame — one pass over
+    * the exchange the frame already ends in, where the round-3 agg +
+    * self-join form re-ran the whole shingle expansion for the
+    * frequency branch (column pruning made the two subtrees
+    * non-identical, defeating exchange reuse) and then shuffled it back.
+    * The per-doc prefix is likewise row-level: rank each (doc, h) under
+    * the global rarest-first (df, h) order with a window over ONE doc_id
+    * exchange and keep ranks ≤ the prefix bound — no (df, h) struct
+    * array, no lambda-comparator array_sort (interpreted, and round 3's
+    * single hottest stage), no re-expansion. The verify set is a plain
+    * `sort_array(collect_list(h))` grouped on the same doc_id
+    * partitioning the windows establish, so it costs no extra exchange. */
   private def dedupNgramJaccardOnHashes(exploded: DataFrame,
       maxDf: Long): DataFrame = {
     val spark = exploded.sparkSession
     import spark.implicits._
-    val width = spark.sparkContext.defaultParallelism
-    // Max-DF cap + global frequency in one co-partitioned inner join
-    // (keys with df > maxDf simply find no match). No static broadcast:
-    // the frequency table is key-cardinality-sized — at 100 TB it stays
-    // a shuffled join; AQE broadcasts it when it is actually small.
-    val dfs = exploded.groupBy($"h").agg(count(lit(1)).as("df"))
+    import org.apache.spark.sql.expressions.Window
+    // At 100 TB both windows are bounded: h-groups by the DF cap's own
+    // post-filter semantics (the count pass streams regardless of group
+    // size), doc-groups by document length.
+    val wholeH = Window.partitionBy($"h")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val rare = exploded
+      .withColumn("df", count(lit(1)).over(wholeH))
       .filter($"df" <= maxDf)
-    val withDf = exploded.join(dfs, Seq("h"))
-    // Per-doc capped set as ONE array, globally ordered rarest-first by
-    // (df, h) — (df, h) is a strict total order on distinct shingles, so
-    // every document sorts its elements consistently (the prefix
-    // principle needs a common global order, nothing more).
-    // hv: rarest-first (the prefix principle's global order, sliced
-    // below); hvs: the SAME set numerically sorted, for the zero-alloc
-    // merge-walk verify (SetJaccardSorted) — one extra O(n log n) sort
-    // per document buys O(1)-allocation Jaccard per candidate pair
-    val sets = withDf.groupBy($"doc_id")
-      .agg(array_sort(collect_list(struct($"df", $"h"))).as("sorted"))
-      .select($"doc_id", transform($"sorted", e => e.getField("h")).as("hv"))
-      .withColumn("hvs", array_sort($"hv"))
+    // ONE window operator computes everything per-doc: the rank under the
+    // global rarest-first (df, h) order — a strict total order on
+    // distinct shingles, so every document orders its elements
+    // consistently (all the prefix principle needs) — plus the capped set
+    // size and the capped set itself (full-frame collect_list: WindowExec
+    // evaluates an unbounded frame once per doc group, not once per row).
+    // Same partition key + order ⇒ one sort, one pass; the fork below is
+    // plain filters over this operator's output, so the downstream
+    // branches share every exchange above it instead of re-running the
+    // expansion per pruned-projection subtree (round 3's cost center).
+    val byDoc = Window.partitionBy($"doc_id").orderBy($"df", $"h")
+    val byDocFull = byDoc.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ranked = rare
+      .withColumn("r", row_number().over(byDoc))
+      .withColumn("n", count(lit(1)).over(byDocFull))
+      .withColumn("hv", collect_list($"h").over(byDocFull))
     // Prefix length |x| − ⌈t·|x|⌉ + 1 in exact arithmetic for t = 0.8:
     // n − ⌊(4n+4)/5⌋ + 1 (the double division is exact for any int n —
     // both operands and every representable quotient digit fit IEEE754).
-    val prefLen = (size($"hv") - floor((size($"hv") * 4 + 4) / lit(5)) + 1).cast("int")
-    val prefix = sets
-      .select($"doc_id", explode(slice($"hv", lit(1), prefLen)).as("h"))
-      .repartition(width, $"h")
+    // No explicit repartition: the join below requires hash(h) anyway and
+    // the per-row work left at this point is cheap, so AQE is free to
+    // size the stage.
+    val prefix = ranked
+      .filter($"r" <= $"n" - floor(($"n" * 4 + 4) / lit(5)) + 1)
+      .select($"doc_id", $"h")
+    // one row per doc (r = 1) carries the whole capped set; numerically
+    // sorted (sort_array, natural long ordering — not the interpreted
+    // lambda-comparator array_sort) for the zero-alloc merge-walk verify
+    val sets = ranked.filter($"r" === 1)
+      .select($"doc_id", sort_array($"hv").as("hvs"))
     val candidates = prefix.as("a").join(prefix.as("b"),
         $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .distinct()
-      // explicit width: the candidate set is small in BYTES, so AQE
-      // coalesces the distinct output to ~1 partition — but each row
-      // fans into O(set size) array-intersect work in the verify, which
-      // then runs single-threaded without this guard
-      .repartition(width, $"doc_a")
-    candidates
-      .join(sets.select($"doc_id".as("doc_a"), $"hvs".as("hv_a")), "doc_a")
-      .join(sets.select($"doc_id".as("doc_b"), $"hvs".as("hv_b")), "doc_b")
-      .select($"doc_a", $"doc_b",
-        graft.functions.SetJaccardSorted($"hv_a", $"hv_b").as("jacc"))
+    // verify via ALIASED self-references of the one `sets` plan (not
+    // per-side renamed projections): the two broadcast subtrees stay
+    // canonically identical, so ReuseExchange ships ONE broadcast of the
+    // doc → set relation instead of building it twice
+    candidates.as("c")
+      .join(sets.as("sa"), $"c.doc_a" === $"sa.doc_id")
+      .join(sets.as("sb"), $"c.doc_b" === $"sb.doc_id")
+      .select($"c.doc_a".as("doc_a"), $"c.doc_b".as("doc_b"),
+        graft.functions.SetJaccardSorted($"sa.hvs", $"sb.hvs").as("jacc"))
       .filter($"jacc" >= JaccardThreshold)
       .select($"doc_a", $"doc_b", round($"jacc", 3).as("jaccard"))
       .orderBy($"doc_a", $"doc_b")
@@ -237,11 +262,14 @@ object Dedup {
         $"a.band" === $"b.band" && $"a.bh" === $"b.bh" && $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .distinct()
-    val verified = candidates
-      .join(hashed.select($"doc_id".as("doc_a"), $"hv".as("hv_a")), "doc_a")
-      .join(hashed.select($"doc_id".as("doc_b"), $"hv".as("hv_b")), "doc_b")
-      .select($"doc_a", $"doc_b",
-        graft.functions.SetJaccardSorted($"hv_a", $"hv_b").as("jacc"))
+    // aliased self-references keep the two verify-side broadcast
+    // subtrees canonically identical → ONE shipped broadcast of the
+    // doc → hashes relation (see dedupNgramJaccardOnHashes)
+    val verified = candidates.as("cd")
+      .join(hashed.as("sa"), $"cd.doc_a" === $"sa.doc_id")
+      .join(hashed.as("sb"), $"cd.doc_b" === $"sb.doc_id")
+      .select($"cd.doc_a".as("doc_a"), $"cd.doc_b".as("doc_b"),
+        graft.functions.SetJaccardSorted($"sa.hv", $"sb.hv").as("jacc"))
       .filter($"jacc" >= JaccardThreshold)
     verified.select($"doc_a", $"doc_b", round($"jacc", 3).as("jaccard"))
       .orderBy($"doc_a", $"doc_b")
@@ -320,17 +348,22 @@ object Dedup {
         explode_outer(graft.functions.ShingleMd5Low64($"text")).as("h"))
       .filter($"h".isNotNull)
       .repartition(spark.sparkContext.defaultParallelism, $"h")
-    // DF cap as a co-partitioned ANTI-join on the hot-key set; AQE
-    // broadcasts it at runtime when it is actually small (see
-    // dedupNgramJaccardOn for why there is no static broadcast hint).
-    val hot = ex.groupBy($"h").agg(count(lit(1)).as("df"))
-      .filter($"df" > MaxShingleDF).select($"h")
+    // DF cap as a `count over (partition by h)` window on the exchange
+    // the frame already ends in — one pass, where the round-3 hot-set
+    // agg + anti-join re-ran the shingle expansion for the frequency
+    // branch (column pruning defeats exchange reuse between the two
+    // subtrees) and shuffled it a second time.
+    import org.apache.spark.sql.expressions.Window
+    val wholeH = Window.partitionBy($"h")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     // sorted IN the shared projection (not per verify-join side): the
     // bit-vote fingerprint is order-insensitive, the merge-walk verify
     // needs sorted input, and both consumers staying on the identical
     // subplan is what keeps the aggregation exchange reused
-    val cappedSets = ex.join(hot, Seq("h"), "left_anti")
-      .groupBy($"doc_id").agg(array_sort(collect_list($"h")).as("shc"))
+    val cappedSets = ex
+      .withColumn("df", count(lit(1)).over(wholeH))
+      .filter($"df" <= MaxShingleDF)
+      .groupBy($"doc_id").agg(sort_array(collect_list($"h")).as("shc"))
     val fp = cappedSets.select($"doc_id", graft.functions.SimHash64FromHashes($"shc").as("f"))
     val mask = (1L << SimHashChunkBits) - 1
     def chunk(c: Int): Column =
@@ -362,11 +395,14 @@ object Dedup {
           expr("bit_count(a.f ^ b.f)") <= MaxPairHamming)
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .distinct()
-    candidates
-      .join(cappedSets.select($"doc_id".as("doc_a"), $"shc".as("sh_a")), "doc_a")
-      .join(cappedSets.select($"doc_id".as("doc_b"), $"shc".as("sh_b")), "doc_b")
-      .select($"doc_a", $"doc_b",
-        graft.functions.SetJaccardSorted($"sh_a", $"sh_b").as("jacc"))
+    // aliased self-references keep the two verify-side broadcast
+    // subtrees canonically identical → ONE shipped broadcast of the
+    // doc → set relation (see dedupNgramJaccardOnHashes)
+    candidates.as("cd")
+      .join(cappedSets.as("sa"), $"cd.doc_a" === $"sa.doc_id")
+      .join(cappedSets.as("sb"), $"cd.doc_b" === $"sb.doc_id")
+      .select($"cd.doc_a".as("doc_a"), $"cd.doc_b".as("doc_b"),
+        graft.functions.SetJaccardSorted($"sa.shc", $"sb.shc").as("jacc"))
       .filter($"jacc" >= JaccardThreshold)
       .select($"doc_a", $"doc_b", round($"jacc", 3).as("jaccard"))
       .orderBy($"doc_a", $"doc_b")
@@ -425,10 +461,12 @@ object Dedup {
       struct(lit(b).as("c"), cell.as("cell"))
     }
     // one explicit exchange on the full join key, shared by both self-join
-    // sides (same AQE-broadcast-collapse guard as the shingle joins above)
+    // sides (same AQE-broadcast-collapse guard as the shingle joins
+    // above; explicit width like every other guard here — the bare
+    // -column form is AQE-coalescible, which re-serializes the banding)
     val banded = e.select($"vec_id", $"label", explode(array(bandCols: _*)).as("k"))
       .select($"vec_id", $"label", $"k.c".as("c"), $"k.cell".as("cell"))
-      .repartition($"label", $"c", $"cell")
+      .repartition(spark.sparkContext.defaultParallelism, $"label", $"c", $"cell")
     val candidates = banded.as("a").join(banded.as("b"),
         $"a.label" === $"b.label" && $"a.c" === $"b.c" &&
           $"a.cell" === $"b.cell" && $"a.vec_id" < $"b.vec_id")
@@ -436,11 +474,13 @@ object Dedup {
         $"a.label".as("label"))
       .distinct()
     val vecs = e.select($"vec_id", $"v")
-    candidates
-      .join(vecs.select($"vec_id".as("vec_a"), $"v".as("va")), "vec_a")
-      .join(vecs.select($"vec_id".as("vec_b"), $"v".as("vb")), "vec_b")
-      .select($"vec_a", $"vec_b", $"label",
-        VectorOps.cosine($"va", $"vb").as("cos"))
+    // aliased self-references → one reused broadcast (see
+    // dedupNgramJaccardOnHashes)
+    candidates.as("cd")
+      .join(vecs.as("sa"), $"cd.vec_a" === $"sa.vec_id")
+      .join(vecs.as("sb"), $"cd.vec_b" === $"sb.vec_id")
+      .select($"cd.vec_a".as("vec_a"), $"cd.vec_b".as("vec_b"), $"cd.label".as("label"),
+        VectorOps.cosine($"sa.v", $"sb.v").as("cos"))
       .orderBy($"cos".desc, $"vec_a".asc, $"vec_b".asc)
       .limit(20)
       .select($"vec_a", $"vec_b", $"label", round($"cos", 4).as("cosine"))
