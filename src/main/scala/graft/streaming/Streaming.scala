@@ -190,6 +190,49 @@ object Streaming {
     WordCount.counts(spark.read.parquet(outDir)).orderBy($"word")
   }
 
+  /** Streaming INGESTION dedup — the "drop documents we've already seen"
+    * step of a continuously-fed training-data pipeline, as cross-batch
+    * state: documents stream in, are keyed by content hash
+    * (`flatMapGroupsWithState`), and each batch a group appears in emits
+    * the group's running (min doc_id, count). Emissions are monotone
+    * (min only decreases, count only increases), so the final projection
+    * — min(keep_id), max(n_dups) per hash — is deterministic under ANY
+    * batch split of the source, and equals the batch `dedup_exact`
+    * result exactly: the same oracle hash checks both. State per key is
+    * two longs; at scale eviction would ride a TTL timeout (dup arrivals
+    * are temporally clustered) or an external Bloom/KV tier — the
+    * bounded-replay harness needs neither. Cross-batch suppression is
+    * separately proven in StreamingSpec by feeding a duplicate in a
+    * LATER batch and watching it fold into the first batch's group. */
+  def streamDedupExact(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val docs = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+    runDedupStream(docs).orderBy($"h")
+  }
+
+  /** The transform of [[streamDedupExact]] on any streaming documents
+    * frame (spec entry point: multi-batch file feeds). */
+  private[graft] def runDedupStream(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val ds = docs.select(md5($"text").as("h"), $"doc_id").as[(String, Long)]
+    val updated = ds.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), (String, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { (h, rows, state) =>
+          var (minId, n) = state.getOption.getOrElse((Long.MaxValue, 0L))
+          rows.foreach { r => if (r._2 < minId) minId = r._2; n += 1 }
+          state.update((minId, n))
+          Iterator((h, minId, n))
+        }
+      .toDF("h", "keep_id", "n_dups")
+    runToMemory(updated, "append")
+      .groupBy($"h")
+      .agg(min($"keep_id").as("keep_id"), max($"n_dups").as("n_dups"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_events_hourly" -> streamEventsHourly,
     "stream_wc_counts" -> streamWordCounts,
@@ -197,6 +240,7 @@ object Streaming {
     "stream_active_users" -> streamActiveUsers,
     "stream_wc_file_sink" -> streamWcFileSink,
     "stream_click_purchase" -> streamClickPurchase,
+    "stream_dedup_exact" -> streamDedupExact,
   )
 
   /** Streaming results are checked against the same SQL as their batch
