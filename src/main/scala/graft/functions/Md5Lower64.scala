@@ -23,15 +23,27 @@ import org.apache.spark.unsafe.types.UTF8String
   * engine-internal keys (cheaper, but not expressible in the oracle).
   */
 object Md5Lower64Impl {
-  private val md5: ThreadLocal[MessageDigest] = new ThreadLocal[MessageDigest] {
-    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  /** Digest + 16-byte output buffer, one pair per thread: `digest(buf,
+    * 0, 16)` writes in place where the no-arg `digest()` allocates a
+    * fresh array per call — at ~3M shingle hashes per dedup query those
+    * throwaway arrays were the dominant allocation source (round-4
+    * driver bench: 42 s GC on this path). */
+  private final class State {
+    val md: MessageDigest = MessageDigest.getInstance("MD5")
+    val buf: Array[Byte] = new Array[Byte](16)
+  }
+  private val local: ThreadLocal[State] = new ThreadLocal[State] {
+    override def initialValue(): State = new State
   }
 
-  /** Called from both interpreted eval and generated code. */
-  def md5Lower64(s: UTF8String): Long = {
-    val d = md5.get()
-    d.reset()
-    val digest = d.digest(s.getBytes)
+  /** md5 low-64 of `bytes[off, off+len)`, zero per-call allocation.
+    * Shared by the per-word path below and ShingleHashImpl's window
+    * slices. */
+  def md5Lower64Range(bytes: Array[Byte], off: Int, len: Int): Long = {
+    val st = local.get()
+    st.md.update(bytes, off, len)
+    st.md.digest(st.buf, 0, 16) // writes in place and resets the digest
+    val digest = st.buf
     // bytes 8..15, little-endian → the value DuckDB calls md5_number_lower
     var out = 0L
     var i = 15
@@ -40,6 +52,12 @@ object Md5Lower64Impl {
       i -= 1
     }
     out
+  }
+
+  /** Called from both interpreted eval and generated code. */
+  def md5Lower64(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    md5Lower64Range(bytes, 0, bytes.length)
   }
 }
 

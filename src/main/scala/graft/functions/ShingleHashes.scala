@@ -61,7 +61,7 @@ object ShingleHashImpl {
       val off = starts(i)
       val len = ends(i + 2) - off
       out(i) =
-        if (useMd5) md5Range(bytes, off, len)
+        if (useMd5) Md5Lower64Impl.md5Lower64Range(bytes, off, len)
         else XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET + off, len, XxhSeed)
       i += 1
     }
@@ -77,24 +77,6 @@ object ShingleHashImpl {
   }
 
   private val empty = new GenericArrayData(Array.empty[Long])
-
-  private val md5: ThreadLocal[java.security.MessageDigest] =
-    new ThreadLocal[java.security.MessageDigest] {
-      override def initialValue(): java.security.MessageDigest =
-        java.security.MessageDigest.getInstance("MD5")
-    }
-
-  /** Same digest + low-64 extraction as Md5Lower64Impl, over a range. */
-  private def md5Range(bytes: Array[Byte], off: Int, len: Int): Long = {
-    val d = md5.get()
-    d.reset()
-    d.update(bytes, off, len)
-    val digest = d.digest()
-    var out = 0L
-    var i = 15
-    while (i >= 8) { out = (out << 8) | (digest(i) & 0xffL); i -= 1 }
-    out
-  }
 
   def xxh64(s: UTF8String): ArrayData = hashes(s, useMd5 = false)
   def md5Low64(s: UTF8String): ArrayData = hashes(s, useMd5 = true)

@@ -142,52 +142,52 @@ object Dedup {
   /** Everything downstream of the exploded (doc_id, h) frame: DF cap,
     * rarest-first prefix index, candidate join, merge-walk verify.
     * Expects `exploded` co-partitioned on h with explicit width (the
-    * exchange is shared by every window/agg below; explicit width so AQE
+    * exchange is shared by every agg/join below; explicit width so AQE
     * can't coalesce it below the per-core parallelism the expansion
     * needs).
     *
-    * Plan shape (round 4): document frequency is a `count over
-    * (partition by h)` WINDOW on the h-partitioned frame — one pass over
-    * the exchange the frame already ends in, where the round-3 agg +
-    * self-join form re-ran the whole shingle expansion for the
-    * frequency branch (column pruning made the two subtrees
-    * non-identical, defeating exchange reuse) and then shuffled it back.
-    * The per-doc prefix is likewise row-level: rank each (doc, h) under
-    * the global rarest-first (df, h) order with a window over ONE doc_id
-    * exchange and keep ranks ≤ the prefix bound — no (df, h) struct
-    * array, no lambda-comparator array_sort (interpreted, and round 3's
-    * single hottest stage), no re-expansion. The verify set is a plain
-    * `sort_array(collect_list(h))` grouped on the same doc_id
-    * partitioning the windows establish, so it costs no extra exchange. */
+    * Plan shape (round 5): document frequency is a streaming count-agg
+    * over the h-exchange the frame already ends in, joined back to the
+    * same exchange (both subtrees canonically identical ⇒ one shuffle,
+    * replayed — see the count($"doc_id") note in the body for why column
+    * pruning can't split them, round 3's pathology). The per-doc prefix
+    * is row-level: rank each (doc, h) under the global rarest-first
+    * (df, h) order with a window over ONE doc_id exchange and keep ranks
+    * ≤ the prefix bound — no (df, h) struct array, no lambda-comparator
+    * array_sort (interpreted, and round 3's single hottest stage), no
+    * re-expansion. The verify set is a `sort_array(collect_list(h))`
+    * groupBy on the same doc_id hash partitioning, buffering each set
+    * exactly once (round 4's full-frame window buffered it per ROW —
+    * O(Σ n_doc²) bytes on long documents). */
   private def dedupNgramJaccardOnHashes(exploded: DataFrame,
       maxDf: Long): DataFrame = {
     val spark = exploded.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    // At 100 TB both windows are bounded: h-groups by the DF cap's own
-    // post-filter semantics (the count pass streams regardless of group
-    // size), doc-groups by document length.
-    val wholeH = Window.partitionBy($"h")
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val rare = exploded
-      .withColumn("df", count(lit(1)).over(wholeH))
+    // DF cap as a streaming count-agg joined back on the SAME h-exchange
+    // the exploded frame ends in. Round 4 computed df as a `count over
+    // (partition by h)` window, which buffers the whole exploded frame in
+    // WindowExec sort runs — the allocation pattern that melted the
+    // round-4 driver bench on the sibling simhash path. The agg streams;
+    // `count($"doc_id")` (never null ⇒ ≡ count(*)) keeps doc_id
+    // referenced on the agg branch so column pruning can't de-canonicalize
+    // it against the probe side (round 3's double-expansion pathology) —
+    // both consumers replay ONE shuffle (ReusedExchange, PlanSpec-pinned).
+    // The count table is rare-shingle-sized ⇒ AQE broadcasts it locally;
+    // at cluster scale both sides are already hash(h)-partitioned.
+    val rareH = exploded.groupBy($"h").agg(count($"doc_id").as("df"))
       .filter($"df" <= maxDf)
-    // ONE window operator computes everything per-doc: the rank under the
-    // global rarest-first (df, h) order — a strict total order on
-    // distinct shingles, so every document orders its elements
-    // consistently (all the prefix principle needs) — plus the capped set
-    // size and the capped set itself (full-frame collect_list: WindowExec
-    // evaluates an unbounded frame once per doc group, not once per row).
-    // Same partition key + order ⇒ one sort, one pass; the fork below is
-    // plain filters over this operator's output, so the downstream
-    // branches share every exchange above it instead of re-running the
-    // expansion per pruned-projection subtree (round 3's cost center).
+    val rare = exploded.join(rareH, "h") // (h, doc_id, df)
+    // Rank each (doc, h) under the global rarest-first (df, h) order — a
+    // strict total order on distinct shingles, so every document orders
+    // its elements consistently (all the prefix principle needs) — plus
+    // the capped set size, in ONE window operator: same partition key +
+    // order ⇒ one sort, one pass.
     val byDoc = Window.partitionBy($"doc_id").orderBy($"df", $"h")
     val byDocFull = byDoc.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val ranked = rare
       .withColumn("r", row_number().over(byDoc))
       .withColumn("n", count(lit(1)).over(byDocFull))
-      .withColumn("hv", collect_list($"h").over(byDocFull))
     // Prefix length |x| − ⌈t·|x|⌉ + 1 in exact arithmetic for t = 0.8:
     // n − ⌊(4n+4)/5⌋ + 1 (the double division is exact for any int n —
     // both operands and every representable quotient digit fit IEEE754).
@@ -197,15 +197,27 @@ object Dedup {
     val prefix = ranked
       .filter($"r" <= $"n" - floor(($"n" * 4 + 4) / lit(5)) + 1)
       .select($"doc_id", $"h")
-    // one row per doc (r = 1) carries the whole capped set; numerically
-    // sorted (sort_array, natural long ordering — not the interpreted
-    // lambda-comparator array_sort) for the zero-alloc merge-walk verify
-    val sets = ranked.filter($"r" === 1)
-      .select($"doc_id", sort_array($"hv").as("hvs"))
+    // The verify set is a plain groupBy(doc_id) + sort_array(collect_list)
+    // — numerically sorted (natural long ordering, not the interpreted
+    // lambda-comparator array_sort) for the zero-alloc merge-walk verify.
+    // Round 4 built it as a full-frame collect_list WINDOW filtered to
+    // r = 1, which attaches a copy of the whole per-doc hash array to
+    // EVERY row of the doc's partition before the filter keeps one — a
+    // 10k-shingle document materializes ~800 MB of unsafe-row array
+    // copies. The agg buffers each set exactly once, bounded by document
+    // length, on the same doc_id hash partitioning.
+    val sets = rare.groupBy($"doc_id")
+      .agg(sort_array(collect_list($"h")).as("hvs"))
+    // Explicit-width repartition on the candidate key: the candidate set
+    // is bytes-small, so AQE coalesces it to ~1 partition, while each row
+    // fans into O(set size) merge-walk verify work below — that hazard is
+    // data-size-independent, so the verify parallelism is pinned here.
+    val width = spark.sparkContext.defaultParallelism
     val candidates = prefix.as("a").join(prefix.as("b"),
         $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .distinct()
+      .repartition(width, $"doc_a")
     // verify via ALIASED self-references of the one `sets` plan (not
     // per-side renamed projections): the two broadcast subtrees stay
     // canonically identical, so ReuseExchange ships ONE broadcast of the
@@ -348,21 +360,26 @@ object Dedup {
         explode_outer(graft.functions.ShingleMd5Low64($"text")).as("h"))
       .filter($"h".isNotNull)
       .repartition(spark.sparkContext.defaultParallelism, $"h")
-    // DF cap as a `count over (partition by h)` window on the exchange
-    // the frame already ends in — one pass, where the round-3 hot-set
-    // agg + anti-join re-ran the shingle expansion for the frequency
-    // branch (column pruning defeats exchange reuse between the two
-    // subtrees) and shuffled it a second time.
-    import org.apache.spark.sql.expressions.Window
-    val wholeH = Window.partitionBy($"h")
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // DF cap as a streaming count-agg joined back on the SAME h-exchange
+    // (round 4 used a `count over (partition by h)` window here, which
+    // buffered the whole exploded frame in WindowExec sort runs — the
+    // allocation center that melted the round-4 driver bench at 42 s of
+    // GC). `count($"doc_id")` — not count(*) — on a never-null column is
+    // deliberate: it keeps doc_id referenced on the agg branch, so column
+    // pruning can't slim that subtree below the repartition and
+    // de-canonicalize it against the join's probe side (round 3's
+    // double-expansion pathology); both branches replay ONE shuffle
+    // (ReusedExchange, pinned in PlanSpec). The count table is rare-
+    // shingle-sized, so AQE broadcasts it at bench scale; at cluster
+    // scale both sides are already hash(h)-partitioned — no new exchange.
+    val rareH = ex.groupBy($"h").agg(count($"doc_id").as("df"))
+      .filter($"df" <= MaxShingleDF)
+      .select($"h")
     // sorted IN the shared projection (not per verify-join side): the
     // bit-vote fingerprint is order-insensitive, the merge-walk verify
     // needs sorted input, and both consumers staying on the identical
     // subplan is what keeps the aggregation exchange reused
-    val cappedSets = ex
-      .withColumn("df", count(lit(1)).over(wholeH))
-      .filter($"df" <= MaxShingleDF)
+    val cappedSets = ex.join(rareH, "h")
       .groupBy($"doc_id").agg(sort_array(collect_list($"h")).as("shc"))
     val fp = cappedSets.select($"doc_id", graft.functions.SimHash64FromHashes($"shc").as("f"))
     val mask = (1L << SimHashChunkBits) - 1
@@ -395,6 +412,10 @@ object Dedup {
           expr("bit_count(a.f ^ b.f)") <= MaxPairHamming)
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .distinct()
+      // explicit-width repartition: the candidate set is bytes-small (AQE
+      // would coalesce it to ~1 partition) but each row fans into
+      // O(set size) merge-walk verify work — parallelism pinned here
+      .repartition(spark.sparkContext.defaultParallelism, $"doc_a")
     // aliased self-references keep the two verify-side broadcast
     // subtrees canonically identical → ONE shipped broadcast of the
     // doc → set relation (see dedupNgramJaccardOnHashes)
@@ -496,7 +517,16 @@ object Dedup {
     * rounds (near-dup clusters are small and dense, so a handful; the
     * standard distributed CC loop, same shape as GraphX Pregel). The
     * driver checks only a per-round "any label changed" boolean;
-    * localCheckpoint truncates the iterative lineage. */
+    * localCheckpoint truncates the iterative lineage.
+    *
+    * Each round adds a pointer-jumping step — lbl(x) ← lbl(lbl(x)), one
+    * extra equi-join on the label table — which roughly halves the
+    * distance to the component minimum per round, so convergence is
+    * O(log diameter) instead of O(diameter): a path-shaped component of
+    * any realistic size converges well inside the round cap (a 64-node
+    * path converges in ~8 rounds; DedupSpec pins it). If the cap is ever
+    * hit anyway the loop FAILS LOUDLY rather than silently emitting
+    * unconverged labels. */
   def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     dedupClustersOn(
@@ -516,18 +546,33 @@ object Dedup {
     var labels = docs.select($"doc_id", $"doc_id".as("lbl")).localCheckpoint()
     var changed = true
     var iter = 0
-    while (changed && iter < 32) {
+    val maxRounds = 32
+    while (changed && iter < maxRounds) {
       val incoming = edges.join(labels, edges("src") === labels("doc_id"))
         .select(edges("dst").as("doc_id"), labels("lbl").as("in_lbl"))
         .groupBy($"doc_id").agg(min($"in_lbl").as("in_lbl"))
-      val updated = labels.join(incoming, Seq("doc_id"), "left")
-        .select($"doc_id", $"lbl",
-          least($"lbl", coalesce($"in_lbl", $"lbl")).as("lbl2"))
+      // one propagation hop: lbl ← min(own, neighbors'); `prev` rides
+      // along so the convergence check stays a same-row comparison
+      val stepped = labels.join(incoming, Seq("doc_id"), "left")
+        .select($"doc_id", $"lbl".as("prev"),
+          least($"lbl", coalesce($"in_lbl", $"lbl")).as("lbl"))
+      // pointer jumping: lbl(x) ← lbl(lbl(x)). Labels are doc_ids with
+      // lbl(l) ≤ l (monotone min), every lbl value is itself a labeled
+      // node, and lbl(l) stays in l's component — so the inner join is
+      // total, monotone, and component-preserving, and it halves the
+      // label-chain depth each round (O(log diameter) total).
+      val target = stepped.select($"doc_id", $"lbl")
+      val jumped = stepped.as("x").join(target.as("y"), $"x.lbl" === $"y.doc_id")
+        .select($"x.doc_id".as("doc_id"), $"x.prev".as("prev"), $"y.lbl".as("lbl"))
         .localCheckpoint()
-      changed = updated.filter($"lbl2" < $"lbl").limit(1).count() > 0
-      labels = updated.select($"doc_id", $"lbl2".as("lbl"))
+      changed = jumped.filter($"lbl" < $"prev").limit(1).count() > 0
+      labels = jumped.select($"doc_id", $"lbl")
       iter += 1
     }
+    if (changed) throw new IllegalStateException(
+      s"dedupClusters: label propagation did not converge in $maxRounds rounds " +
+        "— component diameter exceeds 2^32-ish reach, which no real near-dup " +
+        "graph has; refusing to emit unconverged cluster labels")
     labels.select($"doc_id", $"lbl".as("cluster")).orderBy($"doc_id")
   }
 

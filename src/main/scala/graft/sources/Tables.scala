@@ -40,12 +40,22 @@ object Tables {
 
   /** events.parquet stores `ts` as INT64 TIMESTAMP(NANOS), which Spark's
     * parquet reader rejects. `nanosAsLong` is a session-global legacy
-    * flag (no per-read option exists); setting it here is a deliberate
-    * one-way switch — any other NANOS column read on this session will
-    * also surface as LongType. The testdata has exactly one such column. */
+    * flag (no per-read option exists), so it is set ONLY for the scope of
+    * the schema-inference call and restored after: the flag is consulted
+    * exactly when `DataFrameReader.parquet` converts the footer schema
+    * (measured — actions on the returned frame, including materializing
+    * the ts column, run fine after restore), so the scoped form keeps the
+    * frame valid without leaking a session-global behavior change to
+    * every later NANOS read on the session (TablesSpec pins both). */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    nanosToTimestamp(load(s, d, "events"))
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "true")
+    try nanosToTimestamp(load(s, d, "events"))
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

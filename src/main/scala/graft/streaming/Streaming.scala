@@ -281,5 +281,11 @@ object Streaming {
         |FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS word FROM documents) t
         |WHERE word <> ''
         |GROUP BY word ORDER BY word""".stripMargin,
+    // same SQL as the batch dedup_exact oracle: the monotone-emission
+    // design (min keep_id / max n_dups fold) makes the streaming result
+    // equal the batch result under ANY batch split of the source
+    "stream_dedup_exact" ->
+      """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin,
   )
 }

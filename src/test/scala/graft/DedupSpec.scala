@@ -84,6 +84,36 @@ class DedupSpec extends AnyFunSuite {
       5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 8L))
   }
 
+  test("cluster assignment converges on a 64-node path graph (pointer jumping)") {
+    import spark.implicits._
+    // worst-case diameter for a fixed round cap: a pure path 0-1-2-…-63.
+    // plain min-label propagation needs 63 rounds; the pointer-jumping
+    // step makes it O(log diameter), so this must converge (and the loop
+    // now fails loudly instead of silently emitting partial labels).
+    val docs = (0L to 63L).toDF("doc_id")
+    val pairs = (0L until 63L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.dedupClustersOn(docs, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.forall(_._2 == 0L), s"unconverged labels: ${got.filter(_._2 != 0L).toSeq}")
+  }
+
+  test("ngram jaccard handles a single very long document (10k+ shingles)") {
+    import spark.implicits._
+    // pins the round-5 fix: the verify set is built by groupBy +
+    // collect_list (each set buffered once), not a full-frame window that
+    // copied the whole per-doc array onto EVERY row — on a 10k-shingle
+    // doc that was ~10k × 80 KB of unsafe-row copies
+    val toks = (0 until 10002).map(i => s"tok$i")
+    val docs = Seq(
+      (1L, toks.mkString(" ")),
+      (2L, (toks.dropRight(1) :+ "changed").mkString(" ")),
+      (3L, "an unrelated little document here"),
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupNgramJaccardOn(Dedup.shingles(docs))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSet === Set((1L, 2L)))
+  }
+
   test("minhash LSH finds exactly the exact-jaccard pairs (perfect recall here)") {
     val exact = pairSet(Dedup.dedupNgramJaccard(spark, sf))
     val lsh = pairSet(Dedup.dedupMinHashLsh(spark, sf))

@@ -58,6 +58,25 @@ class SourcesSinksSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters"), plan.take(500))
   }
 
+  test("Tables.events scopes the nanosAsLong flag: restored after, frame stays live") {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    assert(spark.conf.getOption(key).forall(_ == "false"),
+      "precondition: flag not set by anything else in the suite")
+    val ev = Tables.events(spark, sf)
+    // the session-global legacy flag must NOT leak past the loader call
+    assert(spark.conf.getOption(key).forall(_ == "false"),
+      s"nanosAsLong leaked: ${spark.conf.getOption(key)}")
+    // ...and the returned frame must still materialize the rebuilt
+    // timestamp column (the flag is consulted only at schema inference,
+    // so restoring it cannot invalidate the frame — this pins that)
+    val r = ev.agg(min(col("ts")), max(col("ts")), count(lit(1))).collect()(0)
+    assert(r.getLong(2) > 0)
+    assert(r.getTimestamp(0).before(r.getTimestamp(1)))
+    // a nanos-free parquet read right after sees ordinary types
+    assert(Tables.nation(spark, sf).schema("n_nationkey").dataType ===
+      org.apache.spark.sql.types.IntegerType)
+  }
+
   test("text sink writes the formatted word-count lines distributedly") {
     import spark.implicits._
     val out = tmpDir("text")

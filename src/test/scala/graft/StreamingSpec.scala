@@ -1,5 +1,7 @@
 package graft
 
+import java.io.File
+import java.nio.file.{Files, Paths}
 import org.scalatest.funsuite.AnyFunSuite
 import graft.streaming.Streaming
 import graft.operators.WordCount
@@ -15,6 +17,49 @@ class StreamingSpec extends AnyFunSuite {
         WordCount.tokenize(graft.sources.Tables.documents(spark, sf), "text"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(streamed === batch)
+  }
+
+  test("ingestion dedup suppresses a duplicate arriving in a LATER batch") {
+    import org.apache.spark.sql.DataFrame
+    import spark.implicits._
+    // one parquet file per micro-batch (maxFilesPerTrigger = 1): the
+    // duplicate of batch-1's doc 10 arrives in batch 2 with a LOWER id,
+    // so the final fold must both keep cross-batch state (n_dups = 2 is
+    // impossible if batch 2 starts from empty state) and fold the min
+    // (keep_id = 5 only via the later emission).
+    def writeOneFile(df: DataFrame, dest: String): Unit = {
+      val tmp = Files.createTempDirectory("graft_dedup_batch_").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(part.toPath, Paths.get(dest))
+    }
+    val in = Files.createTempDirectory("graft_dedup_in_").toString
+    writeOneFile(Seq((10L, "dup text"), (11L, "only a")).toDF("doc_id", "text"),
+      s"$in/batch1.parquet")
+    writeOneFile(Seq((5L, "dup text"), (12L, "only b")).toDF("doc_id", "text"),
+      s"$in/batch2.parquet")
+    Files.setLastModifiedTime(Paths.get(s"$in/batch2.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        Files.getLastModifiedTime(Paths.get(s"$in/batch1.parquet"))
+          .toMillis + 60000)) // file source feeds oldest-first
+    val schema = spark.read.parquet(in).schema
+    val docs = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val got = Streaming.runDedupStream(docs)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    // equals the batch dedup_exact result over the union of both batches
+    val expected = spark.read.parquet(in)
+      .groupBy(org.apache.spark.sql.functions.md5($"text").as("h"))
+      .agg(org.apache.spark.sql.functions.min($"doc_id").as("keep_id"),
+        org.apache.spark.sql.functions.count($"doc_id").as("n_dups"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(got === expected)
+    val dup = got.find(_._3 == 2L)
+    assert(dup.exists(_._2 == 5L),
+      s"cross-batch fold must keep id 5 with n_dups 2, got ${got.toSeq}")
   }
 
   test("stateful user totals equal the batch aggregation") {
