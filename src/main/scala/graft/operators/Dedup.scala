@@ -345,43 +345,7 @@ object Dedup {
     * here). */
   def dedupSimHashPairs(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val docs = Tables.documents(spark, sfDir)
-    // ONE shingle expansion feeds everything: exploded rows hash to int64
-    // and shuffle on the hash key (shared with the DF-count agg), the
-    // capped per-doc hash sets come back from one groupBy, and the
-    // FINGERPRINT bit-votes those same hashes (SimHash64FromHashes).
-    // Fingerprinting the capped space makes search and verify operate on
-    // the identical feature space the oracle uses. The DF cap drops zero
-    // shingles at sf0.001/0.01/0.1 (boilerplate keys only appear beyond
-    // these corpora).
-    val ex = docs
-      .repartition(spark.sparkContext.defaultParallelism, $"doc_id")
-      .select($"doc_id",
-        explode_outer(graft.functions.ShingleMd5Low64($"text")).as("h"))
-      .filter($"h".isNotNull)
-      .repartition(spark.sparkContext.defaultParallelism, $"h")
-    // DF cap as a streaming count-agg joined back on the SAME h-exchange
-    // (round 4 used a `count over (partition by h)` window here, which
-    // buffered the whole exploded frame in WindowExec sort runs — the
-    // allocation center that melted the round-4 driver bench at 42 s of
-    // GC). `count($"doc_id")` — not count(*) — on a never-null column is
-    // deliberate: it keeps doc_id referenced on the agg branch, so column
-    // pruning can't slim that subtree below the repartition and
-    // de-canonicalize it against the join's probe side (round 3's
-    // double-expansion pathology); both branches replay ONE shuffle
-    // (ReusedExchange, pinned in PlanSpec). The count table is rare-
-    // shingle-sized, so AQE broadcasts it at bench scale; at cluster
-    // scale both sides are already hash(h)-partitioned — no new exchange.
-    val rareH = ex.groupBy($"h").agg(count($"doc_id").as("df"))
-      .filter($"df" <= MaxShingleDF)
-      .select($"h")
-    // sorted IN the shared projection (not per verify-join side): the
-    // bit-vote fingerprint is order-insensitive, the merge-walk verify
-    // needs sorted input, and both consumers staying on the identical
-    // subplan is what keeps the aggregation exchange reused
-    val cappedSets = ex.join(rareH, "h")
-      .groupBy($"doc_id").agg(sort_array(collect_list($"h")).as("shc"))
-    val fp = cappedSets.select($"doc_id", graft.functions.SimHash64FromHashes($"shc").as("f"))
+    val (cappedSets, fp) = simHashCappedBase(spark, sfDir)
     val mask = (1L << SimHashChunkBits) - 1
     def chunk(c: Int): Column =
       shiftrightunsigned($"f", c * SimHashChunkBits).bitwiseAND(lit(mask))
@@ -419,6 +383,124 @@ object Dedup {
     // aliased self-references keep the two verify-side broadcast
     // subtrees canonically identical → ONE shipped broadcast of the
     // doc → set relation (see dedupNgramJaccardOnHashes)
+    candidates.as("cd")
+      .join(cappedSets.as("sa"), $"cd.doc_a" === $"sa.doc_id")
+      .join(cappedSets.as("sb"), $"cd.doc_b" === $"sb.doc_id")
+      .select($"cd.doc_a".as("doc_a"), $"cd.doc_b".as("doc_b"),
+        graft.functions.SetJaccardSorted($"sa.shc", $"sb.shc").as("jacc"))
+      .filter($"jacc" >= JaccardThreshold)
+      .select($"doc_a", $"doc_b", round($"jacc", 3).as("jaccard"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** Shared prefix of both banded SimHash searches (≤15 and the wide
+    * ≤23 variant): ONE shingle expansion feeds everything — exploded
+    * rows hash to int64 and shuffle on the hash key (shared with the
+    * DF-count agg), the capped per-doc hash sets come back from one
+    * groupBy, and the FINGERPRINT bit-votes those same hashes
+    * (SimHash64FromHashes). Fingerprinting the capped space makes
+    * search and verify operate on the identical feature space the
+    * oracle uses. The DF cap drops zero shingles at
+    * sf0.001/0.01/0.1 (boilerplate keys only appear beyond these
+    * corpora).
+    *
+    * The DF cap is a streaming count-agg joined back on the SAME
+    * h-exchange (round 4 used a `count over (partition by h)` window
+    * here, which buffered the whole exploded frame in WindowExec sort
+    * runs — the allocation center that melted the round-4 driver bench
+    * at 42 s of GC). `count($"doc_id")` — not count(*) — on a
+    * never-null column is deliberate: it keeps doc_id referenced on
+    * the agg branch, so column pruning can't slim that subtree below
+    * the repartition and de-canonicalize it against the join's probe
+    * side (round 3's double-expansion pathology); both branches replay
+    * ONE shuffle (ReusedExchange). The count table is rare-shingle-
+    * sized, so AQE broadcasts it at bench scale; at cluster scale both
+    * sides are already hash(h)-partitioned — no new exchange.
+    *
+    * Returns (cappedSets = (doc_id, shc sorted hash array),
+    * fp = (doc_id, f 64-bit fingerprint)). `shc` is sorted IN the
+    * shared projection (not per verify-join side): the bit-vote
+    * fingerprint is order-insensitive, the merge-walk verify needs
+    * sorted input, and both consumers staying on the identical subplan
+    * is what keeps the aggregation exchange reused. */
+  private def simHashCappedBase(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val ex = docs
+      .repartition(spark.sparkContext.defaultParallelism, $"doc_id")
+      .select($"doc_id",
+        explode_outer(graft.functions.ShingleMd5Low64($"text")).as("h"))
+      .filter($"h".isNotNull)
+      .repartition(spark.sparkContext.defaultParallelism, $"h")
+    val rareH = ex.groupBy($"h").agg(count($"doc_id").as("df"))
+      .filter($"df" <= MaxShingleDF)
+      .select($"h")
+    val cappedSets = ex.join(rareH, "h")
+      .groupBy($"doc_id").agg(sort_array(collect_list($"h")).as("shc"))
+    val fp = cappedSets.select($"doc_id", graft.functions.SimHash64FromHashes($"shc").as("f"))
+    (cappedSets, fp)
+  }
+
+  /** The wide variant's fingerprint-distance cut. 23 = (2+1)·
+    * SimHashChunks − 1: by pigeonhole, any pair at Hamming ≤ 23 has
+    * some aligned 8-bit chunk differing in ≤ ⌊23/8⌋ = 2 bits, so a
+    * radius-2 probe ball on the same chunking the narrow search uses
+    * captures it DETERMINISTICALLY — no recall assumption, same as the
+    * narrow guarantee, one radius wider. (A second rotated chunking
+    * with radius-1 balls does NOT give this guarantee: DedupSpec's
+    * property test found random 20-bit patterns that are ≥2-per-chunk
+    * balanced in two decompositions at once.) */
+  final val MaxPairHammingWide = 23
+
+  /** Radius-2 probe ball size per chunk: the value itself, 8 one-bit
+    * flips, C(8,2)=28 two-bit flips. */
+  final val WideProbeBallSize = 37
+
+  /** SimHash near-dup search with the Hamming window widened to
+    * [[MaxPairHammingWide]] via a radius-2 multi-probe ball over the
+    * same aligned 8×8-bit chunking as [[dedupSimHashPairs]] (8 index
+    * keys / 8×37 = 296 probe keys per doc — the probe expansion never
+    * crosses a shuffle). Same verify (exact capped-Jaccard merge-walk)
+    * and same output contract; the only semantic difference is the
+    * wider fingerprint cut, mirrored exactly in the DuckDB oracle.
+    * Exists so the deterministic-capture guarantee survives a corpus
+    * whose planted near-dup pairs land farther apart in fingerprint
+    * space than the current ≤12. */
+  def dedupSimHashPairsWide(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val (cappedSets, fp) = simHashCappedBase(spark, sfDir)
+    val mask = (1L << SimHashChunkBits) - 1
+    def chunk(c: Int): Column =
+      shiftrightunsigned($"f", c * SimHashChunkBits).bitwiseAND(lit(mask))
+    // all chunk-value perturbations of Hamming weight ≤ 2
+    val flips: Seq[Long] = 0L +:
+      (0 until SimHashChunkBits).map(1L << _) ++:
+      (for (i <- 0 until SimHashChunkBits; j <- i + 1 until SimHashChunkBits)
+        yield (1L << i) | (1L << j))
+    require(flips.size == WideProbeBallSize)
+    // index side: the 8 exact chunk values; probe side: each chunk's
+    // radius-2 Hamming ball. Keys are (chunk, value) structs; the join
+    // is a struct-equality hash join, n/256 fan-in per key as in the
+    // narrow search.
+    val indexKeys = (0 until SimHashChunks).map { c =>
+      struct(lit(c).as("c"), chunk(c).as("v"))
+    }
+    val probeKeys = for (c <- 0 until SimHashChunks; flip <- flips)
+      yield struct(lit(c).as("c"), chunk(c).bitwiseXOR(lit(flip)).as("v"))
+    val index = fp.select($"doc_id", $"f", explode(array(indexKeys: _*)).as("k"))
+    val probe = fp.select($"doc_id", $"f", explode(array(probeKeys: _*)).as("k"))
+    // exact-Hamming cut INSIDE the join (long XOR + popcount), so the
+    // distinct dedupes only surviving pairs, not every chunk collision;
+    // the probe ball is symmetric, so the a.doc_id < b.doc_id
+    // orientation sees every qualifying pair
+    val candidates = probe.as("a").join(index.as("b"),
+        $"a.k" === $"b.k" && $"a.doc_id" < $"b.doc_id" &&
+          expr("bit_count(a.f ^ b.f)") <= MaxPairHammingWide)
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .distinct()
+      // explicit width: bytes-small candidate set, O(set size) verify
+      // fan-out per row — same hazard note as dedupSimHashPairs
+      .repartition(spark.sparkContext.defaultParallelism, $"doc_a")
     candidates.as("cd")
       .join(cappedSets.as("sa"), $"cd.doc_a" === $"sa.doc_id")
       .join(cappedSets.as("sb"), $"cd.doc_b" === $"sb.doc_id")
@@ -584,6 +666,7 @@ object Dedup {
     "dedup_kept" -> dedupKept,
     "dedup_simhash" -> dedupSimHash,
     "dedup_simhash_pairs" -> dedupSimHashPairs,
+    "dedup_simhash_pairs_wide" -> dedupSimHashPairsWide,
     "dedup_embed_cosine" -> dedupEmbedCosine,
     "dedup_embed_cosine_blocked" -> dedupEmbedCosineBlocked,
     "dedup_clusters" -> dedupClusters,
@@ -649,12 +732,14 @@ object Dedup {
   private def toSignedBigint(col: String): String =
     s"(CASE WHEN $col >= 9223372036854775808::UBIGINT THEN $col::HUGEINT - 18446744073709551616::HUGEINT ELSE $col::HUGEINT END)::BIGINT"
 
-  /** Oracle for [[dedupSimHashPairs]]: the exact output predicate —
-    * capped-Jaccard ≥ threshold AND fingerprint Hamming ≤ MaxPairHamming
-    * — brute-forced over all co-shingled pairs, on fingerprints rebuilt
-    * from md5_number_lower features (≡ Md5Lower64). Deterministic: no
-    * recall assumption anywhere in the gate. */
-  private val simhashPairsSql =
+  /** Oracle for [[dedupSimHashPairs]] / [[dedupSimHashPairsWide]]: the
+    * exact output predicate — capped-Jaccard ≥ threshold AND
+    * fingerprint Hamming ≤ `maxHamming` — brute-forced over all
+    * co-shingled pairs, on fingerprints rebuilt from md5_number_lower
+    * features (≡ Md5Lower64). Deterministic: no recall assumption
+    * anywhere in the gate — if the banded search misses a qualifying
+    * pair the hash check fails. */
+  private def simhashPairsSqlAt(maxHamming: Int) =
     s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
       |sh AS (
       |  SELECT doc_id, unnest(list_distinct(
@@ -678,7 +763,7 @@ object Dedup {
       |JOIN fp fa ON ai = fa.doc_id
       |JOIN fp fb ON bi = fb.doc_id
       |WHERE c::DOUBLE / (na.n + nb.n - c) >= 0.8
-      |  AND bit_count(xor(fa.f, fb.f)) <= $MaxPairHamming
+      |  AND bit_count(xor(fa.f, fb.f)) <= $maxHamming
       |ORDER BY doc_a, doc_b""".stripMargin
 
   /** The engine's sign-bit band cells, mirrored bit-for-bit in SQL
@@ -704,7 +789,8 @@ object Dedup {
         |GROUP BY md5(array_to_string(list_sort(string_split(text, ' ')), ' '))
         |ORDER BY h""".stripMargin,
     "dedup_ngram_jaccard" -> cappedJaccardSql,
-    "dedup_simhash_pairs" -> simhashPairsSql,
+    "dedup_simhash_pairs" -> simhashPairsSqlAt(MaxPairHamming),
+    "dedup_simhash_pairs_wide" -> simhashPairsSqlAt(MaxPairHammingWide),
     "dedup_simhash" ->
       s"""WITH tok AS (
         |  SELECT doc_id, md5_number_lower(t) h

@@ -60,6 +60,71 @@ object Multimodal {
     hist
   }
 
+  final val PngW = 16
+  final val PngH = 12
+
+  /** Deterministic REAL image payload: a PngW×PngH 8-bit grayscale
+    * image whose pixel (x, y) is byte (y·W + x) mod len of the UTF-8
+    * text (0 for empty docs), encoded as an actual PNG container by
+    * javax.imageio — signature, IHDR, zlib-deflated IDAT, the works.
+    * Pure JVM, no native codec needed. */
+  private[graft] def encodePng(text: Array[Byte]): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      PngW, PngH, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < PngH) {
+      var x = 0
+      while (x < PngW) {
+        val v = if (text.length == 0) 0 else text((y * PngW + x) % text.length) & 0xff
+        raster.setSample(x, y, 0, v)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** REAL decode: parse the PNG container (ImageIO: signature check,
+    * IHDR, zlib inflate, per-scanline defilter), then reduce the pixel
+    * raster to (width, height, 16-bucket luminance range-histogram,
+    * length-normalized). Single-band (grayscale) images read RAW raster
+    * samples — getRGB would push them through the linear-gray → sRGB
+    * color transform and distort the values (caught by the
+    * differential spec); multi-band payloads take Rec.601 integer
+    * luminance over getRGB. A payload the codec rejects fails loudly
+    * (production would route it to a quarantine sink instead). */
+  private[graft] def decodePngHistogram(png: Array[Byte]): (Int, Int, Array[Float]) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    require(img != null, "payload is not a decodable image")
+    val w = img.getWidth
+    val h = img.getHeight
+    val gray = img.getRaster.getNumBands == 1
+    val hist = new Array[Float](FeatureDim)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val lum =
+          if (gray) img.getRaster.getSample(x, y, 0)
+          else {
+            val rgb = img.getRGB(x, y)
+            (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+              (rgb & 0xff) * 114) / 1000
+          }
+        hist(lum * FeatureDim / 256) += 1f
+        x += 1
+      }
+      y += 1
+    }
+    val n = (w * h).toFloat
+    var b = 0
+    while (b < FeatureDim) { hist(b) /= n; b += 1 }
+    (w, h, hist)
+  }
+
   private val featureSchema = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("media_type", StringType, nullable = true),
@@ -133,10 +198,45 @@ object Multimodal {
   def mmFrames(spark: SparkSession, sfDir: String): DataFrame =
     mediaFrameSample(spark, sfDir)
 
+  private val realFeatureSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("f0", DoubleType, nullable = false),
+    StructField("feature_sum", DoubleType, nullable = false)))
+
+  /** The REAL end of the decode contract [[decodeStub]] stubs: each doc
+    * becomes a genuine PNG binary payload and the feature extractor
+    * runs an actual codec over it (ImageIO container parse + inflate +
+    * defilter) before histogramming the raster — the full
+    * encode-at-rest → decode-in-pipeline shape a multimodal training
+    * pipeline has, in the same batched mapPartitions form (per-
+    * partition init point, rows streamed, no shuffle). Not
+    * SQL-expressible, so rows-only in the driver gate; the
+    * encode→decode→histogram algebra is pinned by MultimodalSpec's
+    * differential test against directly-computed pixels instead. */
+  def mmFeaturesReal(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val out = docs.rdd.mapPartitions { rows =>
+      // per-partition init: ImageIO plugin scan happens once per JVM;
+      // a heavyweight codec would allocate its handles here
+      rows.map { r =>
+        val png = encodePng(r.getString(1).getBytes("UTF-8"))
+        val (w, h, hist) = decodePngHistogram(png)
+        var sum = 0.0
+        var b = 0
+        while (b < FeatureDim) { sum += hist(b); b += 1 }
+        Row(r.getLong(0), w, h, hist(0).toDouble, sum)
+      }
+    }
+    spark.createDataFrame(out, realFeatureSchema).orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_manifest" -> mmManifest,
     "mm_features" -> mmFeatures,
     "mm_frames" -> mmFrames,
+    "mm_features_real" -> mmFeaturesReal,
   )
 
   val oracles: Map[String, String] = Map(

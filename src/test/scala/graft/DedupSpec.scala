@@ -155,6 +155,60 @@ class DedupSpec extends AnyFunSuite {
     assert(banded === exact)
   }
 
+  test("wide simhash search (hamming<=23) finds the same pairs on this corpus") {
+    // true near-dup pairs measure hamming <= 12 here, so widening the
+    // cut must change nothing — and the wide dual-chunking band join
+    // must still capture every pair the narrow one does
+    val narrow = pairSet(Dedup.dedupSimHashPairs(spark, sf))
+    val wide = pairSet(Dedup.dedupSimHashPairsWide(spark, sf))
+    assert(narrow.nonEmpty)
+    assert(wide === narrow)
+  }
+
+  test("radius-2 probe capture is deterministic for hamming <= 23 (pigeonhole)") {
+    // JVM mirror of the band keys in dedupSimHashPairs(Wide): capture
+    // iff some aligned 8-bit chunk differs in <= r bits (radius-r probe
+    // ball meeting the exact index key)
+    def chunkDiff(d: Long, c: Int): Int =
+      Integer.bitCount(((d >>> (c * 8)) & 0xffL).toInt)
+    def captured(d: Long, radius: Int): Boolean =
+      (0 until 8).exists(c => chunkDiff(d, c) <= radius)
+    def diffOf(bits: Seq[Int]): Long = bits.foldLeft(0L)((a, b) => a | (1L << b))
+
+    var seed = 0x5deece66dL
+    def nextInt(bound: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      ((seed >>> 33) % bound).toInt
+    }
+    def randomDiff(dist: Int): Long = {
+      val positions = scala.collection.mutable.LinkedHashSet.empty[Int]
+      while (positions.size < dist) positions += nextInt(64)
+      diffOf(positions.toSeq)
+    }
+
+    // the narrow guarantee: radius-1 captures every pattern <= 15
+    for (dist <- 1 to 15; trial <- 0 until 200)
+      assert(captured(randomDiff(dist), 1), s"radius-1 broken at d=$dist/$trial")
+
+    // the wide guarantee: radius-2 captures every pattern <= 23 —
+    // including the >= 2-per-chunk balanced patterns that defeat
+    // radius-1, and the doubly-balanced d=20 pattern that defeated a
+    // prototype dual-chunking radius-1 design (a real miss this spec
+    // found: balanced in the aligned AND a bit-strided decomposition)
+    for (dist <- 16 to 23; trial <- 0 until 200)
+      assert(captured(randomDiff(dist), 2), s"radius-2 broken at d=$dist/$trial")
+    val balanced16 = diffOf((0 until 8).flatMap(k => Seq(8 * k, 8 * k + 1)))
+    assert(!captured(balanced16, 1) && captured(balanced16, 2))
+    val doublyBalanced20 = 0x88c0610c07540a32L
+    assert(java.lang.Long.bitCount(doublyBalanced20) === 20)
+    assert(!captured(doublyBalanced20, 1) && captured(doublyBalanced20, 2))
+
+    // tightness: 3-per-chunk (d=24) escapes radius 2, so 23 is the
+    // exact deterministic bound the wide cut is set to
+    val balanced24 = diffOf((0 until 8).flatMap(k => Seq(8 * k, 8 * k + 1, 8 * k + 2)))
+    assert(!captured(balanced24, 2))
+  }
+
   test("max-DF cap keeps a planted hot shingle out of the pair join") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -42,6 +42,45 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("real PNG decode: encode→decode→histogram matches directly-computed pixels") {
+    // differential oracle for the REAL codec path: the decoded raster
+    // must reproduce the source pixels exactly (PNG is lossless), so
+    // the histogram equals one computed straight from the pixel rule —
+    // proving ImageIO actually parsed the container rather than
+    // hashing raw bytes
+    for (text <- Seq("hello world, this is a pixel source",
+        "a", "", "x" * 500, (0 until 200).map(i => (i % 96 + 32).toChar).mkString)) {
+      val bytes = text.getBytes("UTF-8")
+      val png = Multimodal.encodePng(bytes)
+      // a real PNG container: 8-byte signature
+      assert(png.take(8).toSeq === Seq(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+        .map(_.toByte))
+      val (w, h, hist) = Multimodal.decodePngHistogram(png)
+      assert(w === Multimodal.PngW && h === Multimodal.PngH)
+      val expected = new Array[Float](Multimodal.FeatureDim)
+      for (i <- 0 until Multimodal.PngW * Multimodal.PngH) {
+        val v = if (bytes.isEmpty) 0 else bytes(i % bytes.length) & 0xff
+        expected(v * Multimodal.FeatureDim / 256) += 1f
+      }
+      val n = (Multimodal.PngW * Multimodal.PngH).toFloat
+      assert(hist.toSeq === expected.map(_ / n).toSeq, s"text=${text.take(20)}")
+    }
+    // a payload the codec rejects fails loudly
+    intercept[IllegalArgumentException] {
+      Multimodal.decodePngHistogram("not a png".getBytes)
+    }
+  }
+
+  test("mm_features_real decodes every document with the contracted shape") {
+    val rows = Multimodal.mmFeaturesReal(spark, sf).collect()
+    assert(rows.length === graft.sources.Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      assert(r.getAs[Int]("width") === Multimodal.PngW)
+      assert(r.getAs[Int]("height") === Multimodal.PngH)
+      assert(math.abs(r.getAs[Double]("feature_sum") - 1.0) < 1e-4)
+    }
+  }
+
   test("frame sampling covers every 4th frame with full frames except the tail") {
     val rows = Multimodal.mediaFrameSample(spark, sf).collect()
     assert(rows.nonEmpty)
