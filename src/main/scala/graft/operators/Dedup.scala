@@ -111,7 +111,18 @@ object Dedup {
     // strings, no array_distinct (differential-pinned ≡ the string
     // composition in DedupSpec). The spec path through string shingles
     // (dedupNgramJaccardOn) shares everything from the exploded frame on.
+    // The explicit isnotnull(doc_id) is EXCHANGE-REUSE PLUMBING, not a
+    // semantic filter (doc_id is never null): downstream, the candidate
+    // and verify joins make the optimizer INFER isnotnull(doc_id) and
+    // push it below the scan on their branches, while the DF-count
+    // branch (groupBy(h) — doc_id appears only inside count) infers
+    // nothing — leaving the two copies of this subtree canonically
+    // different, so the scan AND both exchanges ran twice (measured:
+    // stages 1/2 and 4/6 with identical shuffle writes). Making the
+    // predicate explicit puts the same Filter on every branch and the
+    // whole expansion collapses back to one ReusedExchange.
     val exploded = Tables.documents(spark, sfDir)
+      .filter($"doc_id".isNotNull)
       .repartition(width, $"doc_id")
       .select($"doc_id", explode_outer(graft.functions.ShingleXxh64($"text")).as("h"))
       .filter($"h".isNotNull)
@@ -132,7 +143,8 @@ object Dedup {
     // Generate and pushes it below the projection, re-evaluating the
     // whole shingle transform per row; the outer variant generates no
     // guard and the null row is dropped on the exploded value instead.
-    val exploded = sh.select($"doc_id", explode_outer($"sh").as("s"))
+    val exploded = sh.filter($"doc_id".isNotNull) // reuse plumbing, see dedupNgramJaccard
+      .select($"doc_id", explode_outer($"sh").as("s"))
       .filter($"s".isNotNull)
       .select($"doc_id", xxhash64($"s").as("h"))
       .repartition(width, $"h")
@@ -426,7 +438,12 @@ object Dedup {
   private def simHashCappedBase(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir)
+    // explicit isnotnull(doc_id): exchange-reuse plumbing, not a
+    // semantic filter — the pair/verify joins infer it on their
+    // branches while the DF-count branch doesn't, de-canonicalizing
+    // the shared subtree (see dedupNgramJaccard for the measurement)
     val ex = docs
+      .filter($"doc_id".isNotNull)
       .repartition(spark.sparkContext.defaultParallelism, $"doc_id")
       .select($"doc_id",
         explode_outer(graft.functions.ShingleMd5Low64($"text")).as("h"))

@@ -62,6 +62,26 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ReusedExchange"), p.take(1200))
   }
 
+  test("simhash pairs: ONE documents scan — DF-cap agg and pair branches reuse the expansion") {
+    // the regression this pins: the candidate/verify joins INFER
+    // isnotnull(doc_id) on their branches while the groupBy(h) DF-count
+    // branch doesn't, de-canonicalizing the shared expansion subtree —
+    // scan and both exchanges silently run twice (measured at sf0.1:
+    // stages 1/2 and 4/6 with identical shuffle writes). Guarded by the
+    // explicit isnotnull(doc_id) in simHashCappedBase.
+    val p = finalPlan(Dedup.dedupSimHashPairs(spark, sf))
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected 1 documents scan in the final plan, got $scans\n${p.take(1200)}")
+    assert(p.contains("ReusedExchange"), p.take(1200))
+  }
+
+  test("ngram jaccard: ONE documents scan — same reuse guard as simhash") {
+    val p = finalPlan(Dedup.dedupNgramJaccard(spark, sf))
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected 1 documents scan in the final plan, got $scans\n${p.take(1200)}")
+    assert(p.contains("ReusedExchange"), p.take(1200))
+  }
+
   test("winnow fingerprint: pure map + explode, single (range) exchange") {
     val p = finalPlan(TextAnalysis.textFingerprintWinnow(spark, sf))
     val exchanges = "Exchange".r.findAllIn(p).size
