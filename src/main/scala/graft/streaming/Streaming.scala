@@ -233,6 +233,74 @@ object Streaming {
       .agg(min($"keep_id").as("keep_id"), max($"n_dups").as("n_dups"))
   }
 
+  /** [[runDedupStream]] with BOUNDED state — the shape an UNBOUNDED
+    * ingestion stream actually runs, where "remember every hash
+    * forever" is not an option. Each content-hash group keeps
+    * (min doc_id, count) and arms an EVENT-TIME timeout `ttl` past its
+    * newest arrival; when the source watermark passes that mark the
+    * state is dropped (the timeout invocation emits nothing — the
+    * group's rows were already emitted). State is O(hashes active in
+    * the last `ttl` of event time), not O(history).
+    *
+    * Accuracy contract: duplicates whose arrivals land within `ttl` of
+    * each other — the overwhelmingly common case (re-crawls, retry
+    * storms, mirrored uploads are temporally clustered) — dedup exactly
+    * as in the unbounded form. A key recurring AFTER eviction starts a
+    * fresh epoch: keep_id stays exact (min over epochs, monotone under
+    * the final fold), n_dups degrades to the max per-epoch count — the
+    * documented trade for bounded state. EVENT-time (not
+    * processing-time) timeout keeps eviction deterministic: it advances
+    * with the data's own watermark, which is why StreamingSpec can
+    * drive eviction precisely with three file batches. Watermark delay
+    * = `ttl` also guarantees the Spark timeout-validity invariant
+    * (any non-late row has ts ≥ watermark ⇒ ts + ttl > watermark). */
+  private[graft] def runDedupStreamTTL(docs: DataFrame, ttl: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val ds = docs.select(md5($"text").as("h"), $"doc_id", $"ts")
+      .withWatermark("ts", ttl)
+      .as[(String, Long, java.sql.Timestamp)]
+    val updated = ds.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), (String, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) { (h, rows, state) =>
+          if (state.hasTimedOut) {
+            state.remove() // watermark passed last arrival + ttl: evict
+            Iterator.empty
+          } else {
+            var (minId, n) = state.getOption.getOrElse((Long.MaxValue, 0L))
+            var maxTs = Long.MinValue
+            rows.foreach { r =>
+              if (r._2 < minId) minId = r._2
+              n += 1
+              val t = r._3.getTime
+              if (t > maxTs) maxTs = t
+            }
+            state.update((minId, n))
+            state.setTimeoutTimestamp(maxTs, ttl)
+            Iterator((h, minId, n))
+          }
+        }
+      .toDF("h", "keep_id", "n_dups")
+    runToMemory(updated, "append")
+      .groupBy($"h")
+      .agg(min($"keep_id").as("keep_id"), max($"n_dups").as("n_dups"))
+  }
+
+  /** [[streamDedupExact]] through the bounded-state TTL path. The
+    * driver feed is one parquet file = one micro-batch with all ts
+    * inside the TTL window, so no eviction fires and the result equals
+    * batch `dedup_exact` exactly (same oracle); the eviction behavior
+    * itself is pinned by StreamingSpec's three-batch test. */
+  def streamDedupExactTTL(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val docs = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+      .withColumn("ts", timestamp_seconds(lit(1700000000L) + pmod($"doc_id", lit(3600))))
+    runDedupStreamTTL(docs, "1 hour").orderBy($"h")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_events_hourly" -> streamEventsHourly,
     "stream_wc_counts" -> streamWordCounts,
@@ -241,6 +309,7 @@ object Streaming {
     "stream_wc_file_sink" -> streamWcFileSink,
     "stream_click_purchase" -> streamClickPurchase,
     "stream_dedup_exact" -> streamDedupExact,
+    "stream_dedup_ttl" -> streamDedupExactTTL,
   )
 
   /** Streaming results are checked against the same SQL as their batch
@@ -285,6 +354,11 @@ object Streaming {
     // design (min keep_id / max n_dups fold) makes the streaming result
     // equal the batch result under ANY batch split of the source
     "stream_dedup_exact" ->
+      """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin,
+    // single-batch feed, all ts within the TTL window ⇒ no eviction ⇒
+    // identical to the batch result (eviction pinned in StreamingSpec)
+    "stream_dedup_ttl" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin,
   )

@@ -62,6 +62,54 @@ class StreamingSpec extends AnyFunSuite {
       s"cross-batch fold must keep id 5 with n_dups 2, got ${got.toSeq}")
   }
 
+  test("TTL dedup: in-window duplicates fold, watermark-evicted keys restart an epoch") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions.{expr => fexpr}
+    import spark.implicits._
+    def writeOneFile(df: DataFrame, dest: String, mtime: Long): Unit = {
+      val tmp = Files.createTempDirectory("graft_ttl_batch_").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(part.toPath, Paths.get(dest))
+      Files.setLastModifiedTime(Paths.get(dest),
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    val in = Files.createTempDirectory("graft_ttl_in_").toString
+    val t0 = 1700000000L // event-time origin, seconds
+    def docs(rows: Seq[(Long, String, Long)]): DataFrame =
+      rows.toDF("doc_id", "text", "sec")
+        .select($"doc_id", $"text", fexpr("timestamp_seconds(sec)").as("ts"))
+    val base = System.currentTimeMillis()
+    // batch 1: a dup pair inside the 60s TTL window + a singleton
+    writeOneFile(docs(Seq((10L, "dup text", t0), (11L, "only a", t0 + 5),
+      (12L, "dup text", t0 + 10))), s"$in/b1.parquet", base)
+    // batch 2: far-future singleton — advances the watermark to
+    // (t0+10000) - 60s, far past batch-1's timeouts (t0+10+60)
+    writeOneFile(docs(Seq((20L, "only b", t0 + 10000))), s"$in/b2.parquet", base + 60000)
+    // batch 3: another singleton, NOT touching "dup text" — the batch in
+    // which dup/only-a's event-time timeouts fire (a group with data in
+    // the same batch would be processed with its old state instead of
+    // timing out, so the eviction needs a batch where the key is absent)
+    writeOneFile(docs(Seq((25L, "only c", t0 + 10010))), s"$in/b3.parquet", base + 120000)
+    // batch 4: "dup text" AGAIN, after eviction, with a higher doc_id
+    writeOneFile(docs(Seq((30L, "dup text", t0 + 10020))), s"$in/b4.parquet", base + 180000)
+    val schema = spark.read.parquet(in).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val got = Streaming.runDedupStreamTTL(stream, "60 seconds")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    val dupHash = got.filter(t => t._2 == 10L && t._3 == 2L)
+    // keep_id 10 + n_dups == 2 (not 3) proves both halves: the
+    // in-window fold (10,12) ran with shared state, and doc 30 arrived
+    // AFTER eviction into a fresh epoch — with unbounded state the
+    // count would be 3
+    assert(dupHash.size == 1, s"expected evicted-epoch (10, 2), got $got")
+    assert(got.map(_._2).toSet === Set(10L, 11L, 20L, 25L),
+      s"keep_ids must be first-epoch minima, got $got")
+  }
+
   test("stateful user totals equal the batch aggregation") {
     import org.apache.spark.sql.functions._
     val streamed = Streaming.streamUserTotals(spark, sf).collect()
