@@ -338,6 +338,25 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  /** [[q26Percentiles]]' 100 TB form: `percentile_approx` (Greenwald–
+    * Khanna-style mergeable sketch) — one pass, bounded memory per
+    * group, partial-aggregates before the exchange, where the exact
+    * `percentile` buffers every value per group. accuracy=10000 bounds
+    * rank error at n/10000. No SQL oracle (DuckDB has no sketch twin —
+    * same reasoning as `wc_approx_distinct`); RelationalSpec pins the
+    * approx values to the exact ones within the rank-error bound. */
+  def q26PercentilesApprox(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .groupBy($"l_returnflag")
+      .agg(
+        expr("percentile_approx(l_extendedprice, 0.5, 10000)").as("p50"),
+        expr("percentile_approx(l_extendedprice, 0.9, 10000)").as("p90"),
+        expr("percentile_approx(l_extendedprice, 0.99, 10000)").as("p99"),
+        count(lit(1)).as("n"))
+      .orderBy($"l_returnflag")
+  }
+
   /** Histogram binning: fixed-width value buckets with counts — the
     * standard distribution profile, group key computed by the engine. */
   def q27Histogram(spark: SparkSession, sfDir: String): DataFrame = {
@@ -366,6 +385,7 @@ object Relational {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_stats" -> q28Stats,
     "q26_percentiles" -> q26Percentiles,
+    "q26_percentiles_approx" -> q26PercentilesApprox,
     "q27_histogram" -> q27Histogram,
     "q24_json" -> q24Json,
     "q20_cube" -> q20Cube,
