@@ -1,0 +1,51 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Dev audit (not part of the driver contract): executes every batch
+  * query in [[graft.SparkEntry.queries]] at sf0.001 and reports how
+  * many times each parquet table is scanned in the FINAL (post-AQE)
+  * plan. A table appearing more than once is either a legitimate
+  * multi-use (self-join without a shared exchange-reusable subtree) or
+  * the constraint-inference/column-pruning de-canonicalization bug that
+  * silently doubles scan+shuffle work (round 3 and round 5 both shipped
+  * one) — every >1 entry should have a known justification.
+  *
+  *   sbt "runMain graft.tools.ScanAudit"            # all batch queries
+  *   sbt "runMain graft.tools.ScanAudit dedup_"     # name filter
+  */
+object ScanAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .appName("graft-scan-audit")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val filter = args.headOption.getOrElse("")
+    val skip = Set( // streaming queries drive their own sinks
+      "stream_events_hourly", "stream_wc_counts", "stream_user_totals",
+      "stream_active_users", "stream_wc_file_sink", "stream_click_purchase",
+      "stream_dedup_exact", "stream_dedup_ttl")
+    for ((name, fn) <- graft.SparkEntry.queries.toSeq.sortBy(_._1)
+         if name.contains(filter) && !skip(name)) {
+      val df = fn(spark, sfDir)
+      df.collect()
+      val finalPlan = df.queryExecution.executedPlan.toString
+      val cut = finalPlan.indexOf("Initial Plan")
+      val p = if (cut >= 0) finalPlan.substring(0, cut) else finalPlan
+      val perTable = raw"FileScan parquet[^\[]*\[file:([^\]]*?)([a-z_]+)\.parquet\]".r
+        .findAllMatchIn(p).map(_.group(2)).toSeq
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val flagged = perTable.filter(_._2 > 1)
+      val mark = if (flagged.nonEmpty) "MULTI" else "ok"
+      println(f"[$mark%-5s] $name%-28s " + perTable.toSeq.sorted
+        .map { case (t, n) => s"$t=$n" }.mkString(" "))
+    }
+    spark.stop()
+  }
+}
