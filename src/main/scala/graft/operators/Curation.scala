@@ -125,11 +125,49 @@ object Curation {
     spark.createDataFrame(rdd, schema).orderBy($"pos")
   }
 
+  /** Quality gate for [[pipelineCurate]]: keeps scores ≥ the corpus
+    * median (max observed is ~0.72, so a "high" cut would be vacuous). */
+  final val QualityCut = 0.55
+
+  /** The composed END-TO-END curation pipeline — the library's whole
+    * point as ONE dataflow: near-dup removal (n-gram-Jaccard pairs →
+    * drop the doc_b side, `dedup_kept`'s logic) → quality gate
+    * (score ≥ [[QualityCut]], the same rounded column `text_quality`
+    * emits) → overlapping token chunking (same stride arithmetic as
+    * `cur_text_chunks`) → per-language corpus summary. Every stage is
+    * an independently oracle-checked operator; the COMPOSITION is
+    * hash-checked against the CTE composition of the same stages' SQL.
+    *
+    * Scale shape: the drop list is pair-output-sized (bytes), so the
+    * anti-join broadcasts; quality + chunk counting are per-row map
+    * work on the surviving docs; the only new exchange is the final
+    * per-language aggregate. Everything upstream reuses the pair
+    * search's bucketed plan unchanged. */
+  def pipelineCurate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val drop = Dedup.dedupNgramJaccard(spark, sfDir)
+      .select($"doc_b".as("doc_id")).distinct()
+    val kept = docs.join(drop, Seq("doc_id"), "left_anti")
+    val good = kept.filter(TextAnalysis.qualityScore($"text") >= QualityCut)
+    good
+      .select($"lang", size(split($"text", " ")).cast("long").as("n_tokens"))
+      .select($"lang", $"n_tokens",
+        // chunk count = |starts 0, stride, … < n| = ceil(n / stride)
+        ceil($"n_tokens".cast("double") / ChunkStride).cast("long").as("n_chunks"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chunks").as("n_chunks"),
+        sum($"n_tokens").as("n_tokens"))
+      .orderBy($"lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cur_text_chunks" -> textChunks,
     "cur_split_assign" -> splitAssign,
     "cur_pack_bins" -> packBins,
     "cur_shuffle_order" -> shuffleOrder,
+    "cur_pipeline" -> pipelineCurate,
   )
 
   val oracles: Map[String, String] = Map(
@@ -151,6 +189,24 @@ object Curation {
       """SELECT CASE WHEN (doc_id * 2654435761) % 10 < 9 THEN 'train' ELSE 'val' END AS split,
         |  lang, count(*) AS n_docs
         |FROM documents GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
+    // the COMPOSITION of three independently-checked stages: near-dup
+    // pair SQL (Dedup.cappedJaccardSql), the quality expression
+    // (TextAnalysis.qualitySqlExpr), and the chunk-count arithmetic —
+    // spliced from the same constants the engine uses, so no drift
+    "cur_pipeline" ->
+      s"""WITH pairs AS (${Dedup.cappedJaccardSql}),
+         |kept AS (
+         |  SELECT doc_id, lang, text FROM documents
+         |  WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
+         |),
+         |good AS (
+         |  SELECT lang, len(string_split(text, ' ')) AS n_tokens FROM kept
+         |  WHERE ${TextAnalysis.qualitySqlExpr} >= $QualityCut
+         |)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(ceil(n_tokens::DOUBLE / $ChunkStride)) AS BIGINT) AS n_chunks,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+         |FROM good GROUP BY lang ORDER BY lang""".stripMargin,
     "cur_pack_bins" ->
       s"""WITH toks AS (
          |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents

@@ -712,7 +712,7 @@ object Dedup {
 
   /** exactJaccardSql with the engine's MaxShingleDF prune mirrored —
     * Jaccard over the capped shingle space on both sides. */
-  private val cappedJaccardSql =
+  private[operators] val cappedJaccardSql =
     s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
       |sh AS (
       |  SELECT doc_id, unnest(list_distinct(

@@ -59,6 +59,37 @@ object TextAnalysis {
 
   /** Per-document quality metrics (lengths, ratios) and a composite
     * score — the standard cheap pre-filters for corpus curation. */
+  /** The composite quality score as a reusable column (rounded to 4
+    * decimals, same as the `text_quality` output): length ramp ×
+    * (1 − punct ratio) × (0.5 + stopword ratio). Shared by
+    * [[textQuality]] and the curation pipeline's quality gate so the
+    * two cannot drift; [[qualitySqlExpr]] is its DuckDB twin. */
+  private[operators] def qualityScore(t: Column): Column = {
+    val tokens = split(t, " ")
+    val nChars = length(t).cast("double")
+    val nTokens = size(tokens).cast("double")
+    val punct = (length(t) - length(regexp_replace(t, "[\\p{Punct}]", ""))).cast("double")
+    val stop = size(filter(tokens, x => x.isInCollection(Seq(
+      "the", "a", "an", "and", "or", "of", "to", "in", "is", "it")))).cast("double")
+    round(
+      when(nTokens >= 10.0, lit(1.0)).otherwise(nTokens / 10.0) *
+        (lit(1.0) - punct / greatest(nChars, lit(1.0))) *
+        (lit(0.5) + stop / greatest(nTokens, lit(1.0))), 4)
+  }
+
+  /** DuckDB twin of [[qualityScore]] (an expression over a `text`
+    * column), spliced into both the `text_quality` oracle and the
+    * curation-pipeline oracle. */
+  private[operators] val qualitySqlExpr: String =
+    """round(
+      |    (CASE WHEN len(string_split(text, ' ')) >= 10 THEN 1.0
+      |          ELSE len(string_split(text, ' ')) / 10.0 END) *
+      |    (1.0 - (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
+      |      / greatest(length(text), 1)) *
+      |    (0.5 + len(list_filter(string_split(text, ' '),
+      |        x -> x IN ('the','a','an','and','or','of','to','in','is','it')))::DOUBLE
+      |      / greatest(len(string_split(text, ' ')), 1)), 4)""".stripMargin
+
   def textQuality(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val d = Tables.documents(spark, sfDir)
@@ -78,10 +109,7 @@ object TextAnalysis {
         round(punct / greatest(nChars, lit(1.0)), 4).as("punct_ratio"),
         round(digits / greatest(nChars, lit(1.0)), 4).as("digit_ratio"),
         round(stop / greatest(nTokens, lit(1.0)), 4).as("stopword_ratio"),
-        round(
-          when(nTokens >= 10.0, lit(1.0)).otherwise(nTokens / 10.0) *
-            (lit(1.0) - punct / greatest(nChars, lit(1.0))) *
-            (lit(0.5) + stop / greatest(nTokens, lit(1.0))), 4).as("quality"))
+        qualityScore(t).as("quality"))
       .orderBy($"doc_id")
   }
 
@@ -298,7 +326,7 @@ object TextAnalysis {
         |WHERE word <> '' AND word NOT IN ('the','a','an','and','or','of','to','in','is','it')
         |GROUP BY word ORDER BY word""".stripMargin,
     "text_quality" ->
-      """SELECT doc_id,
+      s"""SELECT doc_id,
         |  length(text) AS n_chars,
         |  len(string_split(text, ' ')) AS n_tokens,
         |  round(length(text)::DOUBLE / greatest(len(string_split(text, ' ')), 1), 4) AS avg_token_len,
@@ -309,14 +337,7 @@ object TextAnalysis {
         |  round(len(list_filter(string_split(text, ' '),
         |      x -> x IN ('the','a','an','and','or','of','to','in','is','it')))::DOUBLE
         |    / greatest(len(string_split(text, ' ')), 1), 4) AS stopword_ratio,
-        |  round(
-        |    (CASE WHEN len(string_split(text, ' ')) >= 10 THEN 1.0
-        |          ELSE len(string_split(text, ' ')) / 10.0 END) *
-        |    (1.0 - (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
-        |      / greatest(length(text), 1)) *
-        |    (0.5 + len(list_filter(string_split(text, ' '),
-        |        x -> x IN ('the','a','an','and','or','of','to','in','is','it')))::DOUBLE
-        |      / greatest(len(string_split(text, ' ')), 1)), 4) AS quality
+        |  $qualitySqlExpr AS quality
         |FROM documents ORDER BY doc_id""".stripMargin,
     "text_tokencount" ->
       """SELECT doc_id,
