@@ -77,6 +77,42 @@ class SourcesSinksSpec extends AnyFunSuite {
       org.apache.spark.sql.types.IntegerType)
   }
 
+  test("corrupt json records quarantine in PERMISSIVE mode, abort in FAILFAST") {
+    import org.apache.spark.sql.types._
+    // a real ingestion feed always contains some malformed rows; the
+    // engine's contract is quarantine-don't-die (PERMISSIVE + corrupt
+    // column), with FAILFAST as the strict-validation mode
+    val dir = tmpDir("corrupt_json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/feed.json"),
+      ("""{"doc_id": 1, "text": "good row"}""" + "\n" +
+        """{"doc_id": 2, "text": "also good"}""" + "\n" +
+        """{"doc_id": 3, "text": "truncated""" + "\n" +
+        """not json at all""" + "\n").getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("_corrupt_record", StringType)))
+    val parsed = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir)
+      .cache() // corrupt-column queries need the full row materialized
+    try {
+      val good = parsed.filter(col("_corrupt_record").isNull)
+      val bad = parsed.filter(col("_corrupt_record").isNotNull)
+      assert(good.count() === 2)
+      assert(good.select("doc_id").collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+      // the quarantine keeps the raw line for later repair/audit
+      assert(bad.count() === 2)
+      assert(bad.select("_corrupt_record").collect().map(_.getString(0))
+        .exists(_.contains("not json at all")))
+    } finally parsed.unpersist()
+    val strict = spark.read
+      .schema(StructType(schema.fields.take(2)))
+      .option("mode", "FAILFAST").json(dir)
+    intercept[org.apache.spark.SparkException] { strict.collect() }
+  }
+
   test("text sink writes the formatted word-count lines distributedly") {
     import spark.implicits._
     val out = tmpDir("text")
