@@ -405,6 +405,94 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** Asymmetric near-dup (containment) threshold: a pair is reported
+    * when the SMALLER shingle set is ≥ 90% covered by the other.
+    * Catches excerpts/quotes that symmetric Jaccard structurally
+    * misses: a 100-shingle excerpt of a 2000-shingle document has
+    * J ≈ 0.05 but containment 1.0 — exactly the "this training doc is
+    * a slice of that one" case a curation pipeline needs. */
+  final val ContainmentThreshold = 0.9
+
+  /** Containment near-dup search over the same DF-capped inverted
+    * shingle index as [[dedupNgramJaccard]]. The prefix bound differs:
+    * each doc probes its |x| − ⌈t·|x|⌉ + 1 rarest shingles (prefix
+    * principle against the overlap bound c ≥ t·|smaller|, which the
+    * probe doc satisfies when IT is the smaller side), but the index
+    * side must stay FULL — the required overlap relative to the larger
+    * side can be arbitrarily small, so size-relative pruning there
+    * would lose pairs. Every pair (A,B) with c ≥ t·min(|A|,|B|) is
+    * found via the smaller side's probe against the full index.
+    * Verify is exact set-intersection over the per-doc sorted hash
+    * sets; fan-in stays bounded by the DF cap. */
+  def dedupContainment(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val width = spark.sparkContext.defaultParallelism
+    // same fused expansion + canonicalization plumbing as dedupNgramJaccard
+    val exploded = Tables.documents(spark, sfDir)
+      .filter($"doc_id".isNotNull)
+      .repartition(width, $"doc_id")
+      .select($"doc_id", explode_outer(graft.functions.ShingleXxh64($"text")).as("h"))
+      .filter($"h".isNotNull)
+      .repartition(width, $"h")
+    dedupContainmentOnHashes(exploded, MaxShingleDF)
+  }
+
+  /** String-shingle entry (spec path — plantable excerpt inputs). */
+  private[graft] def dedupContainmentOn(sh: DataFrame,
+      maxDf: Long = MaxShingleDF): DataFrame = {
+    val spark = sh.sparkSession
+    import spark.implicits._
+    val width = spark.sparkContext.defaultParallelism
+    val exploded = sh.filter($"doc_id".isNotNull)
+      .select($"doc_id", explode_outer($"sh").as("s"))
+      .filter($"s".isNotNull)
+      .select($"doc_id", xxhash64($"s").as("h"))
+      .repartition(width, $"h")
+    dedupContainmentOnHashes(exploded, maxDf)
+  }
+
+  private def dedupContainmentOnHashes(exploded: DataFrame,
+      maxDf: Long): DataFrame = {
+    val spark = exploded.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // same DF-cap/rank scaffolding as dedupNgramJaccardOnHashes (see
+    // the plan-shape notes there); only the prefix bound and the verify
+    // formula differ
+    val rareH = exploded.groupBy($"h").agg(count($"doc_id").as("df"))
+      .filter($"df" <= maxDf)
+    val rare = exploded.join(rareH, "h") // (h, doc_id, df)
+    val byDoc = Window.partitionBy($"doc_id").orderBy($"df", $"h")
+    val byDocFull = byDoc.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ranked = rare
+      .withColumn("r", row_number().over(byDoc))
+      .withColumn("n", count(lit(1)).over(byDocFull))
+    // containment prefix for t = 0.9: |x| − ⌈9·|x|/10⌉ + 1, with
+    // ⌈9n/10⌉ = ⌊(9n+9)/10⌋ in exact integer arithmetic
+    val prefix = ranked
+      .filter($"r" <= $"n" - floor(($"n" * 9 + 9) / lit(10)) + 1)
+      .select($"doc_id", $"h")
+    // per-doc sorted hash set + its size, once, on the doc_id partitioning
+    val sets = rare.groupBy($"doc_id")
+      .agg(sort_array(collect_list($"h")).as("hvs"), count(lit(1)).as("n"))
+    val candidates = prefix.as("a").join(rare.as("b"),
+        $"a.h" === $"b.h" && $"a.doc_id" =!= $"b.doc_id")
+      .select(least($"a.doc_id", $"b.doc_id").as("doc_a"),
+        greatest($"a.doc_id", $"b.doc_id").as("doc_b"))
+      .distinct()
+      // same verify-parallelism pin as the other near-dup paths
+      .repartition(spark.sparkContext.defaultParallelism, $"doc_a")
+    candidates.as("cd")
+      .join(sets.as("sa"), $"cd.doc_a" === $"sa.doc_id")
+      .join(sets.as("sb"), $"cd.doc_b" === $"sb.doc_id")
+      .select($"cd.doc_a".as("doc_a"), $"cd.doc_b".as("doc_b"),
+        (size(array_intersect($"sa.hvs", $"sb.hvs")).cast("double") /
+          least($"sa.n", $"sb.n")).as("cont"))
+      .filter($"cont" >= ContainmentThreshold)
+      .select($"doc_a", $"doc_b", round($"cont", 3).as("containment"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   /** Shared prefix of both banded SimHash searches (≤15 and the wide
     * ≤23 variant): ONE shingle expansion feeds everything — exploded
     * rows hash to int64 and shuffle on the hash key (shared with the
@@ -679,6 +767,7 @@ object Dedup {
     "dedup_exact" -> dedupExact,
     "dedup_exact_bow" -> dedupExactBow,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
+    "dedup_containment" -> dedupContainment,
     "dedup_minhash_lsh" -> dedupMinHashLsh,
     "dedup_kept" -> dedupKept,
     "dedup_simhash" -> dedupSimHash,
@@ -806,6 +895,30 @@ object Dedup {
         |GROUP BY md5(array_to_string(list_sort(string_split(text, ' ')), ' '))
         |ORDER BY h""".stripMargin,
     "dedup_ngram_jaccard" -> cappedJaccardSql,
+    // containment: same capped shingle space, overlap relative to the
+    // SMALLER side — brute-forced over all co-shingled pairs
+    "dedup_containment" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)])) s
+        |  FROM toks WHERE len(t) >= 3
+        |),
+        |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= $MaxShingleDF),
+        |pr AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
+        |sizes AS (SELECT doc_id, count(*) n FROM pr GROUP BY doc_id),
+        |common AS (
+        |  SELECT a.doc_id ai, b.doc_id bi, count(*) c
+        |  FROM pr a JOIN pr b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id
+        |)
+        |SELECT ai AS doc_a, bi AS doc_b,
+        |  round(c::DOUBLE / least(na.n, nb.n), 3) AS containment
+        |FROM common
+        |JOIN sizes na ON ai = na.doc_id
+        |JOIN sizes nb ON bi = nb.doc_id
+        |WHERE c::DOUBLE / least(na.n, nb.n) >= $ContainmentThreshold
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_simhash_pairs" -> simhashPairsSqlAt(MaxPairHamming),
     "dedup_simhash_pairs_wide" -> simhashPairsSqlAt(MaxPairHammingWide),
     "dedup_simhash" ->

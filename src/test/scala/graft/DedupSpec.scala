@@ -209,6 +209,42 @@ class DedupSpec extends AnyFunSuite {
     assert(!captured(balanced24, 2))
   }
 
+  test("containment finds a planted excerpt that jaccard structurally misses") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // B: 300 distinct tokens; A: tokens 50..119 of B (contiguous excerpt
+    // ⇒ A's 3-gram shingles ⊆ B's ⇒ containment 1.0, while
+    // J = 68/298 ≈ 0.23 — far below the 0.8 jaccard gate); C unrelated
+    def toks(r: Range, p: String) = r.map(i => s"$p$i").mkString(" ")
+    val docs = Seq(
+      (1L, toks(0 until 300, "w")),
+      (2L, toks(50 until 120, "w")),
+      (3L, toks(0 until 100, "z"))).toDF("doc_id", "text")
+    val sh = docs.select($"doc_id", split($"text", " ").as("t"))
+      .select($"doc_id", array_distinct(transform(
+        sequence(lit(0), size($"t") - 3),
+        i => concat_ws(" ", element_at($"t", i + 1), element_at($"t", i + 2),
+          element_at($"t", i + 3)))).as("sh"))
+    val got = Dedup.dedupContainmentOn(sh)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === Seq((1L, 2L, 1.0)))
+    // the same input yields NO jaccard pair — the asymmetric op is the
+    // only one that can see the excerpt
+    assert(Dedup.dedupNgramJaccardOn(sh).collect().isEmpty)
+  }
+
+  test("containment ⊇ high-jaccard pairs on the real corpus (c/min ≥ J always)") {
+    import spark.implicits._
+    // c/min(na,nb) ≥ c/(na+nb−c) = J, so every pair at J ≥ 0.9 must
+    // appear at containment ≥ 0.9 (J in [0.8, 0.9) is not guaranteed)
+    val jacHigh = Dedup.dedupNgramJaccard(spark, sf)
+      .filter($"jaccard" >= 0.9).select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cont = pairSet(Dedup.dedupContainment(spark, sf))
+    assert(jacHigh.nonEmpty)
+    assert(jacHigh.subsetOf(cont), s"missing: ${jacHigh -- cont}")
+  }
+
   test("max-DF cap keeps a planted hot shingle out of the pair join") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
