@@ -38,9 +38,10 @@ object Bench {
     "q25_range_join", "q28_stats",
     "wc_word_counts", "wc_ranked", "wc_word_stats",
     "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-    "dedup_simhash_pairs",
+    "dedup_simhash_pairs", "dedup_containment",
     "sim_topk_brute", "sim_ann_lsh", "sim_label_stats_sampled",
     "text_quality", "text_fingerprint_winnow", "mm_features",
+    "cur_pipeline", // the composed curation flagship (new in round 5)
   )
 
   /** Aggregates per-stage task metrics between reset() and snapshot(). */
