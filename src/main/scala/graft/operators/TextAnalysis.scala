@@ -265,7 +265,46 @@ object TextAnalysis {
       .orderBy($"word")
   }
 
+  /** PII patterns, chosen to behave IDENTICALLY under Java regex
+    * (Spark) and RE2 (DuckDB): character classes, bounded repetition
+    * and `\b` only — no lookaround, no backrefs (RE2 has neither), no
+    * `$`-style replacement metacharacters in the placeholders. */
+  final val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  final val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  final val PhoneRe = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
+
+  /** PII scrubbing — the redaction stage every training-data pipeline
+    * runs before anything else sees the text: emails, IPv4s and
+    * phone-shaped numbers replaced by typed placeholders, with
+    * per-document match counts (counted on the ORIGINAL text,
+    * per-pattern; redaction applies email → ip → phone on the running
+    * result). Pure per-row regexp map work, shuffle-free; the full
+    * redacted text is part of the oracle hash, so Java-vs-RE2
+    * replacement semantics are verified byte-for-byte on every row. */
+  def textRedactPii(spark: SparkSession, sfDir: String): DataFrame =
+    redactFrame(Tables.documents(spark, sfDir))
+
+  /** The transform of [[textRedactPii]] on any (doc_id, text) frame
+    * (spec entry point: plantable PII inputs). */
+  private[graft] def redactFrame(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val t = $"text"
+    docs.select(
+        $"doc_id",
+        regexp_count(t, lit(EmailRe)).as("n_emails"),
+        regexp_count(t, lit(Ipv4Re)).as("n_ipv4"),
+        regexp_count(t, lit(PhoneRe)).as("n_phones"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(t, EmailRe, "<EMAIL>"),
+            Ipv4Re, "<IP>"),
+          PhoneRe, "<PHONE>").as("redacted"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_redact_pii" -> textRedactPii,
     "text_top_bigrams" -> textTopBigrams,
     "text_stopword_filtered" -> textStopwordFiltered,
     "text_langid" -> textLangId,
@@ -289,6 +328,18 @@ object TextAnalysis {
     s"len(list_filter(toks, x -> list_contains(${markers.mkString("['", "', '", "']")}, x)))::DOUBLE / greatest(len(toks), 1)::DOUBLE"
 
   val oracles: Map[String, String] = Map(
+    // same patterns (spliced from the engine constants), RE2 semantics;
+    // 'g' flag makes DuckDB's replace global like Spark's
+    "text_redact_pii" ->
+      s"""SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '$EmailRe')) AS INT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '$Ipv4Re')) AS INT) AS n_ipv4,
+        |  CAST(len(regexp_extract_all(text, '$PhoneRe')) AS INT) AS n_phones,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '$EmailRe', '<EMAIL>', 'g'),
+        |    '$Ipv4Re', '<IP>', 'g'),
+        |    '$PhoneRe', '<PHONE>', 'g') AS redacted
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // Full mirror of langIdFrame: same tokenization (regex whitespace
     // split keeps empty tokens on both engines), same marker lists
     // (generated from `profiles`), same argmax-with-floor and tie-break

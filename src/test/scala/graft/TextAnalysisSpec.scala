@@ -6,6 +6,23 @@ import graft.operators.TextAnalysis
 class TextAnalysisSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
 
+  test("PII redaction scrubs planted emails, IPs and phone numbers with exact counts") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "write to a.user+tag@ex-ample.co or admin@host.org today"),
+      (2L, "server 10.0.0.1 and 192.168.254.3 responded"),
+      (3L, "call 555-123-4567 or 555.987.6543 x2"),
+      (4L, "mixed: bob@a.io from 8.8.8.8 dialed 123 456 7890"),
+      (5L, "clean text, just numbers 12345 and a dot. end")).toDF("doc_id", "text")
+    val got = TextAnalysis.redactFrame(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))
+    assert(got(0) === ((1L, 2, 0, 0, "write to <EMAIL> or <EMAIL> today")))
+    assert(got(1) === ((2L, 0, 2, 0, "server <IP> and <IP> responded")))
+    assert(got(2) === ((3L, 0, 0, 2, "call <PHONE> or <PHONE> x2")))
+    assert(got(3) === ((4L, 1, 1, 1, "mixed: <EMAIL> from <IP> dialed <PHONE>")))
+    assert(got(4) === ((5L, 0, 0, 0, "clean text, just numbers 12345 and a dot. end")))
+  }
+
   test("langid identifies real-language sentences") {
     import spark.implicits._
     val samples = Seq(
