@@ -32,16 +32,29 @@ object Streaming {
   }
 
   /** Streaming scan of the events parquet with the same nanos→timestamp
-    * handling as the batch path (Tables.events). */
+    * handling as the batch path (Tables.events) — including the same
+    * scoped set/restore of the session-global `nanosAsLong` flag: it is
+    * consulted only when the footer schema is converted (here, the
+    * batch schema-inference read; the stream itself gets that schema
+    * explicitly), so restoring immediately keeps the stream valid
+    * without leaking legacy-long NANOS reads to the rest of the
+    * session (StreamingSpec pins both, mirroring TablesSpec). */
   private def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    // file stream sources take a directory; select the one table via glob.
-    // ns→µs conversion shared with the batch path (integer division —
-    // see Tables.nanosToTimestamp).
-    graft.sources.Tables.nanosToTimestamp(
-      spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(sfDir))
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try {
+      val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+      // file stream sources take a directory; select the one table via glob.
+      // ns→µs conversion shared with the batch path (integer division —
+      // see Tables.nanosToTimestamp).
+      graft.sources.Tables.nanosToTimestamp(
+        spark.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(sfDir))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   /** Hourly windowed event aggregation as a stream — same semantics as
@@ -253,7 +266,15 @@ object Streaming {
     * with the data's own watermark, which is why StreamingSpec can
     * drive eviction precisely with three file batches. Watermark delay
     * = `ttl` also guarantees the Spark timeout-validity invariant
-    * (any non-late row has ts ≥ watermark ⇒ ts + ttl > watermark). */
+    * (any non-late row has ts ≥ watermark ⇒ ts + ttl > watermark).
+    *
+    * The eviction deadline is MONOTONE per key: state carries the max
+    * event time seen across ALL batches and the timeout is re-armed
+    * from that, not from the current batch's max — a later micro-batch
+    * carrying older (non-late) rows for a key must not pull the
+    * deadline backwards and evict duplicates that are within `ttl` of
+    * the key's newest arrival (StreamingSpec pins this with an
+    * out-of-order four-batch feed). */
   private[graft] def runDedupStreamTTL(docs: DataFrame, ttl: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -262,21 +283,23 @@ object Streaming {
       .withWatermark("ts", ttl)
       .as[(String, Long, java.sql.Timestamp)]
     val updated = ds.groupByKey(_._1)
-      .flatMapGroupsWithState[(Long, Long), (String, Long, Long)](
+      .flatMapGroupsWithState[(Long, Long, Long), (String, Long, Long)](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) { (h, rows, state) =>
           if (state.hasTimedOut) {
-            state.remove() // watermark passed last arrival + ttl: evict
+            state.remove() // watermark passed newest arrival + ttl: evict
             Iterator.empty
           } else {
-            var (minId, n) = state.getOption.getOrElse((Long.MaxValue, 0L))
-            var maxTs = Long.MinValue
+            // state = (min doc_id, count, max event-time ms EVER seen);
+            // the third field keeps the timeout deadline monotone
+            var (minId, n, maxTs) =
+              state.getOption.getOrElse((Long.MaxValue, 0L, Long.MinValue))
             rows.foreach { r =>
               if (r._2 < minId) minId = r._2
               n += 1
               val t = r._3.getTime
               if (t > maxTs) maxTs = t
             }
-            state.update((minId, n))
+            state.update((minId, n, maxTs))
             state.setTimeoutTimestamp(maxTs, ttl)
             Iterator((h, minId, n))
           }

@@ -110,6 +110,65 @@ class StreamingSpec extends AnyFunSuite {
       s"keep_ids must be first-epoch minima, got $got")
   }
 
+  test("TTL dedup: out-of-order older rows do not pull the eviction deadline back") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions.{expr => fexpr}
+    import spark.implicits._
+    def writeOneFile(df: DataFrame, dest: String, mtime: Long): Unit = {
+      val tmp = Files.createTempDirectory("graft_ttl2_batch_").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(part.toPath, Paths.get(dest))
+      Files.setLastModifiedTime(Paths.get(dest),
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    val in = Files.createTempDirectory("graft_ttl2_in_").toString
+    val t0 = 1700000000L
+    def docs(rows: Seq[(Long, String, Long)]): DataFrame =
+      rows.toDF("doc_id", "text", "sec")
+        .select($"doc_id", $"text", fexpr("timestamp_seconds(sec)").as("ts"))
+    val base = System.currentTimeMillis()
+    // batch 1: the key's NEWEST arrival (t0+100) → deadline t0+160;
+    // watermark after b1 = t0+40
+    writeOneFile(docs(Seq((10L, "dup text", t0 + 100))), s"$in/b1.parquet", base)
+    // batch 2: an OLDER but non-late row for the same key (t0+45 ≥
+    // watermark t0+40). A deadline armed from only this batch's max
+    // would regress to t0+105; the monotone deadline stays t0+160.
+    writeOneFile(docs(Seq((11L, "dup text", t0 + 45))), s"$in/b2.parquet", base + 60000)
+    // batch 3: key-absent singleton at t0+170 → watermark t0+110,
+    // which is past the REGRESSED deadline but not the monotone one
+    writeOneFile(docs(Seq((20L, "only w", t0 + 170))), s"$in/b3.parquet", base + 120000)
+    // batch 4: the key again at t0+155 — within ttl of its newest
+    // arrival (155−100 < 60), so the accuracy contract says it folds
+    // into the SAME epoch (n_dups 3); premature eviction would have
+    // split it into a fresh epoch (n_dups 2)
+    writeOneFile(docs(Seq((12L, "dup text", t0 + 155))), s"$in/b4.parquet", base + 180000)
+    val schema = spark.read.parquet(in).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val got = Streaming.runDedupStreamTTL(stream, "60 seconds")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    val dup = got.filter(_._2 == 10L)
+    assert(dup.size == 1 && dup.head._3 == 3L,
+      s"monotone deadline must keep the epoch alive through batch 4 " +
+        s"(expected (10, 3)), got $got")
+  }
+
+  test("eventsStream scopes the nanosAsLong flag: restored after, stream still runs") {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(key)
+    assert(Streaming.streamEventsHourly(spark, sf).count() > 0)
+    assert(spark.conf.getOption(key) === prev,
+      s"nanosAsLong leaked from eventsStream: ${spark.conf.getOption(key)}")
+    // a NANOS-free read and the batch events twin both behave after the
+    // stream — no session-global legacy-long contamination either way
+    assert(graft.sources.Tables.documents(spark, sf).count() > 0)
+    assert(graft.sources.Tables.events(spark, sf)
+      .schema("ts").dataType.typeName === "timestamp")
+  }
+
   test("stateful user totals equal the batch aggregation") {
     import org.apache.spark.sql.functions._
     val streamed = Streaming.streamUserTotals(spark, sf).collect()
