@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftshim.Shim
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
 
 /** Set Jaccard of two NUMERICALLY SORTED long arrays by merge walk —
   * bit-identical to `size(array_intersect(a,b)) / size(array_union(a,b))`
@@ -96,4 +96,71 @@ case class SetJaccardSorted(left: Expression, right: Expression)
 object SetJaccardSorted {
   def apply(a: Column, b: Column): Column =
     Shim.column(SetJaccardSorted(Shim.expression(a), Shim.expression(b)))
+}
+
+/** Distinct-intersection COUNT of two numerically sorted long arrays by
+  * the same zero-alloc merge walk — bit-identical to
+  * `size(array_intersect(a, b))` (duplicate runs count once), minus the
+  * per-pair OpenHashSet + result-array allocation the built-in pays.
+  * Used by the containment verify, where overlap relative to the
+  * smaller set is the score and the jaccard denominator is wrong.
+  * Same precondition as [[SetJaccardImpl]]: sorted ascending, no null
+  * elements. */
+object SetOverlapImpl {
+  def overlapSorted(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) {
+        inter += 1
+        while (i < na && a.getLong(i) == x) i += 1
+        while (j < nb && b.getLong(j) == y) j += 1
+      } else if (x < y) {
+        while (i < na && a.getLong(i) == x) i += 1
+      } else {
+        while (j < nb && b.getLong(j) == y) j += 1
+      }
+    }
+    inter
+  }
+}
+
+/** `set_overlap_sorted(array<bigint>, array<bigint>) -> int`,
+  * codegen'd via static call. */
+case class SetOverlapSorted(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"set_overlap_sorted requires (ARRAY<BIGINT>, ARRAY<BIGINT>), got (${l.sql}, ${r.sql})")
+    }
+  // same exchange-reuse rationale as SetJaccardSorted: the nullIntolerant
+  // marker would let inferred isnotnull constraints de-canonicalize one
+  // join branch from its exchange-sharing twin
+  override def nullIntolerant: Boolean = false
+  override def prettyName: String = "set_overlap_sorted"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SetOverlapImpl.overlapSorted(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.SetOverlapImpl.overlapSorted($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): SetOverlapSorted =
+    copy(left = newLeft, right = newRight)
+}
+
+object SetOverlapSorted {
+  def apply(a: Column, b: Column): Column =
+    Shim.column(SetOverlapSorted(Shim.expression(a), Shim.expression(b)))
 }

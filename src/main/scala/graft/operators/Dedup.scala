@@ -486,7 +486,11 @@ object Dedup {
       .join(sets.as("sa"), $"cd.doc_a" === $"sa.doc_id")
       .join(sets.as("sb"), $"cd.doc_b" === $"sb.doc_id")
       .select($"cd.doc_a".as("doc_a"), $"cd.doc_b".as("doc_b"),
-        (size(array_intersect($"sa.hvs", $"sb.hvs")).cast("double") /
+        // zero-alloc merge-walk overlap count (≡ size(array_intersect)):
+        // the built-in builds an OpenHashSet + result array per candidate
+        // pair, the same allocation line the jaccard/simhash verifies
+        // already avoid via SetJaccardSorted
+        (graft.functions.SetOverlapSorted($"sa.hvs", $"sb.hvs").cast("double") /
           least($"sa.n", $"sb.n")).as("cont"))
       .filter($"cont" >= ContainmentThreshold)
       .select($"doc_a", $"doc_b", round($"cont", 3).as("containment"))

@@ -221,7 +221,11 @@ object Multimodal {
       // per-partition init: ImageIO plugin scan happens once per JVM;
       // a heavyweight codec would allocate its handles here
       rows.map { r =>
-        val png = encodePng(r.getString(1).getBytes("UTF-8"))
+        // null text → empty payload (encodePng already handles empty
+        // bytes); the other document operators defend this path too
+        val s = r.getString(1)
+        val png = encodePng(
+          if (s == null) Array.emptyByteArray else s.getBytes("UTF-8"))
         val (w, h, hist) = decodePngHistogram(png)
         var sum = 0.0
         var b = 0

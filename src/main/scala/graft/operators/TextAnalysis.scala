@@ -266,11 +266,19 @@ object TextAnalysis {
   }
 
   /** PII patterns, chosen to behave IDENTICALLY under Java regex
-    * (Spark) and RE2 (DuckDB): character classes, bounded repetition
-    * and `\b` only — no lookaround, no backrefs (RE2 has neither), no
-    * `$`-style replacement metacharacters in the placeholders. */
+    * (Spark) and RE2 (DuckDB): character classes, bounded repetition,
+    * alternation and `\b` only — no lookaround, no backrefs (RE2 has
+    * neither), no `$`-style replacement metacharacters in the
+    * placeholders. Both engines use leftmost-first alternation here,
+    * so the octet alternatives match identically. */
   final val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  final val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  /** One 0–255 octet, longest alternatives first. Bounding the octets
+    * keeps version-like strings (999.999.999.999, 1.2.3.456) out of
+    * the redaction; the first four components of a longer valid dotted
+    * run (1.2.3.4.5) still scrub — excluding that would need
+    * lookaround, which RE2 lacks. */
+  private final val Ipv4Octet = "(25[0-5]|2[0-4]\\d|1\\d\\d|[1-9]?\\d)"
+  final val Ipv4Re = s"\\b$Ipv4Octet\\.$Ipv4Octet\\.$Ipv4Octet\\.$Ipv4Octet\\b"
   final val PhoneRe = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
 
   /** PII scrubbing — the redaction stage every training-data pipeline

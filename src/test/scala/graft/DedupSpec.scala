@@ -71,6 +71,24 @@ class DedupSpec extends AnyFunSuite {
     assert(nan.isNaN)
   }
 
+  test("SetOverlapSorted ≡ size(array_intersect) on random dup-laden arrays") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rng = new scala.util.Random(43)
+    val data = (0 until 300).map { _ =>
+      def arr() = Seq.fill(rng.nextInt(30))(rng.nextInt(20).toLong).sorted
+      (arr(), arr())
+    } :+ ((Seq.empty[Long], Seq(1L, 2L))) :+ ((Seq.empty[Long], Seq.empty[Long]))
+    val df = data.toDF("a", "b")
+    val got = df.select(graft.functions.SetOverlapSorted($"a", $"b"))
+      .collect().map(_.getInt(0))
+    val exp = df.select(size(array_intersect($"a", $"b")))
+      .collect().map(_.getInt(0))
+    got.zip(exp).zipWithIndex.foreach { case ((g, e), i) =>
+      assert(g == e, s"row $i: $g != $e")
+    }
+  }
+
   test("cluster assignment: component minima on a hand-built graph") {
     import spark.implicits._
     // chain 1-2-3 (transitive), pair 5-6, singletons 4/7/8 — labels must

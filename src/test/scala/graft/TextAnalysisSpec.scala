@@ -13,7 +13,9 @@ class TextAnalysisSpec extends AnyFunSuite {
       (2L, "server 10.0.0.1 and 192.168.254.3 responded"),
       (3L, "call 555-123-4567 or 555.987.6543 x2"),
       (4L, "mixed: bob@a.io from 8.8.8.8 dialed 123 456 7890"),
-      (5L, "clean text, just numbers 12345 and a dot. end")).toDF("doc_id", "text")
+      (5L, "clean text, just numbers 12345 and a dot. end"),
+      (6L, "not addresses: 999.999.999.999 or 1.2.3.456 stay"),
+      (7L, "edges 0.0.0.0 and 255.255.255.255 are addresses")).toDF("doc_id", "text")
     val got = TextAnalysis.redactFrame(docs).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))
     assert(got(0) === ((1L, 2, 0, 0, "write to <EMAIL> or <EMAIL> today")))
@@ -21,6 +23,9 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(2) === ((3L, 0, 0, 2, "call <PHONE> or <PHONE> x2")))
     assert(got(3) === ((4L, 1, 1, 1, "mixed: <EMAIL> from <IP> dialed <PHONE>")))
     assert(got(4) === ((5L, 0, 0, 0, "clean text, just numbers 12345 and a dot. end")))
+    // octet bounding: out-of-range components are not addresses
+    assert(got(5) === ((6L, 0, 0, 0, "not addresses: 999.999.999.999 or 1.2.3.456 stay")))
+    assert(got(6) === ((7L, 0, 2, 0, "edges <IP> and <IP> are addresses")))
   }
 
   test("langid identifies real-language sentences") {
