@@ -41,7 +41,9 @@ object Bench {
     "dedup_simhash_pairs", "dedup_containment",
     "sim_topk_brute", "sim_ann_lsh", "sim_label_stats_sampled",
     "text_quality", "text_fingerprint_winnow", "mm_features",
-    "cur_pipeline", // the composed curation flagship (new in round 5)
+    // the composed curation flagship: redact-first full pipeline
+    // (replaces round 5's cur_pipeline, which it strictly contains)
+    "cur_pipeline_full",
   )
 
   /** Aggregates per-stage task metrics between reset() and snapshot(). */

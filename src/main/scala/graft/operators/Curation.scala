@@ -162,25 +162,133 @@ object Curation {
       .orderBy($"lang")
   }
 
+  /** [[pipelineCurate]] with PII redaction composed in FIRST — the
+    * ordering every real training pipeline uses (redact before anything
+    * downstream sees the text): redact → near-dup pair search over the
+    * REDACTED text → drop doc_b side → quality gate on redacted text →
+    * chunk arithmetic → per-language summary carrying a PII audit count.
+    * The redacted text feeding the pair search and the quality gate is
+    * what makes redaction load-bearing in the oracle hash (multi-token
+    * phone numbers collapse to one `<PHONE>` token, shifting token
+    * counts, shingles and quality ratios); `n_pii` additionally audits
+    * the match counts straight through to the output.
+    *
+    * Scale shape: identical to [[pipelineCurate]] plus per-row regexp
+    * map work on the document scan. The redacted frame feeds two
+    * consumers (pair search + keep side), so the scan-and-redact
+    * subtree is evaluated once per consumer — per-row map work, no
+    * added exchange; the drop list still broadcast-anti-joins. */
+  def pipelineCurateFull(spark: SparkSession, sfDir: String): DataFrame =
+    pipelineCurateFullOn(Tables.documents(spark, sfDir))
+
+  /** The transform of [[pipelineCurateFull]] on any (doc_id, lang,
+    * text) frame (spec entry point: plantable PII inputs). */
+  private[graft] def pipelineCurateFullOn(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val red = docs
+      .select($"doc_id", $"lang",
+        TextAnalysis.piiCount($"text").as("n_pii"),
+        TextAnalysis.redactedCol($"text").as("text"))
+    val drop = Dedup.dedupNgramJaccardOnDocs(red.select($"doc_id", $"text"))
+      .select($"doc_b".as("doc_id")).distinct()
+    val kept = red.join(drop, Seq("doc_id"), "left_anti")
+    val good = kept.filter(TextAnalysis.qualityScore($"text") >= QualityCut)
+    good
+      .select($"lang", $"n_pii", size(split($"text", " ")).cast("long").as("n_tokens"))
+      .select($"lang", $"n_pii", $"n_tokens",
+        ceil($"n_tokens".cast("double") / ChunkStride).cast("long").as("n_chunks"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chunks").as("n_chunks"),
+        sum($"n_tokens").as("n_tokens"),
+        sum($"n_pii").as("n_pii"))
+      .orderBy($"lang")
+  }
+
+  /** Chunk-level exact dedup: [[dedupExact]] semantics at SAMPLE
+    * granularity over the [[textChunks]] output — training pipelines
+    * dedup again after chunking because distinct documents share
+    * boilerplate spans that only become duplicates once sliced. Keep
+    * key is the lexicographic min (doc_id, chunk_idx); one shuffle on
+    * the chunk hash, same as document-level exact dedup. */
+  def dedupChunks(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    textChunks(spark, sfDir)
+      .groupBy(md5($"chunk_text").as("h"))
+      .agg(min(struct($"doc_id", $"chunk_idx")).as("k"),
+        count(lit(1)).as("n_dups"))
+      .select($"h", $"k.doc_id".as("keep_doc"),
+        $"k.chunk_idx".as("keep_chunk"), $"n_dups")
+      .orderBy($"h")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cur_text_chunks" -> textChunks,
     "cur_split_assign" -> splitAssign,
     "cur_pack_bins" -> packBins,
     "cur_shuffle_order" -> shuffleOrder,
     "cur_pipeline" -> pipelineCurate,
+    "cur_pipeline_full" -> pipelineCurateFull,
+    "dedup_chunks" -> dedupChunks,
   )
+
+  /** The chunk expansion as a reusable SQL body (no ORDER BY), shared
+    * by the `cur_text_chunks` and `dedup_chunks` oracles so the stride
+    * arithmetic cannot drift. */
+  private val chunksSql =
+    s"""SELECT doc_id, chunk_idx,
+       |  array_to_string(t[s + 1 : s + $ChunkTokens], ' ') AS chunk_text,
+       |  least(len(t) - s, $ChunkTokens) AS n_tokens
+       |FROM (
+       |  SELECT doc_id, t, unnest(range(0, len(t), $ChunkStride)) AS s,
+       |    generate_subscripts(range(0, len(t), $ChunkStride), 1) - 1 AS chunk_idx
+       |  FROM (SELECT doc_id, string_split(text, ' ') t FROM documents) d
+       |) c""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "cur_text_chunks" ->
-      s"""SELECT doc_id, chunk_idx,
-         |  array_to_string(t[s + 1 : s + $ChunkTokens], ' ') AS chunk_text,
-         |  least(len(t) - s, $ChunkTokens) AS n_tokens
-         |FROM (
-         |  SELECT doc_id, t, unnest(range(0, len(t), $ChunkStride)) AS s,
-         |    generate_subscripts(range(0, len(t), $ChunkStride), 1) - 1 AS chunk_idx
-         |  FROM (SELECT doc_id, string_split(text, ' ') t FROM documents) d
-         |) c
+      s"""$chunksSql
          |ORDER BY doc_id, chunk_idx""".stripMargin,
+    // dedup_exact semantics over the chunk expansion: lexicographic min
+    // (doc_id, chunk_idx) keep key via row_number, group size via a
+    // window over the same hash partition
+    "dedup_chunks" ->
+      s"""WITH chunks AS ($chunksSql)
+         |SELECT h, keep_doc, keep_chunk, n_dups FROM (
+         |  SELECT md5(chunk_text) AS h, doc_id AS keep_doc,
+         |    chunk_idx AS keep_chunk,
+         |    count(*) OVER (PARTITION BY md5(chunk_text)) AS n_dups,
+         |    row_number() OVER (PARTITION BY md5(chunk_text)
+         |      ORDER BY doc_id, chunk_idx) AS rn
+         |  FROM chunks) s
+         |WHERE rn = 1 ORDER BY h""".stripMargin,
+    // the full composition with redaction FIRST: the pair CTE runs over
+    // the redacted text (cappedJaccardSqlFrom("red")), the quality gate
+    // reads the redacted column, and n_pii audits the original-text
+    // match counts — every expression spliced from the same constants
+    // the engine uses
+    "cur_pipeline_full" ->
+      s"""WITH red AS (
+         |  SELECT doc_id, lang,
+         |    ${TextAnalysis.piiCountSqlExpr} AS n_pii,
+         |    ${TextAnalysis.redactedSqlExpr} AS text
+         |  FROM documents
+         |),
+         |pairs AS (${Dedup.cappedJaccardSqlFrom("red")}),
+         |kept AS (
+         |  SELECT doc_id, lang, n_pii, text FROM red
+         |  WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
+         |),
+         |good AS (
+         |  SELECT lang, n_pii, len(string_split(text, ' ')) AS n_tokens FROM kept
+         |  WHERE ${TextAnalysis.qualitySqlExpr} >= $QualityCut
+         |)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(ceil(n_tokens::DOUBLE / $ChunkStride)) AS BIGINT) AS n_chunks,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(sum(n_pii) AS BIGINT) AS n_pii
+         |FROM good GROUP BY lang ORDER BY lang""".stripMargin,
     "cur_shuffle_order" ->
       """SELECT doc_id, (doc_id * 1103515245 + 12345) % 2147483648 AS k,
         |  row_number() OVER (ORDER BY (doc_id * 1103515245 + 12345) % 2147483648, doc_id) - 1 AS pos

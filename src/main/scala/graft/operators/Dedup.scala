@@ -103,7 +103,14 @@ object Dedup {
     * immaterial), hashed-set Jaccard equals string-set Jaccard, and the
     * exchanges move 8-byte longs instead of ~25-byte strings (round 2
     * shuffled 92.9 MB of strings from 0.6 MB of input at sf0.1). */
-  def dedupNgramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+  def dedupNgramJaccard(spark: SparkSession, sfDir: String): DataFrame =
+    dedupNgramJaccardOnDocs(Tables.documents(spark, sfDir))
+
+  /** The same fused pair search over ANY (doc_id, text) frame — the
+    * composition entry the full curation pipeline uses to search
+    * REDACTED text (`Curation.pipelineCurateFull`). */
+  private[graft] def dedupNgramJaccardOnDocs(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
     val width = spark.sparkContext.defaultParallelism
     // Fused expansion: ShingleXxh64 emits the sorted-distinct window
@@ -121,7 +128,7 @@ object Dedup {
     // stages 1/2 and 4/6 with identical shuffle writes). Making the
     // predicate explicit puts the same Filter on every branch and the
     // whole expansion collapses back to one ReusedExchange.
-    val exploded = Tables.documents(spark, sfDir)
+    val exploded = docs
       .filter($"doc_id".isNotNull)
       .repartition(width, $"doc_id")
       .select($"doc_id", explode_outer(graft.functions.ShingleXxh64($"text")).as("h"))
@@ -725,6 +732,21 @@ object Dedup {
       dedupNgramJaccard(spark, sfDir).select($"doc_a", $"doc_b"))
   }
 
+  /** [[dedupClusters]] over the UNION of the symmetric (Jaccard) and
+    * asymmetric (containment) pair graphs — the cluster assignment a
+    * "keep one per group" step actually needs: an excerpt caught only
+    * by containment must land in the same dedup group as its source
+    * document, or the keep step silently retains both. Edge count is
+    * the sum of two pair-output-sized frames (bytes), so the union
+    * costs nothing at scale; the propagation loop is unchanged. */
+  def dedupClustersAll(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    dedupClustersOn(
+      Tables.documents(spark, sfDir).select($"doc_id"),
+      dedupNgramJaccard(spark, sfDir).select($"doc_a", $"doc_b")
+        .union(dedupContainment(spark, sfDir).select($"doc_a", $"doc_b")))
+  }
+
   private[graft] def dedupClustersOn(docs: DataFrame, pairs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -780,6 +802,7 @@ object Dedup {
     "dedup_embed_cosine" -> dedupEmbedCosine,
     "dedup_embed_cosine_blocked" -> dedupEmbedCosineBlocked,
     "dedup_clusters" -> dedupClusters,
+    "dedup_clusters_all" -> dedupClustersAll,
   )
 
   private val exactJaccardSql =
@@ -804,9 +827,11 @@ object Dedup {
       |ORDER BY doc_a, doc_b""".stripMargin
 
   /** exactJaccardSql with the engine's MaxShingleDF prune mirrored —
-    * Jaccard over the capped shingle space on both sides. */
-  private[operators] val cappedJaccardSql =
-    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
+    * Jaccard over the capped shingle space on both sides — over any
+    * (doc_id, text) source relation (the full curation pipeline splices
+    * it over its redacted CTE; DuckDB accepts the nested WITH). */
+  private[operators] def cappedJaccardSqlFrom(src: String): String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') t FROM $src),
       |sh AS (
       |  SELECT doc_id, unnest(list_distinct(
       |    [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)])) s
@@ -826,6 +851,34 @@ object Dedup {
       |JOIN sizes na ON ai = na.doc_id
       |JOIN sizes nb ON bi = nb.doc_id
       |WHERE c::DOUBLE / (na.n + nb.n - c) >= 0.8
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  private[operators] val cappedJaccardSql: String = cappedJaccardSqlFrom("documents")
+
+  /** Containment oracle: same capped shingle space, overlap relative to
+    * the SMALLER side — brute-forced over all co-shingled pairs. Also
+    * spliced (as an edge source) into the union-cluster oracle. */
+  private val containmentSql =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)])) s
+      |  FROM toks WHERE len(t) >= 3
+      |),
+      |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= $MaxShingleDF),
+      |pr AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
+      |sizes AS (SELECT doc_id, count(*) n FROM pr GROUP BY doc_id),
+      |common AS (
+      |  SELECT a.doc_id ai, b.doc_id bi, count(*) c
+      |  FROM pr a JOIN pr b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id
+      |)
+      |SELECT ai AS doc_a, bi AS doc_b,
+      |  round(c::DOUBLE / least(na.n, nb.n), 3) AS containment
+      |FROM common
+      |JOIN sizes na ON ai = na.doc_id
+      |JOIN sizes nb ON bi = nb.doc_id
+      |WHERE c::DOUBLE / least(na.n, nb.n) >= $ContainmentThreshold
       |ORDER BY doc_a, doc_b""".stripMargin
 
   /** The engine's SimHash bit-vote, mirrored in SQL over a grouped
@@ -899,30 +952,7 @@ object Dedup {
         |GROUP BY md5(array_to_string(list_sort(string_split(text, ' ')), ' '))
         |ORDER BY h""".stripMargin,
     "dedup_ngram_jaccard" -> cappedJaccardSql,
-    // containment: same capped shingle space, overlap relative to the
-    // SMALLER side — brute-forced over all co-shingled pairs
-    "dedup_containment" ->
-      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
-        |sh AS (
-        |  SELECT doc_id, unnest(list_distinct(
-        |    [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)])) s
-        |  FROM toks WHERE len(t) >= 3
-        |),
-        |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= $MaxShingleDF),
-        |pr AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
-        |sizes AS (SELECT doc_id, count(*) n FROM pr GROUP BY doc_id),
-        |common AS (
-        |  SELECT a.doc_id ai, b.doc_id bi, count(*) c
-        |  FROM pr a JOIN pr b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY a.doc_id, b.doc_id
-        |)
-        |SELECT ai AS doc_a, bi AS doc_b,
-        |  round(c::DOUBLE / least(na.n, nb.n), 3) AS containment
-        |FROM common
-        |JOIN sizes na ON ai = na.doc_id
-        |JOIN sizes nb ON bi = nb.doc_id
-        |WHERE c::DOUBLE / least(na.n, nb.n) >= $ContainmentThreshold
-        |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_containment" -> containmentSql,
     "dedup_simhash_pairs" -> simhashPairsSqlAt(MaxPairHamming),
     "dedup_simhash_pairs_wide" -> simhashPairsSqlAt(MaxPairHammingWide),
     "dedup_simhash" ->
@@ -950,6 +980,23 @@ object Dedup {
     "dedup_clusters" ->
       s"""WITH RECURSIVE
          |p AS (SELECT doc_a, doc_b FROM ($cappedJaccardSql)),
+         |e AS (SELECT doc_a AS a, doc_b AS b FROM p
+         |      UNION SELECT doc_b, doc_a FROM p),
+         |reach(n, m) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.b, reach.m FROM e JOIN reach ON e.a = reach.n
+         |)
+         |SELECT n AS doc_id, min(m) AS cluster
+         |FROM reach GROUP BY n ORDER BY doc_id""".stripMargin,
+    // the same transitive closure over the UNION of the Jaccard and
+    // containment edge sets (both CTEs spliced from the single-source
+    // oracles above, so the edge definitions cannot drift)
+    "dedup_clusters_all" ->
+      s"""WITH RECURSIVE
+         |j AS (SELECT doc_a, doc_b FROM ($cappedJaccardSql)),
+         |cq AS (SELECT doc_a, doc_b FROM ($containmentSql)),
+         |p AS (SELECT doc_a, doc_b FROM j UNION SELECT doc_a, doc_b FROM cq),
          |e AS (SELECT doc_a AS a, doc_b AS b FROM p
          |      UNION SELECT doc_b, doc_a FROM p),
          |reach(n, m) AS (

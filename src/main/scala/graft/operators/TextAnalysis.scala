@@ -64,7 +64,7 @@ object TextAnalysis {
     * (1 − punct ratio) × (0.5 + stopword ratio). Shared by
     * [[textQuality]] and the curation pipeline's quality gate so the
     * two cannot drift; [[qualitySqlExpr]] is its DuckDB twin. */
-  private[operators] def qualityScore(t: Column): Column = {
+  private[graft] def qualityScore(t: Column): Column = {
     val tokens = split(t, " ")
     val nChars = length(t).cast("double")
     val nTokens = size(tokens).cast("double")
@@ -292,6 +292,36 @@ object TextAnalysis {
   def textRedactPii(spark: SparkSession, sfDir: String): DataFrame =
     redactFrame(Tables.documents(spark, sfDir))
 
+  /** The redaction chain as a reusable column (email → ip → phone on
+    * the running result), shared by [[redactFrame]] and the full
+    * curation pipeline's redact-first stage so they cannot drift;
+    * [[redactedSqlExpr]] is its DuckDB twin. */
+  private[operators] def redactedCol(t: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(t, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  /** Total PII match count on the ORIGINAL text (the pipeline's
+    * per-language audit column). */
+  private[operators] def piiCount(t: Column): Column =
+    (regexp_count(t, lit(EmailRe)) + regexp_count(t, lit(Ipv4Re)) +
+      regexp_count(t, lit(PhoneRe))).cast("long")
+
+  /** DuckDB twin of [[redactedCol]] over a `text` column. */
+  private[operators] val redactedSqlExpr: String =
+    s"""regexp_replace(regexp_replace(regexp_replace(text,
+       |    '$EmailRe', '<EMAIL>', 'g'),
+       |    '$Ipv4Re', '<IP>', 'g'),
+       |    '$PhoneRe', '<PHONE>', 'g')""".stripMargin
+
+  /** DuckDB twin of [[piiCount]] over a `text` column. */
+  private[operators] val piiCountSqlExpr: String =
+    s"""(len(regexp_extract_all(text, '$EmailRe')) +
+       |    len(regexp_extract_all(text, '$Ipv4Re')) +
+       |    len(regexp_extract_all(text, '$PhoneRe')))::BIGINT""".stripMargin
+
   /** The transform of [[textRedactPii]] on any (doc_id, text) frame
     * (spec entry point: plantable PII inputs). */
   private[graft] def redactFrame(docs: DataFrame): DataFrame = {
@@ -303,11 +333,7 @@ object TextAnalysis {
         regexp_count(t, lit(EmailRe)).as("n_emails"),
         regexp_count(t, lit(Ipv4Re)).as("n_ipv4"),
         regexp_count(t, lit(PhoneRe)).as("n_phones"),
-        regexp_replace(
-          regexp_replace(
-            regexp_replace(t, EmailRe, "<EMAIL>"),
-            Ipv4Re, "<IP>"),
-          PhoneRe, "<PHONE>").as("redacted"))
+        redactedCol(t).as("redacted"))
       .orderBy($"doc_id")
   }
 

@@ -33,6 +33,70 @@ class CurationSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("full pipeline redacts planted PII before dedup, quality and chunking") {
+    import spark.implicits._
+    // lang "xp": a multi-token phone number — redaction collapses
+    // "555 123 4567" (3 tokens) to "<PHONE>" (1), so the summary's
+    // n_tokens proves the chunk stage saw REDACTED text (22 → 20).
+    // lang "xq": an email (1 token → 1 token) — counted in n_pii but
+    // token-neutral. Both are stopword-dense, punctuation-free ⇒
+    // quality 1.0, and mutually dissimilar ⇒ no near-dup drop.
+    val phoneDoc = "the cat and the dog of the farm go to " +
+      "the barn in it is it fine call 555 123 4567 now" // 22 tokens
+    val mailDoc = "a bird or a fish and a frog of a pond to " +
+      "sit in it is it ok write bob@ex.org soon"
+    val docs = Seq(
+      (1L, "xp", phoneDoc),
+      (2L, "xq", mailDoc)).toDF("doc_id", "lang", "text")
+    val got = Curation.pipelineCurateFullOn(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq === Seq(
+      ("xp", 1L, 1L, 20L, 1L), // 22 tokens − phone(3) + <PHONE>(1) = 20
+      ("xq", 1L, 1L, 21L, 1L)),
+      s"got ${got.toSeq}")
+  }
+
+  test("full pipeline ≡ redact-first stage-by-stage composition on the real corpus") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // independently recompute: redact every doc (the ALREADY-CHECKED
+    // text_redact_pii transform), then run the plain pipeline stages
+    // over the redacted text, and require the one-dataflow form to agree
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val red = graft.operators.TextAnalysis.redactFrame(docs)
+      .select($"doc_id", ($"n_emails" + $"n_ipv4" + $"n_phones").cast("long").as("n_pii"),
+        $"redacted".as("text"))
+      .join(docs.select($"doc_id", $"lang"), "doc_id")
+    val drop = graft.operators.Dedup.dedupNgramJaccardOnDocs(
+        red.select($"doc_id", $"text"))
+      .select($"doc_b".as("doc_id")).distinct()
+    val kept = red.join(drop, Seq("doc_id"), "left_anti")
+    val expected = kept
+      .filter(graft.operators.TextAnalysis.qualityScore($"text") >= Curation.QualityCut)
+      .select($"lang", $"n_pii", size(split($"text", " ")).cast("long").as("n_tokens"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(ceil($"n_tokens".cast("double") / Curation.ChunkStride).cast("long")).as("n_chunks"),
+        sum($"n_tokens").as("n_tokens"),
+        sum($"n_pii").as("n_pii"))
+      .orderBy($"lang")
+      .collect().map(_.toSeq).toSeq
+    val got = Curation.pipelineCurateFull(spark, sf).collect().map(_.toSeq).toSeq
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
+  test("chunk dedup partitions all chunks (sum of group sizes = chunk count)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val chunks = Curation.textChunks(spark, sf)
+    val groups = Curation.dedupChunks(spark, sf)
+    assert(groups.agg(sum($"n_dups")).head.getLong(0) === chunks.count())
+    // keep keys are real chunks, and lexicographic minima of their group
+    val keys = groups.select($"keep_doc".as("doc_id"), $"keep_chunk".as("chunk_idx"))
+    assert(keys.join(chunks, Seq("doc_id", "chunk_idx")).count() === groups.count())
+  }
+
   test("packBins ≡ the global-window formulation (differential)") {
     val fast = Curation.packBins(spark, sf).collect().map(_.toSeq)
     val ref = Curation.packBinsWindowed(spark, sf).collect().map(_.toSeq)

@@ -251,6 +251,38 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.dedupNgramJaccardOn(sh).collect().isEmpty)
   }
 
+  test("union-edge clustering puts a containment-only excerpt with its source") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 1=source, 2=excerpt of 1 (containment edge ONLY — J ≈ 0.23 is far
+    // below the 0.8 jaccard gate), 3≈4 near-identical (jaccard edge),
+    // 5 unrelated singleton. Clustering over just the jaccard graph
+    // leaves the excerpt in its own cluster — the silent "keep both"
+    // failure dedup_clusters_all exists to close.
+    def toks(r: Range, p: String) = r.map(i => s"$p$i").mkString(" ")
+    val docs = Seq(
+      (1L, toks(0 until 300, "w")),
+      (2L, toks(50 until 120, "w")),
+      (3L, toks(0 until 100, "z")),
+      (4L, toks(0 until 99, "z")),
+      (5L, toks(0 until 50, "q"))).toDF("doc_id", "text")
+    val sh = docs.select($"doc_id", split($"text", " ").as("t"))
+      .select($"doc_id", array_distinct(transform(
+        sequence(lit(0), size($"t") - 3),
+        i => concat_ws(" ", element_at($"t", i + 1), element_at($"t", i + 2),
+          element_at($"t", i + 3)))).as("sh"))
+    val jacc = Dedup.dedupNgramJaccardOn(sh).select($"doc_a", $"doc_b")
+    val cont = Dedup.dedupContainmentOn(sh).select($"doc_a", $"doc_b")
+    val labels = Dedup.dedupClustersOn(docs.select($"doc_id"), jacc.union(cont))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L, 5L -> 5L),
+      s"got $labels")
+    // jaccard-only clustering strands the excerpt — the gap being closed
+    val jacOnly = Dedup.dedupClustersOn(docs.select($"doc_id"), jacc)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(jacOnly(2L) === 2L)
+  }
+
   test("containment ⊇ high-jaccard pairs on the real corpus (c/min ≥ J always)") {
     import spark.implicits._
     // c/min(na,nb) ≥ c/(na+nb−c) = J, so every pair at J ≥ 0.9 must
