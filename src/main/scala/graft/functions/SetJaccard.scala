@@ -58,6 +58,44 @@ object SetJaccardImpl {
     // construction; NaN fails any >= threshold cut regardless)
     inter.toDouble / union
   }
+
+  /** The same merge walk over plain long arrays — the form the
+    * streaming near-dup state verifier uses (state rows are decoded
+    * Scala arrays, not ArrayData). Same precondition: sorted
+    * ascending. */
+  def jaccardSortedArrays(a: Array[Long], b: Array[Long]): Double = {
+    val na = a.length
+    val nb = b.length
+    var i = 0
+    var j = 0
+    var inter = 0
+    var union = 0
+    while (i < na && j < nb) {
+      val x = a(i)
+      val y = b(j)
+      union += 1
+      if (x == y) {
+        inter += 1
+        while (i < na && a(i) == x) i += 1
+        while (j < nb && b(j) == y) j += 1
+      } else if (x < y) {
+        while (i < na && a(i) == x) i += 1
+      } else {
+        while (j < nb && b(j) == y) j += 1
+      }
+    }
+    while (i < na) {
+      val x = a(i)
+      union += 1
+      while (i < na && a(i) == x) i += 1
+    }
+    while (j < nb) {
+      val y = b(j)
+      union += 1
+      while (j < nb && b(j) == y) j += 1
+    }
+    inter.toDouble / union
+  }
 }
 
 /** `set_jaccard_sorted(array<bigint>, array<bigint>) -> double`,

@@ -805,7 +805,7 @@ object Dedup {
     "dedup_clusters_all" -> dedupClustersAll,
   )
 
-  private val exactJaccardSql =
+  private[graft] val exactJaccardSql =
     """WITH toks AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
       |sh AS (
       |  SELECT doc_id, unnest(list_distinct(

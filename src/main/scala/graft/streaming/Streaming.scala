@@ -324,6 +324,81 @@ object Streaming {
     runDedupStreamTTL(docs, "1 hour").orderBy($"h")
   }
 
+  /** Streaming NEAR-dup ingestion dedup — the approximate twin of
+    * [[streamDedupExact]], and the step a continuously-fed pipeline
+    * needs that exact hashing can't give it: a re-crawl with a few
+    * words changed must still match the document already ingested.
+    * Candidate generation is the SAME banded MinHash structure as the
+    * batch `dedup_minhash_lsh` (fused ShingleXxh64 → MinHashBandHashes,
+    * 16 bands), with the band equi-join replaced by KEYED STATE: each
+    * arriving document explodes into its 16 (band, band-hash) keys, per
+    * key the state holds the (doc_id, sorted shingle-hash set) of every
+    * resident, and each arrival is exact-Jaccard verified (zero-alloc
+    * merge walk) against the bucket's residents before joining them.
+    * Pairs found in several bands dedup in the final projection; the
+    * emitted jaccard is identical in every band, so max() is a no-op
+    * fold, exactly like the exact twin's min/max.
+    *
+    * A single-batch feed therefore equals the batch result and shares
+    * its UNCAPPED exact-Jaccard oracle — a genuine recall check;
+    * cross-batch detection (a near-dup of an EARLIER batch's document
+    * still pairs with it) is pinned in StreamingSpec with a two-batch
+    * feed. State is O(residents in window × set size) per bucket — the
+    * honest cost of near-dup (vs two longs for exact) — and the
+    * production form bounds it with the same EventTimeTimeout TTL as
+    * [[runDedupStreamTTL]]; the bounded-replay harness needs neither
+    * timeout nor watermark (NoTimeout, same as [[runDedupStream]]). */
+  private[graft] def runNearDupStream(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val banded = docs
+      .select($"doc_id", graft.functions.ShingleXxh64($"text").as("hv"))
+      .filter(size($"hv") > 0)
+      .select($"doc_id", $"hv",
+        posexplode(graft.functions.MinHashBandHashes($"hv")).as(Seq("band", "bh")))
+      // one state key per band cell; band index folded into the key
+      .select(concat_ws(":", $"band", $"bh").as("k"), $"doc_id", $"hv")
+      .as[(String, Long, Array[Long])]
+    val pairs = banded.groupByKey(_._1)
+      .flatMapGroupsWithState[Seq[(Long, Array[Long])], (Long, Long, Double)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { (_, rows, state) =>
+          var seen = state.getOption.getOrElse(Seq.empty)
+          val out = Seq.newBuilder[(Long, Long, Double)]
+          // doc_id order within the batch: the pair SET is order-
+          // independent (the later-processed side always sees the
+          // earlier one in `seen`), the sort just makes replay logs
+          // deterministic
+          rows.toSeq.sortBy(_._2).foreach { case (_, id, hv) =>
+            seen.foreach { case (oid, ohv) =>
+              if (oid != id) {
+                val j = graft.functions.SetJaccardImpl.jaccardSortedArrays(hv, ohv)
+                if (j >= graft.operators.Dedup.JaccardThreshold)
+                  out += ((math.min(id, oid), math.max(id, oid), j))
+              }
+            }
+            seen = seen :+ ((id, hv))
+          }
+          state.update(seen)
+          out.result().iterator
+        }
+      .toDF("doc_a", "doc_b", "jacc")
+    runToMemory(pairs, "append")
+      .groupBy($"doc_a", $"doc_b")
+      .agg(round(max($"jacc"), 3).as("jaccard"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** [[runNearDupStream]] over the documents table — the driver feed is
+    * one file = one micro-batch, so the result equals batch
+    * `dedup_minhash_lsh` and shares its exact-Jaccard oracle. */
+  def streamDedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val docs = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+    runNearDupStream(docs)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_events_hourly" -> streamEventsHourly,
     "stream_wc_counts" -> streamWordCounts,
@@ -333,6 +408,7 @@ object Streaming {
     "stream_click_purchase" -> streamClickPurchase,
     "stream_dedup_exact" -> streamDedupExact,
     "stream_dedup_ttl" -> streamDedupExactTTL,
+    "stream_dedup_minhash" -> streamDedupMinhash,
   )
 
   /** Streaming results are checked against the same SQL as their batch
@@ -384,5 +460,9 @@ object Streaming {
     "stream_dedup_ttl" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin,
+    // the batch dedup_minhash_lsh oracle: brute-force exact Jaccard over
+    // ALL pairs — a genuine recall check on the stateful banded search,
+    // independent of both the banding and the state mechanics
+    "stream_dedup_minhash" -> graft.operators.Dedup.exactJaccardSql,
   )
 }

@@ -89,6 +89,44 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("gram_window_mins"), p.take(1200))
   }
 
+  test("AQE splits a planted hot key in a sort-merge join (skew=true)") {
+    // the skew-join mitigation SCALING.md relies on for hot join keys at
+    // 100 TB, demonstrated end-to-end: one key carrying ~100× the rows
+    // of any other lands in one shuffle partition; with the skew
+    // thresholds scaled down to spec-sized data, AQE must detect and
+    // split it — visible as SortMergeJoin(skew=true) in the final plan.
+    // Thresholds only scale the trigger; the MECHANISM exercised is the
+    // production one.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.when
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force SMJ
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // hot key 0: 200k rows (~3 MB in one hash partition) vs ~2k for
+      // the rest; the probe side is small but over the broadcast cutoff
+      val left = spark.range(0, 220000)
+        .select(when($"id" < 200000, 0L).otherwise($"id" % 100).as("k"),
+          $"id".as("v"))
+      val right = spark.range(0, 100).select($"id".as("k"), ($"id" * 7).as("w"))
+      val joined = left.join(right, "k")
+      // collect() (not count(), which plans a different query) so THIS
+      // frame's AQE plan is the executed, final one
+      assert(joined.collect().length === 220000)
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"AQE did not split the hot key:\n${p.take(1500)}")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("q1: partial aggregation precedes the exchange") {
     val p = plan(Relational.q1PricingSummary(spark, sf))
     val exchangeIdx = p.indexOf("Exchange")

@@ -156,6 +156,52 @@ class StreamingSpec extends AnyFunSuite {
         s"(expected (10, 3)), got $got")
   }
 
+  test("near-dup dedup pairs a later batch's re-crawl with the original document") {
+    import org.apache.spark.sql.DataFrame
+    import spark.implicits._
+    def writeOneFile(df: DataFrame, dest: String, mtime: Long): Unit = {
+      val tmp = Files.createTempDirectory("graft_nd_batch_").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(part.toPath, Paths.get(dest))
+      Files.setLastModifiedTime(Paths.get(dest),
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    def toks(r: Range, p: String) = r.map(i => s"$p$i").mkString(" ")
+    val in = Files.createTempDirectory("graft_nd_in_").toString
+    val base = System.currentTimeMillis()
+    // batch 1: the original (100 tokens) + an unrelated doc
+    writeOneFile(Seq((10L, toks(0 until 100, "w")),
+      (11L, toks(0 until 60, "z"))).toDF("doc_id", "text"),
+      s"$in/b1.parquet", base)
+    // batch 2: a near-identical re-crawl of doc 10 (one token dropped,
+    // J = 97/98 ≈ 0.99 — certain LSH recall) + another unrelated doc.
+    // The pair can ONLY come from cross-batch state: doc 10 is not in
+    // this batch.
+    writeOneFile(Seq((20L, toks(0 until 99, "w")),
+      (21L, toks(0 until 60, "q"))).toDF("doc_id", "text"),
+      s"$in/b2.parquet", base + 60000)
+    val schema = spark.read.parquet(in).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val got = Streaming.runNearDupStream(stream)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got.map(p => (p._1, p._2)) === Seq((10L, 20L)),
+      s"expected exactly the cross-batch pair (10, 20), got $got")
+    // 97 shared shingles of 98 total: round(0.98979..., 3) = 0.99
+    assert(got.head._3 === 0.99, s"jaccard should be 97/98 rounded, got ${got.head._3}")
+  }
+
+  test("single-batch near-dup stream equals the batch minhash pair search") {
+    val streamed = Streaming.streamDedupMinhash(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val batch = graft.operators.Dedup.dedupMinHashLsh(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("eventsStream scopes the nanosAsLong flag: restored after, stream still runs") {
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     val prev = spark.conf.getOption(key)
