@@ -399,6 +399,89 @@ object Streaming {
     runNearDupStream(docs)
   }
 
+  /** [[runNearDupStream]] with BOUNDED state — the near-dup twin of
+    * [[runDedupStreamTTL]], and the form an unbounded feed actually
+    * runs. Residents are evicted PER-RESIDENT at the event-time
+    * watermark: a resident whose `ts + ttl` has fallen behind the
+    * watermark can never pair again (every future non-late arrival has
+    * `ts ≥ watermark`, so the gap would exceed `ttl`) and is dropped at
+    * the next invocation of its cell; a wholly idle cell is cleared by
+    * the same monotone `EventTimeTimeout` deadline as the exact path
+    * (armed from the max event time ever seen). State per cell is
+    * O(residents in the last `ttl` of event time × set size).
+    *
+    * Accuracy contract, same trade as the exact TTL path: near-dups
+    * whose arrivals land within `ttl` of each other pair exactly as in
+    * the unbounded form (eviction only removes residents no non-late
+    * arrival can be within `ttl` of); a re-crawl arriving after its
+    * original's eviction starts a fresh epoch and reports no pair —
+    * the documented cost of bounded state. Watermark delay = `ttl`
+    * keeps the timeout-validity invariant, as in [[runDedupStreamTTL]]. */
+  private[graft] def runNearDupStreamTTL(docs: DataFrame, ttlMs: Long): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val banded = docs
+      .withWatermark("ts", s"$ttlMs milliseconds")
+      .select($"doc_id", $"ts", graft.functions.ShingleXxh64($"text").as("hv"))
+      .filter(size($"hv") > 0)
+      .select($"doc_id", $"ts", $"hv",
+        posexplode(graft.functions.MinHashBandHashes($"hv")).as(Seq("band", "bh")))
+      .select(concat_ws(":", $"band", $"bh").as("k"), $"doc_id", $"hv", $"ts")
+      .as[(String, Long, Array[Long], java.sql.Timestamp)]
+    val pairs = banded.groupByKey(_._1)
+      .flatMapGroupsWithState[(Seq[(Long, Array[Long], Long)], Long), (Long, Long, Double)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) { (_, rows, state) =>
+          if (state.hasTimedOut) {
+            state.remove() // cell idle for ttl past its newest arrival
+            Iterator.empty
+          } else {
+            val wm = state.getCurrentWatermarkMs()
+            var (seen, maxTs) = state.getOption.getOrElse((Seq.empty, Long.MinValue))
+            // per-resident eviction: ts + ttl behind the watermark ⇒
+            // unpairable with any future non-late arrival
+            seen = seen.filter(_._3 + ttlMs >= wm)
+            val out = Seq.newBuilder[(Long, Long, Double)]
+            rows.toSeq.sortBy(_._2).foreach { case (_, id, hv, ts) =>
+              val t = ts.getTime
+              seen.foreach { case (oid, ohv, _) =>
+                if (oid != id) {
+                  val j = graft.functions.SetJaccardImpl.jaccardSortedArrays(hv, ohv)
+                  if (j >= graft.operators.Dedup.JaccardThreshold)
+                    out += ((math.min(id, oid), math.max(id, oid), j))
+                }
+              }
+              seen = seen :+ ((id, hv, t))
+              if (t > maxTs) maxTs = t
+            }
+            state.update((seen, maxTs))
+            state.setTimeoutTimestamp(maxTs, s"$ttlMs milliseconds")
+            out.result().iterator
+          }
+        }
+      .toDF("doc_a", "doc_b", "jacc")
+    runToMemory(pairs, "append")
+      .groupBy($"doc_a", $"doc_b")
+      .agg(round(max($"jacc"), 3).as("jaccard"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** [[streamDedupMinhash]] through the bounded-state TTL path, same
+    * synthetic in-window timestamps as [[streamDedupExactTTL]]: one
+    * file = one micro-batch with every ts inside the TTL window (and a
+    * first-batch watermark of zero), so no eviction fires and the
+    * result equals the batch pair search — same exact-Jaccard oracle;
+    * the eviction behavior itself is pinned by StreamingSpec's
+    * three-family multi-batch test. */
+  def streamDedupMinhashTTL(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val docs = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+      .withColumn("ts", timestamp_seconds(lit(1700000000L) + pmod($"doc_id", lit(3600))))
+    runNearDupStreamTTL(docs, 3600L * 1000)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_events_hourly" -> streamEventsHourly,
     "stream_wc_counts" -> streamWordCounts,
@@ -409,6 +492,7 @@ object Streaming {
     "stream_dedup_exact" -> streamDedupExact,
     "stream_dedup_ttl" -> streamDedupExactTTL,
     "stream_dedup_minhash" -> streamDedupMinhash,
+    "stream_dedup_minhash_ttl" -> streamDedupMinhashTTL,
   )
 
   /** Streaming results are checked against the same SQL as their batch
@@ -464,5 +548,8 @@ object Streaming {
     // ALL pairs — a genuine recall check on the stateful banded search,
     // independent of both the banding and the state mechanics
     "stream_dedup_minhash" -> graft.operators.Dedup.exactJaccardSql,
+    // single-batch in-window feed ⇒ no eviction ⇒ identical to the
+    // unbounded form and the batch result (eviction pinned in spec)
+    "stream_dedup_minhash_ttl" -> graft.operators.Dedup.exactJaccardSql,
   )
 }

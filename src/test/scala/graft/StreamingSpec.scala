@@ -193,6 +193,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.head._3 === 0.99, s"jaccard should be 97/98 rounded, got ${got.head._3}")
   }
 
+  test("TTL near-dup: in-window re-crawl pairs, watermark-evicted resident does not") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions.{expr => fexpr}
+    import spark.implicits._
+    def writeOneFile(df: DataFrame, dest: String, mtime: Long): Unit = {
+      val tmp = Files.createTempDirectory("graft_ndttl_batch_").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(part.toPath, Paths.get(dest))
+      Files.setLastModifiedTime(Paths.get(dest),
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    def toks(r: Range, p: String) = r.map(i => s"$p$i").mkString(" ")
+    def docs(rows: Seq[(Long, String, Long)]): DataFrame =
+      rows.toDF("doc_id", "text", "sec")
+        .select($"doc_id", $"text", fexpr("timestamp_seconds(sec)").as("ts"))
+    val in = Files.createTempDirectory("graft_ndttl_in_").toString
+    val t0 = 1700000000L
+    val base = System.currentTimeMillis()
+    // batch 1: two families' originals — w (will be evicted before its
+    // re-crawl) and z (re-crawled in-window)
+    writeOneFile(docs(Seq((10L, toks(0 until 100, "w"), t0),
+      (11L, toks(0 until 100, "z"), t0))), s"$in/b1.parquet", base)
+    // batch 2: z re-crawl 30 s later (inside the 60 s TTL) + a far-
+    // future watermark pusher → wm = (t0+10000) − 60
+    writeOneFile(docs(Seq((20L, toks(0 until 99, "z"), t0 + 30),
+      (30L, toks(0 until 60, "p"), t0 + 10000))), s"$in/b2.parquet", base + 60000)
+    // batch 3: w re-crawl at t0+9950 (non-late) — resident 10 has
+    // ts + ttl = t0+60 far behind the watermark, so it was evicted and
+    // NO pair may be reported (unbounded state would pair them)
+    writeOneFile(docs(Seq((21L, toks(0 until 99, "w"), t0 + 9950))),
+      s"$in/b3.parquet", base + 120000)
+    val schema = spark.read.parquet(in).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val got = Streaming.runNearDupStreamTTL(stream, 60000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq((11L, 20L)),
+      s"expected only the in-window pair (11, 20) — the w-family pair must " +
+        s"be suppressed by eviction — got $got")
+  }
+
   test("single-batch near-dup stream equals the batch minhash pair search") {
     val streamed = Streaming.streamDedupMinhash(spark, sf)
       .collect().map(_.toSeq).toSeq
