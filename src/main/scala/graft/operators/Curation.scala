@@ -20,9 +20,15 @@ object Curation {
   /** Overlapping fixed-size token chunks per document: starts at
     * 0, stride, 2·stride, … while < n_tokens; each chunk takes up to
     * ChunkTokens tokens. */
-  def textChunks(spark: SparkSession, sfDir: String): DataFrame = {
+  def textChunks(spark: SparkSession, sfDir: String): DataFrame =
+    chunksOf(Tables.documents(spark, sfDir))
+
+  /** The chunk expansion on any (doc_id, text) frame (spec entry
+    * point: plantable chunk-aligned inputs). */
+  private[graft] def chunksOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    Tables.documents(spark, sfDir)
+    docs
       .select($"doc_id", split($"text", " ").as("t"))
       .select($"doc_id", $"t",
         posexplode(sequence(lit(0), size($"t") - 1, lit(ChunkStride)))
@@ -223,6 +229,40 @@ object Curation {
       .orderBy($"h")
   }
 
+  /** Composite chunk key base: (doc_id, chunk_idx) packed into one
+    * BIGINT so the document-level pair search runs unchanged over
+    * chunks. 2^20 chunk slots per document = docs up to ~42M tokens at
+    * the current stride; doc_id stays well under 2^43. The same
+    * arithmetic is spliced into the oracle. */
+  final val ChunkKeyBase = 1L << 20
+
+  /** Chunk-level NEAR-dup: the document pair search ([[Dedup
+    * .dedupNgramJaccardOn]]'s fused engine) at sample granularity —
+    * after chunking, distinct documents sharing boilerplate spans
+    * become true near-duplicate SAMPLES that document-level dedup
+    * cannot see. Chunks are keyed by the packed (doc_id, chunk_idx)
+    * and fed to the identical DF-capped PPJoin pipeline; output
+    * unpacks the keys. Same plan shape as `dedup_ngram_jaccard` plus
+    * the chunk fan-out Generate — no new exchange class. */
+  def dedupChunksNgram(spark: SparkSession, sfDir: String): DataFrame =
+    dedupChunksNgramOn(Tables.documents(spark, sfDir))
+
+  private[graft] def dedupChunksNgramOn(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val asDocs = chunksOf(docs)
+      .select(($"doc_id" * ChunkKeyBase + $"chunk_idx").as("doc_id"),
+        $"chunk_text".as("text"))
+    Dedup.dedupNgramJaccardOnDocs(asDocs)
+      .select(
+        expr(s"doc_a div $ChunkKeyBase").as("doc_a"),
+        expr(s"doc_a % $ChunkKeyBase").cast("int").as("idx_a"),
+        expr(s"doc_b div $ChunkKeyBase").as("doc_b"),
+        expr(s"doc_b % $ChunkKeyBase").cast("int").as("idx_b"),
+        $"jaccard")
+      .orderBy($"doc_a", $"idx_a", $"doc_b", $"idx_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cur_text_chunks" -> textChunks,
     "cur_split_assign" -> splitAssign,
@@ -231,6 +271,7 @@ object Curation {
     "cur_pipeline" -> pipelineCurate,
     "cur_pipeline_full" -> pipelineCurateFull,
     "dedup_chunks" -> dedupChunks,
+    "dedup_chunks_ngram" -> dedupChunksNgram,
   )
 
   /** The chunk expansion as a reusable SQL body (no ORDER BY), shared
@@ -263,6 +304,22 @@ object Curation {
          |      ORDER BY doc_id, chunk_idx) AS rn
          |  FROM chunks) s
          |WHERE rn = 1 ORDER BY h""".stripMargin,
+    // the document pair-search SQL over packed-key chunks (the same
+    // cappedJaccardSqlFrom splice the full pipeline uses), keys
+    // unpacked on output with the engine's ChunkKeyBase
+    "dedup_chunks_ngram" ->
+      s"""WITH ck AS (
+         |  SELECT doc_id * $ChunkKeyBase + chunk_idx AS doc_id,
+         |    chunk_text AS text
+         |  FROM ($chunksSql)
+         |),
+         |pairs AS (${Dedup.cappedJaccardSqlFrom("ck")})
+         |SELECT doc_a // $ChunkKeyBase AS doc_a,
+         |  CAST(doc_a % $ChunkKeyBase AS INT) AS idx_a,
+         |  doc_b // $ChunkKeyBase AS doc_b,
+         |  CAST(doc_b % $ChunkKeyBase AS INT) AS idx_b,
+         |  jaccard
+         |FROM pairs ORDER BY doc_a, idx_a, doc_b, idx_b""".stripMargin,
     // the full composition with redaction FIRST: the pair CTE runs over
     // the redacted text (cappedJaccardSqlFrom("red")), the quality gate
     // reads the redacted column, and n_pii audits the original-text

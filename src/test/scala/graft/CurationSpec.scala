@@ -97,6 +97,22 @@ class CurationSpec extends AnyFunSuite {
     assert(keys.join(chunks, Seq("doc_id", "chunk_idx")).count() === groups.count())
   }
 
+  test("chunk near-dup pairs a shared boilerplate chunk across distinct documents") {
+    import spark.implicits._
+    // two DISTINCT documents (document-level dedup sees nothing) that
+    // share their first 60 tokens: chunk 0 (tokens 0..49) is identical
+    // in both → J = 1.0 at sample granularity; chunk 1 (tokens 40..89)
+    // shares only 18 of 78 shingles (J ≈ 0.23) and must NOT pair
+    def toks(r: Range, p: String) = r.map(i => s"$p$i").mkString(" ")
+    val common = toks(0 until 60, "c")
+    val docs = Seq(
+      (1L, common + " " + toks(0 until 40, "a")),
+      (2L, common + " " + toks(0 until 40, "b"))).toDF("doc_id", "text")
+    val got = Curation.dedupChunksNgramOn(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3), r.getDouble(4)))
+    assert(got.toSeq === Seq((1L, 0, 2L, 0, 1.0)), s"got ${got.toSeq}")
+  }
+
   test("packBins ≡ the global-window formulation (differential)") {
     val fast = Curation.packBins(spark, sf).collect().map(_.toSeq)
     val ref = Curation.packBinsWindowed(spark, sf).collect().map(_.toSeq)
