@@ -212,6 +212,42 @@ object Curation {
       .orderBy($"lang")
   }
 
+  /** The MATERIALIZING form of the full pipeline — instead of a
+    * per-language summary it emits the actual training SAMPLES a
+    * downstream trainer would read: redact → document near-dup drop →
+    * quality gate → chunk expansion → chunk-level exact dedup
+    * (keep-first by lexicographic (doc_id, chunk_idx)). Every row of
+    * the output is a redacted, deduplicated, quality-gated chunk; the
+    * full chunk text is part of the oracle hash, so the whole
+    * dataflow — including redaction reaching the samples — is checked
+    * byte-for-byte.
+    *
+    * Scale shape: the upstream stages are [[pipelineCurateFull]]'s;
+    * chunking is per-row fan-out; chunk dedup adds one shuffle on
+    * (doc_id, chunk_idx) against the hash-grouped representative
+    * table — the `dedup_chunks` cost, nothing more. */
+  def pipelineCurateSamples(spark: SparkSession, sfDir: String): DataFrame =
+    pipelineCurateSamplesOn(Tables.documents(spark, sfDir))
+
+  private[graft] def pipelineCurateSamplesOn(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val red = docs.select($"doc_id",
+      TextAnalysis.redactedCol($"text").as("text"))
+    val drop = Dedup.dedupNgramJaccardOnDocs(red)
+      .select($"doc_b".as("doc_id")).distinct()
+    val kept = red.join(drop, Seq("doc_id"), "left_anti")
+    val good = kept.filter(TextAnalysis.qualityScore($"text") >= QualityCut)
+    val chunks = chunksOf(good)
+    val reps = chunks
+      .groupBy(md5($"chunk_text").as("h"))
+      .agg(min(struct($"doc_id", $"chunk_idx")).as("k"))
+      .select($"k.doc_id".as("doc_id"), $"k.chunk_idx".as("chunk_idx"))
+    chunks.join(reps, Seq("doc_id", "chunk_idx"), "left_semi")
+      .select($"doc_id", $"chunk_idx", $"chunk_text", $"n_tokens")
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
   /** Chunk-level exact dedup: [[dedupExact]] semantics at SAMPLE
     * granularity over the [[textChunks]] output — training pipelines
     * dedup again after chunking because distinct documents share
@@ -272,20 +308,24 @@ object Curation {
     "cur_pipeline_full" -> pipelineCurateFull,
     "dedup_chunks" -> dedupChunks,
     "dedup_chunks_ngram" -> dedupChunksNgram,
+    "cur_pipeline_samples" -> pipelineCurateSamples,
   )
 
-  /** The chunk expansion as a reusable SQL body (no ORDER BY), shared
-    * by the `cur_text_chunks` and `dedup_chunks` oracles so the stride
-    * arithmetic cannot drift. */
-  private val chunksSql =
+  /** The chunk expansion as a reusable SQL body (no ORDER BY) over any
+    * (doc_id, text) source relation, shared by the `cur_text_chunks`,
+    * `dedup_chunks`, `dedup_chunks_ngram` and `cur_pipeline_samples`
+    * oracles so the stride arithmetic cannot drift. */
+  private def chunksSqlFrom(src: String): String =
     s"""SELECT doc_id, chunk_idx,
        |  array_to_string(t[s + 1 : s + $ChunkTokens], ' ') AS chunk_text,
        |  least(len(t) - s, $ChunkTokens) AS n_tokens
        |FROM (
        |  SELECT doc_id, t, unnest(range(0, len(t), $ChunkStride)) AS s,
        |    generate_subscripts(range(0, len(t), $ChunkStride), 1) - 1 AS chunk_idx
-       |  FROM (SELECT doc_id, string_split(text, ' ') t FROM documents) d
+       |  FROM (SELECT doc_id, string_split(text, ' ') t FROM $src) d
        |) c""".stripMargin
+
+  private val chunksSql = chunksSqlFrom("documents")
 
   val oracles: Map[String, String] = Map(
     "cur_text_chunks" ->
@@ -320,6 +360,33 @@ object Curation {
          |  CAST(doc_b % $ChunkKeyBase AS INT) AS idx_b,
          |  jaccard
          |FROM pairs ORDER BY doc_a, idx_a, doc_b, idx_b""".stripMargin,
+    // the materializing pipeline: every stage's SQL spliced from the
+    // same constants, chunk-level keep-first via row_number over the
+    // chunk-hash partition — the output hash covers every emitted
+    // sample's full text
+    "cur_pipeline_samples" ->
+      s"""WITH red AS (
+         |  SELECT doc_id, ${TextAnalysis.redactedSqlExpr} AS text
+         |  FROM documents
+         |),
+         |pairs AS (${Dedup.cappedJaccardSqlFrom("red")}),
+         |kept AS (
+         |  SELECT doc_id, text FROM red
+         |  WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
+         |),
+         |good AS (
+         |  SELECT doc_id, text FROM kept
+         |  WHERE ${TextAnalysis.qualitySqlExpr} >= $QualityCut
+         |),
+         |chunks AS (${chunksSqlFrom("good")}),
+         |sel AS (
+         |  SELECT doc_id, chunk_idx, chunk_text, n_tokens,
+         |    row_number() OVER (PARTITION BY md5(chunk_text)
+         |      ORDER BY doc_id, chunk_idx) AS rn
+         |  FROM chunks
+         |)
+         |SELECT doc_id, chunk_idx, chunk_text, n_tokens
+         |FROM sel WHERE rn = 1 ORDER BY doc_id, chunk_idx""".stripMargin,
     // the full composition with redaction FIRST: the pair CTE runs over
     // the redacted text (cappedJaccardSqlFrom("red")), the quality gate
     // reads the redacted column, and n_pii audits the original-text

@@ -113,6 +113,31 @@ class CurationSpec extends AnyFunSuite {
     assert(got.toSeq === Seq((1L, 0, 2L, 0, 1.0)), s"got ${got.toSeq}")
   }
 
+  test("samples pipeline emits each chunk once, redacted, from kept docs only") {
+    import spark.implicits._
+    // stopword-dense so both docs clear the quality gate; doc-level
+    // J ≈ 0.42 (shared 60-token prefix, distinct tails) so BOTH survive
+    // the near-dup drop; chunk 0 is identical across them AFTER
+    // redaction (the planted email normalizes to <EMAIL>), so exactly
+    // one copy — doc 1's — may appear among the samples, redacted.
+    val stop = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+    def stops(n: Int, from: Int) = (0 until n).map(i => stop((from + i) % 10))
+    val common = (stops(30, 0) ++ Seq("write", "bob@ex.org", "now") ++ stops(27, 3))
+      .mkString(" ") // 60 tokens incl. one email
+    val docs = Seq(
+      (1L, common + " " + (0 until 40).map(i => s"a$i").mkString(" ")),
+      (2L, common + " " + (0 until 40).map(i => s"b$i").mkString(" "))).toDF("doc_id", "text")
+    val got = Curation.pipelineCurateSamplesOn(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    // chunk 0 of doc 1 kept, chunk 0 of doc 2 deduplicated away
+    val chunk0s = got.filter(_._2 == 0)
+    assert(chunk0s.map(c => (c._1, c._2)).toSeq === Seq((1L, 0)), s"got ${got.toSeq}")
+    assert(chunk0s.head._3.contains("<EMAIL>") && !chunk0s.head._3.contains("bob@ex.org"),
+      s"sample must carry redacted text: ${chunk0s.head._3}")
+    // both docs' distinct tail chunks survive (chunks 1 and 2 differ)
+    assert(got.exists(c => c._1 == 2L && c._2 > 0), s"got ${got.toSeq}")
+  }
+
   test("packBins ≡ the global-window formulation (differential)") {
     val fast = Curation.packBins(spark, sf).collect().map(_.toSeq)
     val ref = Curation.packBinsWindowed(spark, sf).collect().map(_.toSeq)
