@@ -99,6 +99,70 @@ object Similarity {
       .orderBy($"query_id", $"rk")
   }
 
+  /** IVF coarse-quantizer parameters: NumCentroids seeded cells,
+    * NProbe cells probed per query. */
+  final val NumCentroids = 16
+  final val NProbe = 4
+
+  /** ANN via an IVF-style coarse quantizer — the classic scale path
+    * next to LSH ([[simAnnLsh]]): every vector is ASSIGNED to its
+    * closest of [[NumCentroids]] centroid cells (argmax cosine), each
+    * query probes its [[NProbe]] closest cells, and the exact re-rank
+    * runs only within the probed cells' residents. Centroids are
+    * SEEDED deterministically (the vectors with the NumCentroids
+    * lowest ids after the query range) rather than Lloyd-fitted: the
+    * structure — bounded candidate cells, broadcast probe, cell
+    * equi-join — is the production IVF shape, while deterministic
+    * seeds keep the whole query oracle-checkable (production would
+    * iterate k-means on the same plan: score → argmax → mean-agg).
+    *
+    * Scale shape: the 16 centroids are collected driver-side (bounded,
+    * the quantizer IS the model — same footing as a broadcast model)
+    * and baked into a per-row assignment expression: assignment is
+    * pure map work, NO shuffle; the only exchanges are the candidate
+    * cell equi-join (probe side broadcast, query-count × NProbe rows)
+    * and the per-query top-k window. Candidates are unique by
+    * construction (a vector lives in exactly one cell), so no
+    * distinct. */
+  def simAnnIvf(spark: SparkSession, sfDir: String): DataFrame =
+    simAnnIvfOn(spark, sfDir, NProbe)
+
+  private[graft] def simAnnIvfOn(spark: SparkSession, sfDir: String,
+      nprobe: Int): DataFrame = {
+    import spark.implicits._
+    val e = embeddings(spark, sfDir)
+    val cents: Seq[Seq[Double]] = e
+      .filter($"vec_id" >= NumQueries && $"vec_id" < NumQueries + NumCentroids)
+      .orderBy($"vec_id")
+      .select($"v").collect().map(_.getSeq[Double](0).toSeq).toSeq
+    // per-row score vector against the baked centroids; argmax position
+    // (first-on-tie = lowest cell id, matching the oracle's cid ASC)
+    val scoreArr = array(cents.map(cv => VectorOps.cosine($"v", typedLit(cv))): _*)
+    val cellExpr = (array_position(scoreArr, array_max(scoreArr)) - 1).cast("int")
+    // query probe cells: indices of the nprobe best scores — sort
+    // (−score, idx) ascending so ties fall to the lower cell id
+    val probeCells = slice(
+      sort_array(zip_with(scoreArr, sequence(lit(0), lit(NumCentroids - 1)),
+        (s, i) => struct((-s).as("ns"), i.as("idx")))),
+      1, nprobe).getField("idx")
+    val assigned = e.select($"vec_id", $"v", cellExpr.as("cell"))
+    val probes = e.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), explode(probeCells).as("cell"))
+    val q = e.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"v".as("qv"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id".asc)
+    broadcast(probes).join(assigned.select($"vec_id", $"cell"), Seq("cell"))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id")
+      .join(e.select($"vec_id", $"v"), "vec_id")
+      .join(broadcast(q), "query_id")
+      .select($"query_id", $"vec_id", VectorOps.cosine($"qv", $"v").as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= TopK)
+      .select($"query_id", $"rk", $"vec_id", round($"cos", 4).as("cosine"))
+      .orderBy($"query_id", $"rk")
+  }
+
   /** Aggregate similarity statistics per label block (exercises vector
     * math inside a shuffle agg): pair count, mean and max cosine. */
   def simLabelStats(spark: SparkSession, sfDir: String): DataFrame = {
@@ -158,6 +222,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_brute" -> simTopKBrute,
     "sim_ann_lsh" -> simAnnLsh,
+    "sim_ann_ivf" -> simAnnIvf,
     "sim_label_stats" -> simLabelStats,
     "sim_label_stats_sampled" -> simLabelStatsSampled,
   )
@@ -223,6 +288,43 @@ object Similarity {
          |FROM sampled a JOIN sampled b
          |  ON a.label = b.label AND a.vec_id < b.vec_id
          |GROUP BY a.label ORDER BY a.label""".stripMargin,
+    // Full mirror of the IVF pipeline: the same seeded centroids (the
+    // NumCentroids vectors after the query range, selected IN SQL, so
+    // engine and oracle pick identical cells), argmax-cosine assignment
+    // with the same cid-ascending tie-break as the engine's first-max
+    // array_position, nprobe probe cells, exact re-rank within the
+    // probed residents. nprobe = NumCentroids ≡ brute force is pinned
+    // in SimilaritySpec.
+    "sim_ann_ivf" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |c AS (
+         |  SELECT vec_id AS cid, embedding FROM e
+         |  WHERE vec_id >= $NumQueries AND vec_id < ${NumQueries + NumCentroids}
+         |),
+         |rk AS (
+         |  SELECT e.vec_id, c.cid,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${cosSql("e", "c")} DESC, c.cid ASC) AS rn
+         |  FROM e, c
+         |),
+         |assign AS (SELECT vec_id, cid AS cell FROM rk WHERE rn = 1),
+         |probes AS (
+         |  SELECT vec_id AS query_id, cid AS cell FROM rk
+         |  WHERE rn <= $NProbe AND vec_id < $NumQueries
+         |),
+         |cand AS (
+         |  SELECT p.query_id, a.vec_id FROM probes p JOIN assign a USING (cell)
+         |  WHERE a.vec_id <> p.query_id
+         |)
+         |SELECT query_id, rk, vec_id, round(cos, 4) AS cosine FROM (
+         |  SELECT cand.query_id, cand.vec_id, ${cosSql("q", "x")} AS cos,
+         |    row_number() OVER (PARTITION BY cand.query_id
+         |      ORDER BY ${cosSql("q", "x")} DESC, cand.vec_id ASC) AS rk
+         |  FROM cand
+         |  JOIN embeddings q ON q.vec_id = cand.query_id
+         |  JOIN embeddings x ON x.vec_id = cand.vec_id
+         |) t WHERE rk <= $TopK
+         |ORDER BY query_id, rk""".stripMargin,
     // Full mirror of the ANN pipeline: signatures from generated
     // hyperplane constants, candidate equi-join on (table, sig), exact
     // cosine re-rank. Approximation semantics are therefore pinned by
