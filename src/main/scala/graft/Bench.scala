@@ -39,11 +39,14 @@ object Bench {
     "wc_word_counts", "wc_ranked", "wc_word_stats",
     "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
     "dedup_simhash_pairs", "dedup_containment",
-    "sim_topk_brute", "sim_ann_lsh", "sim_label_stats_sampled",
+    "sim_topk_brute", "sim_ann_lsh", "sim_ann_ivf", "sim_label_stats_sampled",
     "text_quality", "text_fingerprint_winnow", "mm_features",
-    // the composed curation flagship: redact-first full pipeline
-    // (replaces round 5's cur_pipeline, which it strictly contains)
-    "cur_pipeline_full",
+    // chunk-granularity near-dup: the pair search over ~10× the row count
+    "dedup_chunks_ngram",
+    // the composed curation flagships: redact-first full pipeline
+    // (replaces round 5's cur_pipeline, which it strictly contains) and
+    // the materializing samples form
+    "cur_pipeline_full", "cur_pipeline_samples",
   )
 
   /** Aggregates per-stage task metrics between reset() and snapshot(). */
