@@ -315,7 +315,7 @@ object Curation {
     * (doc_id, text) source relation, shared by the `cur_text_chunks`,
     * `dedup_chunks`, `dedup_chunks_ngram` and `cur_pipeline_samples`
     * oracles so the stride arithmetic cannot drift. */
-  private def chunksSqlFrom(src: String): String =
+  private[graft] def chunksSqlFrom(src: String): String =
     s"""SELECT doc_id, chunk_idx,
        |  array_to_string(t[s + 1 : s + $ChunkTokens], ' ') AS chunk_text,
        |  least(len(t) - s, $ChunkTokens) AS n_tokens

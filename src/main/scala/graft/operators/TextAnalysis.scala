@@ -80,7 +80,7 @@ object TextAnalysis {
   /** DuckDB twin of [[qualityScore]] (an expression over a `text`
     * column), spliced into both the `text_quality` oracle and the
     * curation-pipeline oracle. */
-  private[operators] val qualitySqlExpr: String =
+  private[graft] val qualitySqlExpr: String =
     """round(
       |    (CASE WHEN len(string_split(text, ' ')) >= 10 THEN 1.0
       |          ELSE len(string_split(text, ' ')) / 10.0 END) *
@@ -296,7 +296,7 @@ object TextAnalysis {
     * the running result), shared by [[redactFrame]] and the full
     * curation pipeline's redact-first stage so they cannot drift;
     * [[redactedSqlExpr]] is its DuckDB twin. */
-  private[operators] def redactedCol(t: Column): Column =
+  private[graft] def redactedCol(t: Column): Column =
     regexp_replace(
       regexp_replace(
         regexp_replace(t, EmailRe, "<EMAIL>"),
@@ -310,7 +310,7 @@ object TextAnalysis {
       regexp_count(t, lit(PhoneRe))).cast("long")
 
   /** DuckDB twin of [[redactedCol]] over a `text` column. */
-  private[operators] val redactedSqlExpr: String =
+  private[graft] val redactedSqlExpr: String =
     s"""regexp_replace(regexp_replace(regexp_replace(text,
        |    '$EmailRe', '<EMAIL>', 'g'),
        |    '$Ipv4Re', '<IP>', 'g'),

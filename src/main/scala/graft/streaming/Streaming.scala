@@ -482,6 +482,79 @@ object Streaming {
     runNearDupStreamTTL(docs, 3600L * 1000)
   }
 
+  /** STREAMING curation-to-samples — the ingestion-side twin of the
+    * batch `cur_pipeline_samples`: documents stream in, are redacted
+    * and quality-gated (per-row map work, identical expressions to the
+    * batch pipeline), fan out into overlapping token chunks, and pass
+    * through CROSS-BATCH chunk-level exact dedup — `runDedupStream`'s
+    * monotone-emission design keyed on the chunk hash, with the keep
+    * key the lexicographic (doc_id, chunk_idx) min and the chunk text
+    * riding along (identical for every row of a hash group, so the
+    * final min-fold is deterministic under ANY batch split). Document
+    * near-dup REMOVAL is deliberately absent: the pair search needs a
+    * corpus-wide index and belongs to the batch/compaction tier — this
+    * is the standard lambda split (streaming exact dedup at ingest,
+    * periodic batch near-dup sweep), and the oracle mirrors exactly
+    * these stages.
+    *
+    * At scale the emitted rows append to the training-sample sink;
+    * state is one (minDoc, minIdx) pair per distinct chunk hash (the
+    * TTL-bounded form of [[runDedupStreamTTL]] applies unchanged if
+    * the retention window allows). */
+  private[graft] def runPipelineSamplesStream(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import graft.operators.{Curation, TextAnalysis}
+    val red = docs.select($"doc_id",
+      TextAnalysis.redactedCol($"text").as("text"))
+    val good = red.filter(TextAnalysis.qualityScore($"text") >= Curation.QualityCut)
+    val chunks = good
+      .select($"doc_id", split($"text", " ").as("t"))
+      .select($"doc_id", $"t",
+        posexplode(sequence(lit(0), size($"t") - 1, lit(Curation.ChunkStride)))
+          .as(Seq("chunk_idx", "start")))
+      .select($"doc_id", $"chunk_idx",
+        concat_ws(" ", slice($"t", $"start" + 1, lit(Curation.ChunkTokens))).as("chunk_text"),
+        least(size($"t") - $"start", lit(Curation.ChunkTokens)).cast("long").as("n_tokens"))
+    val keyed = chunks
+      .select(md5($"chunk_text").as("h"), $"doc_id", $"chunk_idx", $"chunk_text", $"n_tokens")
+      .as[(String, Long, Int, String, Long)]
+    val updated = keyed.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Int), (String, Long, Int, String, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { (h, rows, state) =>
+          // state = the running lexicographic (doc_id, chunk_idx) min;
+          // emissions are monotone, so the final min-fold equals the
+          // batch keep-first under any batch split (see runDedupStream)
+          var (minDoc, minIdx) = state.getOption.getOrElse((Long.MaxValue, Int.MaxValue))
+          var text: String = null
+          var n = 0L
+          rows.foreach { r =>
+            if (r._2 < minDoc || (r._2 == minDoc && r._3 < minIdx)) {
+              minDoc = r._2; minIdx = r._3
+            }
+            text = r._4; n = r._5
+          }
+          state.update((minDoc, minIdx))
+          Iterator((h, minDoc, minIdx, text, n))
+        }
+      .toDF("h", "doc_id", "chunk_idx", "chunk_text", "n_tokens")
+    runToMemory(updated, "append")
+      .groupBy($"h")
+      .agg(min(struct($"doc_id", $"chunk_idx", $"chunk_text", $"n_tokens")).as("k"))
+      .select($"k.doc_id".as("doc_id"), $"k.chunk_idx".as("chunk_idx"),
+        $"k.chunk_text".as("chunk_text"), $"k.n_tokens".as("n_tokens"))
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
+  /** [[runPipelineSamplesStream]] over the documents table. */
+  def streamPipelineSamples(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val docs = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+    runPipelineSamplesStream(docs)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_events_hourly" -> streamEventsHourly,
     "stream_wc_counts" -> streamWordCounts,
@@ -493,6 +566,7 @@ object Streaming {
     "stream_dedup_ttl" -> streamDedupExactTTL,
     "stream_dedup_minhash" -> streamDedupMinhash,
     "stream_dedup_minhash_ttl" -> streamDedupMinhashTTL,
+    "stream_pipeline_samples" -> streamPipelineSamples,
   )
 
   /** Streaming results are checked against the same SQL as their batch
@@ -551,5 +625,27 @@ object Streaming {
     // single-batch in-window feed ⇒ no eviction ⇒ identical to the
     // unbounded form and the batch result (eviction pinned in spec)
     "stream_dedup_minhash_ttl" -> graft.operators.Dedup.exactJaccardSql,
+    // the batch composition of exactly the streamed stages (redact →
+    // quality → chunk → chunk-level keep-first), spliced from the same
+    // engine constants — the monotone-emission design makes the stream
+    // equal it under ANY batch split
+    "stream_pipeline_samples" ->
+      s"""WITH red AS (
+         |  SELECT doc_id, ${graft.operators.TextAnalysis.redactedSqlExpr} AS text
+         |  FROM documents
+         |),
+         |good AS (
+         |  SELECT doc_id, text FROM red
+         |  WHERE ${graft.operators.TextAnalysis.qualitySqlExpr} >= ${graft.operators.Curation.QualityCut}
+         |),
+         |chunks AS (${graft.operators.Curation.chunksSqlFrom("good")}),
+         |sel AS (
+         |  SELECT doc_id, chunk_idx, chunk_text, n_tokens,
+         |    row_number() OVER (PARTITION BY md5(chunk_text)
+         |      ORDER BY doc_id, chunk_idx) AS rn
+         |  FROM chunks
+         |)
+         |SELECT doc_id, chunk_idx, chunk_text, n_tokens
+         |FROM sel WHERE rn = 1 ORDER BY doc_id, chunk_idx""".stripMargin,
   )
 }

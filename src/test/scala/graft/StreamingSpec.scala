@@ -236,6 +236,41 @@ class StreamingSpec extends AnyFunSuite {
         s"be suppressed by eviction — got $got")
   }
 
+  test("streaming samples pipeline keeps first-seen chunks across batches, redacted") {
+    import org.apache.spark.sql.DataFrame
+    import spark.implicits._
+    def writeOneFile(df: DataFrame, dest: String, mtime: Long): Unit = {
+      val tmp = Files.createTempDirectory("graft_sp_batch_").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(part.toPath, Paths.get(dest))
+      Files.setLastModifiedTime(Paths.get(dest),
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    // one stopword-dense 50-token body (= exactly one chunk) with a
+    // planted email; the same text arrives again in a LATER batch under
+    // a lower doc_id — the cross-batch min-fold must keep doc 5's copy
+    val stop = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+    val body = ((0 until 24).map(i => stop(i % 10)) ++ Seq("write", "bob@ex.org") ++
+      (0 until 24).map(i => stop((i + 3) % 10))).mkString(" ") // 50 tokens
+    val in = Files.createTempDirectory("graft_sp_in_").toString
+    val base = System.currentTimeMillis()
+    writeOneFile(Seq((10L, body)).toDF("doc_id", "text"), s"$in/b1.parquet", base)
+    writeOneFile(Seq((5L, body)).toDF("doc_id", "text"), s"$in/b2.parquet", base + 60000)
+    val schema = spark.read.parquet(in).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val got = Streaming.runPipelineSamplesStream(stream)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    // 50 tokens ⇒ chunk starts 0 and 40 ⇒ two distinct chunks, BOTH
+    // folded to doc 5's copies (doc 10's duplicates suppressed)
+    assert(got.map(c => (c._1, c._2)).toSeq === Seq((5L, 0), (5L, 1)),
+      s"cross-batch keep-first must fold both chunks to doc 5, got ${got.toSeq}")
+    assert(got.head._3.contains("<EMAIL>") && !got.head._3.contains("bob@ex.org"),
+      s"streamed sample must be redacted: ${got.head._3}")
+  }
+
   test("single-batch near-dup stream equals the batch minhash pair search") {
     val streamed = Streaming.streamDedupMinhash(spark, sf)
       .collect().map(_.toSeq).toSeq
