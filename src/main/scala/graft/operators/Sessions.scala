@@ -9,8 +9,9 @@ import graft.sources.Tables
   * starts when the gap to the previous event of the same user exceeds
   * the threshold. Pure window formulation (lag → boundary flag →
   * running sum = session id), one shuffle on user_id; identical SQL
-  * runs in DuckDB as the oracle. The streaming analogue (timeout-based
-  * state) lives in graft.streaming. */
+  * runs in DuckDB as the oracle. The streaming analogue
+  * (`Streaming.streamSessions`, per-user keyed state) checks against
+  * this same SQL. */
 object Sessions {
 
   final val GapMinutes = 30

@@ -555,8 +555,75 @@ object Streaming {
     runPipelineSamplesStream(docs)
   }
 
+  /** STREAMING sessionization — the stateful analogue of the batch
+    * `q19_sessions` window formulation (Sessions.scala): per-user state
+    * carries (last event time, open-session size, closed-session
+    * count/max, total events); each invocation folds its rows in
+    * (ts, event_id) order, closing a session when the gap exceeds
+    * [[graft.operators.Sessions.GapMinutes]], and emits the user's
+    * CURRENT aggregate snapshot counting the open session — exactly the
+    * batch semantics, where the trailing session counts. total_events
+    * strictly increases per invocation, so "latest snapshot per user"
+    * is a deterministic max-struct fold, like the other streaming
+    * twins' monotone folds.
+    *
+    * Contract: equals the batch result whenever each user's events
+    * arrive in event-time order ACROSS batches (any within-batch order
+    * is fine — the invocation sorts). The bounded replay is a single
+    * batch, trivially ordered; in production this is the
+    * per-key-ordered ingestion (e.g. a keyed log) sessionization
+    * assumes, with a watermark bounding how long a session can stay
+    * open. State per user is five longs — O(active users). */
+  def streamSessions(spark: SparkSession, sfDir: String): DataFrame =
+    runSessionsStream(eventsStream(spark, sfDir))
+
+  /** The transform of [[streamSessions]] on any streaming
+    * (user_id, event_id, ts) frame (spec entry point: plantable
+    * multi-batch feeds). */
+  private[graft] def runSessionsStream(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val gapMs = graft.operators.Sessions.GapMinutes * 60000L
+    val ev = events
+      .select($"user_id", $"event_id", $"ts")
+      .as[(Long, Long, java.sql.Timestamp)]
+    val updated = ev.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long, Long, Long), (Long, Long, Long, Double, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { (uid, rows, state) =>
+          // state = (lastTs, openN, closedCount, closedMax, totalEvents)
+          var (lastTs, openN, closedCount, closedMax, total) =
+            state.getOption.getOrElse((Long.MinValue, 0L, 0L, 0L, 0L))
+          rows.toSeq.sortBy(r => (r._3.getTime, r._2)).foreach { r =>
+            val t = r._3.getTime
+            if (openN == 0L || t - lastTs > gapMs) {
+              if (openN > 0L) {
+                closedCount += 1
+                if (openN > closedMax) closedMax = openN
+              }
+              openN = 1L
+            } else openN += 1L
+            lastTs = t
+            total += 1L
+          }
+          state.update((lastTs, openN, closedCount, closedMax, total))
+          val nSessions = closedCount + (if (openN > 0L) 1L else 0L)
+          val mx = math.max(closedMax, openN)
+          Iterator((uid, nSessions, mx, total.toDouble / nSessions, total))
+        }
+      .toDF("user_id", "n_sessions", "max_session_events", "avg_raw", "total_events")
+    runToMemory(updated, "append")
+      .groupBy($"user_id")
+      .agg(max(struct($"total_events", $"n_sessions", $"max_session_events", $"avg_raw")).as("s"))
+      .select($"user_id", $"s.n_sessions".as("n_sessions"),
+        $"s.max_session_events".as("max_session_events"),
+        round($"s.avg_raw", 4).as("avg_session_events"))
+      .orderBy($"user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_events_hourly" -> streamEventsHourly,
+    "stream_sessions" -> streamSessions,
     "stream_wc_counts" -> streamWordCounts,
     "stream_user_totals" -> streamUserTotals,
     "stream_active_users" -> streamActiveUsers,
@@ -572,6 +639,9 @@ object Streaming {
   /** Streaming results are checked against the same SQL as their batch
     * twins — the point: stream and batch agree with the oracle. */
   val oracles: Map[String, String] = Map(
+    // the batch q19 sessionization oracle verbatim: the stateful
+    // gap-fold must reproduce the window formulation exactly
+    "stream_sessions" -> graft.operators.Sessions.oracles("q19_sessions"),
     "stream_events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         |  count(*) AS n, round(sum(value), 2) AS total_value

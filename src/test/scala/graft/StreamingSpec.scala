@@ -293,6 +293,46 @@ class StreamingSpec extends AnyFunSuite {
       .schema("ts").dataType.typeName === "timestamp")
   }
 
+  test("streaming sessionization folds gaps across micro-batches") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions.{expr => fexpr}
+    import spark.implicits._
+    def writeOneFile(df: DataFrame, dest: String, mtime: Long): Unit = {
+      val tmp = Files.createTempDirectory("graft_sess_batch_").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(part.toPath, Paths.get(dest))
+      Files.setLastModifiedTime(Paths.get(dest),
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    val in = Files.createTempDirectory("graft_sess_in_").toString
+    val t0 = 1700000000L
+    val base = System.currentTimeMillis()
+    def ev(rows: Seq[(Long, Long, Long)]): DataFrame =
+      rows.toDF("user_id", "event_id", "sec")
+        .select($"user_id", $"event_id", fexpr("timestamp_seconds(sec)").as("ts"))
+    // batch 1: user 1 — two events 10 min apart (one open session)
+    writeOneFile(ev(Seq((1L, 100L, t0), (1L, 101L, t0 + 600))), s"$in/b1.parquet", base)
+    // batch 2: 40 min gap (> 30 min) ⇒ NEW session, then +5 min ⇒ same;
+    // the gap is computed against BATCH 1's last ts — pure cross-batch
+    // state. user 2 appears only here: one singleton session.
+    writeOneFile(ev(Seq((1L, 102L, t0 + 600 + 2400), (1L, 103L, t0 + 600 + 2700),
+      (2L, 200L, t0))), s"$in/b2.parquet", base + 60000)
+    val schema = spark.read.parquet(in).schema
+    // mirror streamSessions' transform over a plantable source (the
+    // production entry reads the NANOS events table; the fold under
+    // test is identical)
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val got = Streaming.runSessionsStream(stream)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1).toSeq
+    assert(got === Seq((1L, 2L, 2L, 2.0), (2L, 1L, 1L, 1.0)),
+      s"expected two sessions of 2 for user 1 (cross-batch gap) and a " +
+        s"singleton for user 2, got $got")
+  }
+
   test("stateful user totals equal the batch aggregation") {
     import org.apache.spark.sql.functions._
     val streamed = Streaming.streamUserTotals(spark, sf).collect()
