@@ -747,6 +747,22 @@ object Dedup {
         .union(dedupContainment(spark, sfDir).select($"doc_a", $"doc_b")))
   }
 
+  /** The dedup RESULT at cluster granularity: keep each component's
+    * representative (its minimum doc_id) over the UNION edge graph —
+    * the principled "keep one per group" that pair-based `dedupKept`
+    * approximates: dropping doc_b of every pair can over-drop inside a
+    * cluster (a kept doc's transitive duplicates survive only via its
+    * own pairs), while the component minimum keeps exactly one
+    * document per group, excerpts included. */
+  def dedupKeptClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val reps = dedupClustersAll(spark, sfDir)
+      .filter($"cluster" === $"doc_id").select($"doc_id")
+    Tables.documents(spark, sfDir).select($"doc_id", $"lang", $"source")
+      .join(reps, Seq("doc_id"), "left_semi")
+      .orderBy($"doc_id")
+  }
+
   private[graft] def dedupClustersOn(docs: DataFrame, pairs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -803,6 +819,7 @@ object Dedup {
     "dedup_embed_cosine_blocked" -> dedupEmbedCosineBlocked,
     "dedup_clusters" -> dedupClusters,
     "dedup_clusters_all" -> dedupClustersAll,
+    "dedup_kept_clusters" -> dedupKeptClusters,
   )
 
   private[graft] val exactJaccardSql =
@@ -880,6 +897,26 @@ object Dedup {
       |JOIN sizes nb ON bi = nb.doc_id
       |WHERE c::DOUBLE / least(na.n, nb.n) >= $ContainmentThreshold
       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Recursive transitive closure over the UNION of the Jaccard and
+    * containment edge sets (both CTEs spliced from the single-source
+    * oracles, so the edge definitions cannot drift) — the
+    * `dedup_clusters_all` oracle, also spliced into the cluster-keep
+    * oracle. */
+  private val clustersAllSql =
+    s"""WITH RECURSIVE
+       |j AS (SELECT doc_a, doc_b FROM ($cappedJaccardSql)),
+       |cq AS (SELECT doc_a, doc_b FROM ($containmentSql)),
+       |p AS (SELECT doc_a, doc_b FROM j UNION SELECT doc_a, doc_b FROM cq),
+       |e AS (SELECT doc_a AS a, doc_b AS b FROM p
+       |      UNION SELECT doc_b, doc_a FROM p),
+       |reach(n, m) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.b, reach.m FROM e JOIN reach ON e.a = reach.n
+       |)
+       |SELECT n AS doc_id, min(m) AS cluster
+       |FROM reach GROUP BY n ORDER BY doc_id""".stripMargin
 
   /** The engine's SimHash bit-vote, mirrored in SQL over a grouped
     * column `h` of UBIGINT feature hashes: fingerprint bit b is set iff
@@ -992,20 +1029,14 @@ object Dedup {
     // the same transitive closure over the UNION of the Jaccard and
     // containment edge sets (both CTEs spliced from the single-source
     // oracles above, so the edge definitions cannot drift)
-    "dedup_clusters_all" ->
-      s"""WITH RECURSIVE
-         |j AS (SELECT doc_a, doc_b FROM ($cappedJaccardSql)),
-         |cq AS (SELECT doc_a, doc_b FROM ($containmentSql)),
-         |p AS (SELECT doc_a, doc_b FROM j UNION SELECT doc_a, doc_b FROM cq),
-         |e AS (SELECT doc_a AS a, doc_b AS b FROM p
-         |      UNION SELECT doc_b, doc_a FROM p),
-         |reach(n, m) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT e.b, reach.m FROM e JOIN reach ON e.a = reach.n
-         |)
-         |SELECT n AS doc_id, min(m) AS cluster
-         |FROM reach GROUP BY n ORDER BY doc_id""".stripMargin,
+    "dedup_clusters_all" -> clustersAllSql,
+    // component representatives joined back for the document columns:
+    // keep exactly the docs whose cluster label is their own id
+    "dedup_kept_clusters" ->
+      s"""SELECT d.doc_id, d.lang, d.source
+         |FROM documents d JOIN ($clustersAllSql) lab ON d.doc_id = lab.doc_id
+         |WHERE lab.cluster = lab.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     "dedup_embed_cosine" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
         |  round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
