@@ -66,20 +66,47 @@ object Curation {
     * a local running sum. Every partition stays parallel. */
   def packBins(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    packPrepared(
+      Tables.documents(spark, sfDir)
+        .select($"doc_id", size(split($"text", " ")).cast("long").as("n_tokens"))
+        .orderBy($"doc_id"), // range partition: partitions are globally ordered
+      "n_docs")
+  }
+
+  /** [[packBins]] at SAMPLE granularity: chunks in (doc_id, chunk_idx)
+    * order packed into [[PackBudget]]-token context windows — the form
+    * a trainer actually packs (documents are only packed whole when
+    * they fit; chunks are the unit that does). Same two-pass
+    * prefix-sum machinery, same scale shape. */
+  def packChunks(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    packPrepared(
+      textChunks(spark, sfDir)
+        .select($"doc_id", $"chunk_idx", $"n_tokens")
+        .orderBy($"doc_id", $"chunk_idx"),
+      "n_chunks")
+  }
+
+  /** The shared two-pass packer over a PRE-SORTED frame with a long
+    * `n_tokens` column (partitions globally ordered by the caller's
+    * range sort): job 1 collects one Long per partition, job 2 adds
+    * the partition offset to a local running sum — every partition
+    * stays parallel, no global window. */
+  private def packPrepared(sorted: DataFrame, countName: String): DataFrame = {
+    val spark = sorted.sparkSession
+    import spark.implicits._
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
-    val toks = Tables.documents(spark, sfDir)
-      .select($"doc_id", size(split($"text", " ")).cast("long").as("n_tokens"))
-      .orderBy($"doc_id") // range partition: partitions are globally ordered
-      .rdd
+    val idx = sorted.schema.fieldIndex("n_tokens")
+    val toks = sorted.rdd
     val perPart = toks.mapPartitionsWithIndex { (i, it) =>
-      var s = 0L; it.foreach(s += _.getLong(1)); Iterator((i, s))
+      var s = 0L; it.foreach(s += _.getLong(idx)); Iterator((i, s))
     }.collect().sortBy(_._1).map(_._2)
     val offsets = perPart.scanLeft(0L)(_ + _) // exclusive prefix per partition
     val binned = toks.mapPartitionsWithIndex { (i, it) =>
       var run = offsets(i)
       it.map { r =>
-        val n = r.getLong(1); val pre = run; run += n
+        val n = r.getLong(idx); val pre = run; run += n
         Row(pre / PackBudget, n)
       }
     }
@@ -87,7 +114,7 @@ object Curation {
         StructField("bin", LongType, nullable = false),
         StructField("n_tokens", LongType, nullable = false))))
       .groupBy($"bin")
-      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("bin_tokens"))
+      .agg(count(lit(1)).as(countName), sum($"n_tokens").as("bin_tokens"))
       .orderBy($"bin")
   }
 
@@ -309,6 +336,7 @@ object Curation {
     "dedup_chunks" -> dedupChunks,
     "dedup_chunks_ngram" -> dedupChunksNgram,
     "cur_pipeline_samples" -> pipelineCurateSamples,
+    "cur_pack_chunks" -> packChunks,
   )
 
   /** The chunk expansion as a reusable SQL body (no ORDER BY) over any
@@ -439,6 +467,19 @@ object Curation {
          |  CAST(sum(ceil(n_tokens::DOUBLE / $ChunkStride)) AS BIGINT) AS n_chunks,
          |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
          |FROM good GROUP BY lang ORDER BY lang""".stripMargin,
+    // the packBins window formulation over the chunk CTE, in the same
+    // (doc_id, chunk_idx) order the engine's range sort uses
+    "cur_pack_chunks" ->
+      s"""WITH chunks AS ($chunksSql),
+         |pre AS (
+         |  SELECT n_tokens,
+         |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id, chunk_idx
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre_sum
+         |  FROM chunks
+         |)
+         |SELECT CAST(pre_sum // $PackBudget AS BIGINT) AS bin, count(*) AS n_chunks,
+         |  CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+         |FROM pre GROUP BY 1 ORDER BY bin""".stripMargin,
     "cur_pack_bins" ->
       s"""WITH toks AS (
          |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
