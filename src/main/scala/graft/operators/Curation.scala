@@ -265,7 +265,18 @@ object Curation {
       .select($"doc_b".as("doc_id")).distinct()
     val kept = red.join(drop, Seq("doc_id"), "left_anti")
     val good = kept.filter(TextAnalysis.qualityScore($"text") >= QualityCut)
+    // explicit exchange = the materialization point both consumers
+    // below (representative agg + semi-join left) replay as ONE
+    // ReusedExchange — without it each side recomputes the full
+    // redact→quality→chunk subtree, tripling the regexp passes over
+    // the corpus (PlanSpec pins the reuse). The explicit isnotnull is
+    // EXCHANGE-REUSE PLUMBING, not a semantic filter (chunk keys are
+    // non-null by construction): the semi-join INFERS it on its left
+    // branch only, which would de-canonicalize the shared subtree —
+    // same hazard and same guard as dedupNgramJaccard.
     val chunks = chunksOf(good)
+      .filter($"doc_id".isNotNull && $"chunk_idx".isNotNull)
+      .repartition(spark.sparkContext.defaultParallelism, $"doc_id", $"chunk_idx")
     val reps = chunks
       .groupBy(md5($"chunk_text").as("h"))
       .agg(min(struct($"doc_id", $"chunk_idx")).as("k"))

@@ -89,6 +89,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("gram_window_mins"), p.take(1200))
   }
 
+  test("samples pipeline: chunk expansion materializes once (reused exchange)") {
+    // the regression this pins: the representative agg and the
+    // semi-join left both consume the redact→quality→chunk subtree —
+    // without the shared explicit exchange (and its isnotnull reuse
+    // plumbing) each branch recomputes the whole expansion, tripling
+    // the corpus regexp passes
+    val p = finalPlan(Curation.pipelineCurateSamples(spark, sf))
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans == 2,
+      s"expected 2 documents scans (pair search + kept side), got $scans\n${p.take(1200)}")
+    assert(p.contains("ReusedExchange"), p.take(1200))
+  }
+
   test("AQE splits a planted hot key in a sort-merge join (skew=true)") {
     // the skew-join mitigation SCALING.md relies on for hot join keys at
     // 100 TB, demonstrated end-to-end: one key carrying ~100× the rows
