@@ -28,6 +28,17 @@ object Curation {
   private[graft] def chunksOf(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    chunksUnordered(docs).orderBy($"doc_id", $"chunk_idx")
+  }
+
+  /** The expansion without the final ordering — the ONE definition of
+    * the stride arithmetic, shared by the batch paths (via
+    * [[chunksOf]]) and the streaming samples pipeline (streams cannot
+    * sort; see Streaming.runPipelineSamplesStream) so the two cannot
+    * drift. */
+  private[graft] def chunksUnordered(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     docs
       .select($"doc_id", split($"text", " ").as("t"))
       .select($"doc_id", $"t",
@@ -37,7 +48,6 @@ object Curation {
         $"doc_id", $"chunk_idx",
         concat_ws(" ", slice($"t", $"start" + 1, lit(ChunkTokens))).as("chunk_text"),
         least(size($"t") - $"start", lit(ChunkTokens)).cast("long").as("n_tokens"))
-      .orderBy($"doc_id", $"chunk_idx")
   }
 
   /** Deterministic hash-based 90/10 train/validation assignment (Knuth
@@ -324,9 +334,16 @@ object Curation {
   private[graft] def dedupChunksNgramOn(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // the documented 2^20 chunk-slot bound enforced LOUDLY: a doc past
+    // ~42M tokens would otherwise overflow the packed key and silently
+    // attribute pairs to the wrong document
+    val packed = when($"chunk_idx" < lit(ChunkKeyBase),
+        $"doc_id" * ChunkKeyBase + $"chunk_idx")
+      .otherwise(raise_error(concat(
+        lit(s"dedupChunksNgram: chunk_idx exceeds the $ChunkKeyBase packed-key bound: "),
+        $"chunk_idx".cast("string"))).cast("long"))
     val asDocs = chunksOf(docs)
-      .select(($"doc_id" * ChunkKeyBase + $"chunk_idx").as("doc_id"),
-        $"chunk_text".as("text"))
+      .select(packed.as("doc_id"), $"chunk_text".as("text"))
     Dedup.dedupNgramJaccardOnDocs(asDocs)
       .select(
         expr(s"doc_a div $ChunkKeyBase").as("doc_a"),

@@ -272,12 +272,14 @@ object TextAnalysis {
     * placeholders. Both engines use leftmost-first alternation here,
     * so the octet alternatives match identically. */
   final val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  /** One 0–255 octet, longest alternatives first. Bounding the octets
-    * keeps version-like strings (999.999.999.999, 1.2.3.456) out of
-    * the redaction; the first four components of a longer valid dotted
-    * run (1.2.3.4.5) still scrub — excluding that would need
-    * lookaround, which RE2 lacks. */
-  private final val Ipv4Octet = "(25[0-5]|2[0-4]\\d|1\\d\\d|[1-9]?\\d)"
+  /** One 0–255 octet, longest alternatives first, zero-padded forms
+    * included ([01]?\d?\d accepts 000/010/192-style octets — log
+    * output pads octets, and a redactor must not leak those).
+    * Bounding the octets keeps version-like strings
+    * (999.999.999.999, 1.2.3.456) out of the redaction; the first
+    * four components of a longer valid dotted run (1.2.3.4.5) still
+    * scrub — excluding that would need lookaround, which RE2 lacks. */
+  private final val Ipv4Octet = "(25[0-5]|2[0-4]\\d|[01]?\\d?\\d)"
   final val Ipv4Re = s"\\b$Ipv4Octet\\.$Ipv4Octet\\.$Ipv4Octet\\.$Ipv4Octet\\b"
   final val PhoneRe = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
 
@@ -304,7 +306,11 @@ object TextAnalysis {
       PhoneRe, "<PHONE>")
 
   /** Total PII match count on the ORIGINAL text (the pipeline's
-    * per-language audit column). */
+    * per-language audit column). Per-pattern counts on the original,
+    * like [[redactFrame]]'s documented contract — a span matching two
+    * patterns (an email whose local part is phone-shaped) counts once
+    * per pattern even though the sequential redaction chain replaces
+    * it once, so the audit upper-bounds replacements. */
   private[operators] def piiCount(t: Column): Column =
     (regexp_count(t, lit(EmailRe)) + regexp_count(t, lit(Ipv4Re)) +
       regexp_count(t, lit(PhoneRe))).cast("long")

@@ -353,6 +353,7 @@ object Streaming {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     val banded = docs
+      .filter($"doc_id".isNotNull) // same null discipline as the batch twin
       .select($"doc_id", graft.functions.ShingleXxh64($"text").as("hv"))
       .filter(size($"hv") > 0)
       .select($"doc_id", $"hv",
@@ -363,7 +364,12 @@ object Streaming {
     val pairs = banded.groupByKey(_._1)
       .flatMapGroupsWithState[Seq[(Long, Array[Long])], (Long, Long, Double)](
         OutputMode.Append, GroupStateTimeout.NoTimeout) { (_, rows, state) =>
-          var seen = state.getOption.getOrElse(Seq.empty)
+          // ArrayBuffer, not `seen :+ x` on the state Seq: a hot band
+          // cell holds many residents, and an immutable append per
+          // arrival is O(n²) copying per invocation — the allocation
+          // pattern the bench box punishes
+          val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Long])]
+          state.getOption.foreach(seen ++= _)
           val out = Seq.newBuilder[(Long, Long, Double)]
           // doc_id order within the batch: the pair SET is order-
           // independent (the later-processed side always sees the
@@ -377,9 +383,9 @@ object Streaming {
                   out += ((math.min(id, oid), math.max(id, oid), j))
               }
             }
-            seen = seen :+ ((id, hv))
+            seen += ((id, hv))
           }
-          state.update(seen)
+          state.update(seen.toSeq)
           out.result().iterator
         }
       .toDF("doc_a", "doc_b", "jacc")
@@ -422,6 +428,7 @@ object Streaming {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     val banded = docs
+      .filter($"doc_id".isNotNull) // same null discipline as the batch twin
       .withWatermark("ts", s"$ttlMs milliseconds")
       .select($"doc_id", $"ts", graft.functions.ShingleXxh64($"text").as("hv"))
       .filter(size($"hv") > 0)
@@ -437,10 +444,12 @@ object Streaming {
             Iterator.empty
           } else {
             val wm = state.getCurrentWatermarkMs()
-            var (seen, maxTs) = state.getOption.getOrElse((Seq.empty, Long.MinValue))
+            var (prev, maxTs) = state.getOption.getOrElse((Seq.empty, Long.MinValue))
             // per-resident eviction: ts + ttl behind the watermark ⇒
-            // unpairable with any future non-late arrival
-            seen = seen.filter(_._3 + ttlMs >= wm)
+            // unpairable with any future non-late arrival. ArrayBuffer
+            // for amortized-O(1) appends (see runNearDupStream).
+            val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Long], Long)]
+            prev.foreach { r => if (r._3 + ttlMs >= wm) seen += r }
             val out = Seq.newBuilder[(Long, Long, Double)]
             rows.toSeq.sortBy(_._2).foreach { case (_, id, hv, ts) =>
               val t = ts.getTime
@@ -451,10 +460,10 @@ object Streaming {
                     out += ((math.min(id, oid), math.max(id, oid), j))
                 }
               }
-              seen = seen :+ ((id, hv, t))
+              seen += ((id, hv, t))
               if (t > maxTs) maxTs = t
             }
-            state.update((seen, maxTs))
+            state.update((seen.toSeq, maxTs))
             state.setTimeoutTimestamp(maxTs, s"$ttlMs milliseconds")
             out.result().iterator
           }
@@ -506,17 +515,13 @@ object Streaming {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     import graft.operators.{Curation, TextAnalysis}
-    val red = docs.select($"doc_id",
-      TextAnalysis.redactedCol($"text").as("text"))
+    val red = docs
+      .filter($"doc_id".isNotNull) // same null discipline as the batch twin
+      .select($"doc_id", TextAnalysis.redactedCol($"text").as("text"))
     val good = red.filter(TextAnalysis.qualityScore($"text") >= Curation.QualityCut)
-    val chunks = good
-      .select($"doc_id", split($"text", " ").as("t"))
-      .select($"doc_id", $"t",
-        posexplode(sequence(lit(0), size($"t") - 1, lit(Curation.ChunkStride)))
-          .as(Seq("chunk_idx", "start")))
-      .select($"doc_id", $"chunk_idx",
-        concat_ws(" ", slice($"t", $"start" + 1, lit(Curation.ChunkTokens))).as("chunk_text"),
-        least(size($"t") - $"start", lit(Curation.ChunkTokens)).cast("long").as("n_tokens"))
+    // the ONE chunk-arithmetic definition, shared with every batch path
+    // (streams cannot take chunksOf's trailing sort)
+    val chunks = Curation.chunksUnordered(good)
     val keyed = chunks
       .select(md5($"chunk_text").as("h"), $"doc_id", $"chunk_idx", $"chunk_text", $"n_tokens")
       .as[(String, Long, Int, String, Long)]
@@ -587,6 +592,7 @@ object Streaming {
     val gapMs = graft.operators.Sessions.GapMinutes * 60000L
     val ev = events
       .select($"user_id", $"event_id", $"ts")
+      .filter($"user_id".isNotNull && $"event_id".isNotNull && $"ts".isNotNull)
       .as[(Long, Long, java.sql.Timestamp)]
     val updated = ev.groupByKey(_._1)
       .flatMapGroupsWithState[(Long, Long, Long, Long, Long), (Long, Long, Long, Double, Long)](

@@ -71,6 +71,25 @@ class DedupSpec extends AnyFunSuite {
     assert(nan.isNaN)
   }
 
+  test("jaccardSortedArrays ≡ the ArrayData merge walk (twin hot paths pinned)") {
+    // the streaming verifier's plain-array walk and the codegen
+    // expression's ArrayData walk are deliberately separate hot paths
+    // (no shared accessor abstraction in either's inner loop); this
+    // differential keeps a future fix to one from leaving the other
+    // behind
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val rng = new scala.util.Random(44)
+    (0 until 300).foreach { _ =>
+      def arr() = Array.fill(rng.nextInt(30))(rng.nextInt(20).toLong).sorted
+      val a = arr(); val b = arr()
+      val viaArrayData = graft.functions.SetJaccardImpl
+        .jaccardSorted(new GenericArrayData(a), new GenericArrayData(b))
+      val viaArrays = graft.functions.SetJaccardImpl.jaccardSortedArrays(a, b)
+      assert(viaArrays == viaArrayData ||
+        (viaArrays.isNaN && viaArrayData.isNaN), s"${a.toSeq} vs ${b.toSeq}")
+    }
+  }
+
   test("SetOverlapSorted ≡ size(array_intersect) on random dup-laden arrays") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -10,6 +10,20 @@ class StreamingSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val sf = SparkTestSession.sf0001
 
+  /** Write `df` as a single parquet file at `dest` (one file = one
+    * micro-batch under maxFilesPerTrigger=1), optionally pinning its
+    * mtime so the file source feeds batches oldest-first. */
+  private def writeOneFile(df: org.apache.spark.sql.DataFrame, dest: String,
+      mtime: Long = -1L): Unit = {
+    val tmp = Files.createTempDirectory("graft_stream_batch_").toString
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    Files.copy(part.toPath, Paths.get(dest))
+    if (mtime >= 0L) Files.setLastModifiedTime(Paths.get(dest),
+      java.nio.file.attribute.FileTime.fromMillis(mtime))
+  }
+
   test("streaming word count equals the batch pipeline result") {
     val streamed = Streaming.streamWordCounts(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -27,13 +41,6 @@ class StreamingSpec extends AnyFunSuite {
     // so the final fold must both keep cross-batch state (n_dups = 2 is
     // impossible if batch 2 starts from empty state) and fold the min
     // (keep_id = 5 only via the later emission).
-    def writeOneFile(df: DataFrame, dest: String): Unit = {
-      val tmp = Files.createTempDirectory("graft_dedup_batch_").toString
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new File(tmp).listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
-      Files.copy(part.toPath, Paths.get(dest))
-    }
     val in = Files.createTempDirectory("graft_dedup_in_").toString
     writeOneFile(Seq((10L, "dup text"), (11L, "only a")).toDF("doc_id", "text"),
       s"$in/batch1.parquet")
@@ -66,15 +73,6 @@ class StreamingSpec extends AnyFunSuite {
     import org.apache.spark.sql.DataFrame
     import org.apache.spark.sql.functions.{expr => fexpr}
     import spark.implicits._
-    def writeOneFile(df: DataFrame, dest: String, mtime: Long): Unit = {
-      val tmp = Files.createTempDirectory("graft_ttl_batch_").toString
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new File(tmp).listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
-      Files.copy(part.toPath, Paths.get(dest))
-      Files.setLastModifiedTime(Paths.get(dest),
-        java.nio.file.attribute.FileTime.fromMillis(mtime))
-    }
     val in = Files.createTempDirectory("graft_ttl_in_").toString
     val t0 = 1700000000L // event-time origin, seconds
     def docs(rows: Seq[(Long, String, Long)]): DataFrame =
@@ -114,15 +112,6 @@ class StreamingSpec extends AnyFunSuite {
     import org.apache.spark.sql.DataFrame
     import org.apache.spark.sql.functions.{expr => fexpr}
     import spark.implicits._
-    def writeOneFile(df: DataFrame, dest: String, mtime: Long): Unit = {
-      val tmp = Files.createTempDirectory("graft_ttl2_batch_").toString
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new File(tmp).listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
-      Files.copy(part.toPath, Paths.get(dest))
-      Files.setLastModifiedTime(Paths.get(dest),
-        java.nio.file.attribute.FileTime.fromMillis(mtime))
-    }
     val in = Files.createTempDirectory("graft_ttl2_in_").toString
     val t0 = 1700000000L
     def docs(rows: Seq[(Long, String, Long)]): DataFrame =
@@ -159,15 +148,6 @@ class StreamingSpec extends AnyFunSuite {
   test("near-dup dedup pairs a later batch's re-crawl with the original document") {
     import org.apache.spark.sql.DataFrame
     import spark.implicits._
-    def writeOneFile(df: DataFrame, dest: String, mtime: Long): Unit = {
-      val tmp = Files.createTempDirectory("graft_nd_batch_").toString
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new File(tmp).listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
-      Files.copy(part.toPath, Paths.get(dest))
-      Files.setLastModifiedTime(Paths.get(dest),
-        java.nio.file.attribute.FileTime.fromMillis(mtime))
-    }
     def toks(r: Range, p: String) = r.map(i => s"$p$i").mkString(" ")
     val in = Files.createTempDirectory("graft_nd_in_").toString
     val base = System.currentTimeMillis()
@@ -197,15 +177,6 @@ class StreamingSpec extends AnyFunSuite {
     import org.apache.spark.sql.DataFrame
     import org.apache.spark.sql.functions.{expr => fexpr}
     import spark.implicits._
-    def writeOneFile(df: DataFrame, dest: String, mtime: Long): Unit = {
-      val tmp = Files.createTempDirectory("graft_ndttl_batch_").toString
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new File(tmp).listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
-      Files.copy(part.toPath, Paths.get(dest))
-      Files.setLastModifiedTime(Paths.get(dest),
-        java.nio.file.attribute.FileTime.fromMillis(mtime))
-    }
     def toks(r: Range, p: String) = r.map(i => s"$p$i").mkString(" ")
     def docs(rows: Seq[(Long, String, Long)]): DataFrame =
       rows.toDF("doc_id", "text", "sec")
@@ -239,15 +210,6 @@ class StreamingSpec extends AnyFunSuite {
   test("streaming samples pipeline keeps first-seen chunks across batches, redacted") {
     import org.apache.spark.sql.DataFrame
     import spark.implicits._
-    def writeOneFile(df: DataFrame, dest: String, mtime: Long): Unit = {
-      val tmp = Files.createTempDirectory("graft_sp_batch_").toString
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new File(tmp).listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
-      Files.copy(part.toPath, Paths.get(dest))
-      Files.setLastModifiedTime(Paths.get(dest),
-        java.nio.file.attribute.FileTime.fromMillis(mtime))
-    }
     // one stopword-dense 50-token body (= exactly one chunk) with a
     // planted email; the same text arrives again in a LATER batch under
     // a lower doc_id — the cross-batch min-fold must keep doc 5's copy
@@ -297,15 +259,6 @@ class StreamingSpec extends AnyFunSuite {
     import org.apache.spark.sql.DataFrame
     import org.apache.spark.sql.functions.{expr => fexpr}
     import spark.implicits._
-    def writeOneFile(df: DataFrame, dest: String, mtime: Long): Unit = {
-      val tmp = Files.createTempDirectory("graft_sess_batch_").toString
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new File(tmp).listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
-      Files.copy(part.toPath, Paths.get(dest))
-      Files.setLastModifiedTime(Paths.get(dest),
-        java.nio.file.attribute.FileTime.fromMillis(mtime))
-    }
     val in = Files.createTempDirectory("graft_sess_in_").toString
     val t0 = 1700000000L
     val base = System.currentTimeMillis()

@@ -15,7 +15,8 @@ class TextAnalysisSpec extends AnyFunSuite {
       (4L, "mixed: bob@a.io from 8.8.8.8 dialed 123 456 7890"),
       (5L, "clean text, just numbers 12345 and a dot. end"),
       (6L, "not addresses: 999.999.999.999 or 1.2.3.456 stay"),
-      (7L, "edges 0.0.0.0 and 255.255.255.255 are addresses")).toDF("doc_id", "text")
+      (7L, "edges 0.0.0.0 and 255.255.255.255 are addresses"),
+      (8L, "padded 192.168.000.001 and 010.0.0.1 are addresses too")).toDF("doc_id", "text")
     val got = TextAnalysis.redactFrame(docs).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))
     assert(got(0) === ((1L, 2, 0, 0, "write to <EMAIL> or <EMAIL> today")))
@@ -26,6 +27,8 @@ class TextAnalysisSpec extends AnyFunSuite {
     // octet bounding: out-of-range components are not addresses
     assert(got(5) === ((6L, 0, 0, 0, "not addresses: 999.999.999.999 or 1.2.3.456 stay")))
     assert(got(6) === ((7L, 0, 2, 0, "edges <IP> and <IP> are addresses")))
+    // zero-padded octets (log output style) must still redact
+    assert(got(7) === ((8L, 0, 2, 0, "padded <IP> and <IP> are addresses too")))
   }
 
   test("langid identifies real-language sentences") {
