@@ -36,18 +36,27 @@ object Curation {
     * [[chunksOf]]) and the streaming samples pipeline (streams cannot
     * sort; see Streaming.runPipelineSamplesStream) so the two cannot
     * drift. */
-  private[graft] def chunksUnordered(docs: DataFrame): DataFrame = {
+  private[graft] def chunksUnordered(docs: DataFrame): DataFrame =
+    chunksCarrying(docs)
+
+  /** [[chunksUnordered]] carrying extra per-document columns through
+    * the fan-out unchanged (every chunk inherits its document's value)
+    * — the TTL streaming path needs the event time on each chunk for
+    * watermark eviction. Same single stride definition. */
+  private[graft] def chunksCarrying(docs: DataFrame, extra: String*): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    val carried = extra.map(col)
     docs
-      .select($"doc_id", split($"text", " ").as("t"))
-      .select($"doc_id", $"t",
+      .select(($"doc_id" +: split($"text", " ").as("t") +: carried): _*)
+      .select(($"doc_id" +: $"t" +:
         posexplode(sequence(lit(0), size($"t") - 1, lit(ChunkStride)))
-          .as(Seq("chunk_idx", "start")))
-      .select(
-        $"doc_id", $"chunk_idx",
-        concat_ws(" ", slice($"t", $"start" + 1, lit(ChunkTokens))).as("chunk_text"),
-        least(size($"t") - $"start", lit(ChunkTokens)).cast("long").as("n_tokens"))
+          .as(Seq("chunk_idx", "start")) +: carried): _*)
+      .select((
+        $"doc_id" +: $"chunk_idx" +:
+        concat_ws(" ", slice($"t", $"start" + 1, lit(ChunkTokens))).as("chunk_text") +:
+        least(size($"t") - $"start", lit(ChunkTokens)).cast("long").as("n_tokens") +:
+        carried): _*)
   }
 
   /** Deterministic hash-based 90/10 train/validation assignment (Knuth
@@ -273,7 +282,49 @@ object Curation {
       TextAnalysis.redactedCol($"text").as("text"))
     val drop = Dedup.dedupNgramJaccardOnDocs(red)
       .select($"doc_b".as("doc_id")).distinct()
-    val kept = red.join(drop, Seq("doc_id"), "left_anti")
+    samplesOfKept(red.join(drop, Seq("doc_id"), "left_anti"))
+  }
+
+  /** [[pipelineCurateSamples]] with the pair-based doc_b drop replaced
+    * by the PRINCIPLED cluster-representative keep of
+    * `dedup_kept_clusters`: connected components over the UNION pair
+    * graph (Jaccard ∪ containment, one shared shingle expansion), keep
+    * exactly the component minimum. Pair-drop can over-drop inside a
+    * cluster — a kept document's transitive duplicates survive only
+    * via their own pairs — and its Jaccard-only edges miss excerpts
+    * entirely; the component keep retains exactly ONE document per
+    * dedup group, excerpts included (CurationSpec pins a planted
+    * excerpt chain).
+    *
+    * Scale shape: the pair searches reuse one exploded exchange; the
+    * CC loop runs over PAIR-NODE-sized frames (nodes = ids appearing
+    * in some edge — singletons are never dropped, so they need no
+    * labels), O(log diameter) rounds of equi-join + min-agg on
+    * byte-sized tables; the drop list (non-representatives) is
+    * pair-node-sized and broadcast-anti-joins, exactly like the
+    * pair-based drop. Downstream is [[samplesOfKept]] unchanged. */
+  def pipelineCurateSamplesCc(spark: SparkSession, sfDir: String): DataFrame =
+    pipelineCurateSamplesCcOn(Tables.documents(spark, sfDir))
+
+  private[graft] def pipelineCurateSamplesCcOn(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val red = docs.select($"doc_id",
+      TextAnalysis.redactedCol($"text").as("text"))
+    val pairs = Dedup.unionPairsOnDocs(red)
+    val nodes = pairs.select($"doc_a".as("doc_id"))
+      .union(pairs.select($"doc_b".as("doc_id"))).distinct()
+    val drop = Dedup.dedupClustersOn(nodes, pairs)
+      .filter($"cluster" =!= $"doc_id").select($"doc_id")
+    samplesOfKept(red.join(drop, Seq("doc_id"), "left_anti"))
+  }
+
+  /** The shared tail of both materializing pipelines: quality gate →
+    * chunk fan-out → chunk-level exact dedup (keep-first) → ordered
+    * samples. */
+  private def samplesOfKept(kept: DataFrame): DataFrame = {
+    val spark = kept.sparkSession
+    import spark.implicits._
     val good = kept.filter(TextAnalysis.qualityScore($"text") >= QualityCut)
     // explicit exchange = the materialization point both consumers
     // below (representative agg + semi-join left) replay as ONE
@@ -284,7 +335,9 @@ object Curation {
     // non-null by construction): the semi-join INFERS it on its left
     // branch only, which would de-canonicalize the shared subtree —
     // same hazard and same guard as dedupNgramJaccard.
-    val chunks = chunksOf(good)
+    // chunksUnordered, not chunksOf: the repartition below would discard
+    // a trailing sort anyway (the streaming twin already takes this path)
+    val chunks = chunksUnordered(good)
       .filter($"doc_id".isNotNull && $"chunk_idx".isNotNull)
       .repartition(spark.sparkContext.defaultParallelism, $"doc_id", $"chunk_idx")
     val reps = chunks
@@ -334,14 +387,20 @@ object Curation {
   private[graft] def dedupChunksNgramOn(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // the documented 2^20 chunk-slot bound enforced LOUDLY: a doc past
-    // ~42M tokens would otherwise overflow the packed key and silently
-    // attribute pairs to the wrong document
-    val packed = when($"chunk_idx" < lit(ChunkKeyBase),
+    // the documented 2^20 chunk-slot bound enforced LOUDLY on BOTH key
+    // halves: a doc past ~42M tokens would overflow chunk_idx's slot,
+    // and a doc_id ≥ 2^43 would wrap doc_id * ChunkKeyBase itself
+    // (non-ANSI multiply is silent) — either way pairs would be
+    // attributed to the wrong document, the exact failure this guard
+    // exists to prevent
+    val packed = when(
+        $"chunk_idx" < lit(ChunkKeyBase) &&
+          $"doc_id" < lit(Long.MaxValue / ChunkKeyBase),
         $"doc_id" * ChunkKeyBase + $"chunk_idx")
       .otherwise(raise_error(concat(
-        lit(s"dedupChunksNgram: chunk_idx exceeds the $ChunkKeyBase packed-key bound: "),
-        $"chunk_idx".cast("string"))).cast("long"))
+        lit(s"dedupChunksNgram: (doc_id, chunk_idx) exceeds the $ChunkKeyBase packed-key bounds: ("),
+        $"doc_id".cast("string"), lit(", "),
+        $"chunk_idx".cast("string"), lit(")"))).cast("long"))
     val asDocs = chunksOf(docs)
       .select(packed.as("doc_id"), $"chunk_text".as("text"))
     Dedup.dedupNgramJaccardOnDocs(asDocs)
@@ -364,6 +423,7 @@ object Curation {
     "dedup_chunks" -> dedupChunks,
     "dedup_chunks_ngram" -> dedupChunksNgram,
     "cur_pipeline_samples" -> pipelineCurateSamples,
+    "cur_pipeline_samples_cc" -> pipelineCurateSamplesCc,
     "cur_pack_chunks" -> packChunks,
   )
 
@@ -429,6 +489,45 @@ object Curation {
          |kept AS (
          |  SELECT doc_id, text FROM red
          |  WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
+         |),
+         |good AS (
+         |  SELECT doc_id, text FROM kept
+         |  WHERE ${TextAnalysis.qualitySqlExpr} >= $QualityCut
+         |),
+         |chunks AS (${chunksSqlFrom("good")}),
+         |sel AS (
+         |  SELECT doc_id, chunk_idx, chunk_text, n_tokens,
+         |    row_number() OVER (PARTITION BY md5(chunk_text)
+         |      ORDER BY doc_id, chunk_idx) AS rn
+         |  FROM chunks
+         |)
+         |SELECT doc_id, chunk_idx, chunk_text, n_tokens
+         |FROM sel WHERE rn = 1 ORDER BY doc_id, chunk_idx""".stripMargin,
+    // the cluster-keep materializing pipeline: the SAME recursive-CTE
+    // transitive closure as the dedup_clusters_all oracle, spliced over
+    // the redacted CTE (both edge SQLs from their single-source
+    // definitions), keep = component minimum, then the identical
+    // quality → chunk → keep-first tail
+    "cur_pipeline_samples_cc" ->
+      s"""WITH RECURSIVE
+         |red AS (
+         |  SELECT doc_id, ${TextAnalysis.redactedSqlExpr} AS text
+         |  FROM documents
+         |),
+         |j AS (SELECT doc_a, doc_b FROM (${Dedup.cappedJaccardSqlFrom("red")})),
+         |cq AS (SELECT doc_a, doc_b FROM (${Dedup.containmentSqlFrom("red")})),
+         |p AS (SELECT doc_a, doc_b FROM j UNION SELECT doc_a, doc_b FROM cq),
+         |e AS (SELECT doc_a AS a, doc_b AS b FROM p
+         |      UNION SELECT doc_b, doc_a FROM p),
+         |reach(n, m) AS (
+         |  SELECT doc_id, doc_id FROM red
+         |  UNION
+         |  SELECT e.b, reach.m FROM e JOIN reach ON e.a = reach.n
+         |),
+         |lab AS (SELECT n AS doc_id, min(m) AS cluster FROM reach GROUP BY n),
+         |kept AS (
+         |  SELECT r.doc_id, r.text FROM red r JOIN lab ON r.doc_id = lab.doc_id
+         |  WHERE lab.cluster = lab.doc_id
          |),
          |good AS (
          |  SELECT doc_id, text FROM kept

@@ -110,9 +110,6 @@ object Dedup {
     * composition entry the full curation pipeline uses to search
     * REDACTED text (`Curation.pipelineCurateFull`). */
   private[graft] def dedupNgramJaccardOnDocs(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val width = spark.sparkContext.defaultParallelism
     // Fused expansion: ShingleXxh64 emits the sorted-distinct window
     // hashes straight from the text bytes — no token array, no shingle
     // strings, no array_distinct (differential-pinned ≡ the string
@@ -128,13 +125,7 @@ object Dedup {
     // stages 1/2 and 4/6 with identical shuffle writes). Making the
     // predicate explicit puts the same Filter on every branch and the
     // whole expansion collapses back to one ReusedExchange.
-    val exploded = docs
-      .filter($"doc_id".isNotNull)
-      .repartition(width, $"doc_id")
-      .select($"doc_id", explode_outer(graft.functions.ShingleXxh64($"text")).as("h"))
-      .filter($"h".isNotNull)
-      .repartition(width, $"h")
-    dedupNgramJaccardOnHashes(exploded, MaxShingleDF)
+    dedupNgramJaccardOnHashes(explodedHashes(docs), MaxShingleDF)
   }
 
   /** String-shingle entry (spec path: plantable inputs + custom maxDf);
@@ -431,17 +422,44 @@ object Dedup {
     * found via the smaller side's probe against the full index.
     * Verify is exact set-intersection over the per-doc sorted hash
     * sets; fan-in stays bounded by the DF cap. */
-  def dedupContainment(spark: SparkSession, sfDir: String): DataFrame = {
+  def dedupContainment(spark: SparkSession, sfDir: String): DataFrame =
+    dedupContainmentOnDocs(Tables.documents(spark, sfDir))
+
+  /** [[dedupContainment]] on any (doc_id, text) frame (the cluster-keep
+    * pipelines run it over their redacted CTE). */
+  private[graft] def dedupContainmentOnDocs(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // same fused expansion + canonicalization plumbing as dedupNgramJaccard
+    dedupContainmentOnHashes(explodedHashes(docs), MaxShingleDF)
+  }
+
+  /** The shared fused shingle expansion (see the exchange-reuse notes in
+    * [[dedupNgramJaccardOnDocs]]) — ONE definition so every consumer
+    * lands on the identical canonical subtree. */
+  private def explodedHashes(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
     val width = spark.sparkContext.defaultParallelism
-    // same fused expansion + canonicalization plumbing as dedupNgramJaccard
-    val exploded = Tables.documents(spark, sfDir)
+    docs
       .filter($"doc_id".isNotNull)
       .repartition(width, $"doc_id")
       .select($"doc_id", explode_outer(graft.functions.ShingleXxh64($"text")).as("h"))
       .filter($"h".isNotNull)
       .repartition(width, $"h")
-    dedupContainmentOnHashes(exploded, MaxShingleDF)
+  }
+
+  /** The UNION pair graph — symmetric (Jaccard) ∪ asymmetric
+    * (containment) edges — over ONE shared shingle expansion of any
+    * (doc_id, text) frame: both searches replay the same exploded
+    * exchange instead of each re-scanning and re-shingling the corpus.
+    * This is the edge source for every cluster-based keep. */
+  private[graft] def unionPairsOnDocs(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val exploded = explodedHashes(docs)
+    dedupNgramJaccardOnHashes(exploded, MaxShingleDF).select($"doc_a", $"doc_b")
+      .union(dedupContainmentOnHashes(exploded, MaxShingleDF).select($"doc_a", $"doc_b"))
   }
 
   /** String-shingle entry (spec path — plantable excerpt inputs). */
@@ -741,10 +759,8 @@ object Dedup {
     * costs nothing at scale; the propagation loop is unchanged. */
   def dedupClustersAll(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    dedupClustersOn(
-      Tables.documents(spark, sfDir).select($"doc_id"),
-      dedupNgramJaccard(spark, sfDir).select($"doc_a", $"doc_b")
-        .union(dedupContainment(spark, sfDir).select($"doc_a", $"doc_b")))
+    val docs = Tables.documents(spark, sfDir)
+    dedupClustersOn(docs.select($"doc_id"), unionPairsOnDocs(docs))
   }
 
   /** The dedup RESULT at cluster granularity: keep each component's
@@ -874,9 +890,11 @@ object Dedup {
 
   /** Containment oracle: same capped shingle space, overlap relative to
     * the SMALLER side — brute-forced over all co-shingled pairs. Also
-    * spliced (as an edge source) into the union-cluster oracle. */
-  private val containmentSql =
-    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
+    * spliced (as an edge source) into the union-cluster oracle and, via
+    * [[containmentSqlFrom]], into the cluster-keep samples pipeline's
+    * redacted CTE. */
+  private[operators] def containmentSqlFrom(src: String): String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') t FROM $src),
       |sh AS (
       |  SELECT doc_id, unnest(list_distinct(
       |    [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)])) s
@@ -897,6 +915,8 @@ object Dedup {
       |JOIN sizes nb ON bi = nb.doc_id
       |WHERE c::DOUBLE / least(na.n, nb.n) >= $ContainmentThreshold
       |ORDER BY doc_a, doc_b""".stripMargin
+
+  private val containmentSql = containmentSqlFrom("documents")
 
   /** Recursive transitive closure over the UNION of the Jaccard and
     * containment edge sets (both CTEs spliced from the single-source

@@ -136,7 +136,17 @@ object Similarity {
       .orderBy($"vec_id")
       .select($"v").collect().map(_.getSeq[Double](0).toSeq).toSeq
     // per-row score vector against the baked centroids; argmax position
-    // (first-on-tie = lowest cell id, matching the oracle's cid ASC)
+    // (first-on-tie = lowest cell id, matching the oracle's cid ASC).
+    // BIT-PARITY DEPENDENCY: this argmax (and the oracle's ORDER BY
+    // cosine DESC) assumes VectorOps.cosine and the oracle's cosSql
+    // produce bit-identical doubles — both are the same sequential
+    // dot/(√·√) expression DAG over identical inputs, which is what the
+    // whole Similarity oracle family already relies on (sim_topk_brute's
+    // rank order is the same dependency). A one-ulp divergence here
+    // would flip a vector into a different CELL — changing the candidate
+    // SET, not just a rank tie — which output rounding cannot mask; the
+    // Lloyd-fitted variant below hardens this by rounding scores to
+    // AssignRound decimals on both engines before the argmax.
     val scoreArr = array(cents.map(cv => VectorOps.cosine($"v", typedLit(cv))): _*)
     val cellExpr = (array_position(scoreArr, array_max(scoreArr)) - 1).cast("int")
     // query probe cells: indices of the nprobe best scores — sort

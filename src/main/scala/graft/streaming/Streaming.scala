@@ -507,9 +507,13 @@ object Streaming {
     * these stages.
     *
     * At scale the emitted rows append to the training-sample sink;
-    * state is one (minDoc, minIdx) pair per distinct chunk hash (the
-    * TTL-bounded form of [[runDedupStreamTTL]] applies unchanged if
-    * the retention window allows). */
+    * state is one (minDoc, minIdx, text, n_tokens) keep row per
+    * distinct chunk hash — UNBOUNDED over an infinite feed, which is
+    * why the production form is [[runPipelineSamplesStreamTTL]]: the
+    * same pipeline with [[runDedupStreamTTL]]'s event-time TTL
+    * eviction composed into the chunk-hash state. This unbounded form
+    * is the bounded-replay harness (NoTimeout, no watermark), exactly
+    * like [[runDedupStream]] next to its TTL twin. */
   private[graft] def runPipelineSamplesStream(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -526,25 +530,36 @@ object Streaming {
       .select(md5($"chunk_text").as("h"), $"doc_id", $"chunk_idx", $"chunk_text", $"n_tokens")
       .as[(String, Long, Int, String, Long)]
     val updated = keyed.groupByKey(_._1)
-      .flatMapGroupsWithState[(Long, Int), (String, Long, Int, String, Long)](
+      .flatMapGroupsWithState[(Long, Int, String, Long), (String, Long, Int, String, Long)](
         OutputMode.Append, GroupStateTimeout.NoTimeout) { (h, rows, state) =>
-          // state = the running lexicographic (doc_id, chunk_idx) min;
-          // emissions are monotone, so the final min-fold equals the
-          // batch keep-first under any batch split (see runDedupStream)
-          var (minDoc, minIdx) = state.getOption.getOrElse((Long.MaxValue, Int.MaxValue))
-          var text: String = null
-          var n = 0L
+          // state = the running lexicographic (doc_id, chunk_idx) min
+          // WITH its row's text/n_tokens riding along: the emission must
+          // be the keep-key row itself (the batch semi-join emits that
+          // row), not whichever row happened to fold last — under an md5
+          // collision the two could differ. Emissions are monotone, so
+          // the final min-fold equals the batch keep-first under any
+          // batch split (see runDedupStream)
+          var (minDoc, minIdx, text, n) =
+            state.getOption.getOrElse((Long.MaxValue, Int.MaxValue, null: String, 0L))
           rows.foreach { r =>
             if (r._2 < minDoc || (r._2 == minDoc && r._3 < minIdx)) {
-              minDoc = r._2; minIdx = r._3
+              minDoc = r._2; minIdx = r._3; text = r._4; n = r._5
             }
-            text = r._4; n = r._5
           }
-          state.update((minDoc, minIdx))
+          state.update((minDoc, minIdx, text, n))
           Iterator((h, minDoc, minIdx, text, n))
         }
       .toDF("h", "doc_id", "chunk_idx", "chunk_text", "n_tokens")
-    runToMemory(updated, "append")
+    foldSamples(runToMemory(updated, "append"))
+  }
+
+  /** The final keep-row fold shared by both samples streams: latest
+    * emissions are monotone per hash (the min key only improves), so
+    * min-struct over ALL emissions = the batch keep-first result. */
+  private def foldSamples(emitted: DataFrame): DataFrame = {
+    val spark = emitted.sparkSession
+    import spark.implicits._
+    emitted
       .groupBy($"h")
       .agg(min(struct($"doc_id", $"chunk_idx", $"chunk_text", $"n_tokens")).as("k"))
       .select($"k.doc_id".as("doc_id"), $"k.chunk_idx".as("chunk_idx"),
@@ -558,6 +573,93 @@ object Streaming {
     val docs = spark.readStream.schema(schema)
       .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
     runPipelineSamplesStream(docs)
+  }
+
+  /** [[runPipelineSamplesStream]] with BOUNDED state — the form the
+    * flagship ingest pipeline actually runs on an unbounded feed:
+    * [[runDedupStreamTTL]]'s event-time TTL eviction composed into the
+    * chunk-hash keep state. Each chunk inherits its DOCUMENT's event
+    * time (carried through the fan-out by Curation.chunksCarrying);
+    * per chunk-hash group the state keeps the keep row plus the max
+    * event time ever seen, the timeout deadline is armed from that max
+    * (MONOTONE — same out-of-order discipline as the exact TTL path),
+    * and a group whose watermark passes `newest arrival + ttl` is
+    * dropped. State is O(distinct chunk hashes in the last `ttl` of
+    * event time), not O(history).
+    *
+    * Accuracy contract, same trade as [[runDedupStreamTTL]]: chunk
+    * duplicates arriving within `ttl` of each other dedup exactly as
+    * in the unbounded form; a chunk hash recurring AFTER eviction
+    * starts a fresh epoch and re-emits — the final min-fold still
+    * yields the overall minimum keep key ACROSS epochs (min over
+    * epochs is monotone under the fold), so in the bounded-replay
+    * harness the result stays byte-equal to the batch pipeline; on a
+    * truly unbounded feed the re-emission is the documented cost of
+    * bounded state (an append sink would carry the late duplicate).
+    * Watermark delay = `ttl` keeps the timeout-validity invariant. */
+  private[graft] def runPipelineSamplesStreamTTL(docs: DataFrame, ttl: String): DataFrame =
+    foldSamples(pipelineSamplesTTLEmissions(docs, ttl))
+
+  /** The PRE-FOLD emission stream of [[runPipelineSamplesStreamTTL]],
+    * exposed so StreamingSpec can pin eviction directly: an emission's
+    * keep doc_id reveals whether the group's state survived (folded
+    * min) or was evicted (fresh epoch re-keys to the new arrival) —
+    * the final fold masks exactly this distinction. */
+  private[graft] def pipelineSamplesTTLEmissions(docs: DataFrame, ttl: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import graft.operators.{Curation, TextAnalysis}
+    val red = docs
+      .filter($"doc_id".isNotNull)
+      .withWatermark("ts", ttl)
+      .select($"doc_id", $"ts", TextAnalysis.redactedCol($"text").as("text"))
+    val good = red.filter(TextAnalysis.qualityScore($"text") >= Curation.QualityCut)
+    val chunks = Curation.chunksCarrying(good, "ts")
+    val keyed = chunks
+      .select(md5($"chunk_text").as("h"), $"doc_id", $"chunk_idx",
+        $"chunk_text", $"n_tokens", $"ts")
+      .as[(String, Long, Int, String, Long, java.sql.Timestamp)]
+    val updated = keyed.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Int, String, Long, Long), (String, Long, Int, String, Long)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) { (h, rows, state) =>
+          if (state.hasTimedOut) {
+            state.remove() // watermark passed newest arrival + ttl: evict
+            Iterator.empty
+          } else {
+            // state = keep row (minDoc, minIdx, text, n) + max event-time
+            // ms EVER seen; the last field keeps the deadline monotone
+            var (minDoc, minIdx, text, n, maxTs) = state.getOption
+              .getOrElse((Long.MaxValue, Int.MaxValue, null: String, 0L, Long.MinValue))
+            rows.foreach { r =>
+              if (r._2 < minDoc || (r._2 == minDoc && r._3 < minIdx)) {
+                minDoc = r._2; minIdx = r._3; text = r._4; n = r._5
+              }
+              val t = r._6.getTime
+              if (t > maxTs) maxTs = t
+            }
+            state.update((minDoc, minIdx, text, n, maxTs))
+            state.setTimeoutTimestamp(maxTs, ttl)
+            Iterator((h, minDoc, minIdx, text, n))
+          }
+        }
+      .toDF("h", "doc_id", "chunk_idx", "chunk_text", "n_tokens")
+    runToMemory(updated, "append")
+  }
+
+  /** [[streamPipelineSamples]] through the bounded-state TTL path —
+    * same synthetic in-window timestamps as [[streamDedupExactTTL]]
+    * (one file = one micro-batch, every ts inside the TTL window, so
+    * no eviction fires) ⇒ the result equals the unbounded form and the
+    * batch `cur_pipeline_samples` stages, same oracle; eviction and
+    * epoch-restart are pinned by StreamingSpec's multi-batch test. */
+  def streamPipelineSamplesTTL(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val docs = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+      .withColumn("ts", timestamp_seconds(lit(1700000000L) + pmod($"doc_id", lit(3600))))
+    runPipelineSamplesStreamTTL(docs, "1 hour")
   }
 
   /** STREAMING sessionization — the stateful analogue of the batch
@@ -640,6 +742,7 @@ object Streaming {
     "stream_dedup_minhash" -> streamDedupMinhash,
     "stream_dedup_minhash_ttl" -> streamDedupMinhashTTL,
     "stream_pipeline_samples" -> streamPipelineSamples,
+    "stream_pipeline_samples_ttl" -> streamPipelineSamplesTTL,
   )
 
   /** Streaming results are checked against the same SQL as their batch
@@ -705,23 +808,29 @@ object Streaming {
     // quality → chunk → chunk-level keep-first), spliced from the same
     // engine constants — the monotone-emission design makes the stream
     // equal it under ANY batch split
-    "stream_pipeline_samples" ->
-      s"""WITH red AS (
-         |  SELECT doc_id, ${graft.operators.TextAnalysis.redactedSqlExpr} AS text
-         |  FROM documents
-         |),
-         |good AS (
-         |  SELECT doc_id, text FROM red
-         |  WHERE ${graft.operators.TextAnalysis.qualitySqlExpr} >= ${graft.operators.Curation.QualityCut}
-         |),
-         |chunks AS (${graft.operators.Curation.chunksSqlFrom("good")}),
-         |sel AS (
-         |  SELECT doc_id, chunk_idx, chunk_text, n_tokens,
-         |    row_number() OVER (PARTITION BY md5(chunk_text)
-         |      ORDER BY doc_id, chunk_idx) AS rn
-         |  FROM chunks
-         |)
-         |SELECT doc_id, chunk_idx, chunk_text, n_tokens
-         |FROM sel WHERE rn = 1 ORDER BY doc_id, chunk_idx""".stripMargin,
+    "stream_pipeline_samples" -> pipelineSamplesOracleSql,
+    // single-batch in-window feed ⇒ no eviction ⇒ identical to the
+    // unbounded form and the same batch composition (eviction and
+    // epoch restart pinned in StreamingSpec)
+    "stream_pipeline_samples_ttl" -> pipelineSamplesOracleSql,
   )
+
+  private lazy val pipelineSamplesOracleSql: String =
+    s"""WITH red AS (
+       |  SELECT doc_id, ${graft.operators.TextAnalysis.redactedSqlExpr} AS text
+       |  FROM documents
+       |),
+       |good AS (
+       |  SELECT doc_id, text FROM red
+       |  WHERE ${graft.operators.TextAnalysis.qualitySqlExpr} >= ${graft.operators.Curation.QualityCut}
+       |),
+       |chunks AS (${graft.operators.Curation.chunksSqlFrom("good")}),
+       |sel AS (
+       |  SELECT doc_id, chunk_idx, chunk_text, n_tokens,
+       |    row_number() OVER (PARTITION BY md5(chunk_text)
+       |      ORDER BY doc_id, chunk_idx) AS rn
+       |  FROM chunks
+       |)
+       |SELECT doc_id, chunk_idx, chunk_text, n_tokens
+       |FROM sel WHERE rn = 1 ORDER BY doc_id, chunk_idx""".stripMargin
 }

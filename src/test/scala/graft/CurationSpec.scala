@@ -138,6 +138,35 @@ class CurationSpec extends AnyFunSuite {
     assert(got.exists(c => c._1 == 2L && c._2 > 0), s"got ${got.toSeq}")
   }
 
+  test("cluster keep retains one representative per excerpt chain; pair-drop keeps the excerpt") {
+    import spark.implicits._
+    // an excerpt CHAIN: 1 = source (300 tokens), 2 = contiguous excerpt
+    // of 1 (tokens 50..119 — containment 1.0, J ≈ 0.23: containment
+    // edge ONLY), 3 = near-identical re-crawl of 2 (one token dropped —
+    // jaccard edge), 9 = unrelated singleton. {1,2,3} is ONE dedup
+    // group reachable only through BOTH edge types; every doc is
+    // stopword-interleaved so all four clear the quality gate.
+    val stop = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+    val srcToks = (0 until 300).map(i => if (i % 2 == 0) stop((i / 2) % 10) else s"w$i")
+    val docs = Seq(
+      (1L, srcToks.mkString(" ")),
+      (2L, srcToks.slice(50, 120).mkString(" ")),
+      (3L, srcToks.slice(50, 119).mkString(" ")),
+      (9L, (0 until 60).map(i => if (i % 2 == 0) stop((i / 2) % 10) else s"q$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val cc = Curation.pipelineCurateSamplesCcOn(docs).collect()
+      .map(_.getLong(0)).toSet
+    assert(cc === Set(1L, 9L),
+      s"component keep must retain exactly the chain representative (1) + the singleton, got $cc")
+    // the pair-based drop misses the containment-only excerpt entirely:
+    // doc 2 survives alongside its source — the silent keep-both
+    // failure the cluster variant closes
+    val pairBased = Curation.pipelineCurateSamplesOn(docs).collect()
+      .map(_.getLong(0)).toSet
+    assert(pairBased === Set(1L, 2L, 9L),
+      s"expected the pair-drop to keep the excerpt (the documented over-keep), got $pairBased")
+  }
+
   test("packBins ≡ the global-window formulation (differential)") {
     val fast = Curation.packBins(spark, sf).collect().map(_.toSeq)
     val ref = Curation.packBinsWindowed(spark, sf).collect().map(_.toSeq)

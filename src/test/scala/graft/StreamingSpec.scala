@@ -233,6 +233,60 @@ class StreamingSpec extends AnyFunSuite {
       s"streamed sample must be redacted: ${got.head._3}")
   }
 
+  test("TTL samples pipeline: in-window chunk dups fold, evicted hashes restart an epoch") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions.{expr => fexpr}
+    import spark.implicits._
+    val stop = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+    // 50 punctuation-free stopword tokens = exactly two chunks (starts
+    // 0 and 40), quality far above the cut
+    val bodyA = (0 until 50).map(i => stop(i % 10)).mkString(" ")
+    // pushers must PASS the quality gate (half stopwords): Catalyst
+    // pushes the text-only quality predicate below the watermark node,
+    // so a gate-dropped row would never advance the watermark
+    def pusher(p: String) = (0 until 50)
+      .map(i => if (i % 2 == 0) stop((i / 2) % 10) else s"$p$i").mkString(" ")
+    val in = Files.createTempDirectory("graft_spttl_in_").toString
+    val t0 = 1700000000L
+    val base = System.currentTimeMillis()
+    def docs(rows: Seq[(Long, String, Long)]): DataFrame =
+      rows.toDF("doc_id", "text", "sec")
+        .select($"doc_id", $"text", fexpr("timestamp_seconds(sec)").as("ts"))
+    // b1: the original at t0
+    writeOneFile(docs(Seq((10L, bodyA, t0))), s"$in/b1.parquet", base)
+    // b2: an IN-WINDOW duplicate under a higher id + the far-future
+    // watermark pusher (wm after b2 = t0+10000−60)
+    writeOneFile(docs(Seq((11L, bodyA, t0 + 30), (90L, pusher("p"), t0 + 10000))),
+      s"$in/b2.parquet", base + 60000)
+    // b3: bodyA-absent batch — bodyA's chunk groups time out here
+    // (deadline t0+30+60 is far behind the watermark)
+    writeOneFile(docs(Seq((91L, pusher("q"), t0 + 10010))),
+      s"$in/b3.parquet", base + 120000)
+    // b4: bodyA AGAIN, after eviction, under id 30
+    writeOneFile(docs(Seq((30L, bodyA, t0 + 10020))), s"$in/b4.parquet", base + 180000)
+    val schema = spark.read.parquet(in).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val emitted = Streaming.pipelineSamplesTTLEmissions(stream, "60 seconds")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq
+    // in-window fold: batch 2's arrival under id 11 must emit the FOLDED
+    // keep key 10 (state survived), so no emission ever carries 11
+    assert(!emitted.exists(_._2 == 11L),
+      s"in-window duplicate must fold into the live state, got $emitted")
+    // eviction: batch 4's arrival re-keys to 30 — with unbounded state
+    // every bodyA emission would carry 10
+    assert(emitted.count(_._2 == 30L) == 2,
+      s"post-eviction arrival must start a fresh epoch keyed 30, got $emitted")
+    assert(emitted.map(_._2).toSet === Set(10L, 30L, 90L, 91L),
+      s"emissions must carry only the epochs' keep keys + pusher chunks, got $emitted")
+    // epoch restart stays consistent with the batch fold: min per hash
+    // across ALL epochs = the unbounded/batch keep-first result
+    val folded = emitted.groupBy(_._1).values
+      .map(_.map(e => (e._2, e._3)).min).toSeq.sorted
+    assert(folded.filter(_._1 < 90L) === Seq((10L, 0), (10L, 1)),
+      s"final min-fold must keep doc 10's two chunks, got $folded")
+  }
+
   test("single-batch near-dup stream equals the batch minhash pair search") {
     val streamed = Streaming.streamDedupMinhash(spark, sf)
       .collect().map(_.toSeq).toSeq
