@@ -43,10 +43,14 @@ object Bench {
     "text_quality", "text_fingerprint_winnow", "mm_features",
     // chunk-granularity near-dup: the pair search over ~10× the row count
     "dedup_chunks_ngram",
+    // Lloyd-fitted IVF: the seeded search + 2 fit iterations (each one
+    // scan + a 65-column partial agg)
+    "sim_ann_ivf_kmeans",
     // the composed curation flagships: redact-first full pipeline
-    // (replaces round 5's cur_pipeline, which it strictly contains) and
-    // the materializing samples form
-    "cur_pipeline_full", "cur_pipeline_samples",
+    // (replaces round 5's cur_pipeline, which it strictly contains),
+    // the materializing samples form, and its cluster-keep variant
+    // (union pair graph + connected components instead of pair drop)
+    "cur_pipeline_full", "cur_pipeline_samples", "cur_pipeline_samples_cc",
   )
 
   /** Aggregates per-stage task metrics between reset() and snapshot(). */

@@ -81,16 +81,20 @@ object Similarity {
     val sigs = signatures(e)
     val qsigs = sigs.filter($"vec_id" < NumQueries)
       .select($"vec_id".as("query_id"), $"t", $"sig")
-    val candidateIds = broadcast(qsigs).join(sigs.select($"vec_id", $"t", $"sig"),
-        Seq("t", "sig"))
+    // candidate dedup (a pair can collide in several tables) is a
+    // groupBy on (query_id, vec_id) with the vector riding along
+    // (first(v) — every row of a group carries the identical array):
+    // ONE candidate-sized shuffle, vs the previous distinct-then-
+    // re-join shape that re-scanned the whole corpus to fetch v back
+    // (ScanAudit: embeddings full scans 2 → 1). Candidates ≪ corpus
+    // is LSH's contract, so the carried width beats the re-scan.
+    val cands = broadcast(qsigs).join(sigs, Seq("t", "sig"))
       .filter($"vec_id" =!= $"query_id")
-      .select($"query_id", $"vec_id")
-      .distinct()
+      .groupBy($"query_id", $"vec_id").agg(first($"v").as("v"))
     val q = e.filter($"vec_id" < NumQueries)
       .select($"vec_id".as("query_id"), $"v".as("qv"))
     val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id".asc)
-    candidateIds
-      .join(e.select($"vec_id", $"v"), "vec_id")
+    cands
       .join(broadcast(q), "query_id")
       .select($"query_id", $"vec_id", VectorOps.cosine($"qv", $"v").as("cos"))
       .withColumn("rk", row_number().over(w))
@@ -131,10 +135,7 @@ object Similarity {
       nprobe: Int): DataFrame = {
     import spark.implicits._
     val e = embeddings(spark, sfDir)
-    val cents: Seq[Seq[Double]] = e
-      .filter($"vec_id" >= NumQueries && $"vec_id" < NumQueries + NumCentroids)
-      .orderBy($"vec_id")
-      .select($"v").collect().map(_.getSeq[Double](0).toSeq).toSeq
+    val cents = seedCentroids(e)
     // per-row score vector against the baked centroids; argmax position
     // (first-on-tie = lowest cell id, matching the oracle's cid ASC).
     // BIT-PARITY DEPENDENCY: this argmax (and the oracle's ORDER BY
@@ -148,6 +149,27 @@ object Similarity {
     // Lloyd-fitted variant below hardens this by rounding scores to
     // AssignRound decimals on both engines before the argmax.
     val scoreArr = array(cents.map(cv => VectorOps.cosine($"v", typedLit(cv))): _*)
+    ivfSearchWith(e, scoreArr, nprobe)
+  }
+
+  /** The 16 deterministic seed centroids (the vectors right after the
+    * query range), collected driver-side — bounded; the quantizer IS
+    * the model, same footing as a broadcast model. */
+  private def seedCentroids(e: DataFrame): Seq[Seq[Double]] = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    e.filter($"vec_id" >= NumQueries && $"vec_id" < NumQueries + NumCentroids)
+      .orderBy($"vec_id")
+      .select($"v").collect().map(_.getSeq[Double](0).toSeq).toSeq
+  }
+
+  /** The shared IVF search tail: assignment argmax + nprobe probe
+    * cells from a per-row score ARRAY (double scores for the seeded
+    * variant, quantized long scores for the Lloyd-fitted one), then
+    * cell equi-join candidates and the exact cosine re-rank. */
+  private def ivfSearchWith(e: DataFrame, scoreArr: Column, nprobe: Int): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
     val cellExpr = (array_position(scoreArr, array_max(scoreArr)) - 1).cast("int")
     // query probe cells: indices of the nprobe best scores — sort
     // (−score, idx) ascending so ties fall to the lower cell id
@@ -155,22 +177,108 @@ object Similarity {
       sort_array(zip_with(scoreArr, sequence(lit(0), lit(NumCentroids - 1)),
         (s, i) => struct((-s).as("ns"), i.as("idx")))),
       1, nprobe).getField("idx")
+    // the vector rides through the (broadcast) cell join — cells are
+    // disjoint so candidates are unique by construction and no second
+    // corpus pass is needed: re-joining the table by vec_id to fetch v
+    // (the previous shape) cost a full re-scan PLUS a corpus-wide
+    // sort-merge shuffle; carrying v costs only candidate-row width
+    // through map-side work (ScanAudit: embeddings full scans 2 → 1)
     val assigned = e.select($"vec_id", $"v", cellExpr.as("cell"))
     val probes = e.filter($"vec_id" < NumQueries)
       .select($"vec_id".as("query_id"), explode(probeCells).as("cell"))
     val q = e.filter($"vec_id" < NumQueries)
       .select($"vec_id".as("query_id"), $"v".as("qv"))
     val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id".asc)
-    broadcast(probes).join(assigned.select($"vec_id", $"cell"), Seq("cell"))
+    broadcast(probes).join(assigned, Seq("cell"))
       .filter($"vec_id" =!= $"query_id")
-      .select($"query_id", $"vec_id")
-      .join(e.select($"vec_id", $"v"), "vec_id")
       .join(broadcast(q), "query_id")
       .select($"query_id", $"vec_id", VectorOps.cosine($"qv", $"v").as("cos"))
       .withColumn("rk", row_number().over(w))
       .filter($"rk" <= TopK)
       .select($"query_id", $"rk", $"vec_id", round($"cos", 4).as("cosine"))
       .orderBy($"query_id", $"rk")
+  }
+
+  /** Lloyd-fit parameters for [[simAnnIvfKmeans]]: fixed iteration
+    * count (determinism is what keeps the whole fit oracle-checkable)
+    * and the two integer-quantization scales that make every
+    * cross-engine comparison exact — see [[fitCentroids]]. */
+  final val KMeansIters = 2
+  /** Vector components are floor-quantized to 1e-6 before the per-cell
+    * mean: integer SUMS are exact and order-independent, so the mean
+    * (one int→double conversion + one division) is bit-identical in
+    * Spark and DuckDB — no float-aggregation summation-order hazard. */
+  final val QuantScale = 1000000L
+  /** Assignment/probe scores are floor(cosine·1e12) compared as LONGs:
+    * an integer key both engines derive identically from bit-identical
+    * cosines. floor, NOT round — Spark round() (HALF_UP on the
+    * shortest-decimal) and DuckDB round() (binary half-away) can
+    * diverge on IDENTICAL input, while floor of the same product
+    * cannot; a one-ulp cosine divergence only flips the key if the
+    * product crosses an integer boundary (1e-12-measure event) instead
+    * of flipping the raw argmax outright — the robust-assignment form
+    * the seeded variant's bit-parity note calls for. */
+  final val ScoreScale = 1e12
+
+  /** ANN via an IVF quantizer whose centroids are Lloyd-FITTED — the
+    * production path the seeded [[simAnnIvf]] documents: [[KMeansIters]]
+    * k-means iterations, each one `score → argmax → mean-agg` on the
+    * same declarative plan (assignment is per-row map work against the
+    * baked centroids; the mean is ONE 65-column partial aggregate —
+    * map-side combined, 16 rows × 65 longs collected per iteration),
+    * then the identical probe/cell-join/re-rank tail. Deterministic
+    * seeds + fixed iterations + integer-quantized arithmetic keep the
+    * full fit hash-checkable against a DuckDB mirror of every
+    * iteration. */
+  def simAnnIvfKmeans(spark: SparkSession, sfDir: String): DataFrame =
+    simAnnIvfKmeansOn(spark, sfDir, NProbe, KMeansIters)
+
+  private[graft] def simAnnIvfKmeansOn(spark: SparkSession, sfDir: String,
+      nprobe: Int, iters: Int): DataFrame = {
+    val e = embeddings(spark, sfDir)
+    val fitted = fitCentroids(e, seedCentroids(e), iters)
+    ivfSearchWith(e, quantScores(fitted), nprobe)
+  }
+
+  /** Quantized per-row score vector against baked centroids:
+    * floor(cosine·[[ScoreScale]]) as LONG (see the constant's note). */
+  private def quantScores(cents: Seq[Seq[Double]]): Column =
+    array(cents.map(cv =>
+      floor(VectorOps.cosine(col("v"), typedLit(cv)) * lit(ScoreScale)).cast("long")): _*)
+
+  /** Fixed-iteration Lloyd fit. Per iteration: quantized-argmax cell
+    * assignment (map work, no shuffle), then per-cell integer sums of
+    * the [[QuantScale]]-quantized components — a single 65-column
+    * partial aggregate whose shuffle carries 16 cells × partitions —
+    * and the bounded 16×65 collect folds the new centroids
+    * driver-side: component = sum / (n · [[QuantScale]]), one exact
+    * integer→double conversion + one division on both engines. An
+    * empty cell keeps its previous centroid (the DuckDB mirror
+    * COALESCEs identically). */
+  private[graft] def fitCentroids(e: DataFrame, seeds: Seq[Seq[Double]],
+      iters: Int): Seq[Seq[Double]] = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val dims = graft.functions.LshImpl.Dims
+    var cents = seeds
+    for (_ <- 0 until iters) {
+      val scoreArr = quantScores(cents)
+      val cellExpr = (array_position(scoreArr, array_max(scoreArr)) - 1).cast("int")
+      val vq = transform($"v", x => floor(x * lit(QuantScale)).cast("long"))
+      val sumCols = (0 until dims).map(d => sum(element_at($"vq", d + 1)).as(s"s$d"))
+      val rows = e.select(cellExpr.as("cell"), vq.as("vq"))
+        .groupBy($"cell")
+        .agg(count(lit(1)).as("n"), sumCols: _*)
+        .collect()
+      val byCell = rows.map(r => r.getInt(0) -> r).toMap
+      cents = cents.indices.map { c =>
+        byCell.get(c).fold(cents(c)) { r =>
+          val n = r.getLong(1)
+          (0 until dims).map(d => r.getLong(2 + d).toDouble / (n * QuantScale.toDouble))
+        }
+      }
+    }
+    cents
   }
 
   /** Aggregate similarity statistics per label block (exercises vector
@@ -233,9 +341,93 @@ object Similarity {
     "sim_topk_brute" -> simTopKBrute,
     "sim_ann_lsh" -> simAnnLsh,
     "sim_ann_ivf" -> simAnnIvf,
+    "sim_ann_ivf_kmeans" -> simAnnIvfKmeans,
     "sim_label_stats" -> simLabelStats,
     "sim_label_stats_sampled" -> simLabelStatsSampled,
   )
+
+  /** Cosine over two LIST-valued SQL expressions (the k-means mirror
+    * scores vectors against COMPUTED centroid lists, not table
+    * columns). Same sequential dot/(√·√) shape as [[cosSql]]. */
+  private def cosListSql(a: String, b: String): String =
+    s"""(list_dot_product($a, $b) /
+       |      (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))))""".stripMargin
+
+  /** The quantized integer comparison key of the engine's
+    * [[quantScores]]: floor(cosine·ScoreScale) as BIGINT. */
+  private def quantScoreSql(a: String, b: String): String =
+    s"CAST(floor(${cosListSql(a, b)} * ${ScoreScale.toLong}.0) AS BIGINT)"
+
+  /** Full DuckDB mirror of the [[simAnnIvfKmeans]] fit + search: the
+    * seed centroids, then per iteration the quantized-argmax
+    * assignment (a_k), the per-cell per-dim integer sums (m_k) and the
+    * folded centroids (c_k, COALESCE keeps an empty cell's previous
+    * centroid), unrolled [[KMeansIters]] times; then assignment,
+    * probes and the exact re-rank against the final centroids —
+    * every comparison an integer or a bit-identical double, per the
+    * parity notes on the engine constants. */
+  private def kmeansIvfSql(iters: Int): String = {
+    val dims = graft.functions.LshImpl.Dims
+    val iterCtes = (1 to iters).map { k =>
+      s"""a$k AS (
+         |  SELECT vec_id, cid AS cell FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${quantScoreSql("e.v", "c.cv")} DESC, c.cid ASC) AS rn
+         |    FROM ev e CROSS JOIN c${k - 1} c
+         |  ) t WHERE rn = 1
+         |),
+         |m$k AS (
+         |  SELECT a.cell AS cid, dims.d AS d, sum(q.vq[dims.d]) AS s, count(*) AS n
+         |  FROM a$k a JOIN q USING (vec_id) CROSS JOIN dims
+         |  GROUP BY a.cell, dims.d
+         |),
+         |c$k AS (
+         |  SELECT p.cid, coalesce(f.cv, p.cv) AS cv
+         |  FROM c${k - 1} p LEFT JOIN (
+         |    SELECT cid, list(s::DOUBLE / (n * $QuantScale.0) ORDER BY d) AS cv
+         |    FROM m$k GROUP BY cid
+         |  ) f USING (cid)
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (
+       |  SELECT vec_id,
+       |    [CAST(floor(x * $QuantScale) AS BIGINT) for x in embedding::DOUBLE[]] AS vq
+       |  FROM embeddings
+       |),
+       |dims AS (SELECT unnest(range(1, ${dims + 1})) AS d),
+       |c0 AS (
+       |  SELECT vec_id - $NumQueries AS cid, embedding::DOUBLE[] AS cv
+       |  FROM embeddings
+       |  WHERE vec_id >= $NumQueries AND vec_id < ${NumQueries + NumCentroids}
+       |),
+       |$iterCtes,
+       |rkf AS (
+       |  SELECT e.vec_id, c.cid,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${quantScoreSql("e.v", "c.cv")} DESC, c.cid ASC) AS rn
+       |  FROM ev e CROSS JOIN c$iters c
+       |),
+       |assign AS (SELECT vec_id, cid AS cell FROM rkf WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cid AS cell FROM rkf
+       |  WHERE rn <= $NProbe AND vec_id < $NumQueries
+       |),
+       |cand AS (
+       |  SELECT p.query_id, a.vec_id FROM probes p JOIN assign a USING (cell)
+       |  WHERE a.vec_id <> p.query_id
+       |)
+       |SELECT query_id, rk, vec_id, round(cos, 4) AS cosine FROM (
+       |  SELECT cand.query_id, cand.vec_id, ${cosSql("qe", "x")} AS cos,
+       |    row_number() OVER (PARTITION BY cand.query_id
+       |      ORDER BY ${cosSql("qe", "x")} DESC, cand.vec_id ASC) AS rk
+       |  FROM cand
+       |  JOIN embeddings qe ON qe.vec_id = cand.query_id
+       |  JOIN embeddings x ON x.vec_id = cand.vec_id
+       |) t WHERE rk <= $TopK
+       |ORDER BY query_id, rk""".stripMargin
+  }
 
   private def cosSql(a: String, b: String): String =
     s"""list_dot_product($a.embedding::DOUBLE[], $b.embedding::DOUBLE[]) /
@@ -305,6 +497,7 @@ object Similarity {
     // array_position, nprobe probe cells, exact re-rank within the
     // probed residents. nprobe = NumCentroids ≡ brute force is pinned
     // in SimilaritySpec.
+    "sim_ann_ivf_kmeans" -> kmeansIvfSql(KMeansIters),
     "sim_ann_ivf" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
          |c AS (

@@ -193,6 +193,11 @@ object TextAnalysis {
     * anywhere. */
   def textRepetition(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // ScanAudit: documents=3 is DELIBERATE — the three branches (word
+    // stats, bigram counts, trigram counts) derive different fan-outs
+    // from the text column, so sharing would mean materializing one
+    // corpus-wide exchange of token arrays; three pruned column scans
+    // are cheaper than one full-width shuffle at any scale.
     val d = Tables.documents(spark, sfDir)
       .select($"doc_id", split($"text", " ").as("t"))
     // split on " " always yields ≥1 element, so the division is total

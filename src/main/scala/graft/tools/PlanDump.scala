@@ -48,7 +48,15 @@ object PlanDump {
     "dedup_chunks_ngram" ->
       "Chunk-granularity pair search: packed (doc_id, chunk_idx) keys feed the document PPJoin pipeline UNCHANGED — same DF-cap reuse, same prefix window, ~10× the rows through an identical plan.",
     "sim_ann_ivf" ->
-      "IVF: centroid argmax assignment is a per-row expression over baked literals (no shuffle); probe side broadcasts; re-rank only within probed cells' residents.",
+      "IVF: centroid argmax assignment is a per-row expression over baked literals (no shuffle); probe side broadcasts; re-rank only within probed cells' residents, the vector carried THROUGH the cell join — one full corpus scan, no candidate re-join (ScanAudit: embeddings=3 is 1 full + 2 vec_id-pruned query-side scans).",
+    "sim_ann_ivf_kmeans" ->
+      "Lloyd-fitted IVF: the search tail is sim_ann_ivf's (per-row argmax over baked literals, broadcast probes); each fit iteration adds one scan + ONE 65-column partial aggregate (16 cells × partitions shuffle rows, 16×65 longs collected). Scores compare as floor-quantized LONGs — integer keys both engines derive identically.",
+    "cur_pack_chunks" ->
+      "Sample-granularity packing: the chunk fan-out Generate feeds the range sort; the running total is the two-pass per-partition prefix sum (one Long per partition to the driver), NOT a global window — no single-partition funnel anywhere.",
+    "dedup_kept_clusters" ->
+      "Cluster-based keep: BOTH pair searches (jaccard + containment) replay ONE shingle-expansion exchange; the CC loop iterates on localCheckpointed pair-node-sized label tables (the loop below shows only the final semi-join of documents against the representative set — the iterations are O(log diameter) equi-join+min-agg rounds on byte-sized frames).",
+    "stream_sessions" ->
+      "Streaming sessionization (the dumped plan is the post-run snapshot fold over the memory sink): the stateful operator is flatMapGroupsWithState keyed on user_id with FIVE LONGS of state per user — O(active users), no buffered events; emissions are monotone snapshots, so the fold is a max-struct per user.",
   )
 
   def main(args: Array[String]): Unit = {

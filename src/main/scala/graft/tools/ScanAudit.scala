@@ -38,8 +38,15 @@ object ScanAudit {
       val finalPlan = df.queryExecution.executedPlan.toString
       val cut = finalPlan.indexOf("Initial Plan")
       val p = if (cut >= 0) finalPlan.substring(0, cut) else finalPlan
-      val perTable = raw"FileScan parquet[^\[]*\[file:([^\]]*?)([a-z_]+)\.parquet\]".r
-        .findAllMatchIn(p).map(_.group(2)).toSeq
+      // match the scan LOCATION bracket directly: the earlier anchored
+      // form (`FileScan parquet[^\[]*\[file:`) could never cross the
+      // column-list bracket that precedes Location, so it matched
+      // nothing and the audit silently reported every query clean.
+      // Location strings appear only inside scan nodes, and a reused
+      // subtree prints once (ReusedExchange refs it by plan_id), so
+      // occurrence count = actual scan count.
+      val perTable = raw"\[file:[^\]]*?([a-z_0-9]+)\.parquet\]".r
+        .findAllMatchIn(p).map(_.group(1)).toSeq
         .groupBy(identity).view.mapValues(_.size).toMap
       val flagged = perTable.filter(_._2 > 1)
       val mark = if (flagged.nonEmpty) "MULTI" else "ok"

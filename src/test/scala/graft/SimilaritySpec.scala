@@ -52,6 +52,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(mean >= 0.3, s"IVF mean recall@5 = $mean below floor")
   }
 
+  test("k-means IVF with nprobe = NumCentroids is exactly brute force (full probe)") {
+    // fitted or not, probing every cell must reproduce brute force —
+    // the search plumbing is independent of centroid quality
+    val brute = Similarity.simTopKBrute(spark, sf).collect().map(_.toSeq).toSeq
+    val full = Similarity.simAnnIvfKmeansOn(spark, sf,
+        Similarity.NumCentroids, Similarity.KMeansIters)
+      .collect().map(_.toSeq).toSeq
+    assert(full === brute)
+  }
+
+  test("k-means IVF recall@5 is at least the seeded variant's") {
+    val brute = topkMap(Similarity.simTopKBrute(spark, sf))
+    def meanRecall(ann: Map[Long, Seq[Long]]): Double = {
+      val rs = brute.map { case (q, trueTop) =>
+        val got = ann.getOrElse(q, Nil).toSet
+        trueTop.count(got.contains).toDouble / trueTop.size
+      }
+      rs.sum / rs.size
+    }
+    val seeded = meanRecall(topkMap(Similarity.simAnnIvf(spark, sf)))
+    val fitted = meanRecall(topkMap(Similarity.simAnnIvfKmeans(spark, sf)))
+    info(s"IVF recall@5: seeded = $seeded, k-means = $fitted")
+    // Lloyd iterations move centroids toward occupied regions, which
+    // tightens cells and can only help the probe's coverage on this
+    // data — the fit must not LOSE recall vs the raw seeds
+    assert(fitted >= seeded,
+      s"k-means fit must not lose recall: seeded $seeded > fitted $fitted")
+  }
+
   test("ANN result never contains a self-match or a rank outside 1..k") {
     val rows = Similarity.simAnnLsh(spark, sf)
       .select("query_id", "rk", "vec_id").collect()
