@@ -384,33 +384,44 @@ object Curation {
   def dedupChunksNgram(spark: SparkSession, sfDir: String): DataFrame =
     dedupChunksNgramOn(Tables.documents(spark, sfDir))
 
-  private[graft] def dedupChunksNgramOn(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    // the documented 2^20 chunk-slot bound enforced LOUDLY on BOTH key
-    // halves: a doc past ~42M tokens would overflow chunk_idx's slot,
-    // and a doc_id ≥ 2^43 would wrap doc_id * ChunkKeyBase itself
-    // (non-ANSI multiply is silent) — either way pairs would be
-    // attributed to the wrong document, the exact failure this guard
-    // exists to prevent
-    val packed = when(
-        $"chunk_idx" < lit(ChunkKeyBase) &&
-          $"doc_id" < lit(Long.MaxValue / ChunkKeyBase),
-        $"doc_id" * ChunkKeyBase + $"chunk_idx")
+  /** The guarded (doc_id, chunk_idx) → BIGINT packing: the documented
+    * 2^20 chunk-slot bound enforced LOUDLY on BOTH key halves — a doc
+    * past ~42M tokens would overflow chunk_idx's slot, and a doc_id ≥
+    * 2^43 would wrap doc_id * ChunkKeyBase itself (non-ANSI multiply is
+    * silent) — either way pairs would be attributed to the wrong
+    * document, the exact failure this guard exists to prevent. Shared
+    * by the batch chunk pair search and its streaming twin. */
+  private[graft] def packedChunkKey(site: String): org.apache.spark.sql.Column =
+    when(
+        col("chunk_idx") < lit(ChunkKeyBase) &&
+          col("doc_id") < lit(Long.MaxValue / ChunkKeyBase),
+        col("doc_id") * ChunkKeyBase + col("chunk_idx"))
       .otherwise(raise_error(concat(
-        lit(s"dedupChunksNgram: (doc_id, chunk_idx) exceeds the $ChunkKeyBase packed-key bounds: ("),
-        $"doc_id".cast("string"), lit(", "),
-        $"chunk_idx".cast("string"), lit(")"))).cast("long"))
-    val asDocs = chunksOf(docs)
-      .select(packed.as("doc_id"), $"chunk_text".as("text"))
-    Dedup.dedupNgramJaccardOnDocs(asDocs)
-      .select(
+        lit(s"$site: (doc_id, chunk_idx) exceeds the $ChunkKeyBase packed-key bounds: ("),
+        col("doc_id").cast("string"), lit(", "),
+        col("chunk_idx").cast("string"), lit(")"))).cast("long"))
+
+  /** Unpack [[packedChunkKey]]'s BIGINTs on a (doc_a, doc_b, jaccard)
+    * pair frame back into per-side (doc, chunk_idx) — shared output
+    * shape of both chunk pair searches. */
+  private[graft] def unpackChunkPairs(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    pairs.select(
         expr(s"doc_a div $ChunkKeyBase").as("doc_a"),
         expr(s"doc_a % $ChunkKeyBase").cast("int").as("idx_a"),
         expr(s"doc_b div $ChunkKeyBase").as("doc_b"),
         expr(s"doc_b % $ChunkKeyBase").cast("int").as("idx_b"),
         $"jaccard")
       .orderBy($"doc_a", $"idx_a", $"doc_b", $"idx_b")
+  }
+
+  private[graft] def dedupChunksNgramOn(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val asDocs = chunksOf(docs)
+      .select(packedChunkKey("dedupChunksNgram").as("doc_id"), $"chunk_text".as("text"))
+    unpackChunkPairs(Dedup.dedupNgramJaccardOnDocs(asDocs))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -442,6 +453,26 @@ object Curation {
        |) c""".stripMargin
 
   private val chunksSql = chunksSqlFrom("documents")
+
+  /** Oracle for the STREAMING chunk near-dup (see
+    * Streaming.streamDedupChunksNgram): the UNCAPPED exact-Jaccard pair
+    * search over the packed-key chunk CTE. Uncapped — unlike
+    * `dedup_chunks_ngram`'s PPJoin mirror — because the MinHash path
+    * verifies exact Jaccard on full shingle sets, so a single-batch
+    * replay is a genuine recall check at sample granularity. */
+  private[graft] val chunkExactJaccardSql: String =
+    s"""WITH ck AS (
+       |  SELECT doc_id * $ChunkKeyBase + chunk_idx AS doc_id,
+       |    chunk_text AS text
+       |  FROM ($chunksSql)
+       |),
+       |pairs AS (${Dedup.exactJaccardSqlFrom("ck")})
+       |SELECT doc_a // $ChunkKeyBase AS doc_a,
+       |  CAST(doc_a % $ChunkKeyBase AS INT) AS idx_a,
+       |  doc_b // $ChunkKeyBase AS doc_b,
+       |  CAST(doc_b % $ChunkKeyBase AS INT) AS idx_b,
+       |  jaccard
+       |FROM pairs ORDER BY doc_a, idx_a, doc_b, idx_b""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "cur_text_chunks" ->

@@ -838,8 +838,14 @@ object Dedup {
     "dedup_kept_clusters" -> dedupKeptClusters,
   )
 
-  private[graft] val exactJaccardSql =
-    """WITH toks AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
+  private[graft] val exactJaccardSql = exactJaccardSqlFrom("documents")
+
+  /** The UNCAPPED exact-Jaccard pair oracle over any (doc_id, text)
+    * source relation — the recall check every MinHash path is held to
+    * (the streaming chunk near-dup splices it over the packed-key chunk
+    * CTE; DuckDB accepts the nested WITH). */
+  private[graft] def exactJaccardSqlFrom(src: String): String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') t FROM $src),
       |sh AS (
       |  SELECT doc_id, unnest(list_distinct(
       |    [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)])) s

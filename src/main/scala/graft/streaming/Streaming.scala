@@ -491,6 +491,47 @@ object Streaming {
     runNearDupStreamTTL(docs, 3600L * 1000)
   }
 
+  /** STREAMING chunk-level NEAR-dup — [[runNearDupStreamTTL]] keyed on
+    * the packed (doc_id, chunk_idx) over the chunk fan-out, closing the
+    * lambda split's last gap: near-dup detection AT SAMPLE GRANULARITY
+    * on the ingest side, not just in the batch sweep. Each chunk
+    * inherits its document's event time through the fan-out
+    * (Curation.chunksCarrying), so per-resident TTL eviction and the
+    * monotone cell deadline apply to chunks exactly as to documents;
+    * state is O(chunk residents per band cell in the TTL window).
+    * The guarded packed key (Curation.packedChunkKey) makes the band
+    * state machine see chunks as ordinary documents — same engine, no
+    * new state shape — and the output unpacks per-side (doc, idx).
+    *
+    * The driver feed is one file = one micro-batch with in-window
+    * synthetic timestamps (no eviction fires), so the result is the
+    * full cross-chunk pair search and the oracle is the UNCAPPED
+    * exact-Jaccard pair SQL over the packed chunk CTE
+    * (Curation.chunkExactJaccardSql) — a genuine recall check at
+    * sample granularity; cross-batch pairing and eviction are pinned
+    * by StreamingSpec's multi-batch chunk test. */
+  def streamDedupChunksNgram(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val docs = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+      .withColumn("ts", timestamp_seconds(lit(1700000000L) + pmod($"doc_id", lit(3600))))
+    runDedupChunksStreamTTL(docs, 3600L * 1000)
+  }
+
+  /** The transform of [[streamDedupChunksNgram]] on any streaming
+    * (doc_id, text, ts) frame (spec entry point: plantable multi-batch
+    * chunk feeds). */
+  private[graft] def runDedupChunksStreamTTL(docs: DataFrame, ttlMs: Long): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import graft.operators.Curation
+    val chunks = Curation.chunksCarrying(docs.filter($"doc_id".isNotNull), "ts")
+      .select(Curation.packedChunkKey("runDedupChunksStreamTTL").as("doc_id"),
+        $"chunk_text".as("text"), $"ts")
+    Curation.unpackChunkPairs(runNearDupStreamTTL(chunks, ttlMs))
+  }
+
   /** STREAMING curation-to-samples — the ingestion-side twin of the
     * batch `cur_pipeline_samples`: documents stream in, are redacted
     * and quality-gated (per-row map work, identical expressions to the
@@ -741,6 +782,7 @@ object Streaming {
     "stream_dedup_ttl" -> streamDedupExactTTL,
     "stream_dedup_minhash" -> streamDedupMinhash,
     "stream_dedup_minhash_ttl" -> streamDedupMinhashTTL,
+    "stream_dedup_chunks_ngram" -> streamDedupChunksNgram,
     "stream_pipeline_samples" -> streamPipelineSamples,
     "stream_pipeline_samples_ttl" -> streamPipelineSamplesTTL,
   )
@@ -804,6 +846,9 @@ object Streaming {
     // single-batch in-window feed ⇒ no eviction ⇒ identical to the
     // unbounded form and the batch result (eviction pinned in spec)
     "stream_dedup_minhash_ttl" -> graft.operators.Dedup.exactJaccardSql,
+    // single-batch in-window replay ⇒ the full chunk pair search; the
+    // oracle is the uncapped exact-Jaccard SQL over the packed chunk CTE
+    "stream_dedup_chunks_ngram" -> graft.operators.Curation.chunkExactJaccardSql,
     // the batch composition of exactly the streamed stages (redact →
     // quality → chunk → chunk-level keep-first), spliced from the same
     // engine constants — the monotone-emission design makes the stream

@@ -55,6 +55,8 @@ object PlanDump {
       "Sample-granularity packing: the chunk fan-out Generate feeds the range sort; the running total is the two-pass per-partition prefix sum (one Long per partition to the driver), NOT a global window — no single-partition funnel anywhere.",
     "dedup_kept_clusters" ->
       "Cluster-based keep: BOTH pair searches (jaccard + containment) replay ONE shingle-expansion exchange; the CC loop iterates on localCheckpointed pair-node-sized label tables (the loop below shows only the final semi-join of documents against the representative set — the iterations are O(log diameter) equi-join+min-agg rounds on byte-sized frames).",
+    "stream_dedup_chunks_ngram" ->
+      "Streaming chunk near-dup (post-run fold shown): the stateful operator is the SAME banded-minhash flatMapGroupsWithState as stream_dedup_minhash_ttl, fed packed (doc_id, chunk_idx) keys through the chunk fan-out Generate — chunks are ordinary documents to the band state machine; per-resident TTL eviction bounds state to O(chunk residents per band cell in the TTL window).",
     "stream_sessions" ->
       "Streaming sessionization (the dumped plan is the post-run snapshot fold over the memory sink): the stateful operator is flatMapGroupsWithState keyed on user_id with FIVE LONGS of state per user — O(active users), no buffered events; emissions are monotone snapshots, so the fold is a max-struct per user.",
   )

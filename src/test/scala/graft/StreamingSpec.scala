@@ -207,6 +207,51 @@ class StreamingSpec extends AnyFunSuite {
         s"be suppressed by eviction — got $got")
   }
 
+  test("TTL chunk near-dup: cross-batch chunk pairs at the right idx, evicted chunk does not") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions.{expr => fexpr}
+    import spark.implicits._
+    def toks(r: Range, p: String) = r.map(i => s"$p$i").mkString(" ")
+    def docs(rows: Seq[(Long, String, Long)]): DataFrame =
+      rows.toDF("doc_id", "text", "sec")
+        .select($"doc_id", $"text", fexpr("timestamp_seconds(sec)").as("ts"))
+    val in = Files.createTempDirectory("graft_cnttl_in_").toString
+    val t0 = 1700000000L
+    val base = System.currentTimeMillis()
+    // batch 1: doc 10 = 40 tokens (ONE chunk, idx 0; family w — will be
+    // evicted before its re-crawl) and doc 11 = 80 tokens (chunks idx 0
+    // = z0..z49 and idx 1 = z40..z79; family z — matched in-window)
+    writeOneFile(docs(Seq((10L, toks(0 until 40, "w"), t0),
+      (11L, toks(0 until 80, "z"), t0))), s"$in/b1.parquet", base)
+    // batch 2, 30 s later (inside the 60 s TTL): doc 20 = doc 11's
+    // SECOND chunk with one mid-token substituted — its idx-0 chunk must
+    // pair with doc 11's idx-1 chunk ACROSS batches and positions
+    // (38 shingles each, 3 killed by the substitution: J = 35/41) —
+    // plus a far-future watermark pusher
+    val zvar = ((40 until 60).map(i => s"z$i") ++ Seq("SUB") ++
+      (61 until 80).map(i => s"z$i")).mkString(" ")
+    writeOneFile(docs(Seq((20L, zvar, t0 + 30),
+      (30L, toks(0 until 40, "p"), t0 + 10000))), s"$in/b2.parquet", base + 60000)
+    // batch 3: the w-family re-crawl at t0+9950 (non-late) — doc 10's
+    // chunk has ts + ttl far behind the watermark, so it was evicted
+    // and no pair may be reported
+    val wvar = ((0 until 20).map(i => s"w$i") ++ Seq("SUB") ++
+      (21 until 40).map(i => s"w$i")).mkString(" ")
+    writeOneFile(docs(Seq((21L, wvar, t0 + 9950))),
+      s"$in/b3.parquet", base + 120000)
+    val schema = spark.read.parquet(in).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val got = Streaming.runDedupChunksStreamTTL(stream, 60000L)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3),
+        r.getDouble(4))).toSeq
+    assert(got.map(p => (p._1, p._2, p._3, p._4)) === Seq((11L, 1, 20L, 0)),
+      s"expected exactly the cross-batch cross-idx pair (11.1, 20.0) — the " +
+        s"w-family pair must be suppressed by eviction — got $got")
+    // 35 shared shingles, 38 per side: round(35/41, 3) = 0.854
+    assert(got.head._5 === 0.854, s"jaccard should be 35/41 rounded, got ${got.head._5}")
+  }
+
   test("streaming samples pipeline keeps first-seen chunks across batches, redacted") {
     import org.apache.spark.sql.DataFrame
     import spark.implicits._
