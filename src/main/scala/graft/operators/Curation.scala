@@ -311,7 +311,12 @@ object Curation {
     import spark.implicits._
     val red = docs.select($"doc_id",
       TextAnalysis.redactedCol($"text").as("text"))
-    val pairs = Dedup.unionPairsOnDocs(red)
+    // materialize the union pair search ONCE: `nodes` below and the edge
+    // frame inside dedupClustersOn both consume `pairs`, and without this
+    // checkpoint each consumer re-runs the whole shingle-expansion + two
+    // prefix-filtered searches (the dominant cost of the query). The
+    // checkpointed frame is pair-count-sized (bytes).
+    val pairs = Dedup.unionPairsOnDocs(red).localCheckpoint()
     val nodes = pairs.select($"doc_a".as("doc_id"))
       .union(pairs.select($"doc_b".as("doc_id"))).distinct()
     val drop = Dedup.dedupClustersOn(nodes, pairs)

@@ -782,12 +782,15 @@ object Dedup {
   private[graft] def dedupClustersOn(docs: DataFrame, pairs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // both directions once; the edge set is pair-count-sized (tiny
-    // relative to the corpus), localCheckpoint keeps it from re-running
-    // the whole pair pipeline every round
-    val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
-      .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
-      .localCheckpoint()
+    // materialize the pair search ONCE before mirroring: the union's two
+    // branches each embed the full pair plan, and exchange reuse only
+    // dedupes up to the last exchange — the verify-join tail would run
+    // twice. The checkpointed frame is pair-count-sized (bytes), and the
+    // checkpoint also keeps the per-round loop below from re-running the
+    // pair pipeline every iteration.
+    val p = pairs.select($"doc_a", $"doc_b").localCheckpoint()
+    val edges = p.select($"doc_a".as("src"), $"doc_b".as("dst"))
+      .union(p.select($"doc_b".as("src"), $"doc_a".as("dst")))
     var labels = docs.select($"doc_id", $"doc_id".as("lbl")).localCheckpoint()
     var changed = true
     var iter = 0
