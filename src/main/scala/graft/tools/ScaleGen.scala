@@ -1,0 +1,64 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Builds the R× scaling corpus behind SCALING.md's MEASURED table — a
+  * dev/audit tool, not part of the query surface.
+  *
+  * Documents: replica 0 is the sf-dir corpus verbatim; replica k > 0
+  * offsets doc_id and suffixes EVERY TOKEN with `~k`, so cross-replica
+  * shingles can never collide while each replica keeps the original
+  * corpus's intra-replica near-dup structure exactly. Pair outputs
+  * therefore scale linearly (×R) — the shape of a corpus that GREW R× —
+  * whereas naive replication would create R-sized duplicate families
+  * and a quadratic (×R²) pair explosion, i.e. a *different* workload
+  * rather than a bigger one. The token suffix also grows the shingle
+  * universe ×R, matching real growth (new content, new vocabulary).
+  *
+  * Embeddings: ids offset, vectors replicated verbatim — every ANN
+  * candidate structure (cell occupancy, bucket residents) scales ×R,
+  * the honest "10× residents per cell" shape for search timings. The
+  * embed-cosine DEDUP queries are excluded from the scale battery
+  * instead: identical cross-replica vectors are true exact duplicates,
+  * so their pair space scales ×R² by construction (see SCALING.md).
+  *
+  * Queries (`vec_id < NumQueries`) exist only in replica 0 — the
+  * query count is a constant of the workload, not a scale axis. */
+object ScaleGen {
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = args.lift(1).getOrElse("/tmp/graft_sf1")
+    val replicas = args.lift(2).map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .appName("graft-scale-gen")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // well under the 2^43 packed-chunk-key doc_id bound at any realistic R
+    val idStride = 1000000L
+
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    (0 until replicas).map { k =>
+      val d = docs.withColumn("doc_id", col("doc_id") + lit(k * idStride))
+      if (k == 0) d
+      else d.withColumn("text",
+        array_join(transform(split(col("text"), " "),
+          t => concat(t, lit(s"~$k"))), " "))
+    }.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    (0 until replicas).map { k =>
+      emb.withColumn("vec_id", col("vec_id") + lit(k * idStride))
+    }.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    println(s"SCALEGEN_DONE out=$out replicas=$replicas")
+    spark.stop()
+  }
+}
