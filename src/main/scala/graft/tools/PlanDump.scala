@@ -53,6 +53,8 @@ object PlanDump {
       "Lloyd-fitted IVF: the search tail is sim_ann_ivf's (per-row argmax over baked literals, broadcast probes); each fit iteration adds one scan + ONE 65-column partial aggregate (16 cells × partitions shuffle rows, 16×65 longs collected). Scores compare as floor-quantized LONGs — integer keys both engines derive identically.",
     "cur_pack_chunks" ->
       "Sample-granularity packing: the chunk fan-out Generate feeds the range sort; the running total is the two-pass per-partition prefix sum (one Long per partition to the driver), NOT a global window — no single-partition funnel anywhere.",
+    "cur_pipeline_samples_cc" ->
+      "Cluster-keep samples pipeline: the union pair search materializes ONCE (localCheckpoint — the ExistingRDD scan below), nodes + CC loop + drop list all read the checkpointed pair-count-sized frame; downstream is cur_pipeline_samples' chunk tail unchanged, with the same single shared chunk exchange.",
     "dedup_kept_clusters" ->
       "Cluster-based keep: BOTH pair searches (jaccard + containment) replay ONE shingle-expansion exchange; the CC loop iterates on localCheckpointed pair-node-sized label tables (the loop below shows only the final semi-join of documents against the representative set — the iterations are O(log diameter) equi-join+min-agg rounds on byte-sized frames).",
     "stream_dedup_chunks_ngram" ->
