@@ -215,7 +215,11 @@ object Dedup {
     // EVERY row of the doc's partition before the filter keeps one — a
     // 10k-shingle document materializes ~800 MB of unsafe-row array
     // copies. The agg buffers each set exactly once, bounded by document
-    // length, on the same doc_id hash partitioning.
+    // length, on the same doc_id hash partitioning. (This branch stays
+    // derived from `rare`: it references no window output, so a
+    // window-derived form would be column-pruned straight back to this
+    // plan — see unionPairsOnHashes, where the set SIZE genuinely rides
+    // the window and the sharing is real.)
     val sets = rare.groupBy($"doc_id")
       .agg(sort_array(collect_list($"h")).as("hvs"))
     // Explicit-width repartition on the candidate key: the candidate set
@@ -451,15 +455,95 @@ object Dedup {
 
   /** The UNION pair graph — symmetric (Jaccard) ∪ asymmetric
     * (containment) edges — over ONE shared shingle expansion of any
-    * (doc_id, text) frame: both searches replay the same exploded
-    * exchange instead of each re-scanning and re-shingling the corpus.
-    * This is the edge source for every cluster-based keep. */
-  private[graft] def unionPairsOnDocs(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
+    * (doc_id, text) frame. This is the edge source for every
+    * cluster-based keep.
+    *
+    * Round 8: fused into ONE candidate pass + ONE verify pass (was two
+    * full candidate-join + verify passes unioned, each re-walking the
+    * same capped sorted-set relation). Candidate completeness holds
+    * per edge type by tagging rows with BOTH prefix bounds instead of
+    * materializing two prefix frames — see [[unionPairsOnHashes]]. */
+  private[graft] def unionPairsOnDocs(docs: DataFrame): DataFrame =
+    unionPairsOnHashes(explodedHashes(docs), MaxShingleDF)
+
+  /** Single-pass union pair search over the exploded (doc_id, h) frame.
+    *
+    * Candidates: rank every rare (doc, h) once (same one-window pass as
+    * the standalone searches) and tag it with both prefix memberships —
+    * `pj` (Jaccard prefix, t = 0.8: r ≤ n − ⌈0.8n⌉ + 1) and `pc`
+    * (containment prefix, t = 0.9: r ≤ n − ⌈0.9n⌉ + 1, always ⊆ pj).
+    * One equi-join on h — probe = pj rows, index = ALL rare rows
+    * carrying their pj flag — accepted when `a.pc OR b.pj`:
+    *   - b.pj gives prefix⋈prefix, the symmetric Jaccard candidate set
+    *     (any qualifying pair shares a shingle in both t=0.8 prefixes);
+    *   - a.pc gives prefix⋈full-index, the containment candidate set
+    *     (the smaller side's t=0.9 prefix must hit the other side's
+    *     FULL capped set — size-relative pruning there would lose
+    *     pairs; both orientations appear since pc ⊆ pj ⊆ probe).
+    * Candidate generation is recall-only — the verify predicates are
+    * exact — so the union of the two candidate sets feeding one exact
+    * verify emits exactly (Jaccard pairs) ∪ (containment pairs).
+    *
+    * Verify: ONE merge walk per pair. overlap c and set sizes give both
+    * scores exactly — the sets are duplicate-free, so |a ∪ b| =
+    * na + nb − c as integers and c/(na+nb−c) is the identical double
+    * SetJaccardSorted computes, while c/min(na,nb) is the containment
+    * score verbatim. Halves the candidate joins, distincts, broadcast
+    * builds and merge walks of the round-7 two-pass union. */
+  private def unionPairsOnHashes(exploded: DataFrame, maxDf: Long): DataFrame = {
+    val spark = exploded.sparkSession
     import spark.implicits._
-    val exploded = explodedHashes(docs)
-    dedupNgramJaccardOnHashes(exploded, MaxShingleDF).select($"doc_a", $"doc_b")
-      .union(dedupContainmentOnHashes(exploded, MaxShingleDF).select($"doc_a", $"doc_b"))
+    import org.apache.spark.sql.expressions.Window
+    // identical DF-cap / one-window rank scaffolding as the standalone
+    // searches (see dedupNgramJaccardOnHashes for the plan-shape notes)
+    val rareH = exploded.groupBy($"h").agg(count($"doc_id").as("df"))
+      .filter($"df" <= maxDf)
+    val rare = exploded.join(rareH, "h") // (h, doc_id, df)
+    val byDoc = Window.partitionBy($"doc_id").orderBy($"df", $"h")
+    val byDocFull = byDoc.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val tagged = rare
+      .withColumn("r", row_number().over(byDoc))
+      .withColumn("n", count(lit(1)).over(byDocFull))
+      .select($"doc_id", $"h", $"n",
+        // exact-integer prefix bounds (⌈t·n⌉ via floored division; the
+        // double division is exact — see dedupNgramJaccardOnHashes)
+        ($"r" <= $"n" - floor(($"n" * 4 + 4) / lit(5)) + 1).as("pj"),
+        ($"r" <= $"n" - floor(($"n" * 9 + 9) / lit(10)) + 1).as("pc"))
+    val width = spark.sparkContext.defaultParallelism
+    val candidates = tagged.filter($"pj").as("a").join(tagged.as("b"),
+        $"a.h" === $"b.h" && $"a.doc_id" =!= $"b.doc_id" &&
+          ($"a.pc" || $"b.pj"))
+      .select(least($"a.doc_id", $"b.doc_id").as("doc_a"),
+        greatest($"a.doc_id", $"b.doc_id").as("doc_b"))
+      .distinct()
+      // same verify-parallelism pin as the standalone searches: the
+      // candidate frame is bytes-small (AQE would coalesce it) but each
+      // row fans into O(set size) merge-walk work
+      .repartition(width, $"doc_a")
+    // per-doc sorted hash set + size derived FROM the window output:
+    // WindowExec preserves its child's hash(doc_id) partitioning, so
+    // this agg runs as a no-exchange continuation — deriving it from
+    // `rare` instead re-runs the rare join AND adds a second full
+    // doc_id exchange (measured: two ~9 s stages at sf0.1). The set
+    // size comes from max(n) — the WINDOW's count — not count(*):
+    // referencing a window output is what keeps column pruning from
+    // eliminating the window on this branch and silently re-deriving
+    // the agg from `rare` (measured: with count(*) the optimizer did
+    // exactly that and both stages came back). Aliased self-references
+    // keep the two verify-side broadcast subtrees canonically
+    // identical → ONE shipped broadcast
+    val sets = tagged.groupBy($"doc_id")
+      .agg(sort_array(collect_list($"h")).as("hvs"), max($"n").as("n"))
+    candidates.as("cd")
+      .join(sets.as("sa"), $"cd.doc_a" === $"sa.doc_id")
+      .join(sets.as("sb"), $"cd.doc_b" === $"sb.doc_id")
+      .select($"cd.doc_a".as("doc_a"), $"cd.doc_b".as("doc_b"),
+        graft.functions.SetOverlapSorted($"sa.hvs", $"sb.hvs")
+          .cast("double").as("c"),
+        $"sa.n".as("na"), $"sb.n".as("nb"))
+      .filter($"c" / ($"na" + $"nb" - $"c") >= JaccardThreshold ||
+        $"c" / least($"na", $"nb") >= ContainmentThreshold)
+      .select($"doc_a", $"doc_b")
   }
 
   /** String-shingle entry (spec path — plantable excerpt inputs). */
@@ -497,9 +581,13 @@ object Dedup {
     val prefix = ranked
       .filter($"r" <= $"n" - floor(($"n" * 9 + 9) / lit(10)) + 1)
       .select($"doc_id", $"h")
-    // per-doc sorted hash set + its size, once, on the doc_id partitioning
-    val sets = rare.groupBy($"doc_id")
-      .agg(sort_array(collect_list($"h")).as("hvs"), count(lit(1)).as("n"))
+    // per-doc sorted hash set + its size, derived from the window output
+    // so the agg continues on the window's hash(doc_id) partitioning
+    // with no second rare join / exchange; max(n) (the WINDOW's count)
+    // keeps column pruning from eliminating the window on this branch
+    // (see unionPairsOnHashes for the measured pathology)
+    val sets = ranked.groupBy($"doc_id")
+      .agg(sort_array(collect_list($"h")).as("hvs"), max($"n").as("n"))
     val candidates = prefix.as("a").join(rare.as("b"),
         $"a.h" === $"b.h" && $"a.doc_id" =!= $"b.doc_id")
       .select(least($"a.doc_id", $"b.doc_id").as("doc_a"),
@@ -789,8 +877,19 @@ object Dedup {
     // checkpoint also keeps the per-round loop below from re-running the
     // pair pipeline every iteration.
     val p = pairs.select($"doc_a", $"doc_b").localCheckpoint()
+    // The symmetrized edge frame is scanned and joined EVERY round:
+    // checkpoint it pre-partitioned on the join key so (a) each round's
+    // join reads hash(src)-partitioned blocks with NO edge-side
+    // exchange (localCheckpoint preserves the physical partitioning in
+    // LogicalRDD), and (b) the per-round scan is `width` tasks, not the
+    // union's 2×width. Checkpointed AFTER `p` — the union's two
+    // branches each embed the pair plan, and only the p checkpoint
+    // keeps the verify tail from running twice (round-7 fix).
+    val width = spark.sparkContext.defaultParallelism
     val edges = p.select($"doc_a".as("src"), $"doc_b".as("dst"))
       .union(p.select($"doc_b".as("src"), $"doc_a".as("dst")))
+      .repartition(width, $"src")
+      .localCheckpoint()
     var labels = docs.select($"doc_id", $"doc_id".as("lbl")).localCheckpoint()
     var changed = true
     var iter = 0
