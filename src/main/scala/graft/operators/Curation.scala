@@ -324,6 +324,50 @@ object Curation {
     samplesOfKept(red.join(drop, Seq("doc_id"), "left_anti"))
   }
 
+  /** [[pipelineCurateSamplesCc]] with a QUALITY-AWARE representative:
+    * keep each component's argmax (quality, −doc_id) member instead of
+    * the minimum doc_id. Keep-min silently prefers whichever duplicate
+    * crawled first — uncorrelated with anything a trainer wants —
+    * while keep-best retains the member the quality score (the same
+    * one the pipeline already gates on) ranks highest; the −doc_id
+    * tie-break keeps the choice deterministic and oracle-checkable.
+    * [[TextAnalysis.qualityScore]] rounds to 4 decimals, so ties
+    * between near-identical duplicates resolve on doc_id rather than
+    * on a cross-engine ulp race.
+    *
+    * Scale shape: identical to the cc pipeline except the keep step —
+    * quality is scored ONLY for cluster members (the labels frame is
+    * pair-node-sized, broadcast-joined back to the redacted corpus for
+    * its text), and the per-cluster argmax is one agg on a
+    * pair-node-sized frame. */
+  def pipelineCurateSamplesCcq(spark: SparkSession, sfDir: String): DataFrame =
+    pipelineCurateSamplesCcqOn(Tables.documents(spark, sfDir))
+
+  private[graft] def pipelineCurateSamplesCcqOn(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val red = docs.select($"doc_id",
+      TextAnalysis.redactedCol($"text").as("text"))
+    // same materialize-once plumbing as the cc pipeline (see there)
+    val pairs = Dedup.unionPairsOnDocs(red).localCheckpoint()
+    val nodes = pairs.select($"doc_a".as("doc_id"))
+      .union(pairs.select($"doc_b".as("doc_id"))).distinct()
+    val labels = Dedup.dedupClustersOn(nodes, pairs)
+    // quality for cluster members only: labels is pair-node-sized, so
+    // this join broadcasts it and the score runs on matched rows only
+    val scored = labels.join(red, Seq("doc_id"))
+      .select($"doc_id", $"cluster",
+        TextAnalysis.qualityScore($"text").as("q"))
+    // argmax (q, −doc_id) via lexicographic struct max — one agg on a
+    // pair-node-sized frame; −doc_id makes the max unique, so the
+    // comparison never falls through to an undefined third field
+    val reps = scored.groupBy($"cluster")
+      .agg(max(struct($"q", (-$"doc_id").as("nid"))).as("k"))
+      .select((-$"k.nid").as("doc_id"))
+    val drop = labels.select($"doc_id").join(reps, Seq("doc_id"), "left_anti")
+    samplesOfKept(red.join(drop, Seq("doc_id"), "left_anti"))
+  }
+
   /** The shared tail of both materializing pipelines: quality gate →
     * chunk fan-out → chunk-level exact dedup (keep-first) → ordered
     * samples. */
@@ -440,6 +484,7 @@ object Curation {
     "dedup_chunks_ngram" -> dedupChunksNgram,
     "cur_pipeline_samples" -> pipelineCurateSamples,
     "cur_pipeline_samples_cc" -> pipelineCurateSamplesCc,
+    "cur_pipeline_samples_ccq" -> pipelineCurateSamplesCcq,
     "cur_pack_chunks" -> packChunks,
   )
 
@@ -564,6 +609,60 @@ object Curation {
          |kept AS (
          |  SELECT r.doc_id, r.text FROM red r JOIN lab ON r.doc_id = lab.doc_id
          |  WHERE lab.cluster = lab.doc_id
+         |),
+         |good AS (
+         |  SELECT doc_id, text FROM kept
+         |  WHERE ${TextAnalysis.qualitySqlExpr} >= $QualityCut
+         |),
+         |chunks AS (${chunksSqlFrom("good")}),
+         |sel AS (
+         |  SELECT doc_id, chunk_idx, chunk_text, n_tokens,
+         |    row_number() OVER (PARTITION BY md5(chunk_text)
+         |      ORDER BY doc_id, chunk_idx) AS rn
+         |  FROM chunks
+         |)
+         |SELECT doc_id, chunk_idx, chunk_text, n_tokens
+         |FROM sel WHERE rn = 1 ORDER BY doc_id, chunk_idx""".stripMargin,
+    // the quality-aware cluster keep: the same closure CTE, then the
+    // representative is the per-cluster argmax (quality, −doc_id) —
+    // row_number over (q DESC, doc_id ASC) mirrors the engine's
+    // lexicographic struct max exactly (q is round(…, 4) on both
+    // sides, so near-identical duplicates tie and resolve on doc_id).
+    // Singletons are their own cluster's sole member ⇒ their own rep,
+    // so `kept = reps` covers the engine's never-labeled singletons.
+    "cur_pipeline_samples_ccq" ->
+      s"""WITH RECURSIVE
+         |red AS (
+         |  SELECT doc_id, ${TextAnalysis.redactedSqlExpr} AS text
+         |  FROM documents
+         |),
+         |j AS (SELECT doc_a, doc_b FROM (${Dedup.cappedJaccardSqlFrom("red")})),
+         |cq AS (SELECT doc_a, doc_b FROM (${Dedup.containmentSqlFrom("red")})),
+         |p AS (SELECT doc_a, doc_b FROM j UNION SELECT doc_a, doc_b FROM cq),
+         |e AS (SELECT doc_a AS a, doc_b AS b FROM p
+         |      UNION SELECT doc_b, doc_a FROM p),
+         |reach(n, m) AS (
+         |  SELECT doc_id, doc_id FROM red
+         |  UNION
+         |  SELECT e.b, reach.m FROM e JOIN reach ON e.a = reach.n
+         |),
+         |lab AS (SELECT n AS doc_id, min(m) AS cluster FROM reach GROUP BY n),
+         |scored AS (
+         |  SELECT doc_id, cluster, ${TextAnalysis.qualitySqlExpr} AS q
+         |  FROM (SELECT lab.doc_id AS doc_id, lab.cluster AS cluster,
+         |          r.text AS text
+         |        FROM lab JOIN red r ON lab.doc_id = r.doc_id) s
+         |),
+         |reps AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, row_number() OVER (PARTITION BY cluster
+         |      ORDER BY q DESC, doc_id ASC) AS rn
+         |    FROM scored) t
+         |  WHERE rn = 1
+         |),
+         |kept AS (
+         |  SELECT doc_id, text FROM red
+         |  WHERE doc_id IN (SELECT doc_id FROM reps)
          |),
          |good AS (
          |  SELECT doc_id, text FROM kept

@@ -167,6 +167,36 @@ class CurationSpec extends AnyFunSuite {
       s"expected the pair-drop to keep the excerpt (the documented over-keep), got $pairBased")
   }
 
+  test("quality-aware cluster keep retains the best-quality member, not the first-crawled") {
+    import spark.implicits._
+    // chain: 5 = source (300 tokens), 2 = contiguous excerpt of 5
+    // (containment edge only), 8 = re-crawl of 2 with ONE content token
+    // swapped for a stopword — a jaccard edge (J ≈ 0.94) AND the
+    // highest quality score in the component (stop ratio 36/70 →
+    // q = 1.0143 vs 1.0 for both 2 and 5). Keep-min picks 2 (lowest
+    // id = first crawled); keep-best must pick 8.
+    val stop = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+    val srcToks = (0 until 300).map(i => if (i % 2 == 0) stop((i / 2) % 10) else s"w$i")
+    val ex = srcToks.slice(50, 120)
+    val better = ex.updated(1, "the") // ex(1) = "w51", a content token
+    val docs = Seq(
+      (5L, srcToks.mkString(" ")),
+      (2L, ex.mkString(" ")),
+      (8L, better.mkString(" ")),
+      (9L, (0 until 60).map(i => if (i % 2 == 0) stop((i / 2) % 10) else s"q$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val ccq = Curation.pipelineCurateSamplesCcqOn(docs).collect()
+      .map(_.getLong(0)).toSet
+    assert(ccq === Set(8L, 9L),
+      s"quality keep must retain the best-quality member (8) + the singleton, got $ccq")
+    // the min-id keep on the same component keeps 2 — the first-crawled
+    // duplicate, which is exactly the bias the ccq variant removes
+    val cc = Curation.pipelineCurateSamplesCcOn(docs).collect()
+      .map(_.getLong(0)).toSet
+    assert(cc === Set(2L, 9L),
+      s"expected the min-id keep to retain the first-crawled member, got $cc")
+  }
+
   test("packBins ≡ the global-window formulation (differential)") {
     val fast = Curation.packBins(spark, sf).collect().map(_.toSeq)
     val ref = Curation.packBinsWindowed(spark, sf).collect().map(_.toSeq)
