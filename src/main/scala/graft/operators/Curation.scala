@@ -316,7 +316,7 @@ object Curation {
     // checkpoint each consumer re-runs the whole shingle-expansion + two
     // prefix-filtered searches (the dominant cost of the query). The
     // checkpointed frame is pair-count-sized (bytes).
-    val pairs = Dedup.unionPairsOnDocs(red).localCheckpoint()
+    val pairs = Materialize.frame(Dedup.unionPairsOnDocs(red))
     val nodes = pairs.select($"doc_a".as("doc_id"))
       .union(pairs.select($"doc_b".as("doc_id"))).distinct()
     val drop = Dedup.dedupClustersOn(nodes, pairs)
@@ -349,7 +349,7 @@ object Curation {
     val red = docs.select($"doc_id",
       TextAnalysis.redactedCol($"text").as("text"))
     // same materialize-once plumbing as the cc pipeline (see there)
-    val pairs = Dedup.unionPairsOnDocs(red).localCheckpoint()
+    val pairs = Materialize.frame(Dedup.unionPairsOnDocs(red))
     val nodes = pairs.select($"doc_a".as("doc_id"))
       .union(pairs.select($"doc_b".as("doc_id"))).distinct()
     val labels = Dedup.dedupClustersOn(nodes, pairs)

@@ -820,8 +820,10 @@ object Dedup {
     * min-agg shuffle per round, converging in O(component diameter)
     * rounds (near-dup clusters are small and dense, so a handful; the
     * standard distributed CC loop, same shape as GraphX Pregel). The
-    * driver checks only a per-round "any label changed" boolean;
-    * localCheckpoint truncates the iterative lineage.
+    * driver checks only a per-round "any label changed" boolean; a
+    * per-round checkpoint ([[Materialize.frame]] — local blocks by
+    * default, the reliable store when a checkpoint dir is configured)
+    * truncates the iterative lineage.
     *
     * Each round adds a pointer-jumping step — lbl(x) ← lbl(lbl(x)), one
     * extra equi-join on the label table — which roughly halves the
@@ -876,21 +878,22 @@ object Dedup {
     // twice. The checkpointed frame is pair-count-sized (bytes), and the
     // checkpoint also keeps the per-round loop below from re-running the
     // pair pipeline every iteration.
-    val p = pairs.select($"doc_a", $"doc_b").localCheckpoint()
+    val p = Materialize.frame(pairs.select($"doc_a", $"doc_b"))
     // The symmetrized edge frame is scanned and joined EVERY round:
     // checkpoint it pre-partitioned on the join key so (a) each round's
     // join reads hash(src)-partitioned blocks with NO edge-side
-    // exchange (localCheckpoint preserves the physical partitioning in
-    // LogicalRDD), and (b) the per-round scan is `width` tasks, not the
-    // union's 2×width. Checkpointed AFTER `p` — the union's two
-    // branches each embed the pair plan, and only the p checkpoint
-    // keeps the verify tail from running twice (round-7 fix).
+    // exchange (both checkpoint forms preserve the physical
+    // partitioning in LogicalRDD), and (b) the per-round scan is
+    // `width` tasks, not the union's 2×width. Checkpointed AFTER `p` —
+    // the union's two branches each embed the pair plan, and only the
+    // p checkpoint keeps the verify tail from running twice (round-7
+    // fix).
     val width = spark.sparkContext.defaultParallelism
-    val edges = p.select($"doc_a".as("src"), $"doc_b".as("dst"))
-      .union(p.select($"doc_b".as("src"), $"doc_a".as("dst")))
-      .repartition(width, $"src")
-      .localCheckpoint()
-    var labels = docs.select($"doc_id", $"doc_id".as("lbl")).localCheckpoint()
+    val edges = Materialize.frame(
+      p.select($"doc_a".as("src"), $"doc_b".as("dst"))
+        .union(p.select($"doc_b".as("src"), $"doc_a".as("dst")))
+        .repartition(width, $"src"))
+    var labels = Materialize.frame(docs.select($"doc_id", $"doc_id".as("lbl")))
     var changed = true
     var iter = 0
     val maxRounds = 32
@@ -909,9 +912,9 @@ object Dedup {
       // total, monotone, and component-preserving, and it halves the
       // label-chain depth each round (O(log diameter) total).
       val target = stepped.select($"doc_id", $"lbl")
-      val jumped = stepped.as("x").join(target.as("y"), $"x.lbl" === $"y.doc_id")
-        .select($"x.doc_id".as("doc_id"), $"x.prev".as("prev"), $"y.lbl".as("lbl"))
-        .localCheckpoint()
+      val jumped = Materialize.frame(
+        stepped.as("x").join(target.as("y"), $"x.lbl" === $"y.doc_id")
+          .select($"x.doc_id".as("doc_id"), $"x.prev".as("prev"), $"y.lbl".as("lbl")))
       changed = jumped.filter($"lbl" < $"prev").limit(1).count() > 0
       labels = jumped.select($"doc_id", $"lbl")
       iter += 1

@@ -121,6 +121,37 @@ class DedupSpec extends AnyFunSuite {
       5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 8L))
   }
 
+  test("CC loop takes the reliable checkpoint tier when a checkpoint dir is set") {
+    import spark.implicits._
+    // same hand-built graph as above, but with a checkpoint dir
+    // configured Materialize.frame must route every loop materialization
+    // through reliable checkpoint() — identical labels, and the
+    // checkpoint files actually land in the directory (proof the
+    // durable path, not local blocks, carried the loop)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toFile
+    spark.sparkContext.setCheckpointDir(dir.getAbsolutePath)
+    try {
+      val docs = (1L to 8L).toDF("doc_id")
+      val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+      val got = Dedup.dedupClustersOn(docs, pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+        5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 8L))
+      val rddDirs = dir.listFiles.flatMap(_.listFiles)
+      assert(rddDirs.nonEmpty, s"no reliable checkpoint data under $dir")
+    } finally {
+      // restore the shared session's default — there is no public unset,
+      // and leaving the dir set would flip every later spec's CC loop
+      // onto the reliable tier
+      org.apache.spark.graftshim.TestShim.clearCheckpointDir(spark.sparkContext)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete()
+      }
+      rm(dir)
+    }
+  }
+
   test("cluster assignment converges on a 64-node path graph (pointer jumping)") {
     import spark.implicits._
     // worst-case diameter for a fixed round cap: a pure path 0-1-2-…-63.
