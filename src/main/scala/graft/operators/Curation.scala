@@ -442,8 +442,12 @@ object Curation {
     * by the batch chunk pair search and its streaming twin. */
   private[graft] def packedChunkKey(site: String): org.apache.spark.sql.Column =
     when(
-        col("chunk_idx") < lit(ChunkKeyBase) &&
-          col("doc_id") < lit(Long.MaxValue / ChunkKeyBase),
+        col("chunk_idx") >= 0 && col("chunk_idx") < lit(ChunkKeyBase) &&
+          // negative doc_id would pack silently and then unpack
+          // DIFFERENTLY across engines (Spark `div`/`%` truncate toward
+          // zero, DuckDB `//`/`%` floor) — the same silent
+          // misattribution the upper bounds guard against
+          col("doc_id") >= 0 && col("doc_id") < lit(Long.MaxValue / ChunkKeyBase),
         col("doc_id") * ChunkKeyBase + col("chunk_idx"))
       .otherwise(raise_error(concat(
         lit(s"$site: (doc_id, chunk_idx) exceeds the $ChunkKeyBase packed-key bounds: ("),

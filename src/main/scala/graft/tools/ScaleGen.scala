@@ -39,6 +39,18 @@ object ScaleGen {
     spark.sparkContext.setLogLevel("WARN")
     // well under the 2^43 packed-chunk-key doc_id bound at any realistic R
     val idStride = 1000000L
+    // a source corpus with ids at or past the stride would silently
+    // interleave replica id ranges — merging cross-replica documents and
+    // corrupting the ×R linear-pairs claim this generator exists to test
+    def assertIdsUnderStride(table: String, idCol: String): Unit = {
+      val maxId = spark.read.parquet(s"$src/$table.parquet")
+        .agg(max(col(idCol))).head.getLong(0)
+      require(maxId < idStride,
+        s"ScaleGen: max($idCol) = $maxId in $table >= idStride $idStride — " +
+          "replica id ranges would overlap; raise idStride")
+    }
+    assertIdsUnderStride("documents", "doc_id")
+    assertIdsUnderStride("embeddings", "vec_id")
 
     val docs = spark.read.parquet(s"$src/documents.parquet")
     (0 until replicas).map { k =>

@@ -62,7 +62,7 @@ class SimilaritySpec extends AnyFunSuite {
     assert(full === brute)
   }
 
-  test("k-means IVF recall@5 is at least the seeded variant's") {
+  test("k-means IVF recall@5 clears the same absolute floor as the seeded variant") {
     val brute = topkMap(Similarity.simTopKBrute(spark, sf))
     def meanRecall(ann: Map[Long, Seq[Long]]): Double = {
       val rs = brute.map { case (q, trueTop) =>
@@ -73,12 +73,13 @@ class SimilaritySpec extends AnyFunSuite {
     }
     val seeded = meanRecall(topkMap(Similarity.simAnnIvf(spark, sf)))
     val fitted = meanRecall(topkMap(Similarity.simAnnIvfKmeans(spark, sf)))
+    // info-only comparison: "fitted >= seeded" is NOT a guaranteed
+    // property of Lloyd iterations (it held on this data but any seed/
+    // data/iteration change could flake it) — the gate is the same
+    // absolute floor the seeded recall spec pins, which fitted
+    // centroids must also clear
     info(s"IVF recall@5: seeded = $seeded, k-means = $fitted")
-    // Lloyd iterations move centroids toward occupied regions, which
-    // tightens cells and can only help the probe's coverage on this
-    // data — the fit must not LOSE recall vs the raw seeds
-    assert(fitted >= seeded,
-      s"k-means fit must not lose recall: seeded $seeded > fitted $fitted")
+    assert(fitted >= 0.3, s"k-means IVF mean recall@5 = $fitted below floor")
   }
 
   test("ANN result never contains a self-match or a rank outside 1..k") {
