@@ -457,7 +457,8 @@ object Curation {
   /** Unpack [[packedChunkKey]]'s BIGINTs on a (doc_a, doc_b, jaccard)
     * pair frame back into per-side (doc, chunk_idx) — shared output
     * shape of both chunk pair searches. */
-  private[graft] def unpackChunkPairs(pairs: DataFrame): DataFrame = {
+  private[graft] def unpackChunkPairs(pairs: DataFrame,
+      score: String = "jaccard"): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
     pairs.select(
@@ -465,7 +466,7 @@ object Curation {
         expr(s"doc_a % $ChunkKeyBase").cast("int").as("idx_a"),
         expr(s"doc_b div $ChunkKeyBase").as("doc_b"),
         expr(s"doc_b % $ChunkKeyBase").cast("int").as("idx_b"),
-        $"jaccard")
+        col(score))
       .orderBy($"doc_a", $"idx_a", $"doc_b", $"idx_b")
   }
 
@@ -477,6 +478,27 @@ object Curation {
     unpackChunkPairs(Dedup.dedupNgramJaccardOnDocs(asDocs))
   }
 
+  /** Chunk-level CONTAINMENT: excerpt detection at SAMPLE granularity —
+    * a short boilerplate span ≥90% covered by some other chunk is a
+    * near-duplicate sample that chunk-level Jaccard structurally
+    * misses when the chunks' lengths differ (an 18-shingle excerpt of
+    * a 48-shingle chunk has J ≈ 0.38 but containment 1.0). Same
+    * packed-key trick as [[dedupChunksNgram]]: chunks keyed by
+    * (doc_id, chunk_idx) BIGINTs feed the document containment search
+    * unchanged — DF-capped inverted index, own-size probe prefix
+    * against the FULL index side, zero-alloc merge-walk verify. */
+  def dedupChunksContainment(spark: SparkSession, sfDir: String): DataFrame =
+    dedupChunksContainmentOn(Tables.documents(spark, sfDir))
+
+  private[graft] def dedupChunksContainmentOn(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val asDocs = chunksOf(docs)
+      .select(packedChunkKey("dedupChunksContainment").as("doc_id"),
+        $"chunk_text".as("text"))
+    unpackChunkPairs(Dedup.dedupContainmentOnDocs(asDocs), "containment")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cur_text_chunks" -> textChunks,
     "cur_split_assign" -> splitAssign,
@@ -486,6 +508,7 @@ object Curation {
     "cur_pipeline_full" -> pipelineCurateFull,
     "dedup_chunks" -> dedupChunks,
     "dedup_chunks_ngram" -> dedupChunksNgram,
+    "dedup_chunks_containment" -> dedupChunksContainment,
     "cur_pipeline_samples" -> pipelineCurateSamples,
     "cur_pipeline_samples_cc" -> pipelineCurateSamplesCc,
     "cur_pipeline_samples_ccq" -> pipelineCurateSamplesCcq,
@@ -560,6 +583,21 @@ object Curation {
          |  doc_b // $ChunkKeyBase AS doc_b,
          |  CAST(doc_b % $ChunkKeyBase AS INT) AS idx_b,
          |  jaccard
+         |FROM pairs ORDER BY doc_a, idx_a, doc_b, idx_b""".stripMargin,
+    // the containment pair-search SQL over the same packed-key chunk
+    // CTE — excerpt detection at sample granularity
+    "dedup_chunks_containment" ->
+      s"""WITH ck AS (
+         |  SELECT doc_id * $ChunkKeyBase + chunk_idx AS doc_id,
+         |    chunk_text AS text
+         |  FROM ($chunksSql)
+         |),
+         |pairs AS (${Dedup.containmentSqlFrom("ck")})
+         |SELECT doc_a // $ChunkKeyBase AS doc_a,
+         |  CAST(doc_a % $ChunkKeyBase AS INT) AS idx_a,
+         |  doc_b // $ChunkKeyBase AS doc_b,
+         |  CAST(doc_b % $ChunkKeyBase AS INT) AS idx_b,
+         |  containment
          |FROM pairs ORDER BY doc_a, idx_a, doc_b, idx_b""".stripMargin,
     // the materializing pipeline: every stage's SQL spliced from the
     // same constants, chunk-level keep-first via row_number over the

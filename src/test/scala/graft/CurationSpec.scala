@@ -167,6 +167,33 @@ class CurationSpec extends AnyFunSuite {
       s"expected the pair-drop to keep the excerpt (the documented over-keep), got $pairBased")
   }
 
+  test("chunk containment finds a chunk-level excerpt that chunk jaccard misses") {
+    import spark.implicits._
+    // doc 1 = one full 50-token chunk (+ its 10-token stride tail);
+    // doc 2 = the first 20 tokens of doc 1 (one short chunk). Chunk
+    // (2,0)'s 18 shingles are all inside chunk (1,0)'s 48 →
+    // containment 1.0, but J = 18/48 = 0.375 < 0.8: the sample-
+    // granularity excerpt only the containment search sees. The
+    // 10-token overlap tails (1,1)/(9,1) are themselves fully
+    // contained in their documents' first chunks — true containment
+    // pairs at J ≈ 0.17 that equally escape Jaccard.
+    val toks = (0 until 50).map(i => s"t$i")
+    val docs = Seq(
+      (1L, toks.mkString(" ")),
+      (2L, toks.take(20).mkString(" ")),
+      (9L, (0 until 50).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val cont = Curation.dedupChunksContainmentOn(docs).collect()
+      .map(r => ((r.getLong(0), r.getInt(1)), (r.getLong(2), r.getInt(3)), r.getDouble(4)))
+    assert(cont.map(c => (c._1, c._2)).toSeq ===
+      Seq(((1L, 0), (1L, 1)), ((1L, 0), (2L, 0)), ((9L, 0), (9L, 1))),
+      s"expected the excerpt pair + the two stride-tail pairs, got ${cont.toSeq}")
+    assert(cont.forall(_._3 === 1.0))
+    val jacc = Curation.dedupChunksNgramOn(docs).collect()
+    assert(jacc.isEmpty,
+      s"chunk jaccard must structurally miss all three containment pairs, got ${jacc.toSeq}")
+  }
+
   test("quality-aware cluster keep retains the best-quality member, not the first-crawled") {
     import spark.implicits._
     // chain: 5 = source (300 tokens), 2 = contiguous excerpt of 5
