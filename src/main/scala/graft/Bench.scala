@@ -48,9 +48,11 @@ object Bench {
     "sim_ann_ivf_kmeans",
     // the composed curation flagships: redact-first full pipeline
     // (replaces round 5's cur_pipeline, which it strictly contains),
-    // the materializing samples form, and its cluster-keep variant
-    // (union pair graph + connected components instead of pair drop)
+    // the materializing samples form, and its cluster-keep variants
+    // (union pair graph + connected components instead of pair drop;
+    // ccq keeps the best-quality member instead of the minimum id)
     "cur_pipeline_full", "cur_pipeline_samples", "cur_pipeline_samples_cc",
+    "cur_pipeline_samples_ccq",
   )
 
   /** Aggregates per-stage task metrics between reset() and snapshot(). */
