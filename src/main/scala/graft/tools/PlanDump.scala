@@ -54,9 +54,13 @@ object PlanDump {
     "cur_pack_chunks" ->
       "Sample-granularity packing: the chunk fan-out Generate feeds the range sort; the running total is the two-pass per-partition prefix sum (one Long per partition to the driver), NOT a global window — no single-partition funnel anywhere.",
     "cur_pipeline_samples_cc" ->
-      "Cluster-keep samples pipeline: the union pair search materializes ONCE (localCheckpoint — the ExistingRDD scan below), nodes + CC loop + drop list all read the checkpointed pair-count-sized frame; downstream is cur_pipeline_samples' chunk tail unchanged, with the same single shared chunk exchange.",
+      "Cluster-keep samples pipeline: the union pair search — ONE fused candidate pass (both prefix bounds tagged on one ranked frame) + ONE merge-walk verify emitting jaccard AND containment edges — materializes ONCE (Materialize.frame: the ExistingRDD scan below; reliable checkpoint when a dir is configured); nodes + CC loop + drop list read the checkpointed pair-count-sized frame; downstream is cur_pipeline_samples' chunk tail unchanged, with the same single shared chunk exchange.",
+    "cur_pipeline_samples_ccq" ->
+      "Quality-aware cluster keep: identical plan to cur_pipeline_samples_cc up to the keep step, then quality is scored ONLY for cluster members (the pair-node-sized labels frame broadcast-joins back to the redacted corpus) and the per-cluster argmax (quality, -doc_id) is one lexicographic struct-max agg on that byte-sized frame — the representative choice adds no corpus-sized work.",
+    "dedup_chunks_containment" ->
+      "Chunk-granularity containment: packed (doc_id, chunk_idx) keys feed the document containment pipeline UNCHANGED — own-size prefix probe against the FULL DF-capped index, window-derived verify sets, merge-walk verify; excerpt detection at sample granularity through an identical plan.",
     "dedup_kept_clusters" ->
-      "Cluster-based keep: BOTH pair searches (jaccard + containment) replay ONE shingle-expansion exchange; the CC loop iterates on localCheckpointed pair-node-sized label tables (the loop below shows only the final semi-join of documents against the representative set — the iterations are O(log diameter) equi-join+min-agg rounds on byte-sized frames).",
+      "Cluster-based keep: the fused union pair search replays ONE shingle-expansion exchange and verifies both edge types in one pass; the CC loop iterates on checkpointed pair-node-sized label tables with the symmetrized edge frame checkpointed pre-partitioned on the join key — each round joins with NO edge-side exchange (the loop below shows only the final semi-join of documents against the representative set; the iterations are O(log diameter) equi-join+min-agg rounds on byte-sized frames).",
     "stream_dedup_chunks_ngram" ->
       "Streaming chunk near-dup (post-run fold shown): the stateful operator is the SAME banded-minhash flatMapGroupsWithState as stream_dedup_minhash_ttl, fed packed (doc_id, chunk_idx) keys through the chunk fan-out Generate — chunks are ordinary documents to the band state machine; per-resident TTL eviction bounds state to O(chunk residents per band cell in the TTL window).",
     "stream_sessions" ->
