@@ -336,10 +336,10 @@ object Curation {
     * on a cross-engine ulp race.
     *
     * Scale shape: identical to the cc pipeline except the keep step —
-    * quality is scored ONLY for cluster members (the labels frame is
-    * pair-node-sized, broadcast-joined back to the redacted corpus for
-    * its text), and the per-cluster argmax is one agg on a
-    * pair-node-sized frame. */
+    * quality (AND the redaction feeding it) is computed ONLY for
+    * cluster members: the pair-node-sized labels frame joins the raw
+    * text and the regex stack runs on the match set, not the corpus;
+    * the per-cluster argmax is one agg on a pair-node-sized frame. */
   def pipelineCurateSamplesCcq(spark: SparkSession, sfDir: String): DataFrame =
     pipelineCurateSamplesCcqOn(Tables.documents(spark, sfDir))
 
@@ -353,11 +353,14 @@ object Curation {
     val nodes = pairs.select($"doc_a".as("doc_id"))
       .union(pairs.select($"doc_b".as("doc_id"))).distinct()
     val labels = Dedup.dedupClustersOn(nodes, pairs)
-    // quality for cluster members only: labels is pair-node-sized, so
-    // this join broadcasts it and the score runs on matched rows only
-    val scored = labels.join(red, Seq("doc_id"))
+    // quality for cluster members only: join against the RAW text (the
+    // parquet scan, no regex) and redact+score AFTER the join, so the
+    // three redaction regexes run on the pair-node-sized match set —
+    // joining `red` here instead would re-redact the whole corpus just
+    // to score a handful of cluster members
+    val scored = labels.join(docs.select($"doc_id", $"text"), Seq("doc_id"))
       .select($"doc_id", $"cluster",
-        TextAnalysis.qualityScore($"text").as("q"))
+        TextAnalysis.qualityScore(TextAnalysis.redactedCol($"text")).as("q"))
     // argmax (q, −doc_id) via lexicographic struct max — one agg on a
     // pair-node-sized frame; −doc_id makes the max unique, so the
     // comparison never falls through to an undefined third field

@@ -56,7 +56,7 @@ object PlanDump {
     "cur_pipeline_samples_cc" ->
       "Cluster-keep samples pipeline: the union pair search — ONE fused candidate pass (both prefix bounds tagged on one ranked frame) + ONE merge-walk verify emitting jaccard AND containment edges — materializes ONCE (Materialize.frame: the ExistingRDD scan below; reliable checkpoint when a dir is configured); nodes + CC loop + drop list read the checkpointed pair-count-sized frame; downstream is cur_pipeline_samples' chunk tail unchanged, with the same single shared chunk exchange.",
     "cur_pipeline_samples_ccq" ->
-      "Quality-aware cluster keep: identical plan to cur_pipeline_samples_cc up to the keep step, then quality is scored ONLY for cluster members (the pair-node-sized labels frame broadcast-joins back to the redacted corpus) and the per-cluster argmax (quality, -doc_id) is one lexicographic struct-max agg on that byte-sized frame — the representative choice adds no corpus-sized work.",
+      "Quality-aware cluster keep: identical plan to cur_pipeline_samples_cc up to the keep step, then quality AND its redaction are computed ONLY for cluster members (the pair-node-sized labels frame joins the RAW parquet text; the regex stack runs post-join on the match set) and the per-cluster argmax (quality, -doc_id) is one lexicographic struct-max agg on that byte-sized frame — the representative choice adds no corpus-sized regex work.",
     "dedup_chunks_containment" ->
       "Chunk-granularity containment: packed (doc_id, chunk_idx) keys feed the document containment pipeline UNCHANGED — own-size prefix probe against the FULL DF-capped index, window-derived verify sets, merge-walk verify; excerpt detection at sample granularity through an identical plan.",
     "dedup_kept_clusters" ->
