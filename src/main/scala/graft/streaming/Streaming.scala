@@ -646,7 +646,15 @@ object Streaming {
     * keep doc_id reveals whether the group's state survived (folded
     * min) or was evicted (fresh epoch re-keys to the new arrival) —
     * the final fold masks exactly this distinction. */
-  private[graft] def pipelineSamplesTTLEmissions(docs: DataFrame, ttl: String): DataFrame = {
+  private[graft] def pipelineSamplesTTLEmissions(docs: DataFrame, ttl: String): DataFrame =
+    runToMemory(pipelineSamplesTTLTransform(docs, ttl), "append")
+
+  /** The raw STREAMING emission frame of the TTL samples pipeline (no
+    * sink attached) — the seam [[pipelineSamplesTTLEmissions]] runs to
+    * memory for the correctness harness and BenchStream writes to a
+    * checkpointed parquet file sink for the honest ingest-tier
+    * measurement (the memory sink measures the rig, not the pipeline). */
+  private[graft] def pipelineSamplesTTLTransform(docs: DataFrame, ttl: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
@@ -661,7 +669,7 @@ object Streaming {
       .select(md5($"chunk_text").as("h"), $"doc_id", $"chunk_idx",
         $"chunk_text", $"n_tokens", $"ts")
       .as[(String, Long, Int, String, Long, java.sql.Timestamp)]
-    val updated = keyed.groupByKey(_._1)
+    keyed.groupByKey(_._1)
       .flatMapGroupsWithState[(Long, Int, String, Long, Long), (String, Long, Int, String, Long)](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) { (h, rows, state) =>
           if (state.hasTimedOut) {
@@ -685,7 +693,6 @@ object Streaming {
           }
         }
       .toDF("h", "doc_id", "chunk_idx", "chunk_text", "n_tokens")
-    runToMemory(updated, "append")
   }
 
   /** [[streamPipelineSamples]] through the bounded-state TTL path —
