@@ -53,6 +53,9 @@ object Bench {
     // ccq keeps the best-quality member instead of the minimum id)
     "cur_pipeline_full", "cur_pipeline_samples", "cur_pipeline_samples_cc",
     "cur_pipeline_samples_ccq",
+    // benchmark decontamination: fused 13-gram expansion on both slices,
+    // eval gram set broadcast
+    "cur_decontam",
   )
 
   /** Aggregates per-stage task metrics between reset() and snapshot(). */

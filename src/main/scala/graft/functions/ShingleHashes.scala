@@ -35,7 +35,15 @@ import org.apache.spark.unsafe.types.UTF8String
 object ShingleHashImpl {
   private val XxhSeed = 42L // Spark's xxhash64 default seed
 
-  def hashes(s: UTF8String, useMd5: Boolean): ArrayData = {
+  def hashes(s: UTF8String, useMd5: Boolean): ArrayData =
+    hashesN(s, useMd5, 3)
+
+  /** Width-generalized form: sorted-distinct hashes of every
+    * `width`-token window. The 3-token family above is `width = 3`;
+    * decontamination uses 13 (the published training-set overlap
+    * window). Same zero-copy slice correctness argument — consecutive
+    * tokens joined by ' ' ARE the contiguous byte range. */
+  def hashesN(s: UTF8String, useMd5: Boolean, width: Int): ArrayData = {
     val bytes = s.getBytes // one copy per document, reused by every window
     val n = bytes.length
     // token starts/ends under split-on-single-space semantics
@@ -43,7 +51,7 @@ object ShingleHashImpl {
     var i = 0
     while (i < n) { if (bytes(i) == ' ') spaces += 1; i += 1 }
     val tokens = spaces + 1
-    if (tokens < 3) return ShingleHashImpl.empty
+    if (tokens < width) return ShingleHashImpl.empty
     val starts = new Array[Int](tokens)
     val ends = new Array[Int](tokens)
     starts(0) = 0
@@ -54,12 +62,12 @@ object ShingleHashImpl {
       i += 1
     }
     ends(tokens - 1) = n
-    val w = tokens - 2
+    val w = tokens - width + 1
     val out = new Array[Long](w)
     i = 0
     while (i < w) {
       val off = starts(i)
-      val len = ends(i + 2) - off
+      val len = ends(i + width - 1) - off
       out(i) =
         if (useMd5) Md5Lower64Impl.md5Lower64Range(bytes, off, len)
         else XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET + off, len, XxhSeed)
@@ -80,6 +88,29 @@ object ShingleHashImpl {
 
   def xxh64(s: UTF8String): ArrayData = hashes(s, useMd5 = false)
   def md5Low64(s: UTF8String): ArrayData = hashes(s, useMd5 = true)
+  def xxh64N(s: UTF8String, width: Int): ArrayData =
+    hashesN(s, useMd5 = false, width)
+}
+
+/** `ngram_xxh64(string, n) -> array<bigint>` — the width-generalized
+  * engine-internal family (sorted-distinct xxh64 of every n-token
+  * window). Distinct grams ↦ distinct hashes up to ~n²/2⁶⁴ collision
+  * odds, so gram-COUNT comparisons against a string-gram oracle are
+  * exact in practice (same argument as the Jaccard families). */
+case class NGramXxh64(child: Expression, n: Int) extends ShingleHashBase {
+  require(n >= 1, s"ngram width must be >= 1, got $n")
+  override protected def implName: String = "xxh64"
+  override def prettyName: String = s"ngram${n}_xxh64"
+  override def nullSafeEval(input: Any): Any =
+    ShingleHashImpl.xxh64N(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleHashImpl.xxh64N($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): NGramXxh64 =
+    copy(child = newChild)
+}
+
+object NGramXxh64 {
+  def apply(c: Column, n: Int): Column = Shim.column(NGramXxh64(Shim.expression(c), n))
 }
 
 sealed abstract class ShingleHashBase extends UnaryExpression {

@@ -502,6 +502,64 @@ object Curation {
     unpackChunkPairs(Dedup.dedupContainmentOnDocs(asDocs), "containment")
   }
 
+  /** Decontamination window: 13 consecutive whitespace tokens — the
+    * published training-set overlap window (GPT-3 appendix C / PaLM
+    * d-13 n-gram decontamination). */
+  final val DecontamGram = 13
+
+  /** The deterministic "benchmark" slice standing in for an external
+    * eval table: doc_id ≡ 7 (mod 10). The operator itself takes ANY
+    * eval frame — the slice just makes the query self-contained and
+    * oracle-checkable on the driver's tables. */
+  final val EvalSliceMod = 10
+  final val EvalSliceRem = 7
+
+  /** Benchmark DECONTAMINATION: flag every training document sharing at
+    * least one [[DecontamGram]]-token window with the eval set — the
+    * overlap filter every published LLM training pipeline runs before
+    * training so benchmark answers don't leak into the corpus. Output:
+    * (doc_id, n_grams, n_hit) per CONTAMINATED training doc — total
+    * distinct 13-grams and how many of them appear anywhere in the
+    * eval set.
+    *
+    * Scale shape (the reason this is cheap at 100 TB): the eval side is
+    * benchmark-sized — a few thousand documents against a trillion-doc
+    * corpus — so its distinct gram-hash set is BROADCAST and the
+    * training side never shuffles its expansion: per-row fused 13-gram
+    * hashing (one pass over the text bytes, no gram strings), explode,
+    * broadcast-hash probe, and a doc_id agg that reuses the expansion
+    * repartitioning. ONE corpus-sized exchange total (the pre-expansion
+    * spread), same as every other gram pipeline here. */
+  def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    decontaminateOn(
+      docs.filter(pmod($"doc_id", lit(EvalSliceMod)) =!= EvalSliceRem),
+      docs.filter(pmod($"doc_id", lit(EvalSliceMod)) === EvalSliceRem))
+  }
+
+  /** The decontamination transform over any (train, eval) pair of
+    * (doc_id, text) frames — spec entry point (plantable overlap). */
+  private[graft] def decontaminateOn(train: DataFrame, eval: DataFrame): DataFrame = {
+    val spark = train.sparkSession
+    import spark.implicits._
+    def grams(docs: DataFrame): DataFrame = docs
+      // spread the per-row expansion before it runs (same rationale as
+      // Dedup.shingles: a small file scans as one split)
+      .repartition(spark.sparkContext.defaultParallelism, $"doc_id")
+      .select($"doc_id",
+        graft.functions.NGramXxh64($"text", DecontamGram).as("g"))
+      .filter(size($"g") > 0)
+    val evalGrams = grams(eval).select(explode($"g").as("h")).distinct()
+    grams(train)
+      .select($"doc_id", size($"g").cast("long").as("n_grams"),
+        explode($"g").as("h"))
+      .join(broadcast(evalGrams), Seq("h"))
+      .groupBy($"doc_id")
+      .agg(max($"n_grams").as("n_grams"), count(lit(1)).as("n_hit"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cur_text_chunks" -> textChunks,
     "cur_split_assign" -> splitAssign,
@@ -516,6 +574,7 @@ object Curation {
     "cur_pipeline_samples_cc" -> pipelineCurateSamplesCc,
     "cur_pipeline_samples_ccq" -> pipelineCurateSamplesCcq,
     "cur_pack_chunks" -> packChunks,
+    "cur_decontam" -> decontaminate,
   )
 
   /** The chunk expansion as a reusable SQL body (no ORDER BY) over any
@@ -558,6 +617,26 @@ object Curation {
     "cur_text_chunks" ->
       s"""$chunksSql
          |ORDER BY doc_id, chunk_idx""".stripMargin,
+    // string-gram mirror of the fused 13-gram hash expansion: gram
+    // COUNTS are hash-family-independent (distinct grams ↦ distinct
+    // xxh64 up to ~n²/2⁶⁴ — the Jaccard families' argument)
+    "cur_decontam" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+         |),
+         |grams AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    range(1, len(t) - ${DecontamGram - 2}),
+         |    i -> array_to_string(t[i : i + ${DecontamGram - 1}], ' '))) AS g
+         |  FROM toks WHERE len(t) >= $DecontamGram
+         |),
+         |ev AS (SELECT DISTINCT unnest(g) AS h FROM grams
+         |       WHERE doc_id % $EvalSliceMod = $EvalSliceRem),
+         |tr AS (SELECT doc_id, len(g) AS n_grams, unnest(g) AS h
+         |       FROM grams WHERE doc_id % $EvalSliceMod <> $EvalSliceRem)
+         |SELECT tr.doc_id, max(tr.n_grams) AS n_grams, count(*) AS n_hit
+         |FROM tr JOIN ev USING (h)
+         |GROUP BY tr.doc_id ORDER BY doc_id""".stripMargin,
     // dedup_exact semantics over the chunk expansion: lexicographic min
     // (doc_id, chunk_idx) keep key via row_number, group size via a
     // window over the same hash partition

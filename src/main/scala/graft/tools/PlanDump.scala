@@ -59,6 +59,8 @@ object PlanDump {
       "Quality-aware cluster keep: identical plan to cur_pipeline_samples_cc up to the keep step, then quality AND its redaction are computed ONLY for cluster members (the pair-node-sized labels frame joins the RAW parquet text; the regex stack runs post-join on the match set) and the per-cluster argmax (quality, -doc_id) is one lexicographic struct-max agg on that byte-sized frame — the representative choice adds no corpus-sized regex work.",
     "dedup_chunks_containment" ->
       "Chunk-granularity containment: packed (doc_id, chunk_idx) keys feed the document containment pipeline UNCHANGED — own-size prefix probe against the FULL DF-capped index, window-derived verify sets, merge-walk verify; excerpt detection at sample granularity through an identical plan.",
+    "cur_decontam" ->
+      "Benchmark decontamination: documents=2 in ScanAudit is the DESIGN — the eval slice and the train slice are disjoint pushed-filter scans, each feeding its own fused 13-gram expansion (so gram work totals the corpus ONCE); the eval side's distinct gram-hash set is benchmark-sized and BROADCAST, the train side never shuffles its expansion (explode → broadcast-hash probe → doc_id agg on the expansion's own repartitioning). At 100 TB the eval set is a few thousand docs against the corpus — the broadcast is the whole point.",
     "dedup_kept_clusters" ->
       "Cluster-based keep: the fused union pair search replays ONE shingle-expansion exchange and verifies both edge types in one pass; the CC loop iterates on checkpointed pair-node-sized label tables with the symmetrized edge frame checkpointed pre-partitioned on the join key — each round joins with NO edge-side exchange (the loop below shows only the final semi-join of documents against the representative set; the iterations are O(log diameter) equi-join+min-agg rounds on byte-sized frames).",
     "stream_dedup_chunks_ngram" ->

@@ -243,4 +243,55 @@ class CurationSpec extends AnyFunSuite {
     // every bin's exclusive prefix starts inside the bin => bins contiguous
     assert(bins.zipWithIndex.forall { case (b, i) => b == bins(0) + i })
   }
+
+  test("fused 13-gram hashes ≡ the string composition; width 3 ≡ the shingle family") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val g = Curation.DecontamGram
+    val edges = Seq("", "a", ("a " * (g - 1)).trim, ("a " * g).trim,
+      (1 to 30).map("t" + _).mkString(" "),
+      "x  y " + (1 to 20).map("w" + _).mkString(" ")).toDF("text")
+    val real = graft.sources.Tables.documents(spark, sf).select($"text")
+    for (df <- Seq(edges, real)) {
+      val toks = split($"text", " ")
+      val shArr = transform(sequence(lit(0), size(toks) - g),
+        i => concat_ws(" ", (0 until g).map(k => element_at(toks, i + k + 1)): _*))
+      val strings = when(size(toks) >= g, array_distinct(shArr))
+        .otherwise(array().cast("array<string>"))
+      val a = df.select(graft.functions.NGramXxh64($"text", g))
+        .collect().map(_.getSeq[Long](0))
+      val b = df.select(array_sort(transform(strings, s => xxhash64(s))))
+        .collect().map(_.getSeq[Long](0))
+      a.zip(b).zipWithIndex.foreach { case ((x, y), i) =>
+        assert(x === y, s"13-gram row $i") }
+      // width 3 must be bit-identical to the 3-gram family it generalizes
+      val c = df.select(graft.functions.NGramXxh64($"text", 3))
+        .collect().map(_.getSeq[Long](0))
+      val d = df.select(graft.functions.ShingleXxh64($"text"))
+        .collect().map(_.getSeq[Long](0))
+      c.zip(d).zipWithIndex.foreach { case ((x, y), i) =>
+        assert(x === y, s"width-3 row $i") }
+    }
+  }
+
+  test("decontamination flags the planted 13-gram overlap with exact counts") {
+    import spark.implicits._
+    // eval doc: tokens e0..e29. Train doc 3 embeds e5..e19 (15 eval
+    // tokens) between x-padding: 18 tokens → 6 distinct 13-windows, of
+    // which exactly the 3 fully inside the embedded span (e5..e17,
+    // e6..e18, e7..e19) also occur in the eval doc. Doc 4 is disjoint;
+    // doc 8 reuses eval tokens but is SHORTER than the window (12
+    // tokens) — sub-window overlap must never flag.
+    val evalToks = (0 until 30).map(i => s"e$i")
+    val train = Seq(
+      (3L, "x1 x2 " + evalToks.slice(5, 20).mkString(" ") + " x3"),
+      (4L, (0 until 40).map(i => s"y$i").mkString(" ")),
+      (8L, evalToks.take(12).mkString(" ")))
+      .toDF("doc_id", "text")
+    val ev = Seq((7L, evalToks.mkString(" "))).toDF("doc_id", "text")
+    val out = Curation.decontaminateOn(train, ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq((3L, 6L, 3L)),
+      s"expected only doc 3 flagged with (n_grams 6, n_hit 3), got ${out.toSeq}")
+  }
 }
