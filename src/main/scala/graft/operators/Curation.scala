@@ -560,6 +560,73 @@ object Curation {
       .orderBy($"doc_id")
   }
 
+  /** Probability quantum for cross-engine-visible probabilities
+    * (floor-quantized to 2⁻²⁰ grid — the IVF parity trick). */
+  final val MixQuantum = 1L << 20
+
+  /** Low-53-bit mask: `md5_low64(doc_id) & HashMask53` is an exact
+    * double in [0, 2⁵³) on both engines (bit-pattern op, so the
+    * signed-vs-UBIGINT representation difference is invisible). */
+  final val HashMask53 = (1L << 53) - 1
+
+  /** Temperature-smoothed LANGUAGE MIXTURE sampling — the multilingual
+    * rebalancing step of a training-data pipeline (exponent-smoothed
+    * language sampling, XLM-R §3.1 / mBERT's exponentiated weights):
+    * languages get token budgets ∝ T_ℓ^α so high-resource languages are
+    * downsampled and low-resource ones kept whole, then each document
+    * is kept by a DETERMINISTIC hash gate with its language's keep
+    * probability. α = 0.5 (sqrt) deliberately: IEEE-754 requires sqrt
+    * correctly rounded, so the weights are bit-identical on any engine
+    * — a pow() exponent would be libm-dependent and break the oracle.
+    *
+    * Every cross-engine float risk is squeezed out the same way the
+    * IVF parity was: weights floor-quantized to integers (so their SUM
+    * is exact integer arithmetic, immune to reassociation), the keep
+    * probability a fixed left-to-right IEEE op tree on integer-valued
+    * doubles, the hash fraction an exact 53-bit dyadic, and the only
+    * probability in the OUTPUT floor-quantized to the 2⁻²⁰ grid.
+    *
+    * Budget = half the corpus tokens. Output per language: docs kept,
+    * tokens kept, quantized keep probability.
+    *
+    * Scale shape: ONE corpus-sized exchange (the pre-stats spread) that
+    * both consumers — the per-language token totals and the keep gate —
+    * replay as a ReusedExchange; the L-row probability table broadcasts
+    * back. The explicit isnotnull(lang) is exchange-reuse plumbing:
+    * the gate JOIN would infer it on its branch only and
+    * de-canonicalize the shared subtree (the round-3/5 hazard). */
+  def mixSample(spark: SparkSession, sfDir: String): DataFrame =
+    mixSampleOn(Tables.documents(spark, sfDir))
+
+  private[graft] def mixSampleOn(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val d = docs
+      .filter($"lang".isNotNull) // exchange-reuse plumbing, see scaladoc
+      .repartition(spark.sparkContext.defaultParallelism, $"doc_id")
+      .select($"doc_id", $"lang",
+        size(split($"text", " ")).cast("long").as("n_tokens"),
+        graft.functions.Md5Lower64($"doc_id".cast("string"))
+          .bitwiseAND(lit(HashMask53)).as("hbits"))
+    val ls = d.groupBy($"lang").agg(sum($"n_tokens").as("t"))
+      .select($"lang", $"t",
+        floor(sqrt($"t".cast("double")) * MixQuantum).cast("long").as("wq"))
+    val tot = ls.agg(sum($"t").as("tt"), sum($"wq").as("sw"))
+    // keep_p: a FIXED left-to-right op tree, mirrored verbatim in SQL —
+    // ((B * wq) / sw) / t on integer-valued doubles, capped at 1
+    val p = ls.crossJoin(broadcast(tot))
+      .select($"lang", $"t",
+        least(lit(1.0),
+          expr("tt div 2").cast("double") * $"wq".cast("double") /
+            $"sw".cast("double") / $"t".cast("double")).as("keep_p"))
+    d.join(broadcast(p), Seq("lang"))
+      .filter($"hbits".cast("double") / lit(9007199254740992.0) < $"keep_p")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("n_tokens_kept"),
+        floor(max($"keep_p") * MixQuantum).cast("long").as("q_keep"))
+      .orderBy($"lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cur_text_chunks" -> textChunks,
     "cur_split_assign" -> splitAssign,
@@ -575,6 +642,7 @@ object Curation {
     "cur_pipeline_samples_ccq" -> pipelineCurateSamplesCcq,
     "cur_pack_chunks" -> packChunks,
     "cur_decontam" -> decontaminate,
+    "cur_mix_sample" -> mixSample,
   )
 
   /** The chunk expansion as a reusable SQL body (no ORDER BY) over any
@@ -617,6 +685,35 @@ object Curation {
     "cur_text_chunks" ->
       s"""$chunksSql
          |ORDER BY doc_id, chunk_idx""".stripMargin,
+    // the engine's op tree mirrored VERBATIM: integer-quantized sqrt
+    // weights (sums exact), one left-to-right IEEE division chain,
+    // 53-bit dyadic hash fractions, output probability on the 2^-20
+    // grid — see mixSample's scaladoc for why each piece is
+    // reassociation- and libm-proof
+    "cur_mix_sample" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens,
+         |    md5_number_lower(CAST(doc_id AS VARCHAR)) & $HashMask53 AS hbits
+         |  FROM documents WHERE lang IS NOT NULL
+         |),
+         |ls AS (SELECT lang, sum(n_tokens) AS t FROM d GROUP BY lang),
+         |w AS (SELECT lang, t,
+         |  CAST(floor(sqrt(CAST(t AS DOUBLE)) * $MixQuantum) AS BIGINT) AS wq
+         |  FROM ls),
+         |tot AS (SELECT sum(t) AS tt, sum(wq) AS sw FROM w),
+         |p AS (SELECT lang, t,
+         |  least(CAST(1.0 AS DOUBLE),
+         |    CAST(tt // 2 AS DOUBLE) * CAST(wq AS DOUBLE)
+         |      / CAST(sw AS DOUBLE) / CAST(t AS DOUBLE)) AS keep_p
+         |  FROM w CROSS JOIN tot),
+         |kept AS (
+         |  SELECT d.lang, d.n_tokens, p.keep_p
+         |  FROM d JOIN p USING (lang)
+         |  WHERE CAST(d.hbits AS DOUBLE) / 9007199254740992.0 < p.keep_p)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens_kept,
+         |  CAST(floor(max(keep_p) * $MixQuantum) AS BIGINT) AS q_keep
+         |FROM kept GROUP BY lang ORDER BY lang""".stripMargin,
     // string-gram mirror of the fused 13-gram hash expansion: gram
     // COUNTS are hash-family-independent (distinct grams ↦ distinct
     // xxh64 up to ~n²/2⁶⁴ — the Jaccard families' argument)

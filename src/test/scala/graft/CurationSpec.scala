@@ -274,6 +274,43 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("mixture sampling: low-resource language kept whole, gate matches the driver-side recompute") {
+    import spark.implicits._
+    import org.apache.spark.unsafe.types.UTF8String
+    // high-resource 'aa': 80 docs × 50 tokens = 4000; low-resource 'bb':
+    // 6 docs × 10 tokens = 60. Budget = 2030; sqrt smoothing gives bb
+    // ≈222 budgeted tokens > 60 ⇒ keep_p capped at 1 — every bb doc
+    // kept (the whole point of temperature sampling), aa hash-gated.
+    val docs = ((1 to 80).map(i =>
+        (i.toLong, "aa", (1 to 50).map(k => s"a${i}x$k").mkString(" "))) ++
+      (81 to 86).map(i =>
+        (i.toLong, "bb", (1 to 10).map(k => s"b${i}x$k").mkString(" "))))
+      .toDF("doc_id", "lang", "text")
+    val out = Curation.mixSampleOn(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // independent reimplementation of the published formula, same IEEE
+    // op order as the operator (and the oracle SQL)
+    val q = Curation.MixQuantum.toDouble
+    val wqA = math.floor(math.sqrt(4000.0) * q).toLong
+    val wqB = math.floor(math.sqrt(60.0) * q).toLong
+    val b = (4000L + 60L) / 2
+    def keepP(wq: Long, t: Long): Double =
+      math.min(1.0, b.toDouble * wq.toDouble / (wqA + wqB).toDouble / t.toDouble)
+    def kept(id: Long, p: Double): Boolean =
+      (graft.functions.Md5Lower64Impl.md5Lower64(
+        UTF8String.fromString(id.toString)) & Curation.HashMask53)
+        .toDouble / 9007199254740992.0 < p
+    val pA = keepP(wqA, 4000L)
+    val keptA = (1 to 80).count(i => kept(i.toLong, pA))
+    assert(out("bb") === ((6L, 60L, Curation.MixQuantum)),
+      s"low-resource language must be kept whole at keep_p = 1, got ${out.get("bb")}")
+    assert(out("aa") === ((keptA.toLong, keptA * 50L,
+      math.floor(pA * q).toLong)),
+      s"hash gate must match the driver-side recompute, got ${out.get("aa")}")
+    assert(keptA > 0 && keptA < 80, s"gate should be partial on aa, got $keptA")
+  }
+
   test("decontamination flags the planted 13-gram overlap with exact counts") {
     import spark.implicits._
     // eval doc: tokens e0..e29. Train doc 3 embeds e5..e19 (15 eval
