@@ -56,6 +56,12 @@ object Bench {
     // benchmark decontamination: fused 13-gram expansion on both slices,
     // eval gram set broadcast
     "cur_decontam",
+    // temperature-smoothed language mixture sampling: one corpus
+    // exchange replayed by stats and gate, L-row probability broadcast
+    "cur_mix_sample",
+    // SemDeDup: Lloyd fit + cell-blocked pair search + farthest-from-
+    // centroid keep
+    "dedup_semantic",
   )
 
   /** Aggregates per-stage task metrics between reset() and snapshot(). */

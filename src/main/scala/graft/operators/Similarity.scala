@@ -281,6 +281,77 @@ object Similarity {
     cents
   }
 
+  /** SemDeDup duplicate threshold, on the floor(cos·[[ScoreScale]])
+    * integer grid: 0.4 — deliberately low because this synthetic
+    * corpus's max pairwise cosine is ~0.51 (see dedupEmbedCosine's
+    * note); a real embedding corpus runs τ ≈ 0.95+. The semantics are
+    * threshold-shape-independent — only the pair density changes. */
+  final val SemDedupTauQ: Long = 400000000000L
+
+  /** SEMANTIC deduplication (SemDeDup, Abbas et al. 2023): k-means
+    * clusters make the pair search tractable — pairs are only scored
+    * WITHIN a cluster cell — and for every duplicate pair the member
+    * with the LOWER centroid similarity is kept (the paper's keep
+    * rule: prefer the example farther from the cluster center; the
+    * near-center member is the redundant one). Composition of the two
+    * machines this module already has: the Lloyd fit of
+    * [[simAnnIvfKmeans]] supplies the cells, the cell equi-join of the
+    * blocked embedding dedup supplies the bounded pair space.
+    *
+    * Drop rule, deterministic and monotone: x is dropped iff some
+    * same-cell y has quantized cos(x,y) ≥ τ and (qc_y, vec_id_y) <
+    * (qc_x, vec_id_x) lexicographically, where qc = floor(cos(v,
+    * centroid)·[[ScoreScale]]) — every comparison an integer both
+    * engines derive identically (the [[simAnnIvfKmeans]] parity
+    * argument). A duplicate group therefore keeps exactly its
+    * (qc, vec_id)-minimum: the lowest-centroid-similarity member.
+    *
+    * Scale shape: the fit is the bounded once-per-corpus cost
+    * documented on [[fitCentroids]]; assignment + qc are per-row map
+    * work against baked literals; ONE corpus-sized exchange (the
+    * explicit cell repartition) is replayed by the pair join's both
+    * sides AND the final anti-join (ReusedExchange); the pair space is
+    * Σ_cells n_c² with NumCentroids sized to the corpus (√n-ish in
+    * production, so n_c stays bounded — the clusters ARE the index). */
+  def dedupSemantic(spark: SparkSession, sfDir: String): DataFrame =
+    dedupSemanticOn(embeddings(spark, sfDir), SemDedupTauQ)
+
+  private[graft] def dedupSemanticOn(e: DataFrame, tauQ: Long): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val fitted = fitCentroids(e, seedCentroids(e), KMeansIters)
+    val scoreArr = quantScores(fitted)
+    // explicit isnotnull on every column the pair join will infer
+    // non-null on its branches: exchange-reuse plumbing (the round-3/5
+    // de-canonicalization hazard), not a semantic filter — all three
+    // consumers (both pair sides + the anti-join left) must stay on
+    // the identical subtree for the cell exchange to be replayed
+    val assigned = e.select($"vec_id", $"v",
+        (array_position(scoreArr, array_max(scoreArr)) - 1).cast("int").as("cell"),
+        array_max(scoreArr).as("qc"))
+      .filter($"vec_id".isNotNull && $"cell".isNotNull && $"qc".isNotNull &&
+        $"v".isNotNull)
+      .repartition(spark.sparkContext.defaultParallelism, $"cell")
+    val qpair = floor(VectorOps.cosine($"a.v", $"b.v") * lit(ScoreScale)).cast("long")
+    // kept = rows with NO witness, via ONE left-outer pair join + a
+    // count==0 filter rather than pair-search + anti-join: the anti
+    // form has a third `assigned` consumer that PushDownLeftSemiAntiJoin
+    // relocates below the repartition, un-sharing its scan — this shape
+    // keeps exactly two consumers, both on the replayed cell exchange,
+    // and both already cell-partitioned (no join exchange at scale)
+    assigned.as("a").join(assigned.as("b"),
+        $"a.cell" === $"b.cell" &&
+          struct($"b.qc", $"b.vec_id") < struct($"a.qc", $"a.vec_id") &&
+          qpair >= lit(tauQ), "left_outer")
+      .select($"a.cell".as("cell"), $"a.vec_id".as("vec_id"),
+        $"a.qc".as("qc"), $"b.vec_id".as("w"))
+      .groupBy($"cell", $"vec_id", $"qc")
+      .agg(count($"w").as("nw"))
+      .filter($"nw" === 0)
+      .select($"cell", $"vec_id", $"qc")
+      .orderBy($"cell", $"vec_id")
+  }
+
   /** Aggregate similarity statistics per label block (exercises vector
     * math inside a shuffle agg): pair count, mean and max cosine. */
   def simLabelStats(spark: SparkSession, sfDir: String): DataFrame = {
@@ -342,6 +413,7 @@ object Similarity {
     "sim_ann_lsh" -> simAnnLsh,
     "sim_ann_ivf" -> simAnnIvf,
     "sim_ann_ivf_kmeans" -> simAnnIvfKmeans,
+    "dedup_semantic" -> dedupSemantic,
     "sim_label_stats" -> simLabelStats,
     "sim_label_stats_sampled" -> simLabelStatsSampled,
   )
@@ -366,7 +438,11 @@ object Similarity {
     * probes and the exact re-rank against the final centroids —
     * every comparison an integer or a bit-identical double, per the
     * parity notes on the engine constants. */
-  private def kmeansIvfSql(iters: Int): String = {
+  /** The WITH-body of the Lloyd fit mirror, through `rkf` (per-vector
+    * quantized score + rank against the FITTED centroids) — shared by
+    * [[kmeansIvfSql]] and the SemDeDup oracle so the unrolled fit
+    * cannot drift between them. */
+  private def fitPrefixSql(iters: Int): String = {
     val dims = graft.functions.LshImpl.Dims
     val iterCtes = (1 to iters).map { k =>
       s"""a$k AS (
@@ -390,7 +466,7 @@ object Similarity {
          |  ) f USING (cid)
          |)""".stripMargin
     }.mkString(",\n")
-    s"""WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |q AS (
        |  SELECT vec_id,
        |    [CAST(floor(x * $QuantScale) AS BIGINT) for x in embedding::DOUBLE[]] AS vq
@@ -404,11 +480,15 @@ object Similarity {
        |),
        |$iterCtes,
        |rkf AS (
-       |  SELECT e.vec_id, c.cid,
+       |  SELECT e.vec_id, c.cid, ${quantScoreSql("e.v", "c.cv")} AS qs,
        |    row_number() OVER (PARTITION BY e.vec_id
        |      ORDER BY ${quantScoreSql("e.v", "c.cv")} DESC, c.cid ASC) AS rn
        |  FROM ev e CROSS JOIN c$iters c
-       |),
+       |)""".stripMargin
+  }
+
+  private def kmeansIvfSql(iters: Int): String = {
+    s"""WITH ${fitPrefixSql(iters)},
        |assign AS (SELECT vec_id, cid AS cell FROM rkf WHERE rn = 1),
        |probes AS (
        |  SELECT vec_id AS query_id, cid AS cell FROM rkf
@@ -498,6 +578,25 @@ object Similarity {
     // probed residents. nprobe = NumCentroids ≡ brute force is pinned
     // in SimilaritySpec.
     "sim_ann_ivf_kmeans" -> kmeansIvfSql(KMeansIters),
+    // the fitted assignment + qc mirrored through the shared fit
+    // prefix; the drop rule is pure integer comparisons (qc and the
+    // pair score both floor-quantized LONGs — the kmeans parity
+    // argument), so no float can diverge between the engines
+    "dedup_semantic" ->
+      s"""WITH ${fitPrefixSql(KMeansIters)},
+         |assign AS (SELECT vec_id, cid AS cell, qs AS qc FROM rkf WHERE rn = 1),
+         |drops AS (
+         |  SELECT DISTINCT a.vec_id
+         |  FROM assign a JOIN assign b ON a.cell = b.cell
+         |    AND (b.qc < a.qc OR (b.qc = a.qc AND b.vec_id < a.vec_id))
+         |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+         |  JOIN embeddings eb ON eb.vec_id = b.vec_id
+         |  WHERE CAST(floor(${cosSql("ea", "eb")} * ${ScoreScale.toLong}.0) AS BIGINT)
+         |    >= $SemDedupTauQ
+         |)
+         |SELECT cell, vec_id, qc FROM assign
+         |WHERE vec_id NOT IN (SELECT vec_id FROM drops)
+         |ORDER BY cell, vec_id""".stripMargin,
     "sim_ann_ivf" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
          |c AS (

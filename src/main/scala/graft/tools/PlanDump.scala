@@ -61,6 +61,10 @@ object PlanDump {
       "Chunk-granularity containment: packed (doc_id, chunk_idx) keys feed the document containment pipeline UNCHANGED — own-size prefix probe against the FULL DF-capped index, window-derived verify sets, merge-walk verify; excerpt detection at sample granularity through an identical plan.",
     "cur_decontam" ->
       "Benchmark decontamination: documents=2 in ScanAudit is the DESIGN — the eval slice and the train slice are disjoint pushed-filter scans, each feeding its own fused 13-gram expansion (so gram work totals the corpus ONCE); the eval side's distinct gram-hash set is benchmark-sized and BROADCAST, the train side never shuffles its expansion (explode → broadcast-hash probe → doc_id agg on the expansion's own repartitioning). At 100 TB the eval set is a few thousand docs against the corpus — the broadcast is the whole point.",
+    "cur_mix_sample" ->
+      "Language mixture sampling: ONE corpus-sized exchange (the explicit doc_id repartition) replayed by BOTH consumers — the per-language token totals and the keep gate — as a ReusedExchange; the L-row probability table (languages, not documents) broadcasts back into the gate join, and the output agg rides the same partitioning. The hash gate is per-row map work; nothing document-sized shuffles twice.",
+    "dedup_semantic" ->
+      "SemDeDup: the Lloyd fit is the bounded once-per-corpus cost (sim_ann_ivf_kmeans' shape); assignment + centroid similarity are per-row map work against baked literals; ONE embeddings scan total — the left-outer witness join's both sides replay the same cell exchange (ReusedExchange; the keep is a count(witness)==0 agg, NOT an anti-join, because PushDownLeftSemiAntiJoin would relocate an anti-join below the repartition and un-share its scan) — and the pair space is Σ n_c² with the cell count sized to the corpus, which is the paper's entire scaling argument (the clusters ARE the index).",
     "dedup_kept_clusters" ->
       "Cluster-based keep: the fused union pair search replays ONE shingle-expansion exchange and verifies both edge types in one pass; the CC loop iterates on checkpointed pair-node-sized label tables with the symmetrized edge frame checkpointed pre-partitioned on the join key — each round joins with NO edge-side exchange (the loop below shows only the final semi-join of documents against the representative set; the iterations are O(log diameter) equi-join+min-agg rounds on byte-sized frames).",
     "stream_dedup_chunks_ngram" ->

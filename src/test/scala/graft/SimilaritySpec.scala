@@ -173,6 +173,30 @@ class SimilaritySpec extends AnyFunSuite {
       "summation-order-robust sign parity with the oracle")
   }
 
+  test("SemDeDup keeps the lowest-centroid-similarity member of a duplicate group") {
+    import spark.implicits._
+    def axis(d: Int): Seq[Double] = Seq.tabulate(64)(i => if (i == d) 1.0 else 0.0)
+    // seeds (ids 10..25) sit on axes e_0..e_15, so the fitted cells are
+    // the axes; the planted duplicate group in cell 3 is {13 (= e_3),
+    // 26 (= e_3 again), 27 (tilted toward e_4)} — the cell centroid
+    // leans toward e_3, so 13/26 are the near-center (redundant)
+    // members and 27 the farthest-from-centroid one the paper keeps
+    val rows: Seq[(Long, Seq[Double])] =
+      (0 until 10).map(i => (i.toLong, axis(20 + i))) ++
+        (0 until 16).map(i => ((10 + i).toLong, axis(i))) ++
+        Seq(
+          (26L, axis(3)),
+          (27L, Seq.tabulate(64)(i =>
+            if (i == 3) 0.99 else if (i == 4) 0.1 else 0.0)),
+          (28L, axis(30)))
+    val e = rows.toDF("vec_id", "v")
+    val kept = Similarity.dedupSemanticOn(e, 950000000000L)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept.contains(27L), "farthest-from-centroid member must survive")
+    assert(kept === (0 until 29).map(_.toLong).toSet -- Set(13L, 26L),
+      "exactly the two near-center copies are dropped")
+  }
+
   test("LshSignatures null-propagates on wrong dims and null elements") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
