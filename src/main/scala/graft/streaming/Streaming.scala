@@ -777,6 +777,59 @@ object Streaming {
       .orderBy($"user_id")
   }
 
+  /** STREAMING benchmark decontamination: the ingest-tier twin of the
+    * batch `cur_decontam` — training documents arrive as a stream and
+    * are checked against a STATIC eval gram-hash set (the natively
+    * supported stream-static join; the eval benchmark is fixed at
+    * ingest time, which is exactly the production situation). The eval
+    * side is batch-computed, benchmark-sized, and BROADCAST; the
+    * stream side runs the same fused 13-gram expansion per micro-batch
+    * and probes without shuffling its expansion.
+    *
+    * State: the per-doc aggregation sits AFTER the broadcast hit
+    * filter, so aggregation state is O(CONTAMINATED docs) — the hit
+    * set, not the corpus; the overwhelming majority of documents never
+    * create a group. Emissions are monotone per doc (update mode), so
+    * the post-run fold keeps the max — batch-equal in bounded replay. */
+  def streamDecontam(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Curation
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val train = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+      .filter(pmod($"doc_id", lit(Curation.EvalSliceMod)) =!= Curation.EvalSliceRem)
+    val eval = graft.sources.Tables.documents(spark, sfDir)
+      .filter(pmod($"doc_id", lit(Curation.EvalSliceMod)) === Curation.EvalSliceRem)
+    runDecontamStream(train, eval)
+  }
+
+  /** The transform of [[streamDecontam]] on any streaming train frame
+    * + static eval frame of (doc_id, text) (spec entry point:
+    * plantable multi-batch overlap). */
+  private[graft] def runDecontamStream(train: DataFrame, eval: DataFrame): DataFrame = {
+    val spark = train.sparkSession
+    import spark.implicits._
+    import graft.operators.Curation
+    val evalGrams = eval
+      .repartition(spark.sparkContext.defaultParallelism, $"doc_id")
+      .select(explode(graft.functions.NGramXxh64($"text", Curation.DecontamGram)).as("h"))
+      .distinct()
+    val hits = train
+      .select($"doc_id",
+        graft.functions.NGramXxh64($"text", Curation.DecontamGram).as("g"))
+      .filter(size($"g") > 0)
+      .select($"doc_id", size($"g").cast("long").as("n_grams"),
+        explode($"g").as("h"))
+      .join(broadcast(evalGrams), Seq("h"))
+      .groupBy($"doc_id")
+      .agg(max($"n_grams").as("n_grams"), count(lit(1)).as("n_hit"))
+    runToMemory(hits, "update")
+      .groupBy($"doc_id")
+      .agg(max(struct($"n_hit", $"n_grams")).as("s"))
+      .select($"doc_id", $"s.n_grams".as("n_grams"), $"s.n_hit".as("n_hit"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_events_hourly" -> streamEventsHourly,
     "stream_sessions" -> streamSessions,
@@ -792,6 +845,7 @@ object Streaming {
     "stream_dedup_chunks_ngram" -> streamDedupChunksNgram,
     "stream_pipeline_samples" -> streamPipelineSamples,
     "stream_pipeline_samples_ttl" -> streamPipelineSamplesTTL,
+    "stream_decontam" -> streamDecontam,
   )
 
   /** Streaming results are checked against the same SQL as their batch
@@ -865,6 +919,9 @@ object Streaming {
     // unbounded form and the same batch composition (eviction and
     // epoch restart pinned in StreamingSpec)
     "stream_pipeline_samples_ttl" -> pipelineSamplesOracleSql,
+    // the batch decontamination oracle verbatim: stream-static probe +
+    // post-hit aggregation must equal the batch overlap filter
+    "stream_decontam" -> graft.operators.Curation.oracles("cur_decontam"),
   )
 
   private lazy val pipelineSamplesOracleSql: String =

@@ -341,6 +341,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming decontamination flags planted overlap across batches, equals batch") {
+    import spark.implicits._
+    val eval13 = (1 to 13).map(i => s"e$i").mkString(" ")
+    val evalDf = Seq((107L, eval13)).toDF("doc_id", "text")
+    val in = Files.createTempDirectory("graft_decontam_in_").toString
+    writeOneFile(Seq(
+      (1L, s"x $eval13 y"),                                // contaminated (1 of 3 windows)
+      (2L, (1 to 15).map(i => s"c$i").mkString(" "))       // clean, 3 windows
+    ).toDF("doc_id", "text"), s"$in/batch1.parquet")
+    writeOneFile(Seq(
+      (3L, s"$eval13 z1 z2"),                              // contaminated in a LATER batch
+      (4L, "a b c")                                        // under the window width: no grams
+    ).toDF("doc_id", "text"), s"$in/batch2.parquet",
+      Files.getLastModifiedTime(Paths.get(s"$in/batch1.parquet")).toMillis + 60000)
+    val schema = spark.read.parquet(in).schema
+    val train = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val got = Streaming.runDecontamStream(train, evalDf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq((1L, 3L, 1L), (3L, 3L, 1L)),
+      s"planted overlap must flag docs 1 and 3 only, got $got")
+    // differential: equals the batch operator over the union of batches
+    val batch = graft.operators.Curation
+      .decontaminateOn(spark.read.parquet(in), evalDf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === batch)
+  }
+
   test("eventsStream scopes the nanosAsLong flag: restored after, stream still runs") {
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     val prev = spark.conf.getOption(key)
