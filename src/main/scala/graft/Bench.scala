@@ -62,6 +62,9 @@ object Bench {
     // SemDeDup: Lloyd fit + cell-blocked pair search + farthest-from-
     // centroid keep
     "dedup_semantic",
+    // incremental snapshot dedup: delta group-agg anti-joined against
+    // the prior hash index
+    "dedup_incremental",
   )
 
   /** Aggregates per-stage task metrics between reset() and snapshot(). */

@@ -76,6 +76,44 @@ object Dedup {
       .orderBy($"h")
   }
 
+  /** The deterministic snapshot split for [[dedupIncremental]]:
+    * doc_id % [[SnapshotMod]] ≥ [[SnapshotNewMin]] is the "new crawl"
+    * delta (20%), the rest the already-ingested corpus snapshot. The
+    * operator itself takes ANY (prior, fresh) pair — the slice just
+    * makes the query self-contained on the driver's tables. */
+  final val SnapshotMod = 10
+  final val SnapshotNewMin = 8
+
+  /** INCREMENTAL exact dedup — the daily-crawl update path: a fresh
+    * batch is deduplicated internally (keep-min per content hash) and
+    * against the PRIOR corpus snapshot's content-hash index, emitting
+    * only genuinely novel documents. This is the production shape for
+    * corpus updates: the prior side never re-reads text — its index is
+    * a hash-only relation (16 bytes/doc at any corpus size, bucketed
+    * by h on disk in production so the anti-join is exchange-free on
+    * the index side); the delta side shuffles once on h for its own
+    * group-agg and the anti-join rides the same partitioning. */
+  def dedupIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    dedupIncrementalOn(
+      docs.filter(pmod($"doc_id", lit(SnapshotMod)) < SnapshotNewMin),
+      docs.filter(pmod($"doc_id", lit(SnapshotMod)) >= SnapshotNewMin))
+  }
+
+  /** The transform of [[dedupIncremental]] over any (prior, fresh)
+    * pair of (doc_id, text) frames (spec entry point). */
+  private[graft] def dedupIncrementalOn(prior: DataFrame, fresh: DataFrame): DataFrame = {
+    val spark = prior.sparkSession
+    import spark.implicits._
+    val index = prior.select(md5($"text").as("h")).distinct()
+    fresh.select(md5($"text").as("h"), $"doc_id")
+      .groupBy($"h")
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_new"))
+      .join(index, Seq("h"), "left_anti")
+      .orderBy($"h")
+  }
+
   /** Exact dedup on the bag-of-words canonical form (sorted token list) —
     * catches reordered-but-identical-content docs. */
   def dedupExactBow(spark: SparkSession, sfDir: String): DataFrame = {
@@ -929,6 +967,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> dedupExact,
     "dedup_exact_bow" -> dedupExactBow,
+    "dedup_incremental" -> dedupIncremental,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_containment" -> dedupContainment,
     "dedup_minhash_lsh" -> dedupMinHashLsh,
@@ -1118,6 +1157,22 @@ object Dedup {
         |  min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents
         |GROUP BY md5(array_to_string(list_sort(string_split(text, ' ')), ' '))
+        |ORDER BY h""".stripMargin,
+    // NOT EXISTS, not NOT IN: same anti-join semantics as the engine
+    // regardless of SQL null quirks (h is never null here, but the
+    // form should not depend on it)
+    "dedup_incremental" ->
+      s"""WITH idx AS (
+        |  SELECT DISTINCT md5(text) AS h FROM documents
+        |  WHERE doc_id % $SnapshotMod < $SnapshotNewMin
+        |),
+        |nw AS (
+        |  SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_new
+        |  FROM documents WHERE doc_id % $SnapshotMod >= $SnapshotNewMin
+        |  GROUP BY md5(text)
+        |)
+        |SELECT h, keep_id, n_new FROM nw
+        |WHERE NOT EXISTS (SELECT 1 FROM idx WHERE idx.h = nw.h)
         |ORDER BY h""".stripMargin,
     "dedup_ngram_jaccard" -> cappedJaccardSql,
     "dedup_containment" -> containmentSql,

@@ -411,6 +411,22 @@ class DedupSpec extends AnyFunSuite {
       s"banding should prune background pairs: $colliding/${sameLabel.size} collide")
   }
 
+  test("incremental dedup keeps only novel content, deduped within the delta") {
+    import spark.implicits._
+    val prior = Seq((1L, "already ingested A"), (2L, "already ingested B"))
+      .toDF("doc_id", "text")
+    val fresh = Seq(
+      (8L, "already ingested A"),   // suppressed: hash in the prior index
+      (9L, "novel C"), (19L, "novel C"), // internal dup: keep 9, n_new 2
+      (18L, "novel D")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupIncrementalOn(prior, fresh)
+      .select("keep_id", "n_new").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((9L, 2L), (18L, 1L)),
+      s"expected novel C (kept 9, 2 copies) and D only, got ${got.toSeq}")
+  }
+
   test("exact dedup partitions all documents (sum of group sizes = row count)") {
     val total = graft.sources.Tables.documents(spark, sf).count()
     val groups = Dedup.dedupExact(spark, sf)
