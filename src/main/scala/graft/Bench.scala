@@ -65,6 +65,8 @@ object Bench {
     // incremental snapshot dedup: delta group-agg anti-joined against
     // the prior hash index
     "dedup_incremental",
+    // tf-idf top-k: tf shuffle-agg + term-window df + per-doc rank
+    "text_tfidf_topk",
   )
 
   /** Aggregates per-stage task metrics between reset() and snapshot(). */

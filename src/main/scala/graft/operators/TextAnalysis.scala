@@ -258,6 +258,50 @@ object TextAnalysis {
       .limit(20)
   }
 
+  /** Top terms per document for [[textTfidfTopk]]. */
+  final val TfidfTopK = 5
+
+  /** TF-IDF top-[[TfidfTopK]] terms per document, with RAW-frequency
+    * idf (score = tf/df) instead of log idf — a deliberate,
+    * documented variant: tf and df are integers ≤ 2⁵³, so the score is
+    * ONE correctly-rounded IEEE division that both engines compute
+    * bit-identically, where tf·ln(N/df) would hang the rank order on
+    * libm's ln (not required correctly rounded, so a one-ulp
+    * divergence could flip a rank). The output score is additionally
+    * floor-quantized to the 2⁻²⁰ grid (the mixture/IVF trick) so the
+    * hashed value is an integer key.
+    *
+    * Scale shape: tf is one (doc_id, term) shuffle-agg; df is a COUNT
+    * WINDOW over the term partition of the tf relation — tf rows are
+    * unique per (doc, term), so the partition size IS the document
+    * frequency, which replaces the agg+self-join formulation (two
+    * passes over tf, a fragile shared subtree) with one linear
+    * dataflow and ONE text scan by construction; the per-doc top-k is
+    * a doc_id window, never a global sort. Every exchange moves
+    * (term, counts) pairs, nothing re-reads text. */
+  def textTfidfTopk(spark: SparkSession, sfDir: String): DataFrame =
+    textTfidfTopkOn(Tables.documents(spark, sfDir))
+
+  private[graft] def textTfidfTopkOn(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select($"doc_id", explode(split($"text", " ")).as("term"))
+      .filter($"term" =!= "")
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val wDf = Window.partitionBy($"term")
+    val wRank = Window.partitionBy($"doc_id")
+      .orderBy($"score".desc, $"term".asc)
+    tf.withColumn("df", count(lit(1)).over(wDf))
+      .withColumn("score", $"tf".cast("double") / $"df".cast("double"))
+      .withColumn("rk", row_number().over(wRank))
+      .filter($"rk" <= TfidfTopK)
+      .select($"doc_id", $"rk", $"term", $"tf", $"df",
+        floor($"score" * lit(1L << 20)).cast("long").as("score_q"))
+      .orderBy($"doc_id", $"rk")
+  }
+
   /** Stopword-filtered token counts — the curation transform that feeds
     * most downstream text statistics. */
   def textStopwordFiltered(spark: SparkSession, sfDir: String): DataFrame = {
@@ -359,6 +403,7 @@ object TextAnalysis {
     "text_fingerprint_winnow" -> textFingerprintWinnow,
     "text_stats_by_lang" -> textStatsByGroup,
     "text_repetition" -> textRepetition,
+    "text_tfidf_topk" -> textTfidfTopk,
   )
 
   /** The engine's Karp–Rabin term constants, embedded in the oracle SQL
@@ -373,6 +418,28 @@ object TextAnalysis {
     s"len(list_filter(toks, x -> list_contains(${markers.mkString("['", "', '", "']")}, x)))::DOUBLE / greatest(len(toks), 1)::DOUBLE"
 
   val oracles: Map[String, String] = Map(
+    // raw-frequency idf: the score is ONE IEEE division of integer-
+    // valued doubles (correctly rounded by the standard on both
+    // engines), so rank order cannot diverge; output score on the
+    // 2^-20 grid
+    "text_tfidf_topk" ->
+      s"""WITH tf AS (
+        |  SELECT doc_id, t AS term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+        |  WHERE t <> '' GROUP BY doc_id, t
+        |),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |s AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+        |    CAST(tf.tf AS DOUBLE) / CAST(dfreq.df AS DOUBLE) AS score,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY CAST(tf.tf AS DOUBLE) / CAST(dfreq.df AS DOUBLE) DESC,
+        |        tf.term ASC) AS rk
+        |  FROM tf JOIN dfreq USING (term)
+        |)
+        |SELECT doc_id, rk, term, tf, df,
+        |  CAST(floor(score * ${1L << 20}) AS BIGINT) AS score_q
+        |FROM s WHERE rk <= $TfidfTopK ORDER BY doc_id, rk""".stripMargin,
     // same patterns (spliced from the engine constants), RE2 semantics;
     // 'g' flag makes DuckDB's replace global like Spark's
     "text_redact_pii" ->

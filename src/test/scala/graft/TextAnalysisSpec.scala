@@ -150,6 +150,23 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(3L) === ((6L, 1.0 - 2.0 / 6.0, 3.0 / 5.0, 1.0 - 2.0 / 4.0)))
   }
 
+  test("tf-idf top-k matches hand-computed ranks, rarity beats frequency") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple banana apple"), // apple tf2/df1=2.0 > banana 1/2=0.5
+      (2L, "banana cherry"),      // tie at 0.5 -> term asc: banana, cherry
+      (3L, "cherry cherry date")  // cherry 2/2=1.0 ties date 1/1=1.0 -> cherry first
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.textTfidfTopkOn(docs)
+      .select("doc_id", "rk", "term", "tf", "df").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(got === Seq(
+      (1L, 1, "apple", 2L, 1L), (1L, 2, "banana", 1L, 2L),
+      (2L, 1, "banana", 1L, 2L), (2L, 2, "cherry", 1L, 2L),
+      (3L, 1, "cherry", 2L, 2L), (3L, 2, "date", 1L, 1L)))
+  }
+
   test("fingerprint is stable and order-sensitive") {
     import spark.implicits._
     val df = Seq("abcdefghij", "abcdefghij", "jihgfedcba").toDF("text")
