@@ -598,33 +598,59 @@ object Curation {
   def mixSample(spark: SparkSession, sfDir: String): DataFrame =
     mixSampleOn(Tables.documents(spark, sfDir))
 
-  private[graft] def mixSampleOn(docs: DataFrame): DataFrame = {
+  /** The per-document gate ingredients (n_tokens + 53-bit hash
+    * fraction bits) shared by the batch sampler and the streaming
+    * twin's per-row projection. */
+  private[graft] def mixGateCols(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val d = docs
-      .filter($"lang".isNotNull) // exchange-reuse plumbing, see scaladoc
-      .repartition(spark.sparkContext.defaultParallelism, $"doc_id")
-      .select($"doc_id", $"lang",
-        size(split($"text", " ")).cast("long").as("n_tokens"),
-        graft.functions.Md5Lower64($"doc_id".cast("string"))
-          .bitwiseAND(lit(HashMask53)).as("hbits"))
+    docs.select($"doc_id", $"lang",
+      size(split($"text", " ")).cast("long").as("n_tokens"),
+      graft.functions.Md5Lower64($"doc_id".cast("string"))
+        .bitwiseAND(lit(HashMask53)).as("hbits"))
+  }
+
+  /** The L-row (lang, t, keep_p) probability table fitted on `docs` —
+    * the "model" of the mixture sampler; the batch query applies it to
+    * the same frame, the streaming twin broadcasts it over an ingest
+    * stream (probabilities are fitted once on a reference snapshot —
+    * the production setup for a stationary sampling policy). */
+  private[graft] def mixProbsOn(d: DataFrame): DataFrame = {
+    val spark = d.sparkSession
+    import spark.implicits._
     val ls = d.groupBy($"lang").agg(sum($"n_tokens").as("t"))
       .select($"lang", $"t",
         floor(sqrt($"t".cast("double")) * MixQuantum).cast("long").as("wq"))
     val tot = ls.agg(sum($"t").as("tt"), sum($"wq").as("sw"))
     // keep_p: a FIXED left-to-right op tree, mirrored verbatim in SQL —
     // ((B * wq) / sw) / t on integer-valued doubles, capped at 1
-    val p = ls.crossJoin(broadcast(tot))
+    ls.crossJoin(broadcast(tot))
       .select($"lang", $"t",
         least(lit(1.0),
           expr("tt div 2").cast("double") * $"wq".cast("double") /
             $"sw".cast("double") / $"t".cast("double")).as("keep_p"))
+  }
+
+  /** The deterministic keep gate + per-language summary over gated
+    * rows, shared verbatim by batch and stream (the stream folds the
+    * monotone per-batch emissions of the same aggregation). */
+  private[graft] def mixGateAgg(d: DataFrame, p: DataFrame): DataFrame = {
+    val spark = d.sparkSession
+    import spark.implicits._
     d.join(broadcast(p), Seq("lang"))
       .filter($"hbits".cast("double") / lit(9007199254740992.0) < $"keep_p")
       .groupBy($"lang")
       .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("n_tokens_kept"),
         floor(max($"keep_p") * MixQuantum).cast("long").as("q_keep"))
-      .orderBy($"lang")
+  }
+
+  private[graft] def mixSampleOn(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val d = mixGateCols(docs
+      .filter($"lang".isNotNull) // exchange-reuse plumbing, see scaladoc
+      .repartition(spark.sparkContext.defaultParallelism, $"doc_id"))
+    mixGateAgg(d, mixProbsOn(d)).orderBy($"lang")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -830,6 +830,44 @@ object Streaming {
       .orderBy($"doc_id")
   }
 
+  /** STREAMING language-mixture sampling: documents stream through the
+    * SAME deterministic hash gate as the batch `cur_mix_sample`, with
+    * the per-language keep-probability table fitted batch-side on a
+    * reference snapshot and BROADCAST (stream-static join) — the
+    * production setup for a stationary sampling policy: the model is
+    * an L-row table, the stream applies it at ingest with zero
+    * coordination. The per-language aggregation emits monotone counts
+    * (update mode); the fold keeps the max — batch-equal in bounded
+    * replay because gate decisions are per-row deterministic. */
+  def streamMixSample(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Curation
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+    val snapshot = graft.sources.Tables.documents(spark, sfDir)
+    runMixSampleStream(stream, snapshot)
+  }
+
+  /** The transform of [[streamMixSample]] on any streaming docs frame
+    * + static reference snapshot (spec entry point). The probability
+    * table is fitted on the SNAPSHOT; the stream only applies it. */
+  private[graft] def runMixSampleStream(stream: DataFrame, snapshot: DataFrame): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    import graft.operators.Curation
+    val p = Curation.mixProbsOn(
+      Curation.mixGateCols(snapshot.filter($"lang".isNotNull)))
+    val gated = Curation.mixGateAgg(
+      Curation.mixGateCols(stream.filter($"lang".isNotNull)), p)
+    runToMemory(gated, "update")
+      .groupBy($"lang")
+      .agg(max(struct($"n_docs", $"n_tokens_kept", $"q_keep")).as("s"))
+      .select($"lang", $"s.n_docs".as("n_docs"),
+        $"s.n_tokens_kept".as("n_tokens_kept"), $"s.q_keep".as("q_keep"))
+      .orderBy($"lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_events_hourly" -> streamEventsHourly,
     "stream_sessions" -> streamSessions,
@@ -846,6 +884,7 @@ object Streaming {
     "stream_pipeline_samples" -> streamPipelineSamples,
     "stream_pipeline_samples_ttl" -> streamPipelineSamplesTTL,
     "stream_decontam" -> streamDecontam,
+    "stream_mix_sample" -> streamMixSample,
   )
 
   /** Streaming results are checked against the same SQL as their batch
@@ -922,6 +961,10 @@ object Streaming {
     // the batch decontamination oracle verbatim: stream-static probe +
     // post-hit aggregation must equal the batch overlap filter
     "stream_decontam" -> graft.operators.Curation.oracles("cur_decontam"),
+    // the batch mixture oracle verbatim: the bounded replay streams the
+    // same corpus the probability table was fitted on, so the gate
+    // decisions — per-row deterministic — must reproduce the batch agg
+    "stream_mix_sample" -> graft.operators.Curation.oracles("cur_mix_sample"),
   )
 
   private lazy val pipelineSamplesOracleSql: String =

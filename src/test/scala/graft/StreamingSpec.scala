@@ -369,6 +369,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === batch)
   }
 
+  test("streaming mixture sampling equals the batch sampler across batches") {
+    import spark.implicits._
+    def doc(id: Long, lang: String, n: Int): (Long, String, String) =
+      (id, lang, (1 to n).map(i => s"w$i").mkString(" "))
+    val b1 = Seq(doc(1, "en", 40), doc(2, "en", 35), doc(3, "de", 6),
+      doc(4, "en", 30), doc(5, "fr", 8))
+    val b2 = Seq(doc(6, "en", 25), doc(7, "de", 5), doc(8, "fr", 7),
+      doc(9, "en", 20), doc(10, "de", 4))
+    val in = Files.createTempDirectory("graft_mix_in_").toString
+    writeOneFile(b1.toDF("doc_id", "lang", "text"), s"$in/batch1.parquet")
+    writeOneFile(b2.toDF("doc_id", "lang", "text"), s"$in/batch2.parquet",
+      Files.getLastModifiedTime(Paths.get(s"$in/batch1.parquet")).toMillis + 60000)
+    val snapshot = spark.read.parquet(in) // probabilities fitted on the union
+    val schema = snapshot.schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val got = Streaming.runMixSampleStream(stream, snapshot)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    val batch = graft.operators.Curation.mixSampleOn(snapshot)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got === batch, s"stream fold $got must equal batch $batch")
+    // the smoothing must actually bite: high-resource en downsampled
+    // (keep_p < 1 ⇒ q_keep < 2^20), low-resource de kept whole
+    val qk = got.map(r => r._1 -> r._4).toMap
+    assert(qk("de") === (1L << 20), s"low-resource lang must keep all, got $qk")
+    assert(qk.get("en").forall(_ < (1L << 20)), s"high-resource lang must downsample, got $qk")
+  }
+
   test("eventsStream scopes the nanosAsLong flag: restored after, stream still runs") {
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     val prev = spark.conf.getOption(key)
