@@ -35,7 +35,7 @@ object Bench {
     "q1_pricing_summary", "q2_filter_project", "q4_star_join_nation",
     "q5_top_orders", "q7_window_rank", "q12_rollup", "q14_events_hourly",
     "q16_nation_benchmark", "q17_asof_event_order", "q19_sessions",
-    "q25_range_join", "q28_stats",
+    "q25_range_join", "q28_stats", "q29_rolling_window",
     "wc_word_counts", "wc_ranked", "wc_word_stats",
     "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
     "dedup_simhash_pairs", "dedup_containment",

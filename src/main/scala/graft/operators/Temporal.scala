@@ -115,10 +115,47 @@ object Temporal {
       .orderBy($"event_id")
   }
 
+  /** Rolling 1-hour window aggregate via a native RANGE frame — the
+    * sliding-metric query (per event: that user's event count and
+    * value total over the trailing hour) expressed as ONE window over
+    * one (user_id) exchange, no self-join: the frame boundary is an
+    * ORDER-BY-value range, so Spark's WindowExec slides two pointers
+    * over each sorted partition — O(partition) total work regardless
+    * of frame width, where the q25 bucketized-join form pays candidate
+    * fan-in. RANGE (not ROWS) also makes tied timestamps
+    * deterministic: peers are always in-frame on both engines.
+    *
+    * Parity: the summed value is integer CENTS — floor(value·100 + .5)
+    * as LONG on both engines (floor, not round: Spark HALF_UP vs
+    * DuckDB banker's diverge at exact midpoints) — so window sums are
+    * exact integer arithmetic, immune to the add/retract float drift a
+    * sliding double-sum accumulates. */
+  def q29RollingWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    rollingWindowOn(Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", unix_millis($"ts").as("t_ms"),
+        floor($"value" * 100 + 0.5).cast("long").as("cents")))
+  }
+
+  /** The RANGE-frame aggregation over any (event_id, user_id, t_ms,
+    * cents) frame (spec entry point: hand-computable feeds). */
+  private[graft] def rollingWindowOn(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val hourMs = 3600L * 1000
+    val w = Window.partitionBy($"user_id").orderBy($"t_ms")
+      .rangeBetween(-hourMs, 0)
+    e.withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("cents_1h", sum($"cents").over(w))
+      .select($"event_id", $"user_id", $"t_ms", $"n_1h", $"cents_1h")
+      .orderBy($"event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q17_asof_event_order" -> q17AsofEventOrder,
     "q18_analytics" -> q18Analytics,
     "q25_range_join" -> q25RangeJoin,
+    "q29_rolling_window" -> q29RollingWindow,
   )
 
   val oracles: Map[String, String] = Map(
@@ -143,6 +180,21 @@ object Temporal {
         |  AND epoch_ms(o.ts) > epoch_ms(e.ts) - 3600000
         |  AND epoch_ms(o.ts) <= epoch_ms(e.ts)
         |GROUP BY e.event_id ORDER BY e.event_id""".stripMargin,
+    // RANGE frame over epoch-ms with integer-cent sums — every windowed
+    // value an exact integer on both engines (see the engine scaladoc)
+    "q29_rolling_window" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_ms(ts) AS t_ms,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events
+        |)
+        |SELECT event_id, user_id, t_ms,
+        |  count(*) OVER w AS n_1h,
+        |  CAST(sum(cents) OVER w AS BIGINT) AS cents_1h
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY t_ms
+        |  RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     "q18_analytics" ->
       """SELECT user_id, seq, event_id,
         |  round(value - coalesce(prev_value, 0.0), 4) AS value_delta,

@@ -35,4 +35,28 @@ class RelationalSpec extends AnyFunSuite {
     assert(partialIdx > exchangeIdx, // plan prints top-down: partial is BELOW the exchange
       s"partial agg must precede the exchange\n${p.take(800)}")
   }
+
+  test("rolling RANGE window: boundary inclusion, peer rows, partition isolation") {
+    import spark.implicits._
+    val h = 3600000L
+    val e = Seq(
+      // user 1: events at 0, exactly 1h later (IN frame: boundary is
+      // inclusive), 1h+1ms after the first (OUT for event 0's frame),
+      // plus a timestamp PEER of event 2 (both always co-framed)
+      (0L, 1L, 0L, 10L),
+      (1L, 1L, h, 20L),
+      (2L, 1L, h + 1, 30L),
+      (3L, 1L, h + 1, 40L),
+      // user 2 at the same instants: must not leak into user 1's frames
+      (4L, 2L, h, 99L)
+    ).toDF("event_id", "user_id", "t_ms", "cents")
+    val got = graft.operators.Temporal.rollingWindowOn(e)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).toSeq
+    assert(got === Seq(
+      (0L, 1L, 10L),        // alone in its trailing hour
+      (1L, 2L, 30L),        // includes event 0 (inclusive 1h boundary)
+      (2L, 3L, 90L),        // events 1,2,3: 0 dropped, peer 3 included
+      (3L, 3L, 90L),        // peer rows share the identical frame
+      (4L, 1L, 99L)))       // user 2 isolated
+  }
 }
