@@ -281,6 +281,80 @@ object Similarity {
     cents
   }
 
+  /** Product-quantization geometry: [[PqSubspaces]] disjoint
+    * [[PqSubDim]]-dim subspaces (8×8 over 64 dims), [[NumCentroids]]
+    * codewords per subspace ⇒ a 4-bit code per subspace, 8 codes ≈ 8
+    * bytes per vector vs 256 bytes of floats — the 32× memory
+    * compression that lets a 100 TB embedding corpus's index live in
+    * cluster RAM (Jégou, Douze, Schmid 2011, "Product Quantization
+    * for Nearest Neighbor Search"). */
+  final val PqSubspaces = 8
+  final val PqSubDim: Int = graft.functions.LshImpl.Dims / PqSubspaces
+
+  /** ANN via PRODUCT QUANTIZATION with asymmetric distance computation
+    * (ADC): every corpus vector is ENCODED once as [[PqSubspaces]]
+    * small codes (per-subspace nearest codeword — per-row map work
+    * against baked literals, no shuffle); each query builds an
+    * [[PqSubspaces]]×[[NumCentroids]] lookup table of sub-dot-products
+    * and scores candidates by 8 TABLE LOOKUPS + integer adds instead
+    * of a 64-dim float dot — the scan form that makes brute-force over
+    * a compressed corpus feasible. Codebooks are SEEDED (the sub-slices
+    * of the IVF seed vectors) for the same reason [[simAnnIvf]]'s
+    * centroids are: production Lloyd-fits each subspace on exactly the
+    * [[fitCentroids]] plan, and determinism keeps the whole search
+    * oracle-checkable.
+    *
+    * Parity: code assignment drops the per-subspace-constant ‖x_m‖²
+    * term and compares floor((‖c‖² − 2·x_m·c)·[[ScoreScale]]) as LONGs
+    * (with ‖c‖² a Scala-computed literal baked into BOTH engines);
+    * table entries are floor(q_m·c·[[ScoreScale]]) LONGs, so the ADC
+    * score is a SUM OF 8 INTEGERS — order-free, reassociation-proof,
+    * identical on any engine. */
+  def simAnnPq(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = embeddings(spark, sfDir)
+    val cb = pqCodebooks(seedCentroids(e))
+    def sub(v: Column, m: Int): Column = slice(v, m * PqSubDim + 1, PqSubDim)
+    def codeCol(m: Int): Column = {
+      val dists = array(cb(m).map { cv =>
+        floor((lit(normSq(cv)) - lit(2.0) * VectorOps.dot(sub($"v", m), typedLit(cv)))
+          * lit(ScoreScale)).cast("long")
+      }: _*)
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }
+    val codes = e.select($"vec_id",
+      array((0 until PqSubspaces).map(codeCol): _*).as("code"))
+    def tabCol(m: Int): Column = array(cb(m).map(cv =>
+      floor(VectorOps.dot(sub($"qv", m), typedLit(cv)) * lit(ScoreScale)).cast("long")): _*)
+    val q = e.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"v".as("qv"))
+      .select($"query_id" +: (0 until PqSubspaces).map(m => tabCol(m).as(s"tab$m")): _*)
+    val score = (0 until PqSubspaces).map(m =>
+      element_at(col(s"tab$m"), element_at($"code", m + 1) + 1)).reduce(_ + _)
+    val w = Window.partitionBy($"query_id").orderBy($"score_q".desc, $"vec_id".asc)
+    codes.join(broadcast(q), $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id", score.as("score_q"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= TopK)
+      .select($"query_id", $"rk", $"vec_id", $"score_q")
+      .orderBy($"query_id", $"rk")
+  }
+
+  /** cb(m)(c) = codeword c of subspace m: the c-th seed vector's m-th
+    * [[PqSubDim]]-dim slice. */
+  private def pqCodebooks(seeds: Seq[Seq[Double]]): Seq[Seq[Seq[Double]]] =
+    (0 until PqSubspaces).map(m =>
+      seeds.map(_.slice(m * PqSubDim, (m + 1) * PqSubDim)))
+
+  /** ‖cv‖² as a Scala-computed double (left-to-right sum, the same
+    * fold DuckDB's list_dot_product(cv, cv) runs) — baked as a literal
+    * into both engines' assignment expressions. */
+  private def normSq(cv: Seq[Double]): Double = {
+    var s = 0.0
+    cv.foreach(x => s += x * x)
+    s
+  }
+
   /** SemDeDup duplicate threshold, on the floor(cos·[[ScoreScale]])
     * integer grid: 0.4 — deliberately low because this synthetic
     * corpus's max pairwise cosine is ~0.51 (see dedupEmbedCosine's
@@ -413,6 +487,7 @@ object Similarity {
     "sim_ann_lsh" -> simAnnLsh,
     "sim_ann_ivf" -> simAnnIvf,
     "sim_ann_ivf_kmeans" -> simAnnIvfKmeans,
+    "sim_ann_pq" -> simAnnPq,
     "dedup_semantic" -> dedupSemantic,
     "sim_label_stats" -> simLabelStats,
     "sim_label_stats_sampled" -> simLabelStatsSampled,
@@ -578,6 +653,53 @@ object Similarity {
     // probed residents. nprobe = NumCentroids ≡ brute force is pinned
     // in SimilaritySpec.
     "sim_ann_ivf_kmeans" -> kmeansIvfSql(KMeansIters),
+    // full PQ mirror: codebooks from the seed slices in SQL (the
+    // engine bakes the same values as literals), codeword norms via
+    // list_dot_product(cv,cv) ≡ the engine's left-to-right normSq
+    // fold, every assignment/table/score comparison an integer
+    "sim_ann_pq" ->
+      s"""WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |ms AS (SELECT unnest(range(0, $PqSubspaces)) AS m),
+         |cbv AS (
+         |  SELECT ms.m, s.vec_id - $NumQueries AS c,
+         |    s.v[ms.m*$PqSubDim+1 : ms.m*$PqSubDim+$PqSubDim] AS cv
+         |  FROM ms CROSS JOIN (
+         |    SELECT vec_id, v FROM ev
+         |    WHERE vec_id >= $NumQueries AND vec_id < ${NumQueries + NumCentroids}) s
+         |),
+         |cb AS (SELECT m, c, cv, list_dot_product(cv, cv) AS cc FROM cbv),
+         |dist AS (
+         |  SELECT e.vec_id, cb.m, cb.c,
+         |    CAST(floor((cb.cc - 2.0 *
+         |      list_dot_product(e.v[cb.m*$PqSubDim+1 : cb.m*$PqSubDim+$PqSubDim], cb.cv))
+         |      * ${ScoreScale.toLong}.0) AS BIGINT) AS dq
+         |  FROM ev e CROSS JOIN cb
+         |),
+         |codes AS (
+         |  SELECT vec_id, m, c AS code FROM (
+         |    SELECT vec_id, m, c,
+         |      row_number() OVER (PARTITION BY vec_id, m ORDER BY dq ASC, c ASC) AS rn
+         |    FROM dist) t WHERE rn = 1
+         |),
+         |tab AS (
+         |  SELECT q.vec_id AS query_id, cb.m, cb.c,
+         |    CAST(floor(
+         |      list_dot_product(q.v[cb.m*$PqSubDim+1 : cb.m*$PqSubDim+$PqSubDim], cb.cv)
+         |      * ${ScoreScale.toLong}.0) AS BIGINT) AS t
+         |  FROM ev q CROSS JOIN cb WHERE q.vec_id < $NumQueries
+         |),
+         |sc AS (
+         |  SELECT tab.query_id, c.vec_id, CAST(sum(tab.t) AS BIGINT) AS score_q
+         |  FROM codes c JOIN tab ON tab.m = c.m AND tab.c = c.code
+         |  GROUP BY tab.query_id, c.vec_id
+         |)
+         |SELECT query_id, rk, vec_id, score_q FROM (
+         |  SELECT query_id, vec_id, score_q,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score_q DESC, vec_id ASC) AS rk
+         |  FROM sc WHERE vec_id <> query_id) t
+         |WHERE rk <= $TopK
+         |ORDER BY query_id, rk""".stripMargin,
     // the fitted assignment + qc mirrored through the shared fit
     // prefix; the drop rule is pure integer comparisons (qc and the
     // pair score both floor-quantized LONGs — the kmeans parity
