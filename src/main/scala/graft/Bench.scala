@@ -67,6 +67,10 @@ object Bench {
     "dedup_incremental",
     // tf-idf top-k: tf shuffle-agg + term-window df + per-doc rank
     "text_tfidf_topk",
+    // PQ/ADC: subvector codebook fit + 4-byte code scan — a genuinely
+    // different scan shape from the IVF queries (table-lookup distance
+    // over compressed codes, not float dot products over raw vectors)
+    "sim_ann_pq",
   )
 
   /** Aggregates per-stage task metrics between reset() and snapshot(). */

@@ -717,7 +717,7 @@ object Similarity {
          |    >= $SemDedupTauQ
          |)
          |SELECT cell, vec_id, qc FROM assign
-         |WHERE vec_id NOT IN (SELECT vec_id FROM drops)
+         |WHERE NOT EXISTS (SELECT 1 FROM drops d WHERE d.vec_id = assign.vec_id)
          |ORDER BY cell, vec_id""".stripMargin,
     "sim_ann_ivf" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),

@@ -396,7 +396,7 @@ class StreamingSpec extends AnyFunSuite {
     // (keep_p < 1 ⇒ q_keep < 2^20), low-resource de kept whole
     val qk = got.map(r => r._1 -> r._4).toMap
     assert(qk("de") === (1L << 20), s"low-resource lang must keep all, got $qk")
-    assert(qk.get("en").forall(_ < (1L << 20)), s"high-resource lang must downsample, got $qk")
+    assert(qk("en") < (1L << 20), s"high-resource lang must downsample, got $qk")
   }
 
   test("eventsStream scopes the nanosAsLong flag: restored after, stream still runs") {
