@@ -63,8 +63,9 @@ object Bench {
     // centroid keep
     "dedup_semantic",
     // incremental snapshot dedup: delta group-agg anti-joined against
-    // the prior hash index
-    "dedup_incremental",
+    // the prior hash index; the bloom variant gates the anti-join behind
+    // a scalar-subquery sketch probe (the 100 TB shape)
+    "dedup_incremental", "dedup_incremental_bloom",
     // tf-idf top-k: tf shuffle-agg + term-window df + per-doc rank
     "text_tfidf_topk",
     // PQ/ADC: subvector codebook fit + 4-byte code scan — a genuinely

@@ -114,6 +114,60 @@ object Dedup {
       .orderBy($"h")
   }
 
+  /** Bloom sizing for [[dedupIncrementalBloom]]: 2²⁰ expected items over
+    * 2²³ bits = 8 bits/item ≈ 2% false-positive rate. Sized for the
+    * workload tier, not the test corpus — correctness never depends on
+    * it (false positives just take the exact-confirm path). */
+  final val BloomItems: Long = 1L << 20
+  final val BloomBits: Long = 1L << 23
+
+  /** [[dedupIncremental]] with a BLOOM-FILTER prefilter — the shape that
+    * wins at 100 TB: the prior corpus's hash index is folded into one
+    * ~1 MB Bloom sketch by a scalar subquery (the same ScalarSubquery +
+    * BloomFilterMightContain machinery Spark's own runtime-filter
+    * injection uses), and every fresh group whose hash the sketch
+    * definitely hasn't seen is emitted WITHOUT touching the anti-join —
+    * only the ~2% maybe-duplicate sliver (true dups + Bloom false
+    * positives) shuffles against the full index for the exact confirm.
+    * Result ≡ [[dedupIncremental]] by construction (the Bloom gate is
+    * sound on "definitely not present"; the exact anti-join settles the
+    * rest), so it shares that oracle. At cluster scale the index side of
+    * the confirm join stays bucketed on disk; the delta side that
+    * reaches it is two orders of magnitude smaller than the crawl. */
+  def dedupIncrementalBloom(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    dedupIncrementalBloomOn(
+      docs.filter(pmod($"doc_id", lit(SnapshotMod)) < SnapshotNewMin),
+      docs.filter(pmod($"doc_id", lit(SnapshotMod)) >= SnapshotNewMin))
+  }
+
+  /** The transform of [[dedupIncrementalBloom]] over any (prior, fresh)
+    * pair of (doc_id, text) frames (spec entry point). */
+  private[graft] def dedupIncrementalBloomOn(prior: DataFrame, fresh: DataFrame): DataFrame = {
+    val spark = prior.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.graftshim.Shim
+    // The sketch subquery: no distinct — Bloom insertion is idempotent,
+    // so the agg is one pass over the prior hashes with a 1-row merge
+    // (cheaper than the distinct the exact index needs).
+    val bloom = prior
+      .select(xxhash64(md5($"text")).as("hl"))
+      .agg(Shim.bloomFilterAgg($"hl", BloomItems, BloomBits).as("bf"))
+    val mightBeDup =
+      Shim.bloomMightContain(Shim.scalarSubquery(bloom), xxhash64($"h"))
+    val grouped = fresh.select(md5($"text").as("h"), $"doc_id")
+      .groupBy($"h")
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_new"))
+    val index = prior.select(md5($"text").as("h")).distinct()
+    // Certainly-novel groups skip the join entirely; the maybe sliver
+    // takes the exact anti-join. The two branches share the grouped-agg
+    // subtree (identical up to the filter), so its exchange is reused.
+    grouped.filter(!mightBeDup)
+      .union(grouped.filter(mightBeDup).join(index, Seq("h"), "left_anti"))
+      .orderBy($"h")
+  }
+
   /** Exact dedup on the bag-of-words canonical form (sorted token list) —
     * catches reordered-but-identical-content docs. */
   def dedupExactBow(spark: SparkSession, sfDir: String): DataFrame = {
@@ -968,6 +1022,7 @@ object Dedup {
     "dedup_exact" -> dedupExact,
     "dedup_exact_bow" -> dedupExactBow,
     "dedup_incremental" -> dedupIncremental,
+    "dedup_incremental_bloom" -> dedupIncrementalBloom,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_containment" -> dedupContainment,
     "dedup_minhash_lsh" -> dedupMinHashLsh,
@@ -983,6 +1038,22 @@ object Dedup {
   )
 
   private[graft] val exactJaccardSql = exactJaccardSqlFrom("documents")
+
+  /** Shared oracle for BOTH incremental forms (plain and Bloom-gated) —
+    * the sketch must be output-invisible. */
+  private val incrementalSql: String =
+    s"""WITH idx AS (
+      |  SELECT DISTINCT md5(text) AS h FROM documents
+      |  WHERE doc_id % $SnapshotMod < $SnapshotNewMin
+      |),
+      |nw AS (
+      |  SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_new
+      |  FROM documents WHERE doc_id % $SnapshotMod >= $SnapshotNewMin
+      |  GROUP BY md5(text)
+      |)
+      |SELECT h, keep_id, n_new FROM nw
+      |WHERE NOT EXISTS (SELECT 1 FROM idx WHERE idx.h = nw.h)
+      |ORDER BY h""".stripMargin
 
   /** The UNCAPPED exact-Jaccard pair oracle over any (doc_id, text)
     * source relation — the recall check every MinHash path is held to
@@ -1161,19 +1232,12 @@ object Dedup {
     // NOT EXISTS, not NOT IN: same anti-join semantics as the engine
     // regardless of SQL null quirks (h is never null here, but the
     // form should not depend on it)
-    "dedup_incremental" ->
-      s"""WITH idx AS (
-        |  SELECT DISTINCT md5(text) AS h FROM documents
-        |  WHERE doc_id % $SnapshotMod < $SnapshotNewMin
-        |),
-        |nw AS (
-        |  SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_new
-        |  FROM documents WHERE doc_id % $SnapshotMod >= $SnapshotNewMin
-        |  GROUP BY md5(text)
-        |)
-        |SELECT h, keep_id, n_new FROM nw
-        |WHERE NOT EXISTS (SELECT 1 FROM idx WHERE idx.h = nw.h)
-        |ORDER BY h""".stripMargin,
+    "dedup_incremental" -> incrementalSql,
+    // the Bloom prefilter is sound on its "definitely novel" verdict and
+    // every maybe goes through the exact confirm, so the result is the
+    // plain incremental one — sharing the oracle IS the correctness
+    // claim (the sketch is invisible to the output)
+    "dedup_incremental_bloom" -> incrementalSql,
     "dedup_ngram_jaccard" -> cappedJaccardSql,
     "dedup_containment" -> containmentSql,
     "dedup_simhash_pairs" -> simhashPairsSqlAt(MaxPairHamming),

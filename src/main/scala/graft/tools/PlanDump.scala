@@ -65,6 +65,8 @@ object PlanDump {
       "Language mixture sampling: ONE corpus-sized exchange (the explicit doc_id repartition) replayed by BOTH consumers — the per-language token totals and the keep gate — as a ReusedExchange; the L-row probability table (languages, not documents) broadcasts back into the gate join, and the output agg rides the same partitioning. The hash gate is per-row map work; nothing document-sized shuffles twice.",
     "dedup_semantic" ->
       "SemDeDup: the Lloyd fit is the bounded once-per-corpus cost (sim_ann_ivf_kmeans' shape); assignment + centroid similarity are per-row map work against baked literals; ONE embeddings scan total — the left-outer witness join's both sides replay the same cell exchange (ReusedExchange; the keep is a count(witness)==0 agg, NOT an anti-join, because PushDownLeftSemiAntiJoin would relocate an anti-join below the repartition and un-share its scan) — and the pair space is Σ n_c² with the cell count sized to the corpus, which is the paper's entire scaling argument (the clusters ARE the index).",
+    "dedup_incremental_bloom" ->
+      "Bloom-gated incremental dedup: the prior index folds into ONE bounded sketch via a scalar subquery (planned once, ReuseSubquery-deduped across both branch filters); certainly-novel delta groups exit through a filter-only branch while only the maybe sliver (true dups + ~2% false positives) anti-joins the exact hash index — at 100 TB the index-side join input is two orders of magnitude under the crawl.",
     "dedup_kept_clusters" ->
       "Cluster-based keep: the fused union pair search replays ONE shingle-expansion exchange and verifies both edge types in one pass; the CC loop iterates on checkpointed pair-node-sized label tables with the symmetrized edge frame checkpointed pre-partitioned on the join key — each round joins with NO edge-side exchange (the loop below shows only the final semi-join of documents against the representative set; the iterations are O(log diameter) equi-join+min-agg rounds on byte-sized frames).",
     "stream_dedup_chunks_ngram" ->

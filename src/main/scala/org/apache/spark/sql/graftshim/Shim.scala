@@ -1,7 +1,8 @@
 package org.apache.spark.sql.graftshim
 
-import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, Literal, ScalarSubquery}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.classic.ExpressionUtils
 
 /** Bridge into `private[sql]` Spark internals (the standard pattern for
@@ -19,6 +20,30 @@ object Shim {
 
   /** Extract the analyzed catalyst Expression backing a Column. */
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Wrap a one-row one-column DataFrame as a scalar subquery expression —
+    * the form Spark's own runtime-filter injection uses to ship a
+    * driver-computed value (e.g. a Bloom filter) into a filter predicate
+    * without a user-visible join. The plan executes once per query
+    * (ReuseSubquery dedups repeated references). */
+  def scalarSubquery(df: DataFrame): Column =
+    ExpressionUtils.column(ScalarSubquery(
+      df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].queryExecution.analyzed))
+
+  /** `bloom_filter_agg` over a LONG column (pre-hash with xxhash64, the
+    * same contract as Spark's InjectRuntimeFilter). Returns the one-row
+    * binary sketch; sized for `numItems` expected insertions over
+    * `numBits` bits. */
+  def bloomFilterAgg(child: Column, numItems: Long, numBits: Long): Column =
+    ExpressionUtils.column(new BloomFilterAggregate(
+      ExpressionUtils.expression(child),
+      Literal(numItems), Literal(numBits)).toAggregateExpression())
+
+  /** `might_contain(bloom, xxhash64-value)` — bloom must be a constant or
+    * scalar-subquery column (see [[scalarSubquery]]); value must be LONG. */
+  def bloomMightContain(bloom: Column, value: Column): Column =
+    ExpressionUtils.column(BloomFilterMightContain(
+      ExpressionUtils.expression(bloom), ExpressionUtils.expression(value)))
 
   /** Register a catalyst expression builder as a SQL temp function on this
     * session (so `spark.sql("... normalize_word(x) ...")` also works). */

@@ -427,6 +427,25 @@ class DedupSpec extends AnyFunSuite {
       s"expected novel C (kept 9, 2 copies) and D only, got ${got.toSeq}")
   }
 
+  test("bloom-gated incremental dedup ≡ exact form, and the plan carries the sketch probe") {
+    import spark.implicits._
+    // 50 prior docs, 40 certainly-novel fresh docs (the bloom fast path),
+    // 2 true cross-snapshot dups (maybe path -> confirmed dup), and one
+    // internal fresh dup (keep-min within the delta).
+    val prior = (0L until 50L).map(i => (i, s"prior doc $i")).toDF("doc_id", "text")
+    val fresh = ((100L until 140L).map(i => (i, s"fresh doc $i")) ++ Seq(
+      (200L, "prior doc 7"), (201L, "prior doc 23"),
+      (202L, "fresh doc 100"))).toDF("doc_id", "text")
+    val bloomed = Dedup.dedupIncrementalBloomOn(prior, fresh)
+    val exact = Dedup.dedupIncrementalOn(prior, fresh)
+    assert(bloomed.collect().toSeq === exact.collect().toSeq)
+    assert(bloomed.select("keep_id").as[Long].collect().toSet
+      === ((100L until 140L).toSet), "exactly the novel delta survives")
+    val plan = bloomed.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"bloom probe missing from the physical plan:\n$plan")
+  }
+
   test("exact dedup partitions all documents (sum of group sizes = row count)") {
     val total = graft.sources.Tables.documents(spark, sf).count()
     val groups = Dedup.dedupExact(spark, sf)
