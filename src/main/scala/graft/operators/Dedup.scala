@@ -154,8 +154,15 @@ object Dedup {
     val bloom = prior
       .select(xxhash64(md5($"text")).as("hl"))
       .agg(Shim.bloomFilterAgg($"hl", BloomItems, BloomBits).as("bf"))
-    val mightBeDup =
-      Shim.bloomMightContain(Shim.scalarSubquery(bloom), xxhash64($"h"))
+    // BloomFilterAggregate over an EMPTY prior returns NULL, so
+    // might_contain is NULL and both filter(gate) and filter(!gate)
+    // would drop every row. coalesce(…, true) routes the empty-prior
+    // case entirely through the exact anti-join (correct, merely
+    // un-accelerated), preserving Result ≡ dedupIncremental for all
+    // inputs, not just non-empty priors.
+    val mightBeDup = coalesce(
+      Shim.bloomMightContain(Shim.scalarSubquery(bloom), xxhash64($"h")),
+      lit(true))
     val grouped = fresh.select(md5($"text").as("h"), $"doc_id")
       .groupBy($"h")
       .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_new"))

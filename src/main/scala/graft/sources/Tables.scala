@@ -38,7 +38,29 @@ object Tables {
     df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
-  /** events.parquet stores `ts` as INT64 TIMESTAMP(NANOS), which Spark's
+  /** Normalize whatever physical encoding the events `ts` column arrived
+    * in to the session TimestampType every downstream consumer expects.
+    * The testdata generator has shipped two encodings across rounds —
+    * INT64 TIMESTAMP(NANOS) (surfaced as LongType under `nanosAsLong`)
+    * and INT64 TIMESTAMP_MICROS with isAdjustedToUTC=0 (surfaced as
+    * TimestampNTZType) — so the loader sniffs the inferred schema
+    * instead of hard-assuming one form. Under the project-wide UTC
+    * session timezone the NTZ→LTZ cast is value-preserving, so all
+    * encodings hash identically against the DuckDB oracle
+    * (EventsEncodingSpec pins every branch). */
+  private[graft] def normalizeEventsTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case LongType          => nanosToTimestamp(df)          // NANOS-as-long
+      case TimestampType     => df                            // already µs LTZ
+      case TimestampNTZType  => df.withColumn("ts", col("ts").cast(TimestampType))
+      case other => throw new IllegalArgumentException(
+        s"events.ts has unsupported type $other (expected INT64 NANOS, TIMESTAMP, or TIMESTAMP_NTZ)")
+    }
+  }
+
+  /** events.parquet may store `ts` as INT64 TIMESTAMP(NANOS), which Spark's
     * parquet reader rejects. `nanosAsLong` is a session-global legacy
     * flag (no per-read option exists), so it is set ONLY for the scope of
     * the schema-inference call and restored after: the flag is consulted
@@ -46,12 +68,14 @@ object Tables {
     * (measured — actions on the returned frame, including materializing
     * the ts column, run fine after restore), so the scoped form keeps the
     * frame valid without leaking a session-global behavior change to
-    * every later NANOS read on the session (TablesSpec pins both). */
+    * every later NANOS read on the session (TablesSpec pins both). For
+    * non-NANOS footers the flag is a no-op and `normalizeEventsTs`
+    * handles the encoding it finds. */
   def events(s: SparkSession, d: String): DataFrame = {
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     val prev = s.conf.getOption(key)
     s.conf.set(key, "true")
-    try nanosToTimestamp(load(s, d, "events"))
+    try normalizeEventsTs(load(s, d, "events"))
     finally prev match {
       case Some(v) => s.conf.set(key, v)
       case None => s.conf.unset(key)

@@ -46,9 +46,10 @@ object Streaming {
     try {
       val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
       // file stream sources take a directory; select the one table via glob.
-      // ns→µs conversion shared with the batch path (integer division —
-      // see Tables.nanosToTimestamp).
-      graft.sources.Tables.nanosToTimestamp(
+      // ts encoding normalization shared with the batch path — sniffs the
+      // inferred schema, so NANOS-as-long, TIMESTAMP, and TIMESTAMP_NTZ
+      // testdata all stream identically (see Tables.normalizeEventsTs).
+      graft.sources.Tables.normalizeEventsTs(
         spark.readStream.schema(schema)
           .option("pathGlobFilter", "events.parquet").parquet(sfDir))
     } finally prev match {

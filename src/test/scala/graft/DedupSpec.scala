@@ -446,6 +446,19 @@ class DedupSpec extends AnyFunSuite {
       s"bloom probe missing from the physical plan:\n$plan")
   }
 
+  test("bloom-gated incremental dedup survives an EMPTY prior (NULL sketch routes to exact path)") {
+    import spark.implicits._
+    // BloomFilterAggregate over zero rows returns NULL; an un-guarded
+    // gate would drop every fresh group on BOTH branches. The coalesce
+    // guard must route everything through the exact anti-join instead.
+    val prior = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val fresh = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("doc_id", "text")
+    val bloomed = Dedup.dedupIncrementalBloomOn(prior, fresh)
+    val exact = Dedup.dedupIncrementalOn(prior, fresh)
+    assert(bloomed.collect().toSeq === exact.collect().toSeq)
+    assert(bloomed.count() === 2L, "all fresh groups must survive an empty prior")
+  }
+
   test("exact dedup partitions all documents (sum of group sizes = row count)") {
     val total = graft.sources.Tables.documents(spark, sf).count()
     val groups = Dedup.dedupExact(spark, sf)
