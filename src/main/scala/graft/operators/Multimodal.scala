@@ -198,12 +198,14 @@ object Multimodal {
   def mmFrames(spark: SparkSession, sfDir: String): DataFrame =
     mediaFrameSample(spark, sfDir)
 
-  private val realFeatureSchema = StructType(Seq(
-    StructField("doc_id", LongType, nullable = false),
-    StructField("width", IntegerType, nullable = false),
-    StructField("height", IntegerType, nullable = false),
-    StructField("f0", DoubleType, nullable = false),
-    StructField("feature_sum", DoubleType, nullable = false)))
+  private val realFeatureSchema = StructType(
+    Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false)) ++
+    (0 until FeatureDim).map(b =>
+      StructField(s"f$b", DoubleType, nullable = false)) :+
+    StructField("feature_sum", DoubleType, nullable = false))
 
   /** The REAL end of the decode contract [[decodeStub]] stubs: each doc
     * becomes a genuine PNG binary payload and the feature extractor
@@ -211,10 +213,13 @@ object Multimodal {
     * defilter) before histogramming the raster — the full
     * encode-at-rest → decode-in-pipeline shape a multimodal training
     * pipeline has, in the same batched mapPartitions form (per-
-    * partition init point, rows streamed, no shuffle). Not
-    * SQL-expressible, so rows-only in the driver gate; the
-    * encode→decode→histogram algebra is pinned by MultimodalSpec's
-    * differential test against directly-computed pixels instead. */
+    * partition init point, rows streamed, no shuffle). Emits the FULL
+    * 16-bin luminance histogram: the DuckDB oracle recomputes every bin
+    * from first principles (the raster is the text bytes tiled mod
+    * length — see encodePng), so Spark's codec round-trip is
+    * cross-checked bit-for-bit by an engine that never touches a PNG;
+    * MultimodalSpec's differential test pins the same algebra against
+    * directly-computed pixels. */
   def mmFeaturesReal(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
     val out = docs.rdd.mapPartitions { rows =>
@@ -230,7 +235,10 @@ object Multimodal {
         var sum = 0.0
         var b = 0
         while (b < FeatureDim) { sum += hist(b); b += 1 }
-        Row(r.getLong(0), w, h, hist(0).toDouble, sum)
+        // Seq[Any] (not inferred): weak conformance would widen the Int
+        // width/height to Long and break the IntegerType row encoder
+        Row.fromSeq(Seq[Any](r.getLong(0), w, h) ++
+          (0 until FeatureDim).map(hist(_).toDouble) :+ sum)
       }
     }
     spark.createDataFrame(out, realFeatureSchema).orderBy("doc_id")
@@ -281,6 +289,37 @@ object Multimodal {
         |  ${buckets.head} AS f0,
         |  $sumChain AS feature_sum
         |FROM codes ORDER BY doc_id""".stripMargin
+    },
+    // First-principles mirror of the REAL codec round-trip: encodePng
+    // tiles the text bytes into a 16×12 grayscale raster (pixel k =
+    // byte[k mod len], 0 for empty docs) and decodePngHistogram buckets
+    // each pixel at lum·16/256 = lum // 16, normalizing by the float32
+    // division count/192f. DuckDB recomputes every bin from the text
+    // WITHOUT any PNG — a cross-engine check of the whole
+    // encode→inflate→defilter→histogram path, not a replay of its
+    // output. ascii(char) == byte on the verified-ASCII corpus (same
+    // precondition mm_features already relies on).
+    "mm_features_real" -> {
+      val bins = (0 until FeatureDim).map { b =>
+        s"(len(list_filter(ps, p -> p // 16 = $b))::FLOAT / 192.0::FLOAT)::DOUBLE"
+      }
+      val sumChain = bins.foldLeft("0.0::DOUBLE")((acc, h) => s"($acc + $h)")
+      val binCols = bins.zipWithIndex
+        .map { case (e, b) => s"  $e AS f$b," }.mkString("\n")
+      s"""WITH px AS (
+        |  SELECT doc_id,
+        |    CASE WHEN octet_length(encode(text)) = 0
+        |      THEN [0 for k in range(0, ${PngW * PngH})]
+        |      ELSE [ascii(text[(k % octet_length(encode(text))) + 1 :
+        |                       (k % octet_length(encode(text))) + 1])
+        |            for k in range(0, ${PngW * PngH})]
+        |    END AS ps
+        |  FROM documents
+        |)
+        |SELECT doc_id, CAST($PngW AS INT) AS width, CAST($PngH AS INT) AS height,
+        |$binCols
+        |  $sumChain AS feature_sum
+        |FROM px ORDER BY doc_id""".stripMargin
     },
   )
 }

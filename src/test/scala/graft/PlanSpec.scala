@@ -102,6 +102,50 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ReusedExchange"), p.take(1200))
   }
 
+  test("bloom incremental: novel branch join-free, one sketch build, probe at the scan") {
+    // the 100 TB contract of dedupIncrementalBloom: certainly-novel
+    // groups must flow scan→filter→agg with NO join anywhere (one join
+    // total = the maybe-sliver's anti-join), the Bloom probe must reach
+    // the scan's data filters (rows drop before the shuffle), and the
+    // sketch subquery must be built once (all probes share one exchange).
+    // Parquet-backed fixture WITH cross-snapshot dups: at sf0.001 the
+    // maybe branch is empty and AQE's empty-relation propagation deletes
+    // the anti-join outright (good at scale, but it would un-pin this).
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bloom_plan").toFile
+    dir.deleteOnExit()
+    (0L until 200L).map(i => (i, s"prior doc $i")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/prior")
+    ((1000L until 1040L).map(i => (i, s"fresh doc $i")) ++
+      Seq((2000L, "prior doc 7"), (2001L, "prior doc 23")))
+      .toDF("doc_id", "text").write.parquet(s"$dir/fresh")
+    // AQE off for THIS plan render only: the staged form interleaves
+    // nested "Initial Plan" sections that defeat string assertions (and
+    // at runtime AQE may legitimately delete an empty maybe-branch join
+    // — the static shape is what this test pins)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val p =
+      try plan(Dedup.dedupIncrementalBloomOn(
+        spark.read.parquet(s"$dir/prior"), spark.read.parquet(s"$dir/fresh")))
+      finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    val joins = "Join".r.findAllIn(p).size
+    assert(joins == 1,
+      s"expected exactly one join (the maybe-branch anti-join), got $joins\n${p.take(1500)}")
+    assert(p.contains("might_contain"), p.take(800))
+    // probe pushed into the scan: DataFilters on the fresh-side FileScan
+    // carry the might_contain predicate
+    assert("DataFilters: \\[[^\\]]*might_contain".r.findFirstIn(p).isDefined,
+      s"bloom probe not pushed to the scan's DataFilters\n${p.take(1500)}")
+    // one physical sketch build: every rendered Subquery instance points
+    // at the SAME SinglePartition exchange (subquery/exchange reuse) —
+    // count distinct plan_ids among the sketch-side exchanges
+    val sketchExchanges = "Exchange SinglePartition[^\\[]*\\[plan_id=(\\d+)\\]".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(sketchExchanges.size == 1,
+      s"sketch built ${sketchExchanges.size} times (distinct exchanges $sketchExchanges)")
+  }
+
   test("AQE splits a planted hot key in a sort-merge join (skew=true)") {
     // the skew-join mitigation SCALING.md relies on for hot join keys at
     // 100 TB, demonstrated end-to-end: one key carrying ~100× the rows
