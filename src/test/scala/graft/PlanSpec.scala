@@ -102,6 +102,30 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ReusedExchange"), p.take(1200))
   }
 
+  test("events: ts range predicate pushes through the encoding normalization into the scan") {
+    // the 100 TB contract of the events loader: a time-range filter must
+    // reach the parquet scan (PushedFilters), or every event query scans
+    // the full log. With native-timestamp testdata (MICROS/NTZ) the
+    // NTZ→LTZ cast is unwrapped by Catalyst under the UTC session and ts
+    // pushes down; with NANOS-as-long data the column is computed
+    // (div 1000) and pushdown is structurally impossible — assert only
+    // when the footer carries a native timestamp.
+    import org.apache.spark.sql.functions.{col, lit}
+    val nativeTs = scala.util.Try(
+      spark.read.parquet(s"$sf/events.parquet").schema("ts").dataType)
+      .toOption.exists {
+        case org.apache.spark.sql.types.TimestampType => true
+        case org.apache.spark.sql.types.TimestampNTZType => true
+        case _ => false
+      }
+    assume(nativeTs, "testdata is NANOS-encoded; ts pushdown not expressible")
+    val ev = graft.sources.Tables.events(spark, sf)
+      .filter(col("ts") >= lit("2024-01-02 00:00:00").cast("timestamp"))
+    val p = plan(ev)
+    assert("PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(ts".r.findFirstIn(p).isDefined,
+      s"ts range predicate did not reach the scan:\n${p.take(1200)}")
+  }
+
   test("bloom incremental: novel branch join-free, one sketch build, probe at the scan") {
     // the 100 TB contract of dedupIncrementalBloom: certainly-novel
     // groups must flow scan→filter→agg with NO join anywhere (one join
