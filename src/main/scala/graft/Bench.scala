@@ -66,6 +66,10 @@ object Bench {
     // the prior hash index; the bloom variant gates the anti-join behind
     // a scalar-subquery sketch probe (the 100 TB shape)
     "dedup_incremental", "dedup_incremental_bloom",
+    // incremental NEAR-dup: the delta's band signatures probe the prior
+    // corpus's band index — pair space |delta| × collisions, prior
+    // never self-pairs
+    "dedup_minhash_incremental",
     // tf-idf top-k: tf shuffle-agg + term-window df + per-doc rank
     "text_tfidf_topk",
     // PQ/ADC: subvector codebook fit + 4-byte code scan — a genuinely

@@ -400,6 +400,69 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** Incremental MinHash-LSH near-dup: a fresh crawl delta probed
+    * against the PRIOR corpus's band index — the production dedup shape
+    * at 100 TB (every new snapshot is checked against the existing
+    * corpus; the corpus is never re-paired against itself). Candidate
+    * generation is the (band, band-hash) equi-join of the DELTA's
+    * signatures against the prior side only, so the pair space is
+    * |delta| × collisions and completely independent of prior × prior —
+    * at scale the prior index is a write-once bucketed artifact (bucket
+    * by (band, bh): appending a snapshot's signatures is a bucket-local
+    * write, and this probe join is shuffle-free on the index side),
+    * while the delta side is two orders of magnitude smaller than the
+    * corpus. Verification is the same exact-Jaccard merge-walk over the
+    * shared shingle arrays as [[dedupMinHashLsh]], so recall holds to
+    * the same exact-pair oracle (restricted to cross-snapshot pairs). */
+  def dedupMinHashIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    dedupMinHashIncrementalOn(
+      docs.filter(pmod($"doc_id", lit(SnapshotMod)) < SnapshotNewMin),
+      docs.filter(pmod($"doc_id", lit(SnapshotMod)) >= SnapshotNewMin))
+  }
+
+  /** The transform of [[dedupMinHashIncremental]] over any (prior,
+    * fresh) pair of (doc_id, text) frames (spec entry point). Output:
+    * (doc_a = prior id, doc_b = fresh id, jaccard) per confirmed
+    * cross-snapshot near-dup pair. */
+  private[graft] def dedupMinHashIncrementalOn(
+      prior: DataFrame, fresh: DataFrame): DataFrame = {
+    val spark = prior.sparkSession
+    import spark.implicits._
+    // the explicit isnotnull matters: the verify join infers
+    // isnotnull(doc_id) on its branch but the banding branch (no doc_id
+    // predicate in the cross-snapshot candidate join) does not — without
+    // carrying the constraint in the SHARED subtree the two branches
+    // de-canonicalize and the scan + shingle expansion run twice per
+    // side (the same reuse hazard dedupMinHashLsh documents; there the
+    // a.doc_id < b.doc_id self-join condition supplies it for free)
+    def hashedOf(df: DataFrame): DataFrame = df
+      .filter($"doc_id".isNotNull)
+      .repartition(spark.sparkContext.defaultParallelism, $"doc_id")
+      .select($"doc_id", graft.functions.ShingleXxh64($"text").as("hv"))
+      .filter(size($"hv") > 0)
+    def bandedOf(hashed: DataFrame): DataFrame = hashed.select($"doc_id",
+      posexplode(graft.functions.MinHashBandHashes($"hv")).as(Seq("band", "bh")))
+    val hp = hashedOf(prior)
+    val hf = hashedOf(fresh)
+    // cross-snapshot candidates ONLY: prior bands on the left, delta
+    // bands on the right — no a.doc_id < b.doc_id self-pairing games,
+    // the slices are disjoint by construction
+    val candidates = bandedOf(hp).as("a").join(bandedOf(hf).as("b"),
+        $"a.band" === $"b.band" && $"a.bh" === $"b.bh")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .distinct()
+    candidates.as("cd")
+      .join(hp.as("sa"), $"cd.doc_a" === $"sa.doc_id")
+      .join(hf.as("sb"), $"cd.doc_b" === $"sb.doc_id")
+      .select($"cd.doc_a".as("doc_a"), $"cd.doc_b".as("doc_b"),
+        graft.functions.SetJaccardSorted($"sa.hv", $"sb.hv").as("jacc"))
+      .filter($"jacc" >= JaccardThreshold)
+      .select($"doc_a", $"doc_b", round($"jacc", 3).as("jaccard"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   /** The dedup *result*: documents kept after dropping the higher doc_id
     * of every confirmed near-duplicate pair. */
   def dedupKept(spark: SparkSession, sfDir: String): DataFrame = {
@@ -1033,6 +1096,7 @@ object Dedup {
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_containment" -> dedupContainment,
     "dedup_minhash_lsh" -> dedupMinHashLsh,
+    "dedup_minhash_incremental" -> dedupMinHashIncremental,
     "dedup_kept" -> dedupKept,
     "dedup_simhash" -> dedupSimHash,
     "dedup_simhash_pairs" -> dedupSimHashPairs,
@@ -1262,6 +1326,32 @@ object Dedup {
     // so it shares the UNCAPPED exact-Jaccard oracle — a genuine recall
     // check, independent of the inverted-index DF cap.
     "dedup_minhash_lsh" -> exactJaccardSql,
+    // Same UNCAPPED exact oracle, restricted to cross-snapshot pairs
+    // (prior slice on the left, delta on the right) — the band index
+    // probe must recover every prior×fresh pair at the planted
+    // similarity levels, same recall argument as the full variant.
+    "dedup_minhash_incremental" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)])) s
+        |  FROM toks WHERE len(t) >= 3
+        |),
+        |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+        |common AS (
+        |  SELECT a.doc_id ai, b.doc_id bi, count(*) c
+        |  FROM sh a JOIN sh b ON a.s = b.s
+        |  WHERE a.doc_id % $SnapshotMod < $SnapshotNewMin
+        |    AND b.doc_id % $SnapshotMod >= $SnapshotNewMin
+        |  GROUP BY a.doc_id, b.doc_id
+        |)
+        |SELECT ai AS doc_a, bi AS doc_b,
+        |  round(c::DOUBLE / (na.n + nb.n - c), 3) AS jaccard
+        |FROM common
+        |JOIN sizes na ON ai = na.doc_id
+        |JOIN sizes nb ON bi = nb.doc_id
+        |WHERE c::DOUBLE / (na.n + nb.n - c) >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_kept" ->
       s"""WITH pairs AS ($cappedJaccardSql)
          |SELECT doc_id, lang, source FROM documents

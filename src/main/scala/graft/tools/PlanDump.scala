@@ -25,6 +25,8 @@ object PlanDump {
       "The reference pipeline: fused tokenize+normalize Generate directly over the scan, two-phase hash aggregation, wide `WholeStageCodegen` spans.",
     "dedup_minhash_lsh" ->
       "ONE documents scan: banding and verify share the expansion subtree via `ReusedExchange`; verify sides share one broadcast of the doc→hashes relation.",
+    "dedup_minhash_incremental" ->
+      "The 100 TB incremental shape: the delta's band signatures probe the prior corpus's band index (pair space = delta × collisions, prior never self-pairs); each side scans+shingles ONCE (explicit isnotnull keeps banding and verify branches canonically identical for stage reuse), and at scale the prior index is a write-once (band, bh)-bucketed artifact the probe joins without shuffling.",
     "dedup_simhash_pairs" ->
       "ONE scan + `ReusedExchange` between the DF-cap count-agg and the pair branches (constraint-inference hazard guarded by explicit isnotnull); exact-Hamming cut inside the band join.",
     "dedup_ngram_jaccard" ->

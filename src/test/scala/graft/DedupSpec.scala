@@ -446,6 +446,40 @@ class DedupSpec extends AnyFunSuite {
       s"bloom probe missing from the physical plan:\n$plan")
   }
 
+  test("incremental minhash finds cross-snapshot near-dups only (no delta-internal pairs)") {
+    import spark.implicits._
+    // prior has a planted near-dup of fresh doc 100 (one word changed in
+    // a long doc → J > 0.9); fresh docs 101/102 are near-dups of EACH
+    // OTHER but of nothing prior — they must NOT appear (delta-internal
+    // pairs are the full variant's job, not the incremental probe's)
+    val base = (0 until 60).map(i => s"tok$i").mkString(" ")
+    val prior = Seq(
+      (1L, base),
+      (2L, "completely unrelated content right here")).toDF("doc_id", "text")
+    val fresh = Seq(
+      (100L, base.replace("tok59", "changed")),
+      (101L, "another shared long passage " + base.replace("tok0", "x")),
+      (102L, "another shared long passage " + base.replace("tok0", "x"))
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupMinHashIncrementalOn(prior, fresh)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 100L)), s"planted cross-snapshot pair missed: $got")
+    assert(got.forall { case (a, b) => a < 100L && b >= 100L },
+      s"non-cross-snapshot pair leaked: $got")
+    assert(!got.exists { case (a, b) => a >= 100L },
+      s"delta-internal pair leaked: $got")
+  }
+
+  test("incremental minhash returns rows at sf0.001 and every pair crosses the snapshot split") {
+    val rows = Dedup.dedupMinHashIncremental(spark, sf).collect()
+    assert(rows.nonEmpty, "testdata should contain planted cross-snapshot near-dups")
+    rows.foreach { r =>
+      assert(r.getLong(0) % Dedup.SnapshotMod < Dedup.SnapshotNewMin, r.toString)
+      assert(r.getLong(1) % Dedup.SnapshotMod >= Dedup.SnapshotNewMin, r.toString)
+      assert(r.getDouble(2) >= 0.8, r.toString)
+    }
+  }
+
   test("bloom-gated incremental dedup survives an EMPTY prior (NULL sketch routes to exact path)") {
     import spark.implicits._
     // BloomFilterAggregate over zero rows returns NULL; an un-guarded

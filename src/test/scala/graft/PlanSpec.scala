@@ -82,6 +82,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ReusedExchange"), p.take(1200))
   }
 
+  test("incremental minhash: each snapshot side scans and shingles ONCE (exchange reuse)") {
+    // banding and verify both consume each side's shingle subtree; the
+    // explicit isnotnull(doc_id) in hashedOf keeps the branches
+    // canonically identical so AQE reuses each side's exchange — 2
+    // documents scans total (prior slice + delta slice), not 4
+    val p = finalPlan(Dedup.dedupMinHashIncremental(spark, sf))
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans <= 2,
+      s"expected at most 2 documents scans (one per snapshot side), got $scans\n${p.take(1200)}")
+  }
+
   test("winnow fingerprint: pure map + explode, single (range) exchange") {
     val p = finalPlan(TextAnalysis.textFingerprintWinnow(spark, sf))
     val exchanges = "Exchange".r.findAllIn(p).size
