@@ -349,11 +349,13 @@ object Streaming {
     * production form bounds it with the same EventTimeTimeout TTL as
     * [[runDedupStreamTTL]]; the bounded-replay harness needs neither
     * timeout nor watermark (NoTimeout, same as [[runDedupStream]]). */
-  private[graft] def runNearDupStream(docs: DataFrame): DataFrame = {
+  /** The per-band-cell banding projection shared by every stateful
+    * near-dup form: (band-cell key, doc_id, sorted shingle hashes). */
+  private def bandCells(docs: DataFrame)
+      : org.apache.spark.sql.Dataset[(String, Long, Array[Long])] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
-    val banded = docs
+    docs
       .filter($"doc_id".isNotNull) // same null discipline as the batch twin
       .select($"doc_id", graft.functions.ShingleXxh64($"text").as("hv"))
       .filter(size($"hv") > 0)
@@ -362,33 +364,46 @@ object Streaming {
       // one state key per band cell; band index folded into the key
       .select(concat_ws(":", $"band", $"bh").as("k"), $"doc_id", $"hv")
       .as[(String, Long, Array[Long])]
-    val pairs = banded.groupByKey(_._1)
-      .flatMapGroupsWithState[Seq[(Long, Array[Long])], (Long, Long, Double)](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) { (_, rows, state) =>
-          // ArrayBuffer, not `seen :+ x` on the state Seq: a hot band
-          // cell holds many residents, and an immutable append per
-          // arrival is O(n²) copying per invocation — the allocation
-          // pattern the bench box punishes
-          val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Long])]
-          state.getOption.foreach(seen ++= _)
-          val out = Seq.newBuilder[(Long, Long, Double)]
-          // doc_id order within the batch: the pair SET is order-
-          // independent (the later-processed side always sees the
-          // earlier one in `seen`), the sort just makes replay logs
-          // deterministic
-          rows.toSeq.sortBy(_._2).foreach { case (_, id, hv) =>
-            seen.foreach { case (oid, ohv) =>
-              if (oid != id) {
-                val j = graft.functions.SetJaccardImpl.jaccardSortedArrays(hv, ohv)
-                if (j >= graft.operators.Dedup.JaccardThreshold)
-                  out += ((math.min(id, oid), math.max(id, oid), j))
-              }
-            }
-            seen += ((id, hv))
-          }
-          state.update(seen.toSeq)
-          out.result().iterator
+  }
+
+  /** The band-cell state machine shared by [[runNearDupStream]] and the
+    * warm-start form: verify each arrival against the cell's residents,
+    * then admit it. */
+  private val nearDupCell: (String, Iterator[(String, Long, Array[Long])],
+      org.apache.spark.sql.streaming.GroupState[Seq[(Long, Array[Long])]])
+      => Iterator[(Long, Long, Double)] = { (_, rows, state) =>
+    // ArrayBuffer, not `seen :+ x` on the state Seq: a hot band
+    // cell holds many residents, and an immutable append per
+    // arrival is O(n²) copying per invocation — the allocation
+    // pattern the bench box punishes
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Long])]
+    state.getOption.foreach(seen ++= _)
+    val out = Seq.newBuilder[(Long, Long, Double)]
+    // doc_id order within the batch: the pair SET is order-
+    // independent (the later-processed side always sees the
+    // earlier one in `seen`), the sort just makes replay logs
+    // deterministic
+    rows.toSeq.sortBy(_._2).foreach { case (_, id, hv) =>
+      seen.foreach { case (oid, ohv) =>
+        if (oid != id) {
+          val j = graft.functions.SetJaccardImpl.jaccardSortedArrays(hv, ohv)
+          if (j >= graft.operators.Dedup.JaccardThreshold)
+            out += ((math.min(id, oid), math.max(id, oid), j))
         }
+      }
+      seen += ((id, hv))
+    }
+    state.update(seen.toSeq)
+    out.result().iterator
+  }
+
+  private[graft] def runNearDupStream(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val pairs = bandCells(docs).groupByKey(_._1)
+      .flatMapGroupsWithState[Seq[(Long, Array[Long])], (Long, Long, Double)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(nearDupCell)
       .toDF("doc_a", "doc_b", "jacc")
     runToMemory(pairs, "append")
       .groupBy($"doc_a", $"doc_b")
@@ -404,6 +419,50 @@ object Streaming {
     val docs = spark.readStream.schema(schema)
       .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
     runNearDupStream(docs)
+  }
+
+  /** Warm-start incremental near-dup: the PRIOR corpus's band index is
+    * computed in batch and handed to the stateful operator as INITIAL
+    * STATE (the `flatMapGroupsWithState` initialState API), then only
+    * the fresh delta streams through the same [[nearDupCell]] machine —
+    * the production restart shape: a long-lived dedup stream is
+    * re-deployed against an existing corpus without replaying 100 TB
+    * through the stream, because the state is bootstrapped from the
+    * batch-maintained index. Prior residents never pair with each other
+    * (initial-state-only cells are never invoked), so emissions are
+    * exactly the pairs with ≥ 1 fresh member: fresh × prior (the
+    * incremental probe) PLUS fresh × earlier-fresh (delta-internal) —
+    * the full incremental-dedup semantics, vs the cross-snapshot-only
+    * batch [[graft.operators.Dedup.dedupMinHashIncremental]]. Oracle:
+    * exact-Jaccard pairs restricted to ≥ 1 fresh member. At scale the
+    * initial-state load is a bucketed read of the index artifact, and
+    * per-batch cost is delta-sized — state is the same O(residents ×
+    * set size) as the unbounded form, bounded in production by the TTL
+    * twin's eviction. */
+  def streamDedupMinhashWarmstart(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import graft.operators.Dedup.{SnapshotMod, SnapshotNewMin}
+    val initial = bandCells(
+        graft.sources.Tables.documents(spark, sfDir)
+          .filter(pmod($"doc_id", lit(SnapshotMod)) < SnapshotNewMin))
+      .groupByKey(_._1)
+      // residents sorted by doc_id: the pair set is order-independent,
+      // the sort just makes the bootstrapped state deterministic
+      .mapGroups((k, it) => (k, it.map(t => (t._2, t._3)).toSeq.sortBy(_._1)))
+      .groupByKey(_._1).mapValues(_._2)
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val delta = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+      .filter(pmod($"doc_id", lit(SnapshotMod)) >= SnapshotNewMin)
+    val pairs = bandCells(delta).groupByKey(_._1)
+      .flatMapGroupsWithState[Seq[(Long, Array[Long])], (Long, Long, Double)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout, initial)(nearDupCell)
+      .toDF("doc_a", "doc_b", "jacc")
+    runToMemory(pairs, "append")
+      .groupBy($"doc_a", $"doc_b")
+      .agg(round(max($"jacc"), 3).as("jaccard"))
+      .orderBy($"doc_a", $"doc_b")
   }
 
   /** [[runNearDupStream]] with BOUNDED state — the near-dup twin of
@@ -881,6 +940,7 @@ object Streaming {
     "stream_dedup_ttl" -> streamDedupExactTTL,
     "stream_dedup_minhash" -> streamDedupMinhash,
     "stream_dedup_minhash_ttl" -> streamDedupMinhashTTL,
+    "stream_dedup_minhash_warmstart" -> streamDedupMinhashWarmstart,
     "stream_dedup_chunks_ngram" -> streamDedupChunksNgram,
     "stream_pipeline_samples" -> streamPipelineSamples,
     "stream_pipeline_samples_ttl" -> streamPipelineSamplesTTL,
@@ -947,6 +1007,31 @@ object Streaming {
     // single-batch in-window feed ⇒ no eviction ⇒ identical to the
     // unbounded form and the batch result (eviction pinned in spec)
     "stream_dedup_minhash_ttl" -> graft.operators.Dedup.exactJaccardSql,
+    // warm start: prior residents live only in initial state and never
+    // pair with each other, so the output is the exact pairs with >= 1
+    // fresh member — fresh x prior plus fresh x earlier-fresh
+    "stream_dedup_minhash_warmstart" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)])) s
+        |  FROM toks WHERE len(t) >= 3
+        |),
+        |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+        |common AS (
+        |  SELECT a.doc_id ai, b.doc_id bi, count(*) c
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  WHERE a.doc_id % ${graft.operators.Dedup.SnapshotMod} >= ${graft.operators.Dedup.SnapshotNewMin}
+        |     OR b.doc_id % ${graft.operators.Dedup.SnapshotMod} >= ${graft.operators.Dedup.SnapshotNewMin}
+        |  GROUP BY a.doc_id, b.doc_id
+        |)
+        |SELECT ai AS doc_a, bi AS doc_b,
+        |  round(c::DOUBLE / (na.n + nb.n - c), 3) AS jaccard
+        |FROM common
+        |JOIN sizes na ON ai = na.doc_id
+        |JOIN sizes nb ON bi = nb.doc_id
+        |WHERE c::DOUBLE / (na.n + nb.n - c) >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // single-batch in-window replay ⇒ the full chunk pair search; the
     // oracle is the uncapped exact-Jaccard SQL over the packed chunk CTE
     "stream_dedup_chunks_ngram" -> graft.operators.Curation.chunkExactJaccardSql,

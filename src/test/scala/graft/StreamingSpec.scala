@@ -399,6 +399,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(qk("en") < (1L << 20), s"high-resource lang must downsample, got $qk")
   }
 
+  test("warm-start near-dup: prior index bootstraps state; output = pairs with a fresh member") {
+    import graft.operators.Dedup
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = pairSet(Streaming.streamDedupMinhashWarmstart(spark, sf))
+    val full = pairSet(Dedup.dedupMinHashLsh(spark, sf))
+    val fresh = (id: Long) => id % Dedup.SnapshotMod >= Dedup.SnapshotNewMin
+    val expected = full.filter { case (a, b, _) => fresh(a) || fresh(b) }
+    assert(got === expected,
+      s"warm-start must equal the full pairs with >=1 fresh member\n got=$got\n exp=$expected")
+    assert(got.nonEmpty)
+    // the pin must BITE: prior-prior pairs exist in the full result and
+    // are absent here (prior residents live only in initial state and
+    // never pair with each other), and at least one delta-internal
+    // (fresh-fresh) pair proves arrivals also pair against earlier
+    // arrivals, not just the bootstrapped index
+    assert(expected.size < full.size,
+      "testdata lost its prior-prior pairs; this spec no longer pins anything")
+    assert(got.exists { case (a, b, _) => fresh(a) && fresh(b) },
+      "testdata lost its delta-internal pair; the earlier-arrival path is unpinned")
+  }
+
   test("eventsStream scopes the nanosAsLong flag: restored after, stream still runs") {
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     val prev = spark.conf.getOption(key)
