@@ -49,7 +49,18 @@ object ScanAudit {
         .findAllMatchIn(p).map(_.group(1)).toSeq
         .groupBy(identity).view.mapValues(_.size).toMap
       val flagged = perTable.filter(_._2 > 1)
-      val mark = if (flagged.nonEmpty) "MULTI" else "ok"
+      // documented BY-DESIGN multi-scans: the count models distinct
+      // logical datasets that happen to share one bench file — not a
+      // broken ReusedExchange. Anything not listed here stays MULTI.
+      val byDesign: Map[String, Int] = Map(
+        // prior corpus + fresh delta are two logical tables (the prior
+        // side must never re-pair with itself — the incremental point);
+        // locally both slices read the same documents file
+        "dedup_minhash_incremental" -> 2)
+      val mark =
+        if (flagged.isEmpty) "ok"
+        else if (byDesign.get(name).contains(flagged.values.max)) "ok/2x"
+        else "MULTI"
       println(f"[$mark%-5s] $name%-28s " + perTable.toSeq.sorted
         .map { case (t, n) => s"$t=$n" }.mkString(" "))
     }
