@@ -49,4 +49,64 @@ class BucketingSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS graft_customer_bucketed")
     }
   }
+
+  test("band index as a bucketed artifact: delta probe joins with NO index-side shuffle") {
+    // substantiates the dedupMinHashIncremental scale claim: the prior
+    // corpus's band index is a write-once artifact bucketed on
+    // (band, bh); a fresh snapshot's probe join then shuffles ONLY the
+    // delta-sized side — the index (corpus-sized at 100 TB) is read
+    // bucket-aligned with no exchange. The probe's result must equal
+    // the inline dedupMinHashIncrementalOn on the same slices.
+    import spark.implicits._
+    import graft.operators.Dedup
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
+    try {
+      val sf = SparkTestSession.sf0001
+      val docs = Tables.documents(spark, sf)
+      val prior = docs.filter(pmod($"doc_id", lit(Dedup.SnapshotMod)) < Dedup.SnapshotNewMin)
+      val fresh = docs.filter(pmod($"doc_id", lit(Dedup.SnapshotMod)) >= Dedup.SnapshotNewMin)
+      def banded(df: org.apache.spark.sql.DataFrame) = df
+        .filter($"doc_id".isNotNull)
+        .select($"doc_id", graft.functions.ShingleXxh64($"text").as("hv"))
+        .filter(size($"hv") > 0)
+        .select($"doc_id", $"hv",
+          posexplode(graft.functions.MinHashBandHashes($"hv")).as(Seq("band", "bh")))
+      // write-once: the index artifact, bucketed on the probe key
+      banded(prior).write.mode("overwrite")
+        .bucketBy(8, "band", "bh").sortBy("band", "bh")
+        .saveAsTable("graft_band_index")
+      val index = spark.table("graft_band_index")
+      val probe = banded(fresh)
+      val candidates = index.as("a").join(probe.as("b"),
+          $"a.band" === $"b.band" && $"a.bh" === $"b.bh")
+        .select($"a.doc_id".as("doc_a"), $"a.hv".as("hva"),
+          $"b.doc_id".as("doc_b"), $"b.hv".as("hvb"))
+      val pairs = candidates
+        .select($"doc_a", $"doc_b",
+          graft.functions.SetJaccardSorted($"hva", $"hvb").as("jacc"))
+        .filter($"jacc" >= Dedup.JaccardThreshold)
+        .groupBy($"doc_a", $"doc_b")
+        .agg(round(max($"jacc"), 3).as("jaccard"))
+      val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // plan shape: exactly ONE (band, bh) exchange — the delta probe
+      // side; the bucketed index scans exchange-free. Cut the echoed
+      // "Initial Plan" section so AQE's pre-run copy is not re-counted.
+      val full = pairs.queryExecution.executedPlan.toString
+      val cut = full.indexOf("Initial Plan")
+      val plan = if (cut >= 0) full.substring(0, cut) else full
+      val bandExchanges = "Exchange hashpartitioning\\(band".r.findAllIn(plan).size
+      assert(bandExchanges == 1,
+        s"expected exactly one (band,bh) exchange (the delta side), got $bandExchanges:\n${plan.take(1500)}")
+      assert(plan.contains("Bucketed: true"),
+        s"index scan is not bucket-aligned:\n${plan.take(1500)}")
+      // correctness: identical pair set to the inline incremental form
+      val expected = Dedup.dedupMinHashIncrementalOn(prior, fresh).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got === expected)
+      assert(got.nonEmpty, "testdata should contain cross-snapshot near-dups")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS graft_band_index")
+    }
+  }
 }
