@@ -470,6 +470,24 @@ class DedupSpec extends AnyFunSuite {
       s"delta-internal pair leaked: $got")
   }
 
+  test("incremental minhash ≡ full pair search restricted to cross-snapshot pairs") {
+    // corpus-level differential: probing the prior index with the delta
+    // must find exactly the cross-snapshot subset of what the full
+    // self-pair search finds — no pair lost to the split, none invented
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = pairs(Dedup.dedupMinHashLsh(spark, sf))
+    val inc = pairs(Dedup.dedupMinHashIncremental(spark, sf))
+    val prior = (id: Long) => id % Dedup.SnapshotMod < Dedup.SnapshotNewMin
+    // full emits (min, max); incremental emits (prior, fresh) — align
+    val expected = full.collect {
+      case (a, b, j) if prior(a) && !prior(b) => (a, b, j)
+      case (a, b, j) if !prior(a) && prior(b) => (b, a, j)
+    }
+    assert(inc === expected,
+      s"cross-snapshot differential broke:\n inc=$inc\n exp=$expected")
+  }
+
   test("incremental minhash returns rows at sf0.001 and every pair crosses the snapshot split") {
     val rows = Dedup.dedupMinHashIncremental(spark, sf).collect()
     assert(rows.nonEmpty, "testdata should contain planted cross-snapshot near-dups")
