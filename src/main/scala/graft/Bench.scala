@@ -10,8 +10,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `[info]` prefixes, so the file is the machine-parseable copy).
   *
   * Protocol (BASELINE.md): steady-state, warm-session timings — each
-  * query is executed once to warm codegen/caches and then timed on a
-  * second full execution. Execution means a noop-sink write (everything
+  * query is executed once to warm codegen/caches, then timed over three
+  * further full executions and reported as the MEDIAN (escalating to
+  * five runs when the median itself looks contended; see [[Measured]]).
+  * Execution means a noop-sink write (everything
   * computed, nothing collected), so `count()`-style plan pruning can't
   * flatter the numbers. The word-count corpus run mirrors the
   * reference's own workload (15 MB, file sink) for the direct
@@ -27,6 +29,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * regression diagnosable (scan-bound vs shuffle-bound vs GC-bound).
   */
 object Bench {
+
+  /** Contention-aware stat over repeated measured runs (r10 protocol
+    * hardening): three rounds running, the single-shot battery shipped
+    * wall-time outliers (r8 8.2 s, r9 6.6 s, r10 three queries inflated
+    * 2–4.7×) that each cost a round of adjudication and were all later
+    * proven machine contention — byte-identical stage/shuffle breakdowns,
+    * only executor time moved. A median over ≥3 runs is immune to one
+    * contended run; when even the median looks contended (median >
+    * 1.5× the fastest run — i.e. two of three runs disagree with the
+    * best), the battery takes two extra runs so a transient burst of
+    * background load has to survive five samples to bias the statistic.
+    * The kept breakdown is the median run's, so per-stage bytes/ms line
+    * up with the reported wall time. All run walls are recorded in
+    * bench.json ("runs") and per-query executor_cpu_ms is surfaced in
+    * the compact stdout line, so a contended number self-diagnoses
+    * (wall up, cpu flat ⇒ environment, not plan). */
+  private final case class Measured(sec: Double, cpuMs: Long, runs: Seq[Double], json: String)
 
   /** Headline queries: one per operator family, excluding the streaming
     * twins (their memory-sink harness measures the test rig, not the
@@ -142,18 +161,31 @@ object Bench {
     // bleed into run N+1's metrics) happens OUTSIDE the timer, keeping
     // timings comparable across rounds and to BASELINE.md. Each measured
     // run gets its own metrics snapshot, and the breakdown kept is the
-    // BEST run's — per-run numbers that line up with the best-of-2 wall
+    // MEDIAN run's — per-run numbers that line up with the reported wall
     // time (round 2's breakdown summed both runs, which doubled every
     // byte/ms figure relative to the reported time).
-    def timedRun(run: => Unit): (Double, String) = {
+    def timedRun(run: => Unit): (Double, Long, String) = {
       agg.reset()
       val t = timeSec(run)
       drain()
-      (t, agg.json)
+      (t, agg.cpuMs.get, agg.json)
     }
-    def bestOfN(n: Int)(run: => Unit): (Double, String) =
-      Seq.fill(n)(timedRun(run)).minBy(_._1)
-    def bestOf2(run: => Unit): (Double, String) = bestOfN(2)(run)
+    // Median-of-3, escalating to median-of-5 when the median itself looks
+    // contended (see Measured scaladoc). Sorted-middle with the lower
+    // element on ties keeps the stat deterministic.
+    def medianRun(run: => Unit): Measured = {
+      val samples = scala.collection.mutable.ArrayBuffer[(Double, Long, String)]()
+      (1 to 3).foreach(_ => samples += timedRun(run))
+      def median = samples.sortBy(_._1).apply((samples.size - 1) / 2)
+      if (median._1 > 1.5 * samples.map(_._1).min) {
+        System.err.println(
+          f"[bench] contended medians (${samples.map(_._1).mkString(", ")}); taking 2 extra runs")
+        samples += timedRun(run)
+        samples += timedRun(run)
+      }
+      val m = median
+      Measured(m._1, m._2, samples.map(_._1).toSeq, m._3)
+    }
 
     val queries = SparkEntry.queries
     // dev-loop filter: SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the battery
@@ -162,15 +194,22 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val selected = only.fold(headline)(s => headline.filter(s.contains))
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val cpu = scala.collection.mutable.LinkedHashMap[String, Long]()
     val breakdown = scala.collection.mutable.LinkedHashMap[String, String]()
+    def record(name: String, m: Measured): Unit = {
+      results(name) = m.sec
+      cpu(name) = m.cpuMs
+      // splice the per-run walls into the breakdown object so outliers
+      // are visible next to the per-stage metrics they explain
+      val runsJson = m.runs.map(t => f"$t%.4f").mkString("[", ",", "]")
+      breakdown(name) = m.json.stripSuffix("}") + s""","wall_runs":$runsJson}"""
+    }
     selected.filter(queries.contains).foreach { name =>
       try {
         execute(queries(name)(spark, sfDir)) // warm-up run
         drain()
-        // best-of-2 measured: steady-state, robust to GC/scheduler noise
-        val (t, bd) = bestOf2(execute(queries(name)(spark, sfDir)))
-        results(name) = t
-        breakdown(name) = bd
+        // median-of-3..5 measured: steady-state, contention-robust
+        record(name, medianRun(execute(queries(name)(spark, sfDir))))
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
@@ -197,13 +236,12 @@ object Bench {
       try {
         corpusRun() // warm-up
         drain()
-        // best-of-3 for the ONE gated metric: scheduler/GC noise on a
-        // contended machine is ±0.7 s on an ~0.7 s query (measured), so
-        // an extra sample materially raises the odds the recorded number
-        // reflects the code rather than the environment
-        val (t, bd) = bestOfN(3)(corpusRun())
-        results("wordcount_corpus_15mb") = t
-        breakdown("wordcount_corpus_15mb") = bd
+        // same median protocol for the ONE gated metric: scheduler/GC
+        // noise on a contended machine is ±0.7 s on an ~0.7 s query
+        // (measured), and a median over 3–5 runs reflects the code
+        // rather than the environment in both directions (best-of-N
+        // could equally flatter a number with one lucky run)
+        record("wordcount_corpus_15mb", medianRun(corpusRun()))
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] wordcount_corpus failed: ${e.getMessage}")
@@ -212,19 +250,23 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
+    val cpuJson = cpu.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val bd = breakdown.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    // The stdout line stays COMPACT (totals + per-query seconds): the
-    // driver captures a bounded stdout tail, and round 2's ~8 KB line
+    // The stdout line stays COMPACT (totals + per-query seconds + per-
+    // query executor CPU so a contended wall number is self-diagnosing):
+    // the driver captures a bounded stdout tail, and round 2's ~8 KB line
     // (with the per-stage breakdown inlined) got truncated mid-JSON →
-    // BENCH_r02 "parsed": null. The full breakdown lives only in
-    // bench.json, which is written whole and can't be truncated.
+    // BENCH_r02 "parsed": null. The full breakdown (incl. every run's
+    // wall) lives only in bench.json, which is written whole and can't
+    // be truncated.
     val line =
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"cpu_ms":$cpuJson,"protocol":"median-of-3-escalate-5","sf":"$sfDir"}"""
     println(line)
     val full =
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"breakdown":$bd,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"cpu_ms":$cpuJson,"protocol":"median-of-3-escalate-5","breakdown":$bd,"sf":"$sfDir"}"""
     // sbt prefixes stdout with "[info] "; the file copy is the version a
     // driver can always json.load directly.
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), full + "\n")

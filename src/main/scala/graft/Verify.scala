@@ -42,9 +42,15 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
     queries.foreach { case (name, fn) =>
+      // NonFatal only: an OutOfMemoryError / LinkageError means the JVM
+      // itself is suspect, and recording it as one query's failure while
+      // later queries run in a corrupted JVM would produce a plausible-
+      // looking artifact from a broken process. Fatal errors propagate
+      // and crash the run — the driver sees a nonzero exit, not a
+      // half-complete correctness dump.
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         failed(name) =
           s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(500)}"

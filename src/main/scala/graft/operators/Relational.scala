@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
@@ -342,9 +342,11 @@ object Relational {
     * Khanna-style mergeable sketch) — one pass, bounded memory per
     * group, partial-aggregates before the exchange, where the exact
     * `percentile` buffers every value per group. accuracy=10000 bounds
-    * rank error at n/10000. No SQL oracle (DuckDB has no sketch twin —
-    * same reasoning as `wc_approx_distinct`); RelationalSpec pins the
-    * approx values to the exact ones within the rank-error bound. */
+    * rank error at n/10000. The raw sketch values have no SQL oracle
+    * (DuckDB has no sketch twin — same reasoning as
+    * `wc_approx_distinct`); RelationalSpec pins the approx values to the
+    * exact ones within the rank-error bound, and the driver-facing entry
+    * is [[q26PercentilesApproxChecked]]. */
   def q26PercentilesApprox(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Tables.lineitem(spark, sfDir)
@@ -354,6 +356,39 @@ object Relational {
         expr("percentile_approx(l_extendedprice, 0.9, 10000)").as("p90"),
         expr("percentile_approx(l_extendedprice, 0.99, 10000)").as("p99"),
         count(lit(1)).as("n"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Driver-verifiable form of [[q26PercentilesApprox]]: the GK-sketch
+    * values can't be recomputed by DuckDB, but their RANK-ERROR contract
+    * can be machine-checked — for each group the approx value v_p is
+    * joined back against the rows and the observed rank fraction
+    * |{x ≤ v_p}| / n must sit within 0.02 of p. The emitted row carries
+    * the group, the exact count, and one boolean verdict per percentile;
+    * the oracle recomputes the group/count and asserts every verdict is
+    * `true`, so `err: no_oracle` is retired and a sketch regression
+    * (rank drift past 2%) flips a hash-checked boolean instead of hiding
+    * in a rows-only row. The extra pass is a broadcast join of a 3-row
+    * sketch output — no second shuffle of lineitem. */
+  def q26PercentilesApproxChecked(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sfDir).select($"l_returnflag", $"l_extendedprice")
+    val sketch = li.groupBy($"l_returnflag").agg(
+      expr("percentile_approx(l_extendedprice, 0.5, 10000)").as("a50"),
+      expr("percentile_approx(l_extendedprice, 0.9, 10000)").as("a90"),
+      expr("percentile_approx(l_extendedprice, 0.99, 10000)").as("a99"))
+    def rankOk(approxVal: Column, p: Double): Column = {
+      val frac = sum(when($"l_extendedprice" <= approxVal, 1L).otherwise(0L)) /
+        count(lit(1))
+      abs(frac - lit(p)) <= lit(0.02)
+    }
+    li.join(broadcast(sketch), "l_returnflag")
+      .groupBy($"l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        rankOk($"a50", 0.5).as("p50_rank_ok"),
+        rankOk($"a90", 0.9).as("p90_rank_ok"),
+        rankOk($"a99", 0.99).as("p99_rank_ok"))
       .orderBy($"l_returnflag")
   }
 
@@ -385,7 +420,7 @@ object Relational {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_stats" -> q28Stats,
     "q26_percentiles" -> q26Percentiles,
-    "q26_percentiles_approx" -> q26PercentilesApprox,
+    "q26_percentiles_approx" -> q26PercentilesApproxChecked,
     "q27_histogram" -> q27Histogram,
     "q24_json" -> q24Json,
     "q20_cube" -> q20Cube,
@@ -432,6 +467,12 @@ object Relational {
         |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
         |  round(quantile_cont(l_extendedprice, 0.99), 4) AS p99,
         |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // the GK sketch values have no DuckDB twin; the oracle pins the
+    // groups/counts and asserts every rank-error verdict comes back true
+    "q26_percentiles_approx" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  true AS p50_rank_ok, true AS p90_rank_ok, true AS p99_rank_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q27_histogram" ->
       """SELECT CAST(floor(value / 10.0) AS BIGINT) AS bin, count(*) AS n

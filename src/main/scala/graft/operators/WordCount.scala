@@ -165,12 +165,28 @@ object WordCount {
       .orderBy("word")
 
   /** O13's approximate variant: HyperLogLog++ distinct estimate next to
-    * the exact count (rows-only for the driver; the ≤5% relative-error
-    * contract is asserted in WordCountGoldenSpec). */
+    * the exact count (raw form, used by the WordCountGoldenSpec
+    * differential; the driver-facing entry is
+    * [[wcApproxDistinctChecked]]). */
   def wcApproxDistinct(spark: SparkSession, sfDir: String): DataFrame =
     docWords(spark, sfDir).agg(
       countDistinct(col("word")).as("exact_distinct"),
       approx_count_distinct(col("word"), 0.02).as("approx_distinct"))
+
+  /** Driver-verifiable form of [[wcApproxDistinct]]: DuckDB cannot
+    * recompute an HLL++ sketch (no deterministic SQL twin exists), but it
+    * CAN recompute the exact distinct count and the literal `true` — so
+    * the emitted row carries the exact count plus the ≤5% relative-error
+    * verdict on the sketch estimate, and the driver's hash compare
+    * machine-checks the error contract every round instead of recording
+    * `err: no_oracle`. The raw estimate stays out of the hashed row by
+    * construction (it has no oracle-computable value), but the contract
+    * it must satisfy is in. */
+  def wcApproxDistinctChecked(spark: SparkSession, sfDir: String): DataFrame =
+    wcApproxDistinct(spark, sfDir).select(
+      col("exact_distinct"),
+      (abs(col("approx_distinct") - col("exact_distinct")) <=
+        col("exact_distinct") * lit(0.05)).as("approx_within_5pct"))
 
   /** Typed-Dataset aggregation via the custom WordStatsAggregator UDAF:
     * per first-letter group, one-pass (n_words, total_cnt, max_cnt,
@@ -190,7 +206,7 @@ object WordCount {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "wc_word_stats" -> wcWordStats,
     "wc_word_counts_salted" -> wcWordCountsSalted,
-    "wc_approx_distinct" -> wcApproxDistinct,
+    "wc_approx_distinct" -> wcApproxDistinctChecked,
     "wc_word_counts" -> wcWordCounts,
     "wc_totals" -> wcTotals,
     "wc_ranked" -> wcRanked,
@@ -226,6 +242,12 @@ object WordCount {
         |GROUP BY word ORDER BY word""".stripMargin,
     "wc_totals" ->
       """SELECT count(*) AS total_words, count(DISTINCT word) AS unique_words
+        |FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS word FROM documents) t
+        |WHERE word <> ''""".stripMargin,
+    // the sketch estimate itself has no DuckDB twin; the oracle pins the
+    // exact count and asserts the error-bound verdict must come back true
+    "wc_approx_distinct" ->
+      """SELECT count(DISTINCT word) AS exact_distinct, true AS approx_within_5pct
         |FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS word FROM documents) t
         |WHERE word <> ''""".stripMargin,
     "wc_ranked" ->

@@ -51,6 +51,15 @@ object Tables {
   private[graft] def normalizeEventsTs(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.types._
+    // The NTZ→LTZ cast below is value-preserving ONLY under a UTC session
+    // timezone. Every entry point (Verify/Bench/tests/CLI) sets it, but
+    // the invariant is enforced HERE, where it is relied upon — a future
+    // entry point without the config must fail loudly, not silently
+    // shift every event timestamp by the local offset.
+    val tz = df.sparkSession.conf.get("spark.sql.session.timeZone", "")
+    require(tz == "UTC",
+      s"events loading requires spark.sql.session.timeZone=UTC (got '$tz'): " +
+        "the TIMESTAMP_NTZ footer encoding is reinterpreted as session-local time")
     df.schema("ts").dataType match {
       case LongType          => nanosToTimestamp(df)          // NANOS-as-long
       case TimestampType     => df                            // already µs LTZ

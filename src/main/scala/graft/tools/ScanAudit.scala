@@ -49,17 +49,20 @@ object ScanAudit {
         .findAllMatchIn(p).map(_.group(1)).toSeq
         .groupBy(identity).view.mapValues(_.size).toMap
       val flagged = perTable.filter(_._2 > 1)
-      // documented BY-DESIGN multi-scans: the count models distinct
-      // logical datasets that happen to share one bench file — not a
-      // broken ReusedExchange. Anything not listed here stays MULTI.
-      val byDesign: Map[String, Int] = Map(
+      // documented BY-DESIGN multi-scans, keyed on (query, table) →
+      // expected count: the count models distinct logical datasets that
+      // happen to share one bench file — not a broken ReusedExchange.
+      // The flagged set must match the expectation EXACTLY, so an
+      // unexpected 2× scan of a different table (or of the same table
+      // for a new reason, pushing it to 3×) still prints MULTI.
+      val byDesign: Map[String, Map[String, Int]] = Map(
         // prior corpus + fresh delta are two logical tables (the prior
         // side must never re-pair with itself — the incremental point);
         // locally both slices read the same documents file
-        "dedup_minhash_incremental" -> 2)
+        "dedup_minhash_incremental" -> Map("documents" -> 2))
       val mark =
         if (flagged.isEmpty) "ok"
-        else if (byDesign.get(name).contains(flagged.values.max)) "ok/2x"
+        else if (byDesign.get(name).contains(flagged)) "ok/2x"
         else "MULTI"
       println(f"[$mark%-5s] $name%-28s " + perTable.toSeq.sorted
         .map { case (t, n) => s"$t=$n" }.mkString(" "))

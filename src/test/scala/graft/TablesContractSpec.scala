@@ -55,6 +55,21 @@ class TablesContractSpec extends AnyFunSuite {
       ("source", string, "string"))
   }
 
+  test("documents text is pure ASCII — the oracle byte==char indexing precondition") {
+    // The mm_features / mm_features_real / winnow DuckDB oracles index
+    // text with character-positional `text[i:i]` while the engine hashes
+    // UTF-8 BYTES; the two agree only while every document is ASCII
+    // (octet_length == char length). If the generator ever ships
+    // non-ASCII text, this names the precondition loudly instead of
+    // leaving an opaque histogram hash mismatch to localize.
+    import org.apache.spark.sql.functions.{col, length, octet_length}
+    val nonAscii = Tables.documents(spark, sf)
+      .where(octet_length(col("text")) =!= length(col("text")))
+      .count()
+    assert(nonAscii === 0L,
+      s"$nonAscii documents contain non-ASCII text — byte vs char indexing diverges in the DuckDB oracles")
+  }
+
   test("embeddings carries the ANN contract") {
     check("embeddings", Tables.embeddings(spark, sf),
       ("vec_id", integral, "integral id"),
