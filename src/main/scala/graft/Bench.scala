@@ -58,6 +58,8 @@ object Bench {
     "wc_word_counts", "wc_ranked", "wc_word_stats",
     "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
     "dedup_simhash_pairs", "dedup_containment",
+    // the 16-bit-band scale variant next to the 8-bit search it mirrors
+    "dedup_simhash_pairs_b16",
     "sim_topk_brute", "sim_ann_lsh", "sim_ann_ivf", "sim_label_stats_sampled",
     "text_quality", "text_fingerprint_winnow", "mm_features",
     // chunk-granularity near-dup: the pair search over ~10× the row count

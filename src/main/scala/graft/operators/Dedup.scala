@@ -895,6 +895,100 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** 16-bit-band SimHash search parameters: 4 aligned chunks of 16 bits.
+    * Pigeonhole at [[MaxPairHamming]] = 15: some chunk of any qualifying
+    * pair differs in ≤ ⌊15/4⌋ = 3 bits, so a radius-3 probe ball
+    * (C(16,0..3) = 697 masks) deterministically captures it — the same
+    * guarantee shape as the 8-bit search, one band-width step up. */
+  final val SimHashB16Chunks = 4
+  final val SimHashB16Bits = 16
+
+  /** All 16-bit masks of Hamming weight ≤ 3 — the radius-3 probe ball. */
+  private lazy val b16Flips: Array[Int] =
+    (0 until (1 << SimHashB16Bits)).filter(Integer.bitCount(_) <= 3).toArray
+
+  /** [[dedupSimHashPairs]] with the band width grown from 8 to 16 bits —
+    * the 100 TB scale knob for this search, DEMONSTRATED rather than
+    * argued. Measured (DuckDB fingerprint rebuild, sf0.1 → ×10 ScaleGen):
+    * 8-bit cell occupancy is near-UNIFORM (mean 19.5 → 195, max 54 →
+    * 398), so the candidate space Σ n_c² over the FIXED 2048-cell key
+    * space grows quadratically (7.36M → 723M checks, ×98 for ×10 docs) —
+    * and no per-cell occupancy cap can help: the worst qualifying pair's
+    * best capturing cell has occupancy 289 at ×10, ABOVE the
+    * distribution's p90, so any cap that cuts meaningful work also drops
+    * real pairs (the MaxShingleDF discipline does not transfer — shingle
+    * DF is skewed, band-cell occupancy is flat). The scale lever is the
+    * KEY SPACE: 16-bit chunks give 4·65536 cells, occupancy stays ~1
+    * at these corpus sizes (max 4 at sf0.1, 9 at ×10), and measured
+    * candidate checks drop 6.3× / 6.5×. Cost shifts to probe fan-out
+    * (4 chunks × 697-mask radius-3 ball = 2788 keys/doc vs 72), which
+    * never crosses a shuffle: the index side is 4 rows/doc and
+    * broadcastable far beyond these scales, so probe rows are generated
+    * and consumed map-side. Rule of thumb the pair encodes: band bits
+    * must grow with log₂(n); at n where even 2^16-cell occupancy
+    * saturates (billions of docs), the next step is 32-bit bands — or a
+    * tighter Hamming window, which is a semantic change.
+    *
+    * Output contract and oracle are IDENTICAL to the 8-bit search
+    * (capture is deterministic by pigeonhole on both paths, so both must
+    * emit exactly the Hamming ≤ 15 ∧ capped-Jaccard ≥ 0.8 pairs);
+    * DedupSpec pins the two engines equal row-for-row. */
+  def dedupSimHashPairsB16(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val (cappedSets, fp) = simHashCappedBase(spark, sfDir)
+    val mask = (1L << SimHashB16Bits) - 1
+    def chunk(c: Int): Column =
+      shiftrightunsigned($"f", c * SimHashB16Bits).bitwiseAND(lit(mask))
+    val chunkKeys = (0 until SimHashB16Chunks).map { c =>
+      struct(lit(c).as("c"), chunk(c).as("v"))
+    }
+    val index = fp.select($"doc_id", $"f", explode(array(chunkKeys: _*)).as("k"))
+      .select($"doc_id", $"f", $"k.c".as("c"), $"k.v".as("v"))
+    // probe side: two stacked generators (4 chunk values × the shared
+    // 697-mask ball) — the ball is ONE array literal in codegen, not
+    // 2788 inlined struct expressions (which would blow the generated
+    // method past Janino's limit and fall back to interpreted eval).
+    // Explicit-width repartition BEFORE the 2788× fan-out: fp is a
+    // 1-row-per-doc aggregate output that AQE coalesces to ~1 partition
+    // at this byte size, and without the exchange the whole probe
+    // generation and join runs single-threaded (measured: 15 s wall ≈
+    // 17 s cpu at sf0.1) — same hazard class as the candidate
+    // repartition below, on the input side
+    val probe = fp
+      .repartition(spark.sparkContext.defaultParallelism, $"doc_id")
+      .select($"doc_id", $"f", explode(array(chunkKeys: _*)).as("k"))
+      .select($"doc_id", $"f", $"k.c".as("c"), $"k.v".as("v0"),
+        explode(lit(b16Flips)).as("flip"))
+      .select($"doc_id", $"f", $"c",
+        $"v0".bitwiseXOR($"flip".cast("long")).as("v"))
+    // EXPLICIT broadcast of the index: Catalyst's size estimate for the
+    // probe side does not survive the 2788× generator fan-out, so left
+    // to stats it builds the hash table from the PROBE side — a
+    // single-threaded 2788n-row broadcast build (measured: 17 s wall ≈
+    // 17 s cpu at sf0.1). The index is 4 rows/doc (64 B/doc) — the side
+    // that stays broadcastable far past these scales; when n outgrows
+    // the broadcast threshold the hint comes off and both sides shuffle
+    // on (c, v), at which point the probe fan-out crosses the wire and
+    // the two-sided-ball geometry (radius 1 index × radius 2 probe)
+    // becomes the better trade — documented, not needed at ×10.
+    val candidates = probe.as("a").join(broadcast(index.as("b")),
+        $"a.c" === $"b.c" && $"a.v" === $"b.v" && $"a.doc_id" < $"b.doc_id" &&
+          expr("bit_count(a.f ^ b.f)") <= MaxPairHamming)
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .distinct()
+      // same explicit-width hazard note as dedupSimHashPairs: bytes-small
+      // candidate set, O(set size) verify fan-out per row
+      .repartition(spark.sparkContext.defaultParallelism, $"doc_a")
+    candidates.as("cd")
+      .join(cappedSets.as("sa"), $"cd.doc_a" === $"sa.doc_id")
+      .join(cappedSets.as("sb"), $"cd.doc_b" === $"sb.doc_id")
+      .select($"cd.doc_a".as("doc_a"), $"cd.doc_b".as("doc_b"),
+        graft.functions.SetJaccardSorted($"sa.shc", $"sb.shc").as("jacc"))
+      .filter($"jacc" >= JaccardThreshold)
+      .select($"doc_a", $"doc_b", round($"jacc", 3).as("jaccard"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   /** Embedding-space near-dup/similarity pairs: same-label blocked
     * self-join, cosine in double precision, top-20 most similar pairs.
     * (The data's max cosine is ~0.51, so a fixed high threshold would be
@@ -1101,6 +1195,7 @@ object Dedup {
     "dedup_simhash" -> dedupSimHash,
     "dedup_simhash_pairs" -> dedupSimHashPairs,
     "dedup_simhash_pairs_wide" -> dedupSimHashPairsWide,
+    "dedup_simhash_pairs_b16" -> dedupSimHashPairsB16,
     "dedup_embed_cosine" -> dedupEmbedCosine,
     "dedup_embed_cosine_blocked" -> dedupEmbedCosineBlocked,
     "dedup_clusters" -> dedupClusters,
@@ -1313,6 +1408,9 @@ object Dedup {
     "dedup_containment" -> containmentSql,
     "dedup_simhash_pairs" -> simhashPairsSqlAt(MaxPairHamming),
     "dedup_simhash_pairs_wide" -> simhashPairsSqlAt(MaxPairHammingWide),
+    // same window, same predicate, different band geometry — sharing the
+    // ≤15 oracle IS the claim that the 16-bit banding loses nothing
+    "dedup_simhash_pairs_b16" -> simhashPairsSqlAt(MaxPairHamming),
     "dedup_simhash" ->
       s"""WITH tok AS (
         |  SELECT doc_id, md5_number_lower(t) h

@@ -277,6 +277,42 @@ class DedupSpec extends AnyFunSuite {
     assert(!captured(balanced24, 2))
   }
 
+  test("16-bit-band simhash search equals the 8-bit search row-for-row") {
+    // same output contract, different band geometry (the 100 TB key-space
+    // knob): both are deterministic-capture searches over the identical
+    // Hamming<=15 + capped-Jaccard>=0.8 predicate, so they must agree
+    val narrow = pairSet(Dedup.dedupSimHashPairs(spark, sf))
+    val b16 = pairSet(Dedup.dedupSimHashPairsB16(spark, sf))
+    assert(narrow.nonEmpty)
+    assert(b16 === narrow)
+  }
+
+  test("radius-3 probe capture over 16-bit chunks is deterministic for hamming <= 15") {
+    // JVM mirror of dedupSimHashPairsB16's band keys: capture iff some
+    // aligned 16-bit chunk differs in <= 3 bits (pigeonhole: 4 chunks
+    // all >= 4 would sum to >= 16 > 15)
+    def chunkDiff16(d: Long, c: Int): Int =
+      Integer.bitCount(((d >>> (c * 16)) & 0xffffL).toInt)
+    def captured16(d: Long): Boolean = (0 until 4).exists(c => chunkDiff16(d, c) <= 3)
+    def diffOf(bits: Seq[Int]): Long = bits.foldLeft(0L)((a, b) => a | (1L << b))
+    var seed = 0x5deece66dL
+    def nextInt(bound: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      ((seed >>> 33) % bound).toInt
+    }
+    def randomDiff(dist: Int): Long = {
+      val positions = scala.collection.mutable.LinkedHashSet.empty[Int]
+      while (positions.size < dist) positions += nextInt(64)
+      diffOf(positions.toSeq)
+    }
+    for (dist <- 1 to 15; trial <- 0 until 200)
+      assert(captured16(randomDiff(dist)), s"b16 radius-3 broken at d=$dist/$trial")
+    // tightness: 4-per-chunk (d=16) escapes radius 3, so 15 is the exact
+    // deterministic bound for this geometry
+    val balanced16x4 = diffOf((0 until 4).flatMap(k => Seq(16 * k, 16 * k + 1, 16 * k + 2, 16 * k + 3)))
+    assert(!captured16(balanced16x4))
+  }
+
   test("containment finds a planted excerpt that jaccard structurally misses") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
