@@ -483,51 +483,68 @@ object Streaming {
     * original's eviction starts a fresh epoch and reports no pair —
     * the documented cost of bounded state. Watermark delay = `ttl`
     * keeps the timeout-validity invariant, as in [[runDedupStreamTTL]]. */
-  private[graft] def runNearDupStreamTTL(docs: DataFrame, ttlMs: Long): DataFrame = {
+  /** The timestamp-carrying banding projection shared by the TTL state
+    * machines and the TTL warm-start bootstrap: (band-cell key, doc_id,
+    * sorted shingle hashes, event time). Watermarking (stream side) is
+    * the caller's job — the bootstrap side is a batch frame. */
+  private def bandCellsTs(docs: DataFrame)
+      : org.apache.spark.sql.Dataset[(String, Long, Array[Long], java.sql.Timestamp)] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
-    val banded = docs
+    docs
       .filter($"doc_id".isNotNull) // same null discipline as the batch twin
-      .withWatermark("ts", s"$ttlMs milliseconds")
       .select($"doc_id", $"ts", graft.functions.ShingleXxh64($"text").as("hv"))
       .filter(size($"hv") > 0)
       .select($"doc_id", $"ts", $"hv",
         posexplode(graft.functions.MinHashBandHashes($"hv")).as(Seq("band", "bh")))
       .select(concat_ws(":", $"band", $"bh").as("k"), $"doc_id", $"hv", $"ts")
       .as[(String, Long, Array[Long], java.sql.Timestamp)]
-    val pairs = banded.groupByKey(_._1)
-      .flatMapGroupsWithState[(Seq[(Long, Array[Long], Long)], Long), (Long, Long, Double)](
-        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) { (_, rows, state) =>
-          if (state.hasTimedOut) {
-            state.remove() // cell idle for ttl past its newest arrival
-            Iterator.empty
-          } else {
-            val wm = state.getCurrentWatermarkMs()
-            var (prev, maxTs) = state.getOption.getOrElse((Seq.empty, Long.MinValue))
-            // per-resident eviction: ts + ttl behind the watermark ⇒
-            // unpairable with any future non-late arrival. ArrayBuffer
-            // for amortized-O(1) appends (see runNearDupStream).
-            val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Long], Long)]
-            prev.foreach { r => if (r._3 + ttlMs >= wm) seen += r }
-            val out = Seq.newBuilder[(Long, Long, Double)]
-            rows.toSeq.sortBy(_._2).foreach { case (_, id, hv, ts) =>
-              val t = ts.getTime
-              seen.foreach { case (oid, ohv, _) =>
-                if (oid != id) {
-                  val j = graft.functions.SetJaccardImpl.jaccardSortedArrays(hv, ohv)
-                  if (j >= graft.operators.Dedup.JaccardThreshold)
-                    out += ((math.min(id, oid), math.max(id, oid), j))
-                }
-              }
-              seen += ((id, hv, t))
-              if (t > maxTs) maxTs = t
-            }
-            state.update((seen.toSeq, maxTs))
-            state.setTimeoutTimestamp(maxTs, s"$ttlMs milliseconds")
-            out.result().iterator
+  }
+
+  /** The bounded-state band-cell machine shared by [[runNearDupStreamTTL]]
+    * and its warm-start form (state: residents + newest event time). */
+  private def nearDupCellTTL(ttlMs: Long): (String,
+      Iterator[(String, Long, Array[Long], java.sql.Timestamp)],
+      org.apache.spark.sql.streaming.GroupState[(Seq[(Long, Array[Long], Long)], Long)])
+      => Iterator[(Long, Long, Double)] = { (_, rows, state) =>
+    if (state.hasTimedOut) {
+      state.remove() // cell idle for ttl past its newest arrival
+      Iterator.empty
+    } else {
+      val wm = state.getCurrentWatermarkMs()
+      var (prev, maxTs) = state.getOption.getOrElse((Seq.empty, Long.MinValue))
+      // per-resident eviction: ts + ttl behind the watermark ⇒
+      // unpairable with any future non-late arrival. ArrayBuffer
+      // for amortized-O(1) appends (see runNearDupStream).
+      val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Long], Long)]
+      prev.foreach { r => if (r._3 + ttlMs >= wm) seen += r }
+      val out = Seq.newBuilder[(Long, Long, Double)]
+      rows.toSeq.sortBy(_._2).foreach { case (_, id, hv, ts) =>
+        val t = ts.getTime
+        seen.foreach { case (oid, ohv, _) =>
+          if (oid != id) {
+            val j = graft.functions.SetJaccardImpl.jaccardSortedArrays(hv, ohv)
+            if (j >= graft.operators.Dedup.JaccardThreshold)
+              out += ((math.min(id, oid), math.max(id, oid), j))
           }
         }
+        seen += ((id, hv, t))
+        if (t > maxTs) maxTs = t
+      }
+      state.update((seen.toSeq, maxTs))
+      state.setTimeoutTimestamp(maxTs, s"$ttlMs milliseconds")
+      out.result().iterator
+    }
+  }
+
+  private[graft] def runNearDupStreamTTL(docs: DataFrame, ttlMs: Long): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val banded = bandCellsTs(docs.withWatermark("ts", s"$ttlMs milliseconds"))
+    val pairs = banded.groupByKey(_._1)
+      .flatMapGroupsWithState[(Seq[(Long, Array[Long], Long)], Long), (Long, Long, Double)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(nearDupCellTTL(ttlMs))
       .toDF("doc_a", "doc_b", "jacc")
     runToMemory(pairs, "append")
       .groupBy($"doc_a", $"doc_b")
@@ -549,6 +566,68 @@ object Streaming {
       .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
       .withColumn("ts", timestamp_seconds(lit(1700000000L) + pmod($"doc_id", lit(3600))))
     runNearDupStreamTTL(docs, 3600L * 1000)
+  }
+
+  /** The production restart shape with BOUNDED state — the composition
+    * round 10 left open: [[streamDedupMinhashWarmstart]]'s initial-state
+    * bootstrap on top of [[runNearDupStreamTTL]]'s per-resident
+    * event-time eviction, so a re-deployed dedup stream neither replays
+    * the corpus NOR holds it forever. Bootstrapped residents carry
+    * their event times into the state, and the SAME eviction applies to
+    * them as to streamed arrivals: once the watermark passes a prior
+    * resident's `ts + ttl` it is dropped at its cell's next invocation
+    * (pinned by StreamingSpec — a delta re-crawl of an aged-out prior
+    * resident reports NO pair, where the NoTimeout warm-start would
+    * pair them). Two honest bounds on the eviction: a bootstrapped cell
+    * that never receives an arrival is only reclaimed once its first
+    * arrival (or its armed deadline, for cells touched at least once)
+    * fires — at scale the bootstrap read itself therefore filters the
+    * index artifact to `ts ≥ restart − ttl` (one scan predicate), which
+    * also keeps the initial state TTL-consistent from batch zero. */
+  private[graft] def runNearDupStreamWarmstartTTL(
+      delta: DataFrame, prior: DataFrame, ttlMs: Long): DataFrame = {
+    val spark = delta.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val initial = bandCellsTs(prior)
+      .groupByKey(_._1)
+      // residents sorted by doc_id (determinism, as in the NoTimeout
+      // form); the cell's newest event time seeds the deadline base
+      .mapGroups { (k, it) =>
+        val rs = it.map(t => (t._2, t._3, t._4.getTime)).toSeq.sortBy(_._1)
+        (k, (rs, rs.iterator.map(_._3).max))
+      }
+      .groupByKey(_._1).mapValues(_._2)
+    val banded = bandCellsTs(delta.withWatermark("ts", s"$ttlMs milliseconds"))
+    val pairs = banded.groupByKey(_._1)
+      .flatMapGroupsWithState[(Seq[(Long, Array[Long], Long)], Long), (Long, Long, Double)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout, initial)(nearDupCellTTL(ttlMs))
+      .toDF("doc_a", "doc_b", "jacc")
+    runToMemory(pairs, "append")
+      .groupBy($"doc_a", $"doc_b")
+      .agg(round(max($"jacc"), 3).as("jaccard"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** [[runNearDupStreamWarmstartTTL]] over the snapshot-split documents
+    * table, same synthetic in-window timestamps as
+    * [[streamDedupMinhashTTL]]: prior slice bootstraps state with its
+    * event times, delta streams through, every ts lands inside the TTL
+    * window so no eviction fires and the result equals the NoTimeout
+    * warm-start — same pairs-with-a-fresh-member oracle; the eviction
+    * of bootstrapped residents is pinned by StreamingSpec. */
+  def streamDedupMinhashWarmstartTTL(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Dedup.{SnapshotMod, SnapshotNewMin}
+    def withTs(df: DataFrame): DataFrame = df.withColumn("ts",
+      timestamp_seconds(lit(1700000000L) + pmod($"doc_id", lit(3600))))
+    val prior = withTs(graft.sources.Tables.documents(spark, sfDir)
+      .filter(pmod($"doc_id", lit(SnapshotMod)) < SnapshotNewMin))
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val delta = withTs(spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+      .filter(pmod($"doc_id", lit(SnapshotMod)) >= SnapshotNewMin))
+    runNearDupStreamWarmstartTTL(delta, prior, 3600L * 1000)
   }
 
   /** STREAMING chunk-level NEAR-dup — [[runNearDupStreamTTL]] keyed on
@@ -941,6 +1020,7 @@ object Streaming {
     "stream_dedup_minhash" -> streamDedupMinhash,
     "stream_dedup_minhash_ttl" -> streamDedupMinhashTTL,
     "stream_dedup_minhash_warmstart" -> streamDedupMinhashWarmstart,
+    "stream_dedup_minhash_warmstart_ttl" -> streamDedupMinhashWarmstartTTL,
     "stream_dedup_chunks_ngram" -> streamDedupChunksNgram,
     "stream_pipeline_samples" -> streamPipelineSamples,
     "stream_pipeline_samples_ttl" -> streamPipelineSamplesTTL,
@@ -1010,28 +1090,11 @@ object Streaming {
     // warm start: prior residents live only in initial state and never
     // pair with each other, so the output is the exact pairs with >= 1
     // fresh member — fresh x prior plus fresh x earlier-fresh
-    "stream_dedup_minhash_warmstart" ->
-      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
-        |sh AS (
-        |  SELECT doc_id, unnest(list_distinct(
-        |    [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)])) s
-        |  FROM toks WHERE len(t) >= 3
-        |),
-        |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
-        |common AS (
-        |  SELECT a.doc_id ai, b.doc_id bi, count(*) c
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  WHERE a.doc_id % ${graft.operators.Dedup.SnapshotMod} >= ${graft.operators.Dedup.SnapshotNewMin}
-        |     OR b.doc_id % ${graft.operators.Dedup.SnapshotMod} >= ${graft.operators.Dedup.SnapshotNewMin}
-        |  GROUP BY a.doc_id, b.doc_id
-        |)
-        |SELECT ai AS doc_a, bi AS doc_b,
-        |  round(c::DOUBLE / (na.n + nb.n - c), 3) AS jaccard
-        |FROM common
-        |JOIN sizes na ON ai = na.doc_id
-        |JOIN sizes nb ON bi = nb.doc_id
-        |WHERE c::DOUBLE / (na.n + nb.n - c) >= 0.8
-        |ORDER BY doc_a, doc_b""".stripMargin,
+    "stream_dedup_minhash_warmstart" -> warmstartPairsSql,
+    // single-batch in-window feed ⇒ no eviction ⇒ identical to the
+    // NoTimeout warm-start (bootstrapped-resident eviction pinned in
+    // StreamingSpec)
+    "stream_dedup_minhash_warmstart_ttl" -> warmstartPairsSql,
     // single-batch in-window replay ⇒ the full chunk pair search; the
     // oracle is the uncapped exact-Jaccard SQL over the packed chunk CTE
     "stream_dedup_chunks_ngram" -> graft.operators.Curation.chunkExactJaccardSql,
@@ -1052,6 +1115,31 @@ object Streaming {
     // decisions — per-row deterministic — must reproduce the batch agg
     "stream_mix_sample" -> graft.operators.Curation.oracles("cur_mix_sample"),
   )
+
+  /** Exact-Jaccard pairs restricted to ≥ 1 fresh member — the oracle
+    * both warm-start forms share. */
+  private lazy val warmstartPairsSql: String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)])) s
+        |  FROM toks WHERE len(t) >= 3
+        |),
+        |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+        |common AS (
+        |  SELECT a.doc_id ai, b.doc_id bi, count(*) c
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  WHERE a.doc_id % ${graft.operators.Dedup.SnapshotMod} >= ${graft.operators.Dedup.SnapshotNewMin}
+        |     OR b.doc_id % ${graft.operators.Dedup.SnapshotMod} >= ${graft.operators.Dedup.SnapshotNewMin}
+        |  GROUP BY a.doc_id, b.doc_id
+        |)
+        |SELECT ai AS doc_a, bi AS doc_b,
+        |  round(c::DOUBLE / (na.n + nb.n - c), 3) AS jaccard
+        |FROM common
+        |JOIN sizes na ON ai = na.doc_id
+        |JOIN sizes nb ON bi = nb.doc_id
+        |WHERE c::DOUBLE / (na.n + nb.n - c) >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin
 
   private lazy val pipelineSamplesOracleSql: String =
     s"""WITH red AS (

@@ -421,6 +421,56 @@ class StreamingSpec extends AnyFunSuite {
       "testdata lost its delta-internal pair; the earlier-arrival path is unpinned")
   }
 
+  test("warm-start TTL: in-window feed equals the NoTimeout warm-start") {
+    // synthetic in-window timestamps ⇒ no eviction fires ⇒ the bounded
+    // form must reproduce the unbounded bootstrap exactly (the driver's
+    // oracle makes the same claim against DuckDB; this is the in-repo pin)
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val ttl = pairSet(Streaming.streamDedupMinhashWarmstartTTL(spark, sf))
+    val unbounded = pairSet(Streaming.streamDedupMinhashWarmstart(spark, sf))
+    assert(ttl.nonEmpty)
+    assert(ttl === unbounded)
+  }
+
+  test("warm-start TTL: bootstrapped resident is watermark-evicted like any other") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions.{expr => fexpr}
+    import spark.implicits._
+    def toks(r: Range, p: String) = r.map(i => s"$p$i").mkString(" ")
+    def docs(rows: Seq[(Long, String, Long)]): DataFrame =
+      rows.toDF("doc_id", "text", "sec")
+        .select($"doc_id", $"text", fexpr("timestamp_seconds(sec)").as("ts"))
+    val in = Files.createTempDirectory("graft_wsttl_in_").toString
+    val t0 = 1700000000L
+    val base = System.currentTimeMillis()
+    // PRIOR (batch bootstrap, never streamed): family w's original at t0
+    // — will age out before its re-crawl — and family z's original at
+    // t0+9900, still in-window when its re-crawl arrives
+    val prior = docs(Seq((10L, toks(0 until 100, "w"), t0),
+      (11L, toks(0 until 100, "z"), t0 + 9900)))
+    // delta batch 1: z re-crawl 30 s after its bootstrapped original
+    // (inside the 60 s TTL; first-batch watermark is zero, so the pair
+    // against INITIAL STATE must be emitted) + a far-future watermark
+    // pusher → wm = (t0+10000) − 60
+    writeOneFile(docs(Seq((20L, toks(0 until 99, "z"), t0 + 9930),
+      (30L, toks(0 until 60, "p"), t0 + 10000))), s"$in/b1.parquet", base)
+    // delta batch 2: w re-crawl at t0+9950 (non-late) — bootstrapped
+    // resident 10 has ts + ttl = t0+60 far behind the watermark, so it
+    // was evicted and NO pair may be reported (the NoTimeout warm-start
+    // would pair them — this is exactly what the TTL twin adds)
+    writeOneFile(docs(Seq((21L, toks(0 until 99, "w"), t0 + 9950))),
+      s"$in/b2.parquet", base + 60000)
+    val schema = spark.read.parquet(in).schema
+    val delta = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val got = Streaming.runNearDupStreamWarmstartTTL(delta, prior, 60000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq((11L, 20L)),
+      s"expected only the in-window bootstrap pair (11, 20) — the aged-out " +
+        s"bootstrapped resident must be evicted — got $got")
+  }
+
   test("eventsStream scopes the nanosAsLong flag: restored after, stream still runs") {
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     val prev = spark.conf.getOption(key)
