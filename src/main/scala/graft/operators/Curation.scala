@@ -378,25 +378,29 @@ object Curation {
     val spark = kept.sparkSession
     import spark.implicits._
     val good = kept.filter(TextAnalysis.qualityScore($"text") >= QualityCut)
-    // explicit exchange = the materialization point both consumers
-    // below (representative agg + semi-join left) replay as ONE
-    // ReusedExchange — without it each side recomputes the full
-    // redact→quality→chunk subtree, tripling the regexp passes over
-    // the corpus (PlanSpec pins the reuse). The explicit isnotnull is
-    // EXCHANGE-REUSE PLUMBING, not a semantic filter (chunk keys are
-    // non-null by construction): the semi-join INFERS it on its left
-    // branch only, which would de-canonicalize the shared subtree —
-    // same hazard and same guard as dedupNgramJaccard.
-    // chunksUnordered, not chunksOf: the repartition below would discard
+    // Keep-first in ONE pass: row_number over the content-hash partition
+    // (the oracle's own formulation). Rounds 5–10 used a min(struct)
+    // representative agg + semi-join — TWO consumers of the chunk
+    // fan-out sharing an explicit exchange — and round 11 measured that
+    // the shared exchange is NOT reused in the cc/ccq variants: the
+    // optimizer pulls the user repartition above the semi join on the
+    // probe branch, the two subtrees de-canonicalize, and the chunk
+    // Generate + anti-join + corpus redaction silently run twice
+    // (~5.5 s duplicated executor cpu at sf0.1 per pipeline). The
+    // window consumes chunks ONCE — reuse is structural, not an
+    // exchange-canonicalization bet — and costs one hash exchange on
+    // the content hash + a per-group sort. WindowExec buffers one
+    // partition-KEY group at a time, and groups here are duplicate
+    // sets (tiny), so the round-4 window hazard (buffering a whole
+    // 260k-row exploded frame) does not apply.
+    // chunksUnordered, not chunksOf: the window exchange would discard
     // a trailing sort anyway (the streaming twin already takes this path)
-    val chunks = chunksUnordered(good)
-      .filter($"doc_id".isNotNull && $"chunk_idx".isNotNull)
-      .repartition(spark.sparkContext.defaultParallelism, $"doc_id", $"chunk_idx")
-    val reps = chunks
-      .groupBy(md5($"chunk_text").as("h"))
-      .agg(min(struct($"doc_id", $"chunk_idx")).as("k"))
-      .select($"k.doc_id".as("doc_id"), $"k.chunk_idx".as("chunk_idx"))
-    chunks.join(reps, Seq("doc_id", "chunk_idx"), "left_semi")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5($"chunk_text")).orderBy($"doc_id", $"chunk_idx")
+    chunksUnordered(good)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .drop("rn")
       .select($"doc_id", $"chunk_idx", $"chunk_text", $"n_tokens")
       .orderBy($"doc_id", $"chunk_idx")
   }

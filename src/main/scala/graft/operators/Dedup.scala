@@ -1145,11 +1145,30 @@ object Dedup {
     // p checkpoint keeps the verify tail from running twice (round-7
     // fix).
     val width = spark.sparkContext.defaultParallelism
+    // LOOP width scales with the measured edge count, not the session
+    // parallelism: the per-round frames are pair-graph-sized (bytes at
+    // bench scale), and running every round's 3 shuffle stages at the
+    // session width costs a fixed ~32-64 task schedules per stage ×
+    // O(log d) rounds — measured round-11 as the second-largest slice
+    // of the cc/ccq pipelines' wall. p is already checkpointed, so the
+    // count reads cached blocks (one cheap job, driver gets ONE long —
+    // not a collect). ~100k edges per partition keeps a partition's
+    // join state comfortably in executor memory; at cluster scale
+    // (billions of edges) the clamp returns the session width.
+    val loopWidth = math.max(1L, math.min(width.toLong,
+       p.count() / 100000L + 1L)).toInt
+    // coalesce the checkpointed pair frame to the loop width too: its
+    // blocks were written at the session width, and every loop-side
+    // consumer (the union's two branches, nodes in the callers) would
+    // otherwise schedule 2×width map tasks per round-0 job just to
+    // read a few KB of pairs. Narrow reads, no shuffle.
+    val pn = if (loopWidth < width) p.coalesce(loopWidth) else p
     val edges = Materialize.frame(
-      p.select($"doc_a".as("src"), $"doc_b".as("dst"))
-        .union(p.select($"doc_b".as("src"), $"doc_a".as("dst")))
-        .repartition(width, $"src"))
-    var labels = Materialize.frame(docs.select($"doc_id", $"doc_id".as("lbl")))
+      pn.select($"doc_a".as("src"), $"doc_b".as("dst"))
+        .union(pn.select($"doc_b".as("src"), $"doc_a".as("dst")))
+        .repartition(loopWidth, $"src"))
+    var labels = Materialize.frame(docs.select($"doc_id", $"doc_id".as("lbl"))
+      .repartition(loopWidth, $"doc_id"))
     var changed = true
     var iter = 0
     val maxRounds = 32

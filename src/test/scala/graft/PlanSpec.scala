@@ -100,17 +100,29 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("gram_window_mins"), p.take(1200))
   }
 
-  test("samples pipeline: chunk expansion materializes once (reused exchange)") {
-    // the regression this pins: the representative agg and the
-    // semi-join left both consume the redact→quality→chunk subtree —
-    // without the shared explicit exchange (and its isnotnull reuse
-    // plumbing) each branch recomputes the whole expansion, tripling
-    // the corpus regexp passes
+  test("samples pipeline: chunk expansion runs once (window keep-first, single consumer)") {
+    // the regression this pins: rounds 5–10 kept-first via a
+    // representative agg + semi-join — two consumers of the chunk
+    // fan-out whose shared exchange round 11 measured as NOT reused in
+    // the cc/ccq variants (the optimizer pulls the user repartition
+    // above the semi join, de-canonicalizing the branches, and the
+    // chunk Generate + anti-join + corpus redaction ran twice). The
+    // window form consumes chunks once: exactly ONE chunk Generate in
+    // the plan, keep-first as row_number
     val p = finalPlan(Curation.pipelineCurateSamples(spark, sf))
     val scans = "FileScan parquet".r.findAllIn(p).size
     assert(scans == 2,
       s"expected 2 documents scans (pair search + kept side), got $scans\n${p.take(1200)}")
-    assert(p.contains("ReusedExchange"), p.take(1200))
+    val chunkGenerates = "posexplode".r.findAllIn(p).size
+    assert(chunkGenerates == 1,
+      s"expected exactly 1 chunk fan-out Generate, got $chunkGenerates\n${p.take(1200)}")
+    assert(p.contains("row_number"), p.take(1200))
+    // and the cc variant — where the old shape silently doubled the
+    // expansion — must show the same single-Generate tail
+    val pcc = finalPlan(Curation.pipelineCurateSamplesCc(spark, sf))
+    val ccChunkGenerates = "posexplode".r.findAllIn(pcc).size
+    assert(ccChunkGenerates == 1,
+      s"expected exactly 1 chunk fan-out Generate in cc, got $ccChunkGenerates\n${pcc.take(1200)}")
   }
 
   test("events: ts range predicate pushes through the encoding normalization into the scan") {
