@@ -36,7 +36,7 @@ object Similarity {
   final val LshTables: Int = graft.functions.LshImpl.Tables
   final val LshBits: Int = graft.functions.LshImpl.Bits
 
-  private def embeddings(spark: SparkSession, sfDir: String): DataFrame =
+  private[graft] def embeddings(spark: SparkSession, sfDir: String): DataFrame =
     Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("label"), VectorOps.toDouble(col("embedding")).as("v"))
 
@@ -155,7 +155,7 @@ object Similarity {
   /** The 16 deterministic seed centroids (the vectors right after the
     * query range), collected driver-side — bounded; the quantizer IS
     * the model, same footing as a broadcast model. */
-  private def seedCentroids(e: DataFrame): Seq[Seq[Double]] = {
+  private[graft] def seedCentroids(e: DataFrame): Seq[Seq[Double]] = {
     val spark = e.sparkSession
     import spark.implicits._
     e.filter($"vec_id" >= NumQueries && $"vec_id" < NumQueries + NumCentroids)
@@ -304,28 +304,33 @@ object Similarity {
     * [[fitCentroids]] plan, and determinism keeps the whole search
     * oracle-checkable.
     *
+    * Codebooks are Lloyd-FITTED per subspace on the SAME distributed
+    * plan shape as [[fitCentroids]] (round 11 — previously raw seed
+    * slices, the one model fit in the repo that wasn't executor-side):
+    * [[KMeansIters]] iterations, each ONE aggregation over the
+    * (subspace, subvector) fan-out — per-row argmin assignment for all
+    * 8 subspaces, posexplode, groupBy (m, cell) integer sums — with a
+    * bounded 8×16-cell × (count + 8 sums) collect folding the new
+    * codewords driver-side, exactly the quantization discipline of the
+    * IVF fit (integer sums ⇒ order-free, empty cell keeps its
+    * codeword). The oracle unrolls the identical fit in SQL.
+    *
     * Parity: code assignment drops the per-subspace-constant ‖x_m‖²
     * term and compares floor((‖c‖² − 2·x_m·c)·[[ScoreScale]]) as LONGs
-    * (with ‖c‖² a Scala-computed literal baked into BOTH engines);
+    * (with ‖c‖² a Scala-computed left-to-right fold ≡ DuckDB
+    * list_dot_product(cv,cv), baked as a literal engine-side and
+    * recomputed from the identical folded components oracle-side);
     * table entries are floor(q_m·c·[[ScoreScale]]) LONGs, so the ADC
     * score is a SUM OF 8 INTEGERS — order-free, reassociation-proof,
     * identical on any engine. */
   def simAnnPq(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val e = embeddings(spark, sfDir)
-    val cb = pqCodebooks(seedCentroids(e))
-    def sub(v: Column, m: Int): Column = slice(v, m * PqSubDim + 1, PqSubDim)
-    def codeCol(m: Int): Column = {
-      val dists = array(cb(m).map { cv =>
-        floor((lit(normSq(cv)) - lit(2.0) * VectorOps.dot(sub($"v", m), typedLit(cv)))
-          * lit(ScoreScale)).cast("long")
-      }: _*)
-      (array_position(dists, array_min(dists)) - 1).cast("int")
-    }
+    val cb = fitPqCodebooks(e, seedCentroids(e), KMeansIters)
     val codes = e.select($"vec_id",
-      array((0 until PqSubspaces).map(codeCol): _*).as("code"))
+      array((0 until PqSubspaces).map(m => pqCodeCol(cb, $"v", m)): _*).as("code"))
     def tabCol(m: Int): Column = array(cb(m).map(cv =>
-      floor(VectorOps.dot(sub($"qv", m), typedLit(cv)) * lit(ScoreScale)).cast("long")): _*)
+      floor(VectorOps.dot(pqSub($"qv", m), typedLit(cv)) * lit(ScoreScale)).cast("long")): _*)
     val q = e.filter($"vec_id" < NumQueries)
       .select($"vec_id".as("query_id"), $"v".as("qv"))
       .select($"query_id" +: (0 until PqSubspaces).map(m => tabCol(m).as(s"tab$m")): _*)
@@ -338,6 +343,63 @@ object Similarity {
       .filter($"rk" <= TopK)
       .select($"query_id", $"rk", $"vec_id", $"score_q")
       .orderBy($"query_id", $"rk")
+  }
+
+  /** vec_id's m-th [[PqSubDim]]-dim sub-slice. */
+  private def pqSub(v: Column, m: Int): Column = slice(v, m * PqSubDim + 1, PqSubDim)
+
+  /** Per-subspace codeword assignment against the given codebooks:
+    * argmin of the quantized drop-the-constant distance, first-match
+    * (= lowest codeword id) on ties — mirrored by the oracle's
+    * `ORDER BY dq ASC, c ASC`. */
+  private def pqCodeCol(cb: Seq[Seq[Seq[Double]]], v: Column, m: Int): Column = {
+    val dists = array(cb(m).map { cv =>
+      floor((lit(normSq(cv)) - lit(2.0) * VectorOps.dot(pqSub(v, m), typedLit(cv)))
+        * lit(ScoreScale)).cast("long")
+    }: _*)
+    (array_position(dists, array_min(dists)) - 1).cast("int")
+  }
+
+  /** Distributed per-subspace Lloyd fit of the PQ codebooks — the
+    * [[fitCentroids]] shape applied to all [[PqSubspaces]] subspaces in
+    * ONE aggregation per iteration: every row computes its 8 argmin
+    * cells (map work against baked codeword literals), fans out into
+    * (m, cell, quantized subvector) via posexplode, and a single
+    * groupBy(m, cell) integer-sum aggregate — map-side combined, 8×16
+    * cells × ([[PqSubDim]] sums + count) collected per iteration —
+    * folds the new codewords driver-side: component = s / (n ·
+    * [[QuantScale]]), an exact int→double conversion + one division on
+    * both engines; an empty cell keeps its previous codeword. The fit
+    * is executor-side where it scales (the corpus pass) and
+    * driver-side only for the bounded 8×16×8 fold, exactly like the
+    * IVF fit. */
+  private[graft] def fitPqCodebooks(e: DataFrame, seeds: Seq[Seq[Double]],
+      iters: Int): Seq[Seq[Seq[Double]]] = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    var cb = pqCodebooks(seeds)
+    for (_ <- 0 until iters) {
+      val cells = array((0 until PqSubspaces).map { m =>
+        struct(pqCodeCol(cb, $"v", m).as("cell"),
+          transform(pqSub($"v", m), x => floor(x * lit(QuantScale)).cast("long")).as("svq"))
+      }: _*)
+      val rows = e.select(posexplode(cells).as(Seq("m", "x")))
+        .select($"m", $"x.cell".as("cell"), $"x.svq".as("svq"))
+        .groupBy($"m", $"cell")
+        .agg(count(lit(1)).as("n"),
+          (0 until PqSubDim).map(d => sum(element_at($"svq", d + 1)).as(s"s$d")): _*)
+        .collect()
+      val byKey = rows.map(r => (r.getInt(0), r.getInt(1)) -> r).toMap
+      cb = cb.indices.map { m =>
+        cb(m).indices.map { c =>
+          byKey.get((m, c)).fold(cb(m)(c)) { r =>
+            val n = r.getLong(2)
+            (0 until PqSubDim).map(d => r.getLong(3 + d).toDouble / (n * QuantScale.toDouble))
+          }
+        }
+      }
+    }
+    cb
   }
 
   /** cb(m)(c) = codeword c of subspace m: the c-th seed vector's m-th
@@ -562,6 +624,66 @@ object Similarity {
        |)""".stripMargin
   }
 
+  /** The WITH-body of the PQ per-subspace Lloyd fit mirror, through
+    * `cb$iters` (m, c, cv, cc) — the [[fitPrefixSql]] discipline applied
+    * per subspace: quantized-argmin assignment (dq ASC, c ASC ≡ the
+    * engine's first-min array_position), per-(m, cell, dim) integer
+    * sums, folded codewords with COALESCE keeping an empty cell's
+    * previous codeword, cc recomputed from the folded components by the
+    * same left-to-right product sum. Also defines `ev` (full vectors,
+    * reused by the search tail) and `sv` (per-(vec, m) sub-slices). */
+  private def pqFitPrefixSql(iters: Int): String = {
+    val iterCtes = (1 to iters).map { k =>
+      s"""pa$k AS (
+         |  SELECT vec_id, m, c AS cell FROM (
+         |    SELECT s.vec_id, s.m, cb.c,
+         |      row_number() OVER (PARTITION BY s.vec_id, s.m
+         |        ORDER BY CAST(floor((cb.cc - 2.0 * list_dot_product(s.sv, cb.cv))
+         |          * ${ScoreScale.toLong}.0) AS BIGINT) ASC, cb.c ASC) AS rn
+         |    FROM sv s JOIN cb${k - 1} cb USING (m)
+         |  ) t WHERE rn = 1
+         |),
+         |pm$k AS (
+         |  SELECT a.m, a.cell AS c, sd.d, sum(q.svq[sd.d]) AS s, count(*) AS n
+         |  FROM pa$k a JOIN sq q ON q.vec_id = a.vec_id AND q.m = a.m
+         |  CROSS JOIN sd
+         |  GROUP BY a.m, a.cell, sd.d
+         |),
+         |cb$k AS (
+         |  SELECT p.m, p.c, coalesce(f.cv, p.cv) AS cv,
+         |    list_dot_product(coalesce(f.cv, p.cv), coalesce(f.cv, p.cv)) AS cc
+         |  FROM cb${k - 1} p LEFT JOIN (
+         |    SELECT m, c, list(s::DOUBLE / (n * $QuantScale.0) ORDER BY d) AS cv
+         |    FROM pm$k GROUP BY m, c
+         |  ) f USING (m, c)
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |ms AS (SELECT unnest(range(0, $PqSubspaces)) AS m),
+       |sd AS (SELECT unnest(range(1, ${PqSubDim + 1})) AS d),
+       |sv AS (
+       |  SELECT e.vec_id, ms.m,
+       |    e.v[ms.m*$PqSubDim+1 : ms.m*$PqSubDim+$PqSubDim] AS sv
+       |  FROM ev e CROSS JOIN ms
+       |),
+       |sq AS (
+       |  SELECT vec_id, m,
+       |    [CAST(floor(x * $QuantScale) AS BIGINT) for x in sv] AS svq
+       |  FROM sv
+       |),
+       |cb0 AS (
+       |  SELECT ms.m, s.vec_id - $NumQueries AS c,
+       |    s.v[ms.m*$PqSubDim+1 : ms.m*$PqSubDim+$PqSubDim] AS cv,
+       |    list_dot_product(
+       |      s.v[ms.m*$PqSubDim+1 : ms.m*$PqSubDim+$PqSubDim],
+       |      s.v[ms.m*$PqSubDim+1 : ms.m*$PqSubDim+$PqSubDim]) AS cc
+       |  FROM ms CROSS JOIN (
+       |    SELECT vec_id, v FROM ev
+       |    WHERE vec_id >= $NumQueries AND vec_id < ${NumQueries + NumCentroids}) s
+       |),
+       |$iterCtes""".stripMargin
+  }
+
   private def kmeansIvfSql(iters: Int): String = {
     s"""WITH ${fitPrefixSql(iters)},
        |assign AS (SELECT vec_id, cid AS cell FROM rkf WHERE rn = 1),
@@ -653,27 +775,22 @@ object Similarity {
     // probed residents. nprobe = NumCentroids ≡ brute force is pinned
     // in SimilaritySpec.
     "sim_ann_ivf_kmeans" -> kmeansIvfSql(KMeansIters),
-    // full PQ mirror: codebooks from the seed slices in SQL (the
-    // engine bakes the same values as literals), codeword norms via
-    // list_dot_product(cv,cv) ≡ the engine's left-to-right normSq
-    // fold, every assignment/table/score comparison an integer
+    // full PQ mirror incl. the per-subspace Lloyd FIT (round 11):
+    // seed-slice codebooks, then per iteration the quantized-argmin
+    // assignment, per-(m, cell, dim) integer sums and the folded
+    // codewords (COALESCE keeps an empty cell's codeword), unrolled
+    // KMeansIters times — the same discipline as the IVF fit mirror.
+    // Codeword norms via list_dot_product(cv,cv) ≡ the engine's
+    // left-to-right normSq fold; every assignment/table/score
+    // comparison an integer
     "sim_ann_pq" ->
-      s"""WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |ms AS (SELECT unnest(range(0, $PqSubspaces)) AS m),
-         |cbv AS (
-         |  SELECT ms.m, s.vec_id - $NumQueries AS c,
-         |    s.v[ms.m*$PqSubDim+1 : ms.m*$PqSubDim+$PqSubDim] AS cv
-         |  FROM ms CROSS JOIN (
-         |    SELECT vec_id, v FROM ev
-         |    WHERE vec_id >= $NumQueries AND vec_id < ${NumQueries + NumCentroids}) s
-         |),
-         |cb AS (SELECT m, c, cv, list_dot_product(cv, cv) AS cc FROM cbv),
+      s"""WITH ${pqFitPrefixSql(KMeansIters)},
+         |cb AS (SELECT m, c, cv, cc FROM cb$KMeansIters),
          |dist AS (
-         |  SELECT e.vec_id, cb.m, cb.c,
-         |    CAST(floor((cb.cc - 2.0 *
-         |      list_dot_product(e.v[cb.m*$PqSubDim+1 : cb.m*$PqSubDim+$PqSubDim], cb.cv))
+         |  SELECT s.vec_id, cb.m, cb.c,
+         |    CAST(floor((cb.cc - 2.0 * list_dot_product(s.sv, cb.cv))
          |      * ${ScoreScale.toLong}.0) AS BIGINT) AS dq
-         |  FROM ev e CROSS JOIN cb
+         |  FROM sv s JOIN cb USING (m)
          |),
          |codes AS (
          |  SELECT vec_id, m, c AS code FROM (

@@ -197,6 +197,24 @@ class SimilaritySpec extends AnyFunSuite {
       "exactly the two near-center copies are dropped")
   }
 
+  test("PQ codebook fit bites: fitted codewords move off their seed slices") {
+    // the distributed per-subspace Lloyd fit (round 11) must actually
+    // refit — if every codeword came back identical to its seed slice
+    // the executor-side aggregation would be dead plumbing and
+    // sim_ann_pq would silently degrade to the old seeded search
+    val e = Similarity.embeddings(spark, sf)
+    val seeds = Similarity.seedCentroids(e)
+    val seeded = (0 until Similarity.PqSubspaces).map(m =>
+      seeds.map(_.slice(m * Similarity.PqSubDim, (m + 1) * Similarity.PqSubDim)))
+    val fitted = Similarity.fitPqCodebooks(e, seeds, Similarity.KMeansIters)
+    assert(fitted.size === Similarity.PqSubspaces)
+    assert(fitted.forall(_.forall(_.size === Similarity.PqSubDim)))
+    assert(fitted != seeded, "fit must move at least one codeword")
+    // determinism: same fit twice, bit-identical (the oracle's premise)
+    val again = Similarity.fitPqCodebooks(e, seeds, Similarity.KMeansIters)
+    assert(again === fitted)
+  }
+
   test("LshSignatures null-propagates on wrong dims and null elements") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
