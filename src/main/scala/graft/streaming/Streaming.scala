@@ -949,10 +949,17 @@ object Streaming {
     val spark = train.sparkSession
     import spark.implicits._
     import graft.operators.Curation
-    val evalGrams = eval
+    // materialize the eval gram set ONCE: a stream-static subplan is
+    // re-executed EVERY micro-batch by Spark's contract, so without
+    // the checkpoint each trigger re-reads and re-shingles the eval
+    // corpus (StreamScanAudit measured 2 extra eval scans across a
+    // 3-batch feed). Checkpointed, per-batch cost is reading the
+    // gram-set-sized cached blocks — the bounded artifact, not the
+    // source.
+    val evalGrams = graft.operators.Materialize.frame(eval
       .repartition(spark.sparkContext.defaultParallelism, $"doc_id")
       .select(explode(graft.functions.NGramXxh64($"text", Curation.DecontamGram)).as("h"))
-      .distinct()
+      .distinct())
     val hits = train
       .select($"doc_id",
         graft.functions.NGramXxh64($"text", Curation.DecontamGram).as("g"))
@@ -995,8 +1002,13 @@ object Streaming {
     val spark = stream.sparkSession
     import spark.implicits._
     import graft.operators.Curation
-    val p = Curation.mixProbsOn(
-      Curation.mixGateCols(snapshot.filter($"lang".isNotNull)))
+    // materialize the fitted L-row probability table ONCE: without the
+    // checkpoint the stream-static join re-runs the corpus-sized
+    // snapshot aggregation EVERY micro-batch (StreamScanAudit measured
+    // 2 extra snapshot scans across a 3-batch feed) — at 100 TB that
+    // is a full-corpus pass per trigger to rebuild an L-row table
+    val p = graft.operators.Materialize.frame(Curation.mixProbsOn(
+      Curation.mixGateCols(snapshot.filter($"lang".isNotNull))))
     val gated = Curation.mixGateAgg(
       Curation.mixGateCols(stream.filter($"lang".isNotNull)), p)
     runToMemory(gated, "update")
