@@ -91,6 +91,9 @@ object Bench {
     // corpus's band index — pair space |delta| × collisions, prior
     // never self-pairs
     "dedup_minhash_incremental",
+    // incremental NEAR-dup, SimHash flavor: delta's radius-1 probe balls
+    // against the prior fingerprints' exact-chunk band index
+    "dedup_simhash_incremental",
     // tf-idf top-k: tf shuffle-agg + term-window df + per-doc rank
     "text_tfidf_topk",
     // PQ/ADC: subvector codebook fit + 4-byte code scan — a genuinely

@@ -989,6 +989,123 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** Incremental SimHash near-dup: a fresh crawl delta probed against
+    * the PRIOR corpus's fingerprint band index — the SimHash member of
+    * the incremental family (exact hash-index / Bloom-gated / MinHash
+    * band-index / this). The prior side contributes its 8 exact 8-bit
+    * chunk values per fingerprint — 8 longs/doc, the write-once artifact
+    * a production pipeline buckets by (chunk, value) exactly like the
+    * MinHash (band, bh) index — while the DELTA side emits each chunk's
+    * radius-1 Hamming ball (72 keys/doc, generated and consumed
+    * map-side). Capture is deterministic by the same pigeonhole as
+    * [[dedupSimHashPairs]]: any cross-snapshot pair at fingerprint
+    * Hamming ≤ [[MaxPairHamming]] has some aligned chunk differing in
+    * ≤ ⌊15/8⌋ = 1 bit, and the delta-side ball covers one-bit chunk
+    * differences in either orientation. Prior never self-pairs — the
+    * pair space is |delta| × band collisions, independent of
+    * prior × prior, and the per-cell collision fan-in scales down with
+    * the band-width knob ([[dedupSimHashPairsB16]]'s 16-bit geometry
+    * drops in unchanged when prior occupancy saturates).
+    *
+    * Feature space is the UNCAPPED 3-gram shingle set, mirroring
+    * [[dedupMinHashIncremental]]'s uncapped oracle discipline rather
+    * than [[dedupSimHashPairs]]' DF-capped one — deliberately: the DF
+    * cap exists to bound inverted-SHINGLE-index fan-in, an index this
+    * query does not build (its index is the fingerprint band index,
+    * whose fan-in is bounded by cell occupancy), and an incremental
+    * pipeline has no cheap corpus-wide DF artifact to consult at probe
+    * time. Verify is the exact-Jaccard merge-walk over the shared
+    * sorted shingle-hash arrays; the DuckDB oracle rebuilds the
+    * fingerprints from md5_number_lower features and applies the
+    * identical Hamming ≤ 15 ∧ Jaccard ≥ 0.8 predicate restricted to
+    * prior × fresh, so the hash gate is exact — no recall assumption. */
+  def dedupSimHashIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    dedupSimHashIncrementalOn(
+      docs.filter(pmod($"doc_id", lit(SnapshotMod)) < SnapshotNewMin),
+      docs.filter(pmod($"doc_id", lit(SnapshotMod)) >= SnapshotNewMin))
+  }
+
+  /** The transform of [[dedupSimHashIncremental]] over any (prior,
+    * fresh) pair of (doc_id, text) frames (spec entry point). Output:
+    * (doc_a = prior id, doc_b = fresh id, jaccard) per confirmed
+    * cross-snapshot near-dup pair. */
+  private[graft] def dedupSimHashIncrementalOn(
+      prior: DataFrame, fresh: DataFrame): DataFrame = {
+    val spark = prior.sparkSession
+    import spark.implicits._
+    // The shared per-side subtree stops at (doc_id, shc): ShingleMd5Low64
+    // emits the sorted-distinct hash set straight from the text bytes
+    // (no explode, no shuffle before the band join), and the fingerprint
+    // is voted from that same array ABOVE the shared exchange, on the
+    // band branch only. Computing f inside hashedOf instead costs 2×
+    // the scans (measured: documents=4): the verify branch prunes to
+    // (doc_id, shc) and the band branch to (doc_id, f), the specialized
+    // projections de-canonicalize the subtree under the repartition, and
+    // each side's scan + shingle hashing runs twice. Same discipline as
+    // dedupMinHashIncrementalOn (band hashes derived above the shared
+    // (doc_id, hv) exchange), including the explicit isnotnull: the
+    // verify joins infer isnotnull(doc_id) on their branches, the band
+    // join (keyed on c/v/f) does not, and the constraint must live in
+    // the SHARED subtree for the branches to stay canonically equal.
+    // The second trick-filter below is this query's OWN instance of the
+    // hazard: the band join also infers isnotnull(f) =
+    // isnotnull(simhash(shc)), which pushes below the repartition on
+    // the band branches only — without mirroring it here the two
+    // exchanges per side differ by exactly that predicate and the scan
+    // + shingle hashing run twice per side (measured: documents=4).
+    // Semantically a no-op (the fingerprint of a non-null array is
+    // never null); it exists purely to keep the exchange children
+    // byte-identical.
+    def hashedOf(df: DataFrame): DataFrame = df
+      .filter($"doc_id".isNotNull)
+      .repartition(spark.sparkContext.defaultParallelism, $"doc_id")
+      .select($"doc_id", graft.functions.ShingleMd5Low64($"text").as("shc"))
+      .filter(size($"shc") > 0)
+      .filter(graft.functions.SimHash64FromHashes($"shc").isNotNull)
+    val hp = hashedOf(prior)
+    val hf = hashedOf(fresh)
+    def fpOf(hashed: DataFrame): DataFrame = hashed
+      .select($"doc_id", graft.functions.SimHash64FromHashes($"shc").as("f"))
+    val mask = (1L << SimHashChunkBits) - 1
+    def chunk(c: Int): Column =
+      shiftrightunsigned($"f", c * SimHashChunkBits).bitwiseAND(lit(mask))
+    val indexKeys = (0 until SimHashChunks).map { c =>
+      struct(lit(c).as("c"), chunk(c).as("v"))
+    }
+    val probeKeys = (0 until SimHashChunks).flatMap { c =>
+      (Seq(0L) ++ (0 until SimHashChunkBits).map(1L << _)).map { flip =>
+        struct(lit(c).as("c"), chunk(c).bitwiseXOR(lit(flip)).as("v"))
+      }
+    }
+    val index = fpOf(hp).select($"doc_id", $"f", explode(array(indexKeys: _*)).as("k"))
+      .select($"doc_id", $"f", $"k.c".as("c"), $"k.v".as("v"))
+    val probe = fpOf(hf).select($"doc_id", $"f", explode(array(probeKeys: _*)).as("k"))
+      .select($"doc_id", $"f", $"k.c".as("c"), $"k.v".as("v"))
+    // cross-snapshot candidates ONLY — prior index left, delta probe
+    // right; the slices are disjoint, so no a < b self-pairing games.
+    // The exact-Hamming cut runs INSIDE the join (long XOR + popcount),
+    // so the distinct dedupes only surviving pairs, not every chunk
+    // collision.
+    val candidates = probe.as("a").join(index.as("b"),
+        $"a.c" === $"b.c" && $"a.v" === $"b.v" &&
+          expr("bit_count(a.f ^ b.f)") <= MaxPairHamming)
+      .select($"b.doc_id".as("doc_a"), $"a.doc_id".as("doc_b"))
+      .distinct()
+      // bytes-small candidate set, O(set size) merge-walk fan-out per
+      // row — same verify-parallelism pin as every pair search
+      .repartition(spark.sparkContext.defaultParallelism, $"doc_a")
+    candidates.as("cd")
+      .join(hp.as("sa"), $"cd.doc_a" === $"sa.doc_id")
+      .join(hf.as("sb"), $"cd.doc_b" === $"sb.doc_id")
+      .select($"cd.doc_a".as("doc_a"), $"cd.doc_b".as("doc_b"),
+        graft.functions.SetJaccardSorted($"sa.shc", $"sb.shc").as("jacc"))
+      .filter($"jacc" >= JaccardThreshold)
+      .select($"doc_a", $"doc_b", round($"jacc", 3).as("jaccard"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   /** Embedding-space near-dup/similarity pairs: same-label blocked
     * self-join, cosine in double precision, top-20 most similar pairs.
     * (The data's max cosine is ~0.51, so a fixed high threshold would be
@@ -1215,6 +1332,7 @@ object Dedup {
     "dedup_simhash_pairs" -> dedupSimHashPairs,
     "dedup_simhash_pairs_wide" -> dedupSimHashPairsWide,
     "dedup_simhash_pairs_b16" -> dedupSimHashPairsB16,
+    "dedup_simhash_incremental" -> dedupSimHashIncremental,
     "dedup_embed_cosine" -> dedupEmbedCosine,
     "dedup_embed_cosine_blocked" -> dedupEmbedCosineBlocked,
     "dedup_clusters" -> dedupClusters,
@@ -1392,6 +1510,41 @@ object Dedup {
       |  AND bit_count(xor(fa.f, fb.f)) <= $maxHamming
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Oracle for [[dedupSimHashIncremental]]: the identical Hamming ≤ 15
+    * ∧ Jaccard ≥ 0.8 predicate over fingerprints rebuilt from
+    * md5_number_lower features, restricted to prior × fresh pairs —
+    * over the UNCAPPED shingle space (see the operator doc for why the
+    * DF cap deliberately does not apply here). Deterministic capture ⇒
+    * the hash gate is exact: a qualifying cross-snapshot pair the band
+    * probe misses fails the compare. */
+  private val simhashIncrementalSql =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)])) s
+      |  FROM toks WHERE len(t) >= 3
+      |),
+      |pr AS (SELECT doc_id, md5_number_lower(s) h FROM sh),
+      |sizes AS (SELECT doc_id, count(*) n FROM pr GROUP BY doc_id),
+      |fp AS (SELECT doc_id, $simhashVoteExpr f FROM pr GROUP BY doc_id),
+      |common AS (
+      |  SELECT a.doc_id ai, b.doc_id bi, count(*) c
+      |  FROM pr a JOIN pr b ON a.h = b.h
+      |  WHERE a.doc_id % $SnapshotMod < $SnapshotNewMin
+      |    AND b.doc_id % $SnapshotMod >= $SnapshotNewMin
+      |  GROUP BY a.doc_id, b.doc_id
+      |)
+      |SELECT ai AS doc_a, bi AS doc_b,
+      |  round(c::DOUBLE / (na.n + nb.n - c), 3) AS jaccard
+      |FROM common
+      |JOIN sizes na ON ai = na.doc_id
+      |JOIN sizes nb ON bi = nb.doc_id
+      |JOIN fp fa ON ai = fa.doc_id
+      |JOIN fp fb ON bi = fb.doc_id
+      |WHERE c::DOUBLE / (na.n + nb.n - c) >= 0.8
+      |  AND bit_count(xor(fa.f, fb.f)) <= $MaxPairHamming
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   /** The engine's sign-bit band cells, mirrored bit-for-bit in SQL
     * (generated from the same constants so they cannot drift). */
   private val embedBandSelect: String = (0 until EmbedBands).map { b =>
@@ -1430,6 +1583,7 @@ object Dedup {
     // same window, same predicate, different band geometry — sharing the
     // ≤15 oracle IS the claim that the 16-bit banding loses nothing
     "dedup_simhash_pairs_b16" -> simhashPairsSqlAt(MaxPairHamming),
+    "dedup_simhash_incremental" -> simhashIncrementalSql,
     "dedup_simhash" ->
       s"""WITH tok AS (
         |  SELECT doc_id, md5_number_lower(t) h

@@ -59,7 +59,9 @@ object ScanAudit {
         // prior corpus + fresh delta are two logical tables (the prior
         // side must never re-pair with itself — the incremental point);
         // locally both slices read the same documents file
-        "dedup_minhash_incremental" -> Map("documents" -> 2))
+        "dedup_minhash_incremental" -> Map("documents" -> 2),
+        // same two-logical-tables argument, SimHash flavor
+        "dedup_simhash_incremental" -> Map("documents" -> 2))
       val mark =
         if (flagged.isEmpty) "ok"
         else if (byDesign.get(name).contains(flagged)) "ok/2x"

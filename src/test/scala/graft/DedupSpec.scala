@@ -534,6 +534,61 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental simhash finds cross-snapshot near-dups only (no delta-internal pairs)") {
+    import spark.implicits._
+    // same construction as the minhash twin: prior doc 1 has a planted
+    // near-dup in the delta (one token changed in a 60-token doc →
+    // J > 0.9, fingerprint Hamming small); fresh 101/102 are near-dups
+    // of EACH OTHER but of nothing prior — delta-internal pairs are the
+    // full search's job, not the incremental probe's
+    val base = (0 until 60).map(i => s"tok$i").mkString(" ")
+    val prior = Seq(
+      (1L, base),
+      (2L, "completely unrelated content right here")).toDF("doc_id", "text")
+    val fresh = Seq(
+      (100L, base.replace("tok59", "changed")),
+      (101L, "another shared long passage " + base.replace("tok0", "x")),
+      (102L, "another shared long passage " + base.replace("tok0", "x"))
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupSimHashIncrementalOn(prior, fresh)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 100L)), s"planted cross-snapshot pair missed: $got")
+    assert(got.forall { case (a, b) => a < 100L && b >= 100L },
+      s"non-cross-snapshot pair leaked: $got")
+  }
+
+  test("incremental simhash ≡ full simhash pair search restricted to cross-snapshot pairs") {
+    // corpus-level differential against the full banded search. Feature
+    // spaces: the full search fingerprints the DF-CAPPED shingle space,
+    // the incremental one the UNCAPPED space (see the operator doc) —
+    // comparable here because the cap drops ZERO shingles at the test
+    // SFs (pinned by the cap-neutrality note in simHashCappedBase); if
+    // corpus drift ever makes the cap bite at sf0.001 this test fails
+    // loudly rather than silently comparing different spaces.
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = pairs(Dedup.dedupSimHashPairs(spark, sf))
+    val inc = pairs(Dedup.dedupSimHashIncremental(spark, sf))
+    val prior = (id: Long) => id % Dedup.SnapshotMod < Dedup.SnapshotNewMin
+    // full emits (min, max); incremental emits (prior, fresh) — align
+    val expected = full.collect {
+      case (a, b, j) if prior(a) && !prior(b) => (a, b, j)
+      case (a, b, j) if !prior(a) && prior(b) => (b, a, j)
+    }
+    assert(inc === expected,
+      s"cross-snapshot differential broke:\n inc=$inc\n exp=$expected")
+  }
+
+  test("incremental simhash returns rows at sf0.001 and every pair crosses the snapshot split") {
+    val rows = Dedup.dedupSimHashIncremental(spark, sf).collect()
+    assert(rows.nonEmpty, "testdata should contain planted cross-snapshot near-dups")
+    rows.foreach { r =>
+      assert(r.getLong(0) % Dedup.SnapshotMod < Dedup.SnapshotNewMin, r.toString)
+      assert(r.getLong(1) % Dedup.SnapshotMod >= Dedup.SnapshotNewMin, r.toString)
+      assert(r.getDouble(2) >= 0.8, r.toString)
+    }
+  }
+
   test("bloom-gated incremental dedup survives an EMPTY prior (NULL sketch routes to exact path)") {
     import spark.implicits._
     // BloomFilterAggregate over zero rows returns NULL; an un-guarded

@@ -93,6 +93,20 @@ class PlanSpec extends AnyFunSuite {
       s"expected at most 2 documents scans (one per snapshot side), got $scans\n${p.take(1200)}")
   }
 
+  test("incremental simhash: each snapshot side scans and hashes ONCE (exchange reuse)") {
+    // band and verify branches both consume each side's (doc_id, shc)
+    // subtree; TWO trick-filters keep them canonically identical — the
+    // isnotnull(doc_id) the minhash twin needs, plus isnotnull(f):
+    // the band join infers non-nullness of its fingerprint key and
+    // pushes it below the repartition on the band branches only, which
+    // measured as documents=4 until the constraint was mirrored into
+    // the shared subtree (see dedupSimHashIncrementalOn)
+    val p = finalPlan(Dedup.dedupSimHashIncremental(spark, sf))
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans <= 2,
+      s"expected at most 2 documents scans (one per snapshot side), got $scans\n${p.take(1200)}")
+  }
+
   test("winnow fingerprint: pure map + explode, single (range) exchange") {
     val p = finalPlan(TextAnalysis.textFingerprintWinnow(spark, sf))
     val exchanges = "Exchange".r.findAllIn(p).size
