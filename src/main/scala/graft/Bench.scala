@@ -60,7 +60,11 @@ object Bench {
     "dedup_simhash_pairs", "dedup_containment",
     // the 16-bit-band scale variant next to the 8-bit search it mirrors
     "dedup_simhash_pairs_b16",
-    "sim_topk_brute", "sim_ann_lsh", "sim_ann_ivf", "sim_label_stats_sampled",
+    "sim_topk_brute", "sim_ann_lsh", "sim_ann_ivf",
+    // frozen-quantizer index maintenance: prior-artifact ∪ delta-sized
+    // assignment through the identical search tail
+    "sim_ann_ivf_incremental",
+    "sim_label_stats_sampled",
     "text_quality", "text_fingerprint_winnow", "mm_features",
     // chunk-granularity near-dup: the pair search over ~10× the row count
     "dedup_chunks_ngram",

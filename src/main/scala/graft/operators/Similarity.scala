@@ -152,6 +152,41 @@ object Similarity {
     ivfSearchWith(e, scoreArr, nprobe)
   }
 
+  /** Incremental IVF index maintenance: the corpus's cell-assignment
+    * index is extended by assigning ONLY a fresh snapshot delta against
+    * the FROZEN coarse quantizer, and search runs over prior-artifact ∪
+    * delta — the production shape for a growing 100 TB vector corpus,
+    * where re-assigning everything per ingest is a full corpus pass but
+    * the delta assignment is delta-sized map work appended to a
+    * write-once index artifact (cell is the natural partition key: an
+    * append is partition-local, and the probe join stays an equi-join
+    * against the same layout). The quantizer is frozen AT INDEX
+    * CREATION — the same deterministic seed set as [[simAnnIvf]] —
+    * which is precisely what makes maintenance OUTPUT-INVISIBLE:
+    * assignment is a deterministic per-row function of (v, centroids),
+    * so slice-wise assignment ∪ equals whole-corpus assignment by
+    * construction, and this query SHARES simAnnIvf's oracle the way
+    * the Bloom-gated incremental shares the plain incremental's — the
+    * sharing IS the correctness claim. (A production pipeline re-fits
+    * the quantizer only when drift degrades recall, then rebuilds —
+    * the rebuild is [[simAnnIvfKmeans]]'s fit; the steady state is
+    * this query.) The snapshot split reuses the documents convention:
+    * vec_id % [[Dedup.SnapshotMod]] ≥ [[Dedup.SnapshotNewMin]] is the
+    * fresh delta. */
+  def simAnnIvfIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = embeddings(spark, sfDir)
+    val cents = seedCentroids(e)
+    val scoreArr = array(cents.map(cv => VectorOps.cosine($"v", typedLit(cv))): _*)
+    val assigned = assignedCells(
+        e.filter(pmod($"vec_id", lit(Dedup.SnapshotMod)) < Dedup.SnapshotNewMin),
+        scoreArr)
+      .unionByName(assignedCells(
+        e.filter(pmod($"vec_id", lit(Dedup.SnapshotMod)) >= Dedup.SnapshotNewMin),
+        scoreArr))
+    ivfSearchOverAssigned(e, assigned, scoreArr, NProbe)
+  }
+
   /** The 16 deterministic seed centroids (the vectors right after the
     * query range), collected driver-side — bounded; the quantizer IS
     * the model, same footing as a broadcast model. */
@@ -163,14 +198,35 @@ object Similarity {
       .select($"v").collect().map(_.getSeq[Double](0).toSeq).toSeq
   }
 
+  /** The per-vector cell assignment against a baked score array —
+    * pure map work, no shuffle. Factored out so the incremental index
+    * form ([[simAnnIvfIncremental]]) can assign the prior corpus and a
+    * fresh delta as SEPARATE slices (or read the prior side back from
+    * a written artifact, as SimilaritySpec demonstrates) and feed the
+    * union into the identical search tail. */
+  private[graft] def assignedCells(e: DataFrame, scoreArr: Column): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val cellExpr = (array_position(scoreArr, array_max(scoreArr)) - 1).cast("int")
+    e.select($"vec_id", $"v", cellExpr.as("cell"))
+  }
+
   /** The shared IVF search tail: assignment argmax + nprobe probe
     * cells from a per-row score ARRAY (double scores for the seeded
     * variant, quantized long scores for the Lloyd-fitted one), then
     * cell equi-join candidates and the exact cosine re-rank. */
-  private def ivfSearchWith(e: DataFrame, scoreArr: Column, nprobe: Int): DataFrame = {
+  private def ivfSearchWith(e: DataFrame, scoreArr: Column, nprobe: Int): DataFrame =
+    ivfSearchOverAssigned(e, assignedCells(e, scoreArr), scoreArr, nprobe)
+
+  /** Search tail over an EXPLICIT (vec_id, v, cell) assignment frame —
+    * the seam that makes index maintenance injectable: the full
+    * variants pass the freshly-computed assignment of the whole
+    * corpus; the incremental variant passes prior-artifact ∪ delta. */
+  private[graft] def ivfSearchOverAssigned(
+      e: DataFrame, assigned: DataFrame, scoreArr: Column,
+      nprobe: Int): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
-    val cellExpr = (array_position(scoreArr, array_max(scoreArr)) - 1).cast("int")
     // query probe cells: indices of the nprobe best scores — sort
     // (−score, idx) ascending so ties fall to the lower cell id
     val probeCells = slice(
@@ -183,7 +239,6 @@ object Similarity {
     // (the previous shape) cost a full re-scan PLUS a corpus-wide
     // sort-merge shuffle; carrying v costs only candidate-row width
     // through map-side work (ScanAudit: embeddings full scans 2 → 1)
-    val assigned = e.select($"vec_id", $"v", cellExpr.as("cell"))
     val probes = e.filter($"vec_id" < NumQueries)
       .select($"vec_id".as("query_id"), explode(probeCells).as("cell"))
     val q = e.filter($"vec_id" < NumQueries)
@@ -548,6 +603,7 @@ object Similarity {
     "sim_topk_brute" -> simTopKBrute,
     "sim_ann_lsh" -> simAnnLsh,
     "sim_ann_ivf" -> simAnnIvf,
+    "sim_ann_ivf_incremental" -> simAnnIvfIncremental,
     "sim_ann_ivf_kmeans" -> simAnnIvfKmeans,
     "sim_ann_pq" -> simAnnPq,
     "dedup_semantic" -> dedupSemantic,
@@ -732,6 +788,40 @@ object Similarity {
       s"(CASE WHEN list_dot_product(embedding::DOUBLE[], ${planeSql(t, b)}) >= 0 THEN ${1L << b} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
+  /** Full DuckDB mirror of the seeded-IVF search — shared by
+    * [[simAnnIvf]] and [[simAnnIvfIncremental]] (see the sharing note
+    * at the map entries). */
+  private val ivfSeededSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |c AS (
+       |  SELECT vec_id AS cid, embedding FROM e
+       |  WHERE vec_id >= $NumQueries AND vec_id < ${NumQueries + NumCentroids}
+       |),
+       |rk AS (
+       |  SELECT e.vec_id, c.cid,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${cosSql("e", "c")} DESC, c.cid ASC) AS rn
+       |  FROM e, c
+       |),
+       |assign AS (SELECT vec_id, cid AS cell FROM rk WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cid AS cell FROM rk
+       |  WHERE rn <= $NProbe AND vec_id < $NumQueries
+       |),
+       |cand AS (
+       |  SELECT p.query_id, a.vec_id FROM probes p JOIN assign a USING (cell)
+       |  WHERE a.vec_id <> p.query_id
+       |)
+       |SELECT query_id, rk, vec_id, round(cos, 4) AS cosine FROM (
+       |  SELECT cand.query_id, cand.vec_id, ${cosSql("q", "x")} AS cos,
+       |    row_number() OVER (PARTITION BY cand.query_id
+       |      ORDER BY ${cosSql("q", "x")} DESC, cand.vec_id ASC) AS rk
+       |  FROM cand
+       |  JOIN embeddings q ON q.vec_id = cand.query_id
+       |  JOIN embeddings x ON x.vec_id = cand.vec_id
+       |) t WHERE rk <= $TopK
+       |ORDER BY query_id, rk""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "sim_topk_brute" ->
       s"""SELECT query_id, rk, vec_id, round(cos, 4) AS cosine FROM (
@@ -836,36 +926,13 @@ object Similarity {
          |SELECT cell, vec_id, qc FROM assign
          |WHERE NOT EXISTS (SELECT 1 FROM drops d WHERE d.vec_id = assign.vec_id)
          |ORDER BY cell, vec_id""".stripMargin,
-    "sim_ann_ivf" ->
-      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
-         |c AS (
-         |  SELECT vec_id AS cid, embedding FROM e
-         |  WHERE vec_id >= $NumQueries AND vec_id < ${NumQueries + NumCentroids}
-         |),
-         |rk AS (
-         |  SELECT e.vec_id, c.cid,
-         |    row_number() OVER (PARTITION BY e.vec_id
-         |      ORDER BY ${cosSql("e", "c")} DESC, c.cid ASC) AS rn
-         |  FROM e, c
-         |),
-         |assign AS (SELECT vec_id, cid AS cell FROM rk WHERE rn = 1),
-         |probes AS (
-         |  SELECT vec_id AS query_id, cid AS cell FROM rk
-         |  WHERE rn <= $NProbe AND vec_id < $NumQueries
-         |),
-         |cand AS (
-         |  SELECT p.query_id, a.vec_id FROM probes p JOIN assign a USING (cell)
-         |  WHERE a.vec_id <> p.query_id
-         |)
-         |SELECT query_id, rk, vec_id, round(cos, 4) AS cosine FROM (
-         |  SELECT cand.query_id, cand.vec_id, ${cosSql("q", "x")} AS cos,
-         |    row_number() OVER (PARTITION BY cand.query_id
-         |      ORDER BY ${cosSql("q", "x")} DESC, cand.vec_id ASC) AS rk
-         |  FROM cand
-         |  JOIN embeddings q ON q.vec_id = cand.query_id
-         |  JOIN embeddings x ON x.vec_id = cand.vec_id
-         |) t WHERE rk <= $TopK
-         |ORDER BY query_id, rk""".stripMargin,
+    "sim_ann_ivf" -> ivfSeededSql,
+    // the frozen-quantizer delta append is OUTPUT-INVISIBLE (assignment
+    // is a deterministic per-row function of (v, centroids), so
+    // slice-wise ∪ ≡ whole-corpus) — sharing the seeded-IVF oracle IS
+    // the correctness claim, exactly like dedup_incremental_bloom
+    // sharing dedup_incremental's
+    "sim_ann_ivf_incremental" -> ivfSeededSql,
     // Full mirror of the ANN pipeline: signatures from generated
     // hyperplane constants, candidate equi-join on (table, sig), exact
     // cosine re-rank. Approximation semantics are therefore pinned by

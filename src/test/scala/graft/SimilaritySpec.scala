@@ -89,6 +89,53 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows.forall(r => r.getInt(1) >= 1 && r.getInt(1) <= Similarity.TopK))
   }
 
+  test("incremental IVF ≡ full IVF (frozen-quantizer delta append is output-invisible)") {
+    // assignment is a deterministic per-row function of (v, centroids),
+    // so assigning prior and delta slices separately and unioning must
+    // reproduce the whole-corpus assignment — and therefore the search
+    // output — row for row. This is the claim that lets the query share
+    // sim_ann_ivf's oracle.
+    val full = Similarity.simAnnIvf(spark, sf).collect().map(_.toSeq).toSeq
+    val inc = Similarity.simAnnIvfIncremental(spark, sf).collect().map(_.toSeq).toSeq
+    assert(inc === full)
+  }
+
+  test("incremental IVF searches against a WRITTEN prior-index artifact unchanged") {
+    // the production shape end-to-end: the prior corpus's (vec_id, v,
+    // cell) assignment index is written once, the delta is assigned
+    // fresh against the frozen quantizer, and search over artifact ∪
+    // delta equals the full from-scratch search — proving the index
+    // survives a parquet round-trip (schema, nullability), not just an
+    // in-plan union of two filters. (At scale the artifact would be
+    // laid out BY cell — bucketed or partitioned — so an append is
+    // partition-local and the probe join prunes unprobed cells; written
+    // plain here because a cell-partitioned read turns the broadcast
+    // probe join into a dynamic-partition-pruning subquery whose
+    // InSubqueryExec Spark won't prepare under this plan shape, an
+    // execution detail orthogonal to what this spec pins.)
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    val e = Similarity.embeddings(spark, sf)
+    val cents = Similarity.seedCentroids(e)
+    val scoreArr = array(cents.map(cv =>
+      graft.functions.VectorOps.cosine(col("v"), typedlit(cv))): _*)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_index_").toString
+    Similarity.assignedCells(
+        e.filter(pmod(col("vec_id"), lit(Dedup.SnapshotMod)) < Dedup.SnapshotNewMin),
+        scoreArr)
+      .write.parquet(s"$dir/prior_index")
+    val prior = spark.read.parquet(s"$dir/prior_index")
+      .select(col("vec_id"), col("v"), col("cell"))
+    val delta = Similarity.assignedCells(
+      e.filter(pmod(col("vec_id"), lit(Dedup.SnapshotMod)) >= Dedup.SnapshotNewMin),
+      scoreArr)
+    val got = Similarity.ivfSearchOverAssigned(
+        e, prior.unionByName(delta), scoreArr, Similarity.NProbe)
+      .collect().map(_.toSeq).toSeq
+    val full = Similarity.simAnnIvf(spark, sf).collect().map(_.toSeq).toSeq
+    assert(got === full)
+  }
+
   test("hyperplanes are deterministic across invocations") {
     assert(Similarity.hyperplane(3, 2) === Similarity.hyperplane(3, 2))
     assert(Similarity.hyperplane(3, 2) !== Similarity.hyperplane(3, 3))
