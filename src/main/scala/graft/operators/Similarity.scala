@@ -315,6 +315,13 @@ object Similarity {
     val spark = e.sparkSession
     import spark.implicits._
     val dims = graft.functions.LshImpl.Dims
+    // DELIBERATELY no explicit-width repartition here (contrast
+    // fitPqCodebooks): this fit's per-row work is one argmax over
+    // NumCentroids cells — cheap enough that at bench scale the
+    // repartition's shuffle + 32-task scheduling overhead MEASURED
+    // slower than the serial pass it parallelizes (warm +0.6 s on
+    // sim_ann_ivf_kmeans). On a many-file production corpus the scan
+    // is already wide and the aggregate distributes without help.
     var cents = seeds
     for (_ <- 0 until iters) {
       val scoreArr = quantScores(cents)
@@ -382,8 +389,15 @@ object Similarity {
     import spark.implicits._
     val e = embeddings(spark, sfDir)
     val cb = fitPqCodebooks(e, seedCentroids(e), KMeansIters)
-    val codes = e.select($"vec_id",
-      array((0 until PqSubspaces).map(m => pqCodeCol(cb, $"v", m)): _*).as("code"))
+    // explicit-width repartition before encode+ADC: the 1-task bench
+    // scan otherwise runs the whole compressed-corpus scoring pass
+    // single-threaded (same hazard as the fit passes above); the window
+    // re-shuffles on query_id regardless, so this only spreads the
+    // map-side work
+    val codes = e
+      .repartition(spark.sparkContext.defaultParallelism, $"vec_id")
+      .select($"vec_id",
+        array((0 until PqSubspaces).map(m => pqCodeCol(cb, $"v", m)): _*).as("code"))
     def tabCol(m: Int): Column = array(cb(m).map(cv =>
       floor(VectorOps.dot(pqSub($"qv", m), typedLit(cv)) * lit(ScoreScale)).cast("long")): _*)
     val q = e.filter($"vec_id" < NumQueries)
@@ -433,12 +447,18 @@ object Similarity {
     val spark = e.sparkSession
     import spark.implicits._
     var cb = pqCodebooks(seeds)
+    // same explicit-width discipline as fitCentroids: the 1-task bench
+    // scan serialized the 8-subspace argmin + ×8 fan-out (measured:
+    // tasks=1, 0.7–1.5 s single-thread per fit pass); the integer sums
+    // are order-free, so distribution cannot change the fold
+    val ev = e.select($"v")
+      .repartition(spark.sparkContext.defaultParallelism)
     for (_ <- 0 until iters) {
       val cells = array((0 until PqSubspaces).map { m =>
         struct(pqCodeCol(cb, $"v", m).as("cell"),
           transform(pqSub($"v", m), x => floor(x * lit(QuantScale)).cast("long")).as("svq"))
       }: _*)
-      val rows = e.select(posexplode(cells).as(Seq("m", "x")))
+      val rows = ev.select(posexplode(cells).as(Seq("m", "x")))
         .select($"m", $"x.cell".as("cell"), $"x.svq".as("svq"))
         .groupBy($"m", $"cell")
         .agg(count(lit(1)).as("n"),

@@ -29,6 +29,10 @@ object PlanDump {
       "The 100 TB incremental shape: the delta's band signatures probe the prior corpus's band index (pair space = delta × collisions, prior never self-pairs); each side scans+shingles ONCE (explicit isnotnull keeps banding and verify branches canonically identical for stage reuse), and at scale the prior index is a write-once (band, bh)-bucketed artifact the probe joins without shuffling.",
     "dedup_simhash_pairs" ->
       "ONE scan + `ReusedExchange` between the DF-cap count-agg and the pair branches (constraint-inference hazard guarded by explicit isnotnull); exact-Hamming cut inside the band join.",
+    "dedup_simhash_incremental" ->
+      "Incremental near-dup at the fingerprint tier: the delta's radius-1 probe balls (72 keys/doc, generated map-side) equi-join the prior fingerprints' 8 exact chunk values — pair space = delta × cell collisions, prior never self-pairs; each side scans+hashes ONCE (the band join's inferred isnotnull on the fingerprint key is mirrored into the shared subtree, else the exchanges de-canonicalize — measured documents=4 without it); at scale the prior index is a write-once (chunk, value)-bucketed artifact, the MinHash band-index argument one tier down.",
+    "sim_ann_ivf_incremental" ->
+      "Frozen-quantizer index maintenance: the delta slice is assigned per-row against the baked centroids (map work, no shuffle) and unioned with the prior assignment artifact into the IDENTICAL probe/cell-join/re-rank tail — assignment is deterministic per (vector, centroids), so the union equals the from-scratch build and the query shares sim_ann_ivf's oracle; at 100 TB the artifact is cell-laid-out (append = partition-local) and only the delta is ever re-assigned.",
     "dedup_ngram_jaccard" ->
       "PPJoin-style prefix index: streaming count-agg DF cap on the reused h-exchange, one window for rank+size on one doc_id exchange, groupBy verify sets on the same partitioning.",
     "dedup_containment" ->
