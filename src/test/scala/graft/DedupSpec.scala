@@ -589,6 +589,33 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental clusters merge two PRIOR components bridged by a delta doc") {
+    import spark.implicits._
+    // the correctness case star replacement must survive: prior
+    // components {1,2} and {3,4} are disjoint in the prior graph; delta
+    // doc 10 pairs with a member of EACH, so the maintained clustering
+    // must merge everything into one component labeled 1 — via star
+    // edges only, never re-walking prior×prior pairs
+    val docs = Seq(1L, 2L, 3L, 4L, 10L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (3L, 4L), (2L, 10L), (4L, 10L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.dedupClustersIncrementalOn(docs, pairs, _ >= 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 1L),
+      s"bridged prior components must merge to min 1: $got")
+  }
+
+  test("incremental clusters ≡ from-scratch clusters on the full corpus") {
+    // the output-invisibility claim behind the shared oracle, checked
+    // corpus-wide: star(prior labels) ∪ delta-touching pairs reaches
+    // the identical min-label fixpoint as the full pair graph
+    val full = Dedup.dedupClusters(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inc = Dedup.dedupClustersIncremental(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc === full)
+  }
+
   test("bloom-gated incremental dedup survives an EMPTY prior (NULL sketch routes to exact path)") {
     import spark.implicits._
     // BloomFilterAggregate over zero rows returns NULL; an un-guarded
