@@ -109,4 +109,75 @@ class BucketingSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS graft_band_index")
     }
   }
+
+  test("SimHash chunk index as a bucketed artifact: delta probe joins with NO index-side shuffle") {
+    // the dedupSimHashIncremental scale claim, demonstrated the same
+    // way as the MinHash band index above: the prior fingerprints'
+    // (chunk, value) index is a write-once artifact bucketed on the
+    // probe key; a fresh snapshot's radius-1 probe balls then shuffle
+    // ONLY the delta-sized side, the corpus-sized index reads
+    // bucket-aligned with no exchange, and the result equals the inline
+    // dedupSimHashIncrementalOn on the same slices.
+    import spark.implicits._
+    import graft.operators.Dedup
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
+    try {
+      val sf = SparkTestSession.sf0001
+      val docs = Tables.documents(spark, sf)
+      val prior = docs.filter(pmod($"doc_id", lit(Dedup.SnapshotMod)) < Dedup.SnapshotNewMin)
+      val fresh = docs.filter(pmod($"doc_id", lit(Dedup.SnapshotMod)) >= Dedup.SnapshotNewMin)
+      def hashed(df: org.apache.spark.sql.DataFrame) = df
+        .filter($"doc_id".isNotNull)
+        .select($"doc_id", graft.functions.ShingleMd5Low64($"text").as("shc"))
+        .filter(size($"shc") > 0)
+        .select($"doc_id", $"shc",
+          graft.functions.SimHash64FromHashes($"shc").as("f"))
+      val mask = (1L << Dedup.SimHashChunkBits) - 1
+      def chunk(c: Int) =
+        shiftrightunsigned($"f", c * Dedup.SimHashChunkBits).bitwiseAND(lit(mask))
+      val indexKeys = (0 until Dedup.SimHashChunks).map { c =>
+        struct(lit(c).as("c"), chunk(c).as("v"))
+      }
+      val probeKeys = (0 until Dedup.SimHashChunks).flatMap { c =>
+        (Seq(0L) ++ (0 until Dedup.SimHashChunkBits).map(1L << _)).map { flip =>
+          struct(lit(c).as("c"), chunk(c).bitwiseXOR(lit(flip)).as("v"))
+        }
+      }
+      // write-once: the prior fingerprint index, bucketed on (c, v)
+      hashed(prior)
+        .select($"doc_id", $"shc", $"f", explode(array(indexKeys: _*)).as("k"))
+        .select($"doc_id", $"shc", $"f", $"k.c".as("c"), $"k.v".as("v"))
+        .write.mode("overwrite")
+        .bucketBy(8, "c", "v").sortBy("c", "v")
+        .saveAsTable("graft_simhash_index")
+      val index = spark.table("graft_simhash_index")
+      val probe = hashed(fresh)
+        .select($"doc_id", $"shc", $"f", explode(array(probeKeys: _*)).as("k"))
+        .select($"doc_id", $"shc", $"f", $"k.c".as("c"), $"k.v".as("v"))
+      val pairs = index.as("a").join(probe.as("b"),
+          $"a.c" === $"b.c" && $"a.v" === $"b.v" &&
+            expr("bit_count(a.f ^ b.f)") <= Dedup.MaxPairHamming)
+        .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+          graft.functions.SetJaccardSorted($"a.shc", $"b.shc").as("jacc"))
+        .filter($"jacc" >= Dedup.JaccardThreshold)
+        .groupBy($"doc_a", $"doc_b")
+        .agg(round(max($"jacc"), 3).as("jaccard"))
+      val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val full = pairs.queryExecution.executedPlan.toString
+      val cut = full.indexOf("Initial Plan")
+      val plan = if (cut >= 0) full.substring(0, cut) else full
+      val keyExchanges = "Exchange hashpartitioning\\(c".r.findAllIn(plan).size
+      assert(keyExchanges == 1,
+        s"expected exactly one (c,v) exchange (the delta side), got $keyExchanges:\n${plan.take(1500)}")
+      assert(plan.contains("Bucketed: true"),
+        s"index scan is not bucket-aligned:\n${plan.take(1500)}")
+      val expected = Dedup.dedupSimHashIncrementalOn(prior, fresh).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got === expected)
+      assert(got.nonEmpty, "testdata should contain cross-snapshot near-dups")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS graft_simhash_index")
+    }
+  }
 }
