@@ -78,6 +78,10 @@ object Bench {
     // ccq keeps the best-quality member instead of the minimum id)
     "cur_pipeline_full", "cur_pipeline_samples", "cur_pipeline_samples_cc",
     "cur_pipeline_samples_ccq",
+    // the daily-crawl incremental samples pipeline: only the delta flows,
+    // probing the prior snapshot's doc-hash, minhash-band and chunk-hash
+    // index artifacts
+    "cur_pipeline_samples_incremental",
     // benchmark decontamination: fused 13-gram expansion on both slices,
     // eval gram set broadcast
     "cur_decontam",

@@ -371,6 +371,106 @@ object Curation {
     samplesOfKept(red.join(drop, Seq("doc_id"), "left_anti"))
   }
 
+  /** INCREMENTAL materializing pipeline — the daily-crawl form of
+    * [[pipelineCurateSamples]]: only the fresh snapshot delta flows
+    * through the pipeline, probing three bounded PRIOR-snapshot
+    * artifacts instead of re-curating the corpus:
+    *
+    *   1. the prior DOC-HASH index (16 B/doc) — fresh docs are
+    *      keep-first deduped within the delta, then anti-joined against
+    *      it (`dedup_incremental` semantics over redacted text);
+    *   2. the prior MINHASH BAND index — survivors' band signatures
+    *      probe it for cross-snapshot near-dup candidates
+    *      (`dedup_minhash_incremental` semantics), UNIONED with the
+    *      delta-internal LSH self-join (a crawl carries its own
+    *      near-dups); both verified with the exact-Jaccard merge-walk,
+    *      doc_b (always the fresh side; the higher id for internal
+    *      pairs) dropped;
+    *   3. the prior CHUNK-HASH index (16 B/sample) — after the quality
+    *      gate and chunk fan-out, keep-first within the delta and then
+    *      suppress any chunk whose exact content appeared ANYWHERE in
+    *      the prior snapshot (conservative superset of
+    *      previously-emitted samples: cheap, and over-suppressing an
+    *      exact duplicate chunk is always safe for a trainer).
+    *
+    * Output: exactly the NEW samples this crawl adds to the training
+    * set. At 100 TB all three prior artifacts are write-once bucketed
+    * relations maintained across snapshots (hash/band/chunk-hash
+    * keyed), every probe an equi-join that is exchange-free on the
+    * index side (BucketingSpec demonstrates the band-index form); the
+    * delta-sized working set is materialized once
+    * ([[Materialize.frame]]) because four stages consume it — in
+    * production it IS the staged crawl batch. The near-dup search runs
+    * on exact-novel survivors only: a fresh doc dropped as an exact
+    * duplicate cannot orphan a near-dup edge, because its surviving
+    * twin (prior copy or keep-first witness) carries the identical
+    * shingle set into the search. */
+  def pipelineCurateSamplesIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    pipelineCurateSamplesIncrementalOn(
+      docs.filter(pmod($"doc_id", lit(Dedup.SnapshotMod)) < Dedup.SnapshotNewMin),
+      docs.filter(pmod($"doc_id", lit(Dedup.SnapshotMod)) >= Dedup.SnapshotNewMin))
+  }
+
+  /** The transform of [[pipelineCurateSamplesIncremental]] over any
+    * (prior, fresh) pair of (doc_id, text) frames (spec entry point:
+    * plantable snapshots). */
+  private[graft] def pipelineCurateSamplesIncrementalOn(
+      prior: DataFrame, fresh: DataFrame): DataFrame = {
+    val spark = prior.sparkSession
+    import spark.implicits._
+    // prior artifacts are built from REDACTED text — exactly what the
+    // pipeline would have persisted when the prior snapshot was ingested
+    val redP = prior.select($"doc_id", TextAnalysis.redactedCol($"text").as("text"))
+    val redF = fresh.select($"doc_id", TextAnalysis.redactedCol($"text").as("text"))
+    // stage 1: exact-incremental — keep-first per content hash WITHIN
+    // the delta (row_number, the keep-first form samplesOfKept uses),
+    // then the prior hash-index anti-join
+    val priorHashes = redP.select(md5($"text").as("h")).distinct()
+    val wh = Window.partitionBy($"h").orderBy($"doc_id")
+    val novel = Materialize.frame(
+      redF.select($"doc_id", $"text", md5($"text").as("h"))
+        .withColumn("rn", row_number().over(wh)).filter($"rn" === 1)
+        .join(priorHashes, Seq("h"), "left_anti")
+        .select($"doc_id", $"text"))
+    // stage 2: near-dup — prior band-index probe ∪ delta-internal LSH
+    val hp = Dedup.minhashHashed(redP)
+    val hn = Dedup.minhashHashed(novel)
+    // both verify sides read the same aliased frame so the two
+    // broadcast subtrees stay canonically identical (the
+    // dedupMinHashLsh reuse note); doc_b only ever matches novel ids
+    val pool = hp.unionByName(hn)
+    val bp = Dedup.minhashBanded(hp)
+    val bn = Dedup.minhashBanded(hn)
+    val cross = bp.as("a").join(bn.as("b"),
+        $"a.band" === $"b.band" && $"a.bh" === $"b.bh")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+    val internal = bn.as("a").join(bn.as("b"),
+        $"a.band" === $"b.band" && $"a.bh" === $"b.bh" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+    val drop = cross.union(internal).distinct().as("cd")
+      .join(pool.as("sa"), $"cd.doc_a" === $"sa.doc_id")
+      .join(pool.as("sb"), $"cd.doc_b" === $"sb.doc_id")
+      .select($"cd.doc_b".as("doc_id"),
+        graft.functions.SetJaccardSorted($"sa.hv", $"sb.hv").as("jacc"))
+      .filter($"jacc" >= Dedup.JaccardThreshold)
+      .select($"doc_id").distinct()
+    val kept = novel.join(drop, Seq("doc_id"), "left_anti")
+    // stage 3: quality gate (delta survivors only)
+    val good = kept.filter(TextAnalysis.qualityScore($"text") >= QualityCut)
+    // stages 4–5: chunk fan-out, keep-first within the delta, prior
+    // chunk-index suppression
+    val priorChunks = chunksUnordered(redP)
+      .select(md5($"chunk_text").as("ch")).distinct()
+    val w = Window.partitionBy(md5($"chunk_text")).orderBy($"doc_id", $"chunk_idx")
+    chunksUnordered(good)
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1).drop("rn")
+      .join(priorChunks, md5($"chunk_text") === $"ch", "left_anti")
+      .select($"doc_id", $"chunk_idx", $"chunk_text", $"n_tokens")
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
   /** The shared tail of both materializing pipelines: quality gate →
     * chunk fan-out → chunk-level exact dedup (keep-first) → ordered
     * samples. */
@@ -670,6 +770,7 @@ object Curation {
     "cur_pipeline_samples" -> pipelineCurateSamples,
     "cur_pipeline_samples_cc" -> pipelineCurateSamplesCc,
     "cur_pipeline_samples_ccq" -> pipelineCurateSamplesCcq,
+    "cur_pipeline_samples_incremental" -> pipelineCurateSamplesIncremental,
     "cur_pack_chunks" -> packChunks,
     "cur_decontam" -> decontaminate,
     "cur_mix_sample" -> mixSample,
@@ -835,6 +936,76 @@ object Curation {
          |)
          |SELECT doc_id, chunk_idx, chunk_text, n_tokens
          |FROM sel WHERE rn = 1 ORDER BY doc_id, chunk_idx""".stripMargin,
+    // the incremental pipeline: every stage's SQL spliced from the same
+    // single-source pieces — redaction, the uncapped exact-Jaccard pair
+    // relation (the MinHash family's recall oracle, here restricted to
+    // (prior ∪ novel) × novel with the cross/internal direction rules),
+    // quality, chunk arithmetic — over the snapshot split; prior-side
+    // suppression via NOT EXISTS on the doc-hash and chunk-hash indexes
+    "cur_pipeline_samples_incremental" ->
+      s"""WITH red AS (
+         |  SELECT doc_id, ${TextAnalysis.redactedSqlExpr} AS text
+         |  FROM documents
+         |),
+         |redp AS (SELECT doc_id, text FROM red
+         |         WHERE doc_id % ${Dedup.SnapshotMod} < ${Dedup.SnapshotNewMin}),
+         |redf AS (SELECT doc_id, text FROM red
+         |         WHERE doc_id % ${Dedup.SnapshotMod} >= ${Dedup.SnapshotNewMin}),
+         |keyed AS (
+         |  SELECT doc_id, text, md5(text) AS h,
+         |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+         |  FROM redf
+         |),
+         |novel AS (
+         |  SELECT doc_id, text FROM keyed k
+         |  WHERE rn = 1
+         |    AND NOT EXISTS (SELECT 1 FROM redp p WHERE md5(p.text) = k.h)
+         |),
+         |pool AS (SELECT doc_id, text FROM redp
+         |         UNION ALL SELECT doc_id, text FROM novel),
+         |toks AS (SELECT doc_id, string_split(text, ' ') t FROM pool),
+         |shg AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)])) s
+         |  FROM toks WHERE len(t) >= 3
+         |),
+         |sizes AS (SELECT doc_id, count(*) n FROM shg GROUP BY doc_id),
+         |common AS (
+         |  SELECT a.doc_id ai, b.doc_id bi, count(*) c
+         |  FROM shg a JOIN shg b ON a.s = b.s
+         |  WHERE b.doc_id % ${Dedup.SnapshotMod} >= ${Dedup.SnapshotNewMin}
+         |    AND (a.doc_id % ${Dedup.SnapshotMod} < ${Dedup.SnapshotNewMin}
+         |         OR a.doc_id < b.doc_id)
+         |  GROUP BY a.doc_id, b.doc_id
+         |),
+         |dropped AS (
+         |  SELECT DISTINCT bi AS doc_id FROM common
+         |  JOIN sizes na ON ai = na.doc_id
+         |  JOIN sizes nb ON bi = nb.doc_id
+         |  WHERE c::DOUBLE / (na.n + nb.n - c) >= ${Dedup.JaccardThreshold}
+         |),
+         |kept AS (
+         |  SELECT doc_id, text FROM novel n
+         |  WHERE NOT EXISTS (SELECT 1 FROM dropped d WHERE d.doc_id = n.doc_id)
+         |),
+         |good AS (
+         |  SELECT doc_id, text FROM kept
+         |  WHERE ${TextAnalysis.qualitySqlExpr} >= $QualityCut
+         |),
+         |chunks AS (${chunksSqlFrom("good")}),
+         |pchunks AS (${chunksSqlFrom("redp")}),
+         |sel AS (
+         |  SELECT doc_id, chunk_idx, chunk_text, n_tokens,
+         |    row_number() OVER (PARTITION BY md5(chunk_text)
+         |      ORDER BY doc_id, chunk_idx) AS rn
+         |  FROM chunks
+         |)
+         |SELECT doc_id, chunk_idx, chunk_text, n_tokens
+         |FROM sel s
+         |WHERE rn = 1
+         |  AND NOT EXISTS (SELECT 1 FROM pchunks p
+         |                  WHERE md5(p.chunk_text) = md5(s.chunk_text))
+         |ORDER BY doc_id, chunk_idx""".stripMargin,
     // the cluster-keep materializing pipeline: the SAME recursive-CTE
     // transitive closure as the dedup_clusters_all oracle, spliced over
     // the redacted CTE (both edge SQLs from their single-source

@@ -422,6 +422,35 @@ object Dedup {
       docs.filter(pmod($"doc_id", lit(SnapshotMod)) >= SnapshotNewMin))
   }
 
+  /** The ONE (doc_id, hv sorted shingle-hash array) projection of the
+    * MinHash family, shared with the incremental samples pipeline
+    * (Curation) so the expansion cannot drift between consumers.
+    *
+    * The explicit isnotnull matters: a verify join infers
+    * isnotnull(doc_id) on its branch but a banding branch without a
+    * doc_id predicate does not — without carrying the constraint in the
+    * SHARED subtree the branches de-canonicalize and the scan + shingle
+    * expansion run twice per side (the same reuse hazard dedupMinHashLsh
+    * documents; there the a.doc_id < b.doc_id self-join condition
+    * supplies it for free). */
+  private[graft] def minhashHashed(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.filter($"doc_id".isNotNull)
+      .repartition(spark.sparkContext.defaultParallelism, $"doc_id")
+      .select($"doc_id", graft.functions.ShingleXxh64($"text").as("hv"))
+      .filter(size($"hv") > 0)
+  }
+
+  /** The (doc_id, band, bh) banded signature fan-out over a
+    * [[minhashHashed]] frame — 16 rows per doc, the LSH shuffle key. */
+  private[graft] def minhashBanded(hashed: DataFrame): DataFrame = {
+    val spark = hashed.sparkSession
+    import spark.implicits._
+    hashed.select($"doc_id",
+      posexplode(graft.functions.MinHashBandHashes($"hv")).as(Seq("band", "bh")))
+  }
+
   /** The transform of [[dedupMinHashIncremental]] over any (prior,
     * fresh) pair of (doc_id, text) frames (spec entry point). Output:
     * (doc_a = prior id, doc_b = fresh id, jaccard) per confirmed
@@ -430,22 +459,9 @@ object Dedup {
       prior: DataFrame, fresh: DataFrame): DataFrame = {
     val spark = prior.sparkSession
     import spark.implicits._
-    // the explicit isnotnull matters: the verify join infers
-    // isnotnull(doc_id) on its branch but the banding branch (no doc_id
-    // predicate in the cross-snapshot candidate join) does not — without
-    // carrying the constraint in the SHARED subtree the two branches
-    // de-canonicalize and the scan + shingle expansion run twice per
-    // side (the same reuse hazard dedupMinHashLsh documents; there the
-    // a.doc_id < b.doc_id self-join condition supplies it for free)
-    def hashedOf(df: DataFrame): DataFrame = df
-      .filter($"doc_id".isNotNull)
-      .repartition(spark.sparkContext.defaultParallelism, $"doc_id")
-      .select($"doc_id", graft.functions.ShingleXxh64($"text").as("hv"))
-      .filter(size($"hv") > 0)
-    def bandedOf(hashed: DataFrame): DataFrame = hashed.select($"doc_id",
-      posexplode(graft.functions.MinHashBandHashes($"hv")).as(Seq("band", "bh")))
-    val hp = hashedOf(prior)
-    val hf = hashedOf(fresh)
+    val hp = minhashHashed(prior)
+    val hf = minhashHashed(fresh)
+    def bandedOf(hashed: DataFrame): DataFrame = minhashBanded(hashed)
     // cross-snapshot candidates ONLY: prior bands on the left, delta
     // bands on the right — no a.doc_id < b.doc_id self-pairing games,
     // the slices are disjoint by construction

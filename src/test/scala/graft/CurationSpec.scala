@@ -224,6 +224,52 @@ class CurationSpec extends AnyFunSuite {
       s"expected the min-id keep to retain the first-crawled member, got $cc")
   }
 
+  test("incremental samples pipeline: five drop mechanisms, each on a planted doc") {
+    import spark.implicits._
+    // prior snapshot: X (carries an email — the prior artifacts must be
+    // keyed on REDACTED text), Y, and Q (50 tokens = chunks [0..49] and
+    // [40..49]). fresh delta exercises every stage:
+    //   11: X with a DIFFERENT email — identical only after redaction →
+    //       dropped by the prior DOC-HASH index (stage 1; proves the
+    //       index is redacted-text-keyed);
+    //   12: X with one content token swapped (J = 37/39 ≈ 0.95) →
+    //       dropped by the prior BAND-INDEX probe (stage 2, cross);
+    //   13: Z, novel → emitted;
+    //   14: Z again → dropped by delta-internal keep-first (stage 1);
+    //   15: Z with one token swapped → dropped as doc_b of the
+    //       delta-INTERNAL near-dup pair (13, 15) (stage 2);
+    //   16: 40 unique tokens, no stopwords → q = 0.5 < 0.55 (stage 3);
+    //   17: Q ++ 30 new tokens — doc-level J vs Q = 48/78 ≈ 0.62 (no
+    //       near-dup drop), but its chunk 0 ≡ Q's chunk 0 → suppressed
+    //       by the prior CHUNK-HASH index; chunk 1 (tokens 40..79) is
+    //       novel → emitted (stage 5).
+    val stop = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+    def mix(n: Int, p: String) =
+      (0 until n).map(i => if (i % 2 == 0) stop((i / 2) % 10) else s"$p$i")
+    val x = mix(40, "x").updated(21, "bob@ex.org")
+    val z = mix(40, "z")
+    val q = mix(50, "q")
+    val f17 = q ++ mix(30, "r")
+    val prior = Seq(
+      (1L, x.mkString(" ")),
+      (2L, mix(40, "y").mkString(" ")),
+      (3L, q.mkString(" "))).toDF("doc_id", "text")
+    val fresh = Seq(
+      (11L, x.updated(21, "eve@ex.net").mkString(" ")),
+      (12L, x.updated(39, "xx").mkString(" ")),
+      (13L, z.mkString(" ")),
+      (14L, z.mkString(" ")),
+      (15L, z.updated(39, "zz").mkString(" ")),
+      (16L, (0 until 40).map(i => s"v$i").mkString(" ")),
+      (17L, f17.mkString(" "))).toDF("doc_id", "text")
+    val got = Curation.pipelineCurateSamplesIncrementalOn(prior, fresh).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      (13L, 0, z.mkString(" "), 40L),
+      (17L, 1, f17.slice(40, 80).mkString(" "), 40L)),
+      s"got ${got.toSeq}")
+  }
+
   test("packBins ≡ the global-window formulation (differential)") {
     val fast = Curation.packBins(spark, sf).collect().map(_.toSeq)
     val ref = Curation.packBinsWindowed(spark, sf).collect().map(_.toSeq)
