@@ -108,6 +108,9 @@ object Bench {
     // different scan shape from the IVF queries (table-lookup distance
     // over compressed codes, not float dot products over raw vectors)
     "sim_ann_pq",
+    // IVF-PQ composed index: coarse probe routing + residual ADC scan
+    // inside the probed cells — the FAISS IndexIVFPQ shape
+    "sim_ann_ivfpq",
   )
 
   /** Aggregates per-stage task metrics between reset() and snapshot(). */

@@ -414,6 +414,110 @@ object Similarity {
       .orderBy($"query_id", $"rk")
   }
 
+  /** First codebook-seed vector for [[simAnnIvfPq]]: the 16 vectors
+    * right AFTER the coarse-centroid range. The coarse seeds themselves
+    * are useless as residual-codebook seeds — each one is its own
+    * cell's centroid, so its residual is exactly the zero vector. */
+  final val IvfPqSeedBase: Int = NumQueries + NumCentroids
+
+  /** IVF-PQ composed ANN — the production index shape (IVFADC, Jégou,
+    * Douze, Schmid 2011 §IV: FAISS's IndexIVFPQ): the COARSE quantizer
+    * of [[simAnnIvf]] routes each query to its [[NProbe]] best cells,
+    * and within the probed cells candidates are scored by PRODUCT-
+    * QUANTIZED codes over RESIDUALS (v − centroid(cell)) — the
+    * composition that gives both the sublinear candidate set (IVF) and
+    * the compressed in-RAM scan (PQ), and quantizes residuals rather
+    * than raw vectors because their spread within a cell is what's
+    * left to encode. Scoring decomposes exactly: q·x̂ = q·c_cell +
+    * q·pq(r), so the ADC score is ONE per-(query, cell) coarse term
+    * (an integer, computed per probe — NProbe of them per query) plus
+    * the [[PqSubspaces]] table lookups of [[simAnnPq]], all LONGs —
+    * order-free and engine-independent.
+    *
+    * Codebooks are Lloyd-FITTED on the residuals with the identical
+    * distributed plan as [[simAnnPq]]'s raw-vector fit —
+    * [[fitPqCodebooks]] reads only a `v` column, so the residual frame
+    * drops straight in (seeds: the residuals of the 16 vectors after
+    * the coarse range, each against its own assigned cell — the coarse
+    * seeds themselves have zero residuals). Fitting matters more here
+    * than for raw PQ: the measured recall of seeded residual codebooks
+    * trails seeded raw ones, while fitted residual codebooks beat
+    * fitted raw ones (SimilaritySpec pins the comparison) — the
+    * within-cell spread that residuals expose is exactly what the fit
+    * adapts to. The oracle unrolls the same fit via the shared
+    * pqFitCtes chain pointed at its residual CTE.
+    *
+    * Scale shape: encode is per-row map work against baked literals
+    * (assign + subtract + 8 argmins, NO shuffle); the index artifact is
+    * (vec_id, cell, 8 codes) ≈ 13 B/vector — the point of PQ; search
+    * touches only probed cells' residents through the same broadcast
+    * cell join as [[simAnnIvf]], scoring by integer adds. */
+  def simAnnIvfPq(spark: SparkSession, sfDir: String): DataFrame =
+    simAnnIvfPqOn(spark, sfDir, NProbe)
+
+  private[graft] def simAnnIvfPqOn(spark: SparkSession, sfDir: String,
+      nprobe: Int): DataFrame = {
+    import spark.implicits._
+    val e = embeddings(spark, sfDir)
+    val cents = seedCentroids(e)
+    val centLit = typedLit(cents)
+    val scoreArr = array(cents.map(cv => VectorOps.cosine($"v", typedLit(cv))): _*)
+    val assigned = assignedCells(e, scoreArr)
+    // residual against the row's OWN cell centroid (exact IEEE
+    // subtraction — identical on both engines)
+    val resid = zip_with($"v", element_at(centLit, $"cell" + 1), (a, b) => a - b)
+    // the 16 codebook-seed residuals, driver-collected — bounded, the
+    // codebook IS the model (the seedCentroids footing)
+    val cbSeeds = assigned
+      .filter($"vec_id" >= IvfPqSeedBase && $"vec_id" < IvfPqSeedBase + NumCentroids)
+      .orderBy($"vec_id")
+      .select(resid.as("r")).collect().map(_.getSeq[Double](0).toSeq).toSeq
+    // Lloyd-fit the residual codebooks on the SAME distributed plan as
+    // the raw-PQ fit — fitPqCodebooks only reads a `v` column, so the
+    // residual frame drops straight in. Fitting is what makes residual
+    // quantization actually beat raw-vector quantization (the seeded
+    // residuals of 16 arbitrary vectors are no tighter than raw seeds;
+    // the fitted codewords adapt to the within-cell spread, which is
+    // exactly the structure residuals expose — see SimilaritySpec's
+    // recall comparison).
+    val cb = fitPqCodebooks(
+      assigned.select(resid.as("v")), cbSeeds, KMeansIters)
+    // encode: (vec_id, cell, 8 residual codes) — the 13 B/vector index
+    val codes = assigned
+      .repartition(spark.sparkContext.defaultParallelism, $"vec_id")
+      .select($"vec_id", $"cell", resid.as("r"))
+      .select($"vec_id", $"cell",
+        array((0 until PqSubspaces).map(m => pqCodeCol(cb, $"r", m)): _*).as("code"))
+    // per-(query, probe-cell) coarse term + per-query subspace tables
+    val probeCells = slice(
+      sort_array(zip_with(scoreArr, sequence(lit(0), lit(NumCentroids - 1)),
+        (s, i) => struct((-s).as("ns"), i.as("idx")))),
+      1, nprobe).getField("idx")
+    val probes = e.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"v".as("qv"), explode(probeCells).as("cell"))
+      .select($"query_id", $"cell",
+        floor(VectorOps.dot($"qv", element_at(centLit, $"cell" + 1)) * lit(ScoreScale))
+          .cast("long").as("coarse"))
+    def tabCol(m: Int): Column = array(cb(m).map(cv =>
+      floor(VectorOps.dot(pqSub($"qv", m), typedLit(cv)) * lit(ScoreScale)).cast("long")): _*)
+    val qt = e.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"v".as("qv"))
+      .select($"query_id" +: (0 until PqSubspaces).map(m => tabCol(m).as(s"tab$m")): _*)
+    val radc = (0 until PqSubspaces).map(m =>
+      element_at(col(s"tab$m"), element_at($"code", m + 1) + 1)).reduce(_ + _)
+    val w = Window.partitionBy($"query_id").orderBy($"score_q".desc, $"vec_id".asc)
+    // cells are disjoint, so each candidate matches exactly one probe
+    // row per query — no distinct needed (the simAnnIvf argument)
+    broadcast(probes).join(codes, Seq("cell"))
+      .filter($"vec_id" =!= $"query_id")
+      .join(broadcast(qt), "query_id")
+      .select($"query_id", $"vec_id", ($"coarse" + radc).as("score_q"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= TopK)
+      .select($"query_id", $"rk", $"vec_id", $"score_q")
+      .orderBy($"query_id", $"rk")
+  }
+
   /** vec_id's m-th [[PqSubDim]]-dim sub-slice. */
   private def pqSub(v: Column, m: Int): Column = slice(v, m * PqSubDim + 1, PqSubDim)
 
@@ -626,6 +730,7 @@ object Similarity {
     "sim_ann_ivf_incremental" -> simAnnIvfIncremental,
     "sim_ann_ivf_kmeans" -> simAnnIvfKmeans,
     "sim_ann_pq" -> simAnnPq,
+    "sim_ann_ivfpq" -> simAnnIvfPq,
     "dedup_semantic" -> dedupSemantic,
     "sim_label_stats" -> simLabelStats,
     "sim_label_stats_sampled" -> simLabelStatsSampled,
@@ -708,7 +813,13 @@ object Similarity {
     * previous codeword, cc recomputed from the folded components by the
     * same left-to-right product sum. Also defines `ev` (full vectors,
     * reused by the search tail) and `sv` (per-(vec, m) sub-slices). */
-  private def pqFitPrefixSql(iters: Int): String = {
+  /** The fit-CTE chain (ms/sd/sv/sq/cb0..cb$iters) over ANY source
+    * relation `$rel` with a DOUBLE[]-valued column `$vcol` and codeword
+    * seeds at vec_id ∈ [$seedLo, $seedLo + NumCentroids) — the raw
+    * sim_ann_pq mirror passes the embeddings themselves; the IVF-PQ
+    * mirror passes its residual CTE (round 11). */
+  private def pqFitCtes(iters: Int, rel: String, vcol: String,
+      seedLo: Int): String = {
     val iterCtes = (1 to iters).map { k =>
       s"""pa$k AS (
          |  SELECT vec_id, m, c AS cell FROM (
@@ -734,13 +845,12 @@ object Similarity {
          |  ) f USING (m, c)
          |)""".stripMargin
     }.mkString(",\n")
-    s"""ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |ms AS (SELECT unnest(range(0, $PqSubspaces)) AS m),
+    s"""ms AS (SELECT unnest(range(0, $PqSubspaces)) AS m),
        |sd AS (SELECT unnest(range(1, ${PqSubDim + 1})) AS d),
        |sv AS (
-       |  SELECT e.vec_id, ms.m,
-       |    e.v[ms.m*$PqSubDim+1 : ms.m*$PqSubDim+$PqSubDim] AS sv
-       |  FROM ev e CROSS JOIN ms
+       |  SELECT t.vec_id, ms.m,
+       |    t.$vcol[ms.m*$PqSubDim+1 : ms.m*$PqSubDim+$PqSubDim] AS sv
+       |  FROM $rel t CROSS JOIN ms
        |),
        |sq AS (
        |  SELECT vec_id, m,
@@ -748,17 +858,21 @@ object Similarity {
        |  FROM sv
        |),
        |cb0 AS (
-       |  SELECT ms.m, s.vec_id - $NumQueries AS c,
-       |    s.v[ms.m*$PqSubDim+1 : ms.m*$PqSubDim+$PqSubDim] AS cv,
+       |  SELECT ms.m, s.vec_id - $seedLo AS c,
+       |    s.$vcol[ms.m*$PqSubDim+1 : ms.m*$PqSubDim+$PqSubDim] AS cv,
        |    list_dot_product(
-       |      s.v[ms.m*$PqSubDim+1 : ms.m*$PqSubDim+$PqSubDim],
-       |      s.v[ms.m*$PqSubDim+1 : ms.m*$PqSubDim+$PqSubDim]) AS cc
+       |      s.$vcol[ms.m*$PqSubDim+1 : ms.m*$PqSubDim+$PqSubDim],
+       |      s.$vcol[ms.m*$PqSubDim+1 : ms.m*$PqSubDim+$PqSubDim]) AS cc
        |  FROM ms CROSS JOIN (
-       |    SELECT vec_id, v FROM ev
-       |    WHERE vec_id >= $NumQueries AND vec_id < ${NumQueries + NumCentroids}) s
+       |    SELECT vec_id, $vcol FROM $rel
+       |    WHERE vec_id >= $seedLo AND vec_id < ${seedLo + NumCentroids}) s
        |),
        |$iterCtes""".stripMargin
   }
+
+  private def pqFitPrefixSql(iters: Int): String =
+    s"""ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |${pqFitCtes(iters, "ev", "v", NumQueries)}""".stripMargin
 
   private def kmeansIvfSql(iters: Int): String = {
     s"""WITH ${fitPrefixSql(iters)},
@@ -926,6 +1040,84 @@ object Similarity {
          |      ORDER BY score_q DESC, vec_id ASC) AS rk
          |  FROM sc WHERE vec_id <> query_id) t
          |WHERE rk <= $TopK
+         |ORDER BY query_id, rk""".stripMargin,
+    // IVF-PQ mirror: the seeded-IVF assignment/probe CTEs (rk/assign/
+    // probes verbatim from ivfSeededSql's shape) composed with the PQ
+    // fit + ADC discipline over RESIDUALS — the same pqFitCtes chain as
+    // sim_ann_pq pointed at the residual CTE, codeword seeds the
+    // residuals of vectors IvfPqSeedBase.., norms via list_dot_product
+    // ≡ the engine's normSq fold, every assignment/table/score
+    // comparison an integer; the per-(query, cell) coarse term joins
+    // through the candidate's cell
+    "sim_ann_ivfpq" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |c AS (
+         |  SELECT vec_id - $NumQueries AS cid, embedding::DOUBLE[] AS cv FROM embeddings
+         |  WHERE vec_id >= $NumQueries AND vec_id < ${NumQueries + NumCentroids}
+         |),
+         |rk AS (
+         |  SELECT e.vec_id, c.cid,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${cosListSql("e.v", "c.cv")} DESC, c.cid ASC) AS rn
+         |  FROM e, c
+         |),
+         |assign AS (SELECT vec_id, cid AS cell FROM rk WHERE rn = 1),
+         |resid AS (
+         |  SELECT a.vec_id, a.cell,
+         |    [e.v[i] - c.cv[i] for i in range(1, ${graft.functions.LshImpl.Dims + 1})] AS r
+         |  FROM assign a JOIN e ON e.vec_id = a.vec_id JOIN c ON c.cid = a.cell
+         |),
+         |${pqFitCtes(KMeansIters, "resid", "r", IvfPqSeedBase)},
+         |cb AS (SELECT m, c, cv, cc FROM cb$KMeansIters),
+         |dist AS (
+         |  SELECT s.vec_id, cb.m, cb.c,
+         |    CAST(floor((cb.cc - 2.0 * list_dot_product(s.sv, cb.cv))
+         |      * ${ScoreScale.toLong}.0) AS BIGINT) AS dq
+         |  FROM sv s JOIN cb USING (m)
+         |),
+         |codes AS (
+         |  SELECT vec_id, m, c AS code FROM (
+         |    SELECT vec_id, m, c,
+         |      row_number() OVER (PARTITION BY vec_id, m
+         |        ORDER BY dq ASC, c ASC) AS rn
+         |    FROM dist) t WHERE rn = 1
+         |),
+         |probes AS (
+         |  SELECT vec_id AS query_id, cid AS cell FROM rk
+         |  WHERE rn <= $NProbe AND vec_id < $NumQueries
+         |),
+         |coarse AS (
+         |  SELECT p.query_id, p.cell,
+         |    CAST(floor(list_dot_product(q.v, c.cv) * ${ScoreScale.toLong}.0) AS BIGINT) AS ct
+         |  FROM probes p JOIN e q ON q.vec_id = p.query_id JOIN c ON c.cid = p.cell
+         |),
+         |tab AS (
+         |  SELECT q.vec_id AS query_id, cb.m, cb.c,
+         |    CAST(floor(
+         |      list_dot_product(q.v[cb.m*$PqSubDim+1 : cb.m*$PqSubDim+$PqSubDim], cb.cv)
+         |      * ${ScoreScale.toLong}.0) AS BIGINT) AS t
+         |  FROM e q CROSS JOIN cb WHERE q.vec_id < $NumQueries
+         |),
+         |cand AS (
+         |  SELECT p.query_id, a.vec_id, p.cell
+         |  FROM probes p JOIN assign a USING (cell)
+         |  WHERE a.vec_id <> p.query_id
+         |),
+         |sc AS (
+         |  SELECT cd.query_id, cd.vec_id,
+         |    co.ct + CAST(sum(tab.t) AS BIGINT) AS score_q
+         |  FROM cand cd
+         |  JOIN coarse co ON co.query_id = cd.query_id AND co.cell = cd.cell
+         |  JOIN codes k ON k.vec_id = cd.vec_id
+         |  JOIN tab ON tab.query_id = cd.query_id AND tab.m = k.m
+         |    AND tab.c = k.code
+         |  GROUP BY cd.query_id, cd.vec_id, co.ct
+         |)
+         |SELECT query_id, rk, vec_id, score_q FROM (
+         |  SELECT query_id, vec_id, score_q,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score_q DESC, vec_id ASC) AS rk
+         |  FROM sc) t WHERE rk <= $TopK
          |ORDER BY query_id, rk""".stripMargin,
     // the fitted assignment + qc mirrored through the shared fit
     // prefix; the drop rule is pure integer comparisons (qc and the
