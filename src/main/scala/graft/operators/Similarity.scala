@@ -466,26 +466,31 @@ object Similarity {
     // residual against the row's OWN cell centroid (exact IEEE
     // subtraction — identical on both engines)
     val resid = zip_with($"v", element_at(centLit, $"cell" + 1), (a, b) => a - b)
+    // materialize (vec_id, cell, residual) ONCE: four consumers follow
+    // — the codebook-seed collect, each fit iteration's scan, and the
+    // encode pass — and each would otherwise re-derive the 16-cosine
+    // assignment + subtraction from the raw scan (measured: ~2× the
+    // battery wall and 12 s of GC from the replayed expression tree).
+    // The frame is the fit working set a production build would stage.
+    val residFrame = Materialize.frame(
+      assigned.select($"vec_id", $"cell", resid.as("r")))
     // the 16 codebook-seed residuals, driver-collected — bounded, the
     // codebook IS the model (the seedCentroids footing)
-    val cbSeeds = assigned
+    val cbSeeds = residFrame
       .filter($"vec_id" >= IvfPqSeedBase && $"vec_id" < IvfPqSeedBase + NumCentroids)
       .orderBy($"vec_id")
-      .select(resid.as("r")).collect().map(_.getSeq[Double](0).toSeq).toSeq
+      .select($"r").collect().map(_.getSeq[Double](0).toSeq).toSeq
     // Lloyd-fit the residual codebooks on the SAME distributed plan as
     // the raw-PQ fit — fitPqCodebooks only reads a `v` column, so the
     // residual frame drops straight in. Fitting is what makes residual
-    // quantization actually beat raw-vector quantization (the seeded
+    // quantization competitive with raw-vector quantization (the seeded
     // residuals of 16 arbitrary vectors are no tighter than raw seeds;
-    // the fitted codewords adapt to the within-cell spread, which is
-    // exactly the structure residuals expose — see SimilaritySpec's
-    // recall comparison).
-    val cb = fitPqCodebooks(
-      assigned.select(resid.as("v")), cbSeeds, KMeansIters)
+    // the fitted codewords adapt to the within-cell spread — see
+    // SimilaritySpec's recall comparison and its uniform-data caveat).
+    val cb = fitPqCodebooks(residFrame.select($"r".as("v")), cbSeeds, KMeansIters)
     // encode: (vec_id, cell, 8 residual codes) — the 13 B/vector index
-    val codes = assigned
+    val codes = residFrame
       .repartition(spark.sparkContext.defaultParallelism, $"vec_id")
-      .select($"vec_id", $"cell", resid.as("r"))
       .select($"vec_id", $"cell",
         array((0 until PqSubspaces).map(m => pqCodeCol(cb, $"r", m)): _*).as("code"))
     // per-(query, probe-cell) coarse term + per-query subspace tables

@@ -793,6 +793,53 @@ object Streaming {
     * memory for the correctness harness and BenchStream writes to a
     * checkpointed parquet file sink for the honest ingest-tier
     * measurement (the memory sink measures the rig, not the pipeline). */
+  /** Sentinel keep-doc marking a chunk-hash group as PRIOR-OWNED in the
+    * warm-start form: the chunk's content already exists in the prior
+    * snapshot, so fresh arrivals are suppressed, never re-emitted. Real
+    * doc_ids are nonnegative, so the sentinel cannot collide. In the
+    * cold-start TTL pipeline no state ever carries it (there is no
+    * initial state), so the branch is dead there by construction. */
+  private final val PriorOwnedDoc = -1L
+
+  /** The bounded-state chunk keep-first machine shared by
+    * [[pipelineSamplesTTLTransform]] and its warm-start form (state:
+    * keep row (minDoc, minIdx, text, n) + max event-time ms EVER seen —
+    * the last field keeps the eviction deadline monotone). */
+  private def samplesKeepCellTTL(ttl: String): (String,
+      Iterator[(String, Long, Int, String, Long, java.sql.Timestamp)],
+      org.apache.spark.sql.streaming.GroupState[(Long, Int, String, Long, Long)])
+      => Iterator[(String, Long, Int, String, Long)] = { (h, rows, state) =>
+    if (state.hasTimedOut) {
+      state.remove() // watermark passed newest arrival + ttl: evict
+      Iterator.empty
+    } else {
+      var (minDoc, minIdx, text, n, maxTs) = state.getOption
+        .getOrElse((Long.MaxValue, Int.MaxValue, null: String, 0L, Long.MinValue))
+      if (minDoc == PriorOwnedDoc) {
+        // prior-owned group: consume arrivals (refreshing the deadline
+        // so an actively re-crawled chunk stays suppressed), emit nothing
+        rows.foreach { r =>
+          val t = r._6.getTime
+          if (t > maxTs) maxTs = t
+        }
+        state.update((PriorOwnedDoc, 0, null, 0L, maxTs))
+        state.setTimeoutTimestamp(maxTs, ttl)
+        Iterator.empty
+      } else {
+        rows.foreach { r =>
+          if (r._2 < minDoc || (r._2 == minDoc && r._3 < minIdx)) {
+            minDoc = r._2; minIdx = r._3; text = r._4; n = r._5
+          }
+          val t = r._6.getTime
+          if (t > maxTs) maxTs = t
+        }
+        state.update((minDoc, minIdx, text, n, maxTs))
+        state.setTimeoutTimestamp(maxTs, ttl)
+        Iterator((h, minDoc, minIdx, text, n))
+      }
+    }
+  }
+
   private[graft] def pipelineSamplesTTLTransform(docs: DataFrame, ttl: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -810,28 +857,97 @@ object Streaming {
       .as[(String, Long, Int, String, Long, java.sql.Timestamp)]
     keyed.groupByKey(_._1)
       .flatMapGroupsWithState[(Long, Int, String, Long, Long), (String, Long, Int, String, Long)](
-        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) { (h, rows, state) =>
-          if (state.hasTimedOut) {
-            state.remove() // watermark passed newest arrival + ttl: evict
-            Iterator.empty
-          } else {
-            // state = keep row (minDoc, minIdx, text, n) + max event-time
-            // ms EVER seen; the last field keeps the deadline monotone
-            var (minDoc, minIdx, text, n, maxTs) = state.getOption
-              .getOrElse((Long.MaxValue, Int.MaxValue, null: String, 0L, Long.MinValue))
-            rows.foreach { r =>
-              if (r._2 < minDoc || (r._2 == minDoc && r._3 < minIdx)) {
-                minDoc = r._2; minIdx = r._3; text = r._4; n = r._5
-              }
-              val t = r._6.getTime
-              if (t > maxTs) maxTs = t
-            }
-            state.update((minDoc, minIdx, text, n, maxTs))
-            state.setTimeoutTimestamp(maxTs, ttl)
-            Iterator((h, minDoc, minIdx, text, n))
-          }
-        }
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(samplesKeepCellTTL(ttl))
       .toDF("h", "doc_id", "chunk_idx", "chunk_text", "n_tokens")
+  }
+
+  /** WARM-START samples pipeline with BOUNDED state — the ingest-tier
+    * twin of the batch `cur_pipeline_samples_incremental`'s chunk
+    * stage, composing [[streamDedupMinhashWarmstart]]'s initial-state
+    * bootstrap with [[runPipelineSamplesStreamTTL]]'s eviction: the
+    * PRIOR snapshot's chunk-hash index (16 B/sample, computed in batch
+    * — a bucketed artifact read at scale) is loaded as the stateful
+    * operator's initialState with each hash marked [[PriorOwnedDoc]],
+    * then ONLY the fresh delta streams through redact → quality →
+    * chunk fan-out → keep-first. A fresh chunk whose hash is
+    * prior-owned is SUPPRESSED (the content was already emitted with
+    * the prior corpus — re-emitting it would duplicate a training
+    * sample), so the output is exactly the NEW samples the delta adds;
+    * doc-level near-dup stays in the batch sweep, the documented lambda
+    * split of the samples stream. Prior-owned groups carry their
+    * bootstrap event time and evict on the same monotone deadline as
+    * live groups once the watermark passes `ts + ttl` (after which the
+    * content may legitimately re-emit — the bounded-state suppression
+    * window); as with the minhash warm-start, a bootstrapped group that
+    * never sees an arrival is reclaimed lazily, so at scale the
+    * bootstrap read filters the artifact to `ts ≥ restart − ttl`.
+    *
+    * The driver feed is single-snapshot in-window timestamps (no
+    * eviction fires), so the result equals: fresh keep-first chunks
+    * minus prior-snapshot chunk content — mirrored directly in SQL;
+    * suppression, cross-batch folding and eviction are pinned by
+    * StreamingSpec's multi-batch test. */
+  private[graft] def runPipelineSamplesStreamWarmstartTTL(
+      delta: DataFrame, prior: DataFrame, ttl: String): DataFrame =
+    foldSamples(pipelineSamplesWarmstartTTLEmissions(delta, prior, ttl))
+
+  /** The PRE-FOLD emission stream (the [[pipelineSamplesTTLEmissions]]
+    * seam for the warm-start form): suppression of prior-owned hashes
+    * and their post-eviction re-emission are only visible here. */
+  private[graft] def pipelineSamplesWarmstartTTLEmissions(
+      delta: DataFrame, prior: DataFrame, ttl: String): DataFrame =
+    runToMemory(pipelineSamplesWarmstartTTLTransform(delta, prior, ttl), "append")
+
+  private[graft] def pipelineSamplesWarmstartTTLTransform(
+      delta: DataFrame, prior: DataFrame, ttl: String): DataFrame = {
+    val spark = delta.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import graft.operators.{Curation, TextAnalysis}
+    // prior chunk-hash index: chunks of ALL redacted prior docs — the
+    // same conservative (no quality gate) membership as the batch
+    // incremental pipeline's chunk index; newest chunk event time seeds
+    // the eviction deadline base
+    val redP = prior.select($"doc_id", $"ts",
+      TextAnalysis.redactedCol($"text").as("text"))
+    val initial = Curation.chunksCarrying(redP, "ts")
+      .select(md5($"chunk_text").as("h"), $"ts")
+      .as[(String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .mapGroups((k, it) =>
+        (k, (PriorOwnedDoc, 0, null: String, 0L, it.map(_._2.getTime).max)))
+      .groupByKey(_._1).mapValues(_._2)
+    val red = delta
+      .filter($"doc_id".isNotNull)
+      .withWatermark("ts", ttl)
+      .select($"doc_id", $"ts", TextAnalysis.redactedCol($"text").as("text"))
+    val good = red.filter(TextAnalysis.qualityScore($"text") >= Curation.QualityCut)
+    val keyed = Curation.chunksCarrying(good, "ts")
+      .select(md5($"chunk_text").as("h"), $"doc_id", $"chunk_idx",
+        $"chunk_text", $"n_tokens", $"ts")
+      .as[(String, Long, Int, String, Long, java.sql.Timestamp)]
+    keyed.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Int, String, Long, Long), (String, Long, Int, String, Long)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout, initial)(samplesKeepCellTTL(ttl))
+      .toDF("h", "doc_id", "chunk_idx", "chunk_text", "n_tokens")
+  }
+
+  /** [[runPipelineSamplesStreamWarmstartTTL]] over the snapshot-split
+    * documents table — prior slice bootstraps the chunk index, delta
+    * streams through, synthetic in-window timestamps as in
+    * [[streamDedupMinhashWarmstartTTL]] so no eviction fires. */
+  def streamPipelineSamplesWarmstart(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Dedup.{SnapshotMod, SnapshotNewMin}
+    def withTs(df: DataFrame): DataFrame = df.withColumn("ts",
+      timestamp_seconds(lit(1700000000L) + pmod($"doc_id", lit(3600))))
+    val prior = withTs(graft.sources.Tables.documents(spark, sfDir)
+      .filter(pmod($"doc_id", lit(SnapshotMod)) < SnapshotNewMin))
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val delta = withTs(spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+      .filter(pmod($"doc_id", lit(SnapshotMod)) >= SnapshotNewMin))
+    runPipelineSamplesStreamWarmstartTTL(delta, prior, "1 hour")
   }
 
   /** [[streamPipelineSamples]] through the bounded-state TTL path —
@@ -1036,6 +1152,7 @@ object Streaming {
     "stream_dedup_chunks_ngram" -> streamDedupChunksNgram,
     "stream_pipeline_samples" -> streamPipelineSamples,
     "stream_pipeline_samples_ttl" -> streamPipelineSamplesTTL,
+    "stream_pipeline_samples_warmstart" -> streamPipelineSamplesWarmstart,
     "stream_decontam" -> streamDecontam,
     "stream_mix_sample" -> streamMixSample,
   )
@@ -1119,6 +1236,41 @@ object Streaming {
     // unbounded form and the same batch composition (eviction and
     // epoch restart pinned in StreamingSpec)
     "stream_pipeline_samples_ttl" -> pipelineSamplesOracleSql,
+    // warm-start: the delta slice's keep-first samples MINUS any chunk
+    // whose exact content the prior snapshot contains (the bootstrapped
+    // prior-owned suppression); same single-source redaction/quality/
+    // chunk splices, snapshot split mirrored in SQL
+    "stream_pipeline_samples_warmstart" ->
+      s"""WITH red AS (
+         |  SELECT doc_id, ${graft.operators.TextAnalysis.redactedSqlExpr} AS text
+         |  FROM documents
+         |),
+         |redp AS (
+         |  SELECT doc_id, text FROM red
+         |  WHERE doc_id % ${graft.operators.Dedup.SnapshotMod}
+         |    < ${graft.operators.Dedup.SnapshotNewMin}
+         |),
+         |goodf AS (
+         |  SELECT doc_id, text FROM red
+         |  WHERE doc_id % ${graft.operators.Dedup.SnapshotMod}
+         |      >= ${graft.operators.Dedup.SnapshotNewMin}
+         |    AND ${graft.operators.TextAnalysis.qualitySqlExpr}
+         |      >= ${graft.operators.Curation.QualityCut}
+         |),
+         |chunks AS (${graft.operators.Curation.chunksSqlFrom("goodf")}),
+         |pchunks AS (${graft.operators.Curation.chunksSqlFrom("redp")}),
+         |sel AS (
+         |  SELECT doc_id, chunk_idx, chunk_text, n_tokens,
+         |    row_number() OVER (PARTITION BY md5(chunk_text)
+         |      ORDER BY doc_id, chunk_idx) AS rn
+         |  FROM chunks
+         |)
+         |SELECT doc_id, chunk_idx, chunk_text, n_tokens
+         |FROM sel s
+         |WHERE rn = 1
+         |  AND NOT EXISTS (SELECT 1 FROM pchunks p
+         |                  WHERE md5(p.chunk_text) = md5(s.chunk_text))
+         |ORDER BY doc_id, chunk_idx""".stripMargin,
     // the batch decontamination oracle verbatim: stream-static probe +
     // post-hit aggregation must equal the batch overlap filter
     "stream_decontam" -> graft.operators.Curation.oracles("cur_decontam"),

@@ -75,6 +75,10 @@ object PlanDump {
       "Bloom-gated incremental dedup: the prior index folds into ONE bounded sketch via a scalar subquery (planned once, ReuseSubquery-deduped across both branch filters); certainly-novel delta groups exit through a filter-only branch while only the maybe sliver (true dups + ~2% false positives) anti-joins the exact hash index — at 100 TB the index-side join input is two orders of magnitude under the crawl.",
     "dedup_kept_clusters" ->
       "Cluster-based keep: the fused union pair search replays ONE shingle-expansion exchange and verifies both edge types in one pass; the CC loop iterates on checkpointed pair-node-sized label tables with the symmetrized edge frame checkpointed pre-partitioned on the join key — each round joins with NO edge-side exchange (the loop below shows only the final semi-join of documents against the representative set; the iterations are O(log diameter) equi-join+min-agg rounds on byte-sized frames).",
+    "cur_pipeline_samples_incremental" ->
+      "The daily-crawl incremental pipeline: the delta's novel set materializes ONCE (Materialize.frame behind the keep-first window + prior hash-index anti-join), then its band signatures probe the prior side's band index (cross ∪ delta-internal candidates, one merge-walk verify over a shared aliased pool) and the surviving chunks anti-join the prior chunk-hash index — the two remaining corpus-sized scans are the PRIOR side's band/chunk index builds, which are write-once bucketed artifacts in production (ScanAudit: ok/2x).",
+    "sim_ann_ivfpq" ->
+      "IVF-PQ (IVFADC): assignment, residual, and the 8 code argmins are per-row map work against baked literals; each residual-fit iteration is ONE posexplode + (m, cell) integer-sum aggregate (8×16×9 longs collected); search broadcasts (query, probe-cell, coarse-term) rows and the per-query lookup tables into the codes scan — scoring is 8 table lookups + integer adds per candidate, the compressed-corpus scan PQ exists for.",
     "stream_dedup_chunks_ngram" ->
       "Streaming chunk near-dup (post-run fold shown): the stateful operator is the SAME banded-minhash flatMapGroupsWithState as stream_dedup_minhash_ttl, fed packed (doc_id, chunk_idx) keys through the chunk fan-out Generate — chunks are ordinary documents to the band state machine; per-resident TTL eviction bounds state to O(chunk residents per band cell in the TTL window).",
     "stream_sessions" ->

@@ -114,6 +114,9 @@ object StreamScanAudit {
       "stream_pipeline_samples" -> (b => Streaming.runPipelineSamplesStream(stream(b))),
       "stream_pipeline_samples_ttl" ->
         (b => Streaming.runPipelineSamplesStreamTTL(stream(b), "1 hour")),
+      "stream_pipeline_samples_warmstart" ->
+        (b => Streaming.runPipelineSamplesStreamWarmstartTTL(
+          stream(b).filter(freshPred), prior, "1 hour")),
       "stream_decontam" ->
         (b => Streaming.runDecontamStream(stream(b), evalSlice)),
       "stream_mix_sample" -> (b => Streaming.runMixSampleStream(stream(b), snapshot)),

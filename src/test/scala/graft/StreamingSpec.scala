@@ -471,6 +471,61 @@ class StreamingSpec extends AnyFunSuite {
         s"bootstrapped resident must be evicted — got $got")
   }
 
+  test("warm-start samples: prior chunk suppressed, novel folds, eviction reopens") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions.{expr => fexpr, lit}
+    import spark.implicits._
+    val stop = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+    // two distinct 40-token all-stopword bodies = one chunk each,
+    // quality 1.0; P is IN the prior snapshot, Z is novel
+    val bodyP = (0 until 40).map(i => stop(i % 10)).mkString(" ")
+    val bodyZ = (0 until 40).map(i => stop((i + 3) % 10)).mkString(" ")
+    def pusher(p: String) = (0 until 50)
+      .map(i => if (i % 2 == 0) stop((i / 2) % 10) else s"$p$i").mkString(" ")
+    val t0 = 1700000000L
+    val prior = Seq((1L, bodyP)).toDF("doc_id", "text")
+      .select($"doc_id", $"text",
+        fexpr(s"timestamp_seconds($t0)").as("ts"))
+    val in = Files.createTempDirectory("graft_spws_in_").toString
+    val base = System.currentTimeMillis()
+    def docs(rows: Seq[(Long, String, Long)]): DataFrame =
+      rows.toDF("doc_id", "text", "sec")
+        .select($"doc_id", $"text", fexpr("timestamp_seconds(sec)").as("ts"))
+    // b1: a delta re-crawl of the PRIOR body (must be suppressed — its
+    // content is already a training sample) + a novel body
+    writeOneFile(docs(Seq((20L, bodyP, t0), (21L, bodyZ, t0 + 1))),
+      s"$in/b1.parquet", base)
+    // b2: an in-window duplicate of the novel body under a LOWER id
+    // (keep-first folds to 15) + the far-future watermark pusher
+    writeOneFile(docs(Seq((15L, bodyZ, t0 + 30), (90L, pusher("p"), t0 + 10000))),
+      s"$in/b2.parquet", base + 60000)
+    // b3: quiet batch — bodyP's prior-owned group (touched in b1,
+    // deadline ~t0+60) times out against the advanced watermark
+    writeOneFile(docs(Seq((91L, pusher("q"), t0 + 10010))),
+      s"$in/b3.parquet", base + 120000)
+    // b4: the prior body AGAIN after its suppression state evicted —
+    // a fresh epoch may now legitimately emit it
+    writeOneFile(docs(Seq((30L, bodyP, t0 + 10020))), s"$in/b4.parquet", base + 180000)
+    val schema = spark.read.parquet(in).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val emitted = Streaming.pipelineSamplesWarmstartTTLEmissions(
+        stream, prior, "60 seconds")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq
+    // suppression: the b1 re-crawl of prior content must emit NOTHING
+    assert(!emitted.exists(_._2 == 20L),
+      s"prior-owned chunk must be suppressed, got $emitted")
+    // novel body: b1 emits keyed 21, b2 folds to 15 — never re-keys up
+    assert(emitted.exists(_._2 == 21L) && emitted.exists(_._2 == 15L),
+      s"novel chunk must emit and fold across batches, got $emitted")
+    // eviction: after the prior-owned state ages out, the content
+    // re-emits under the fresh epoch's key
+    assert(emitted.exists(_._2 == 30L),
+      s"post-eviction arrival must start a fresh epoch keyed 30, got $emitted")
+    assert(emitted.map(_._2).toSet === Set(21L, 15L, 30L, 90L, 91L),
+      s"unexpected emission keys: $emitted")
+  }
+
   test("eventsStream scopes the nanosAsLong flag: restored after, stream still runs") {
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     val prev = spark.conf.getOption(key)
