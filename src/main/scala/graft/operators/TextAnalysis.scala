@@ -377,6 +377,78 @@ object TextAnalysis {
        |    len(regexp_extract_all(text, '$Ipv4Re')) +
        |    len(regexp_extract_all(text, '$PhoneRe')))::BIGINT""".stripMargin
 
+  /** The 2⁻²⁰ probability-quantization grid for [[textLmScore]] (the
+    * mixture/TF-IDF trick): scaling by 2²⁰ is exponent arithmetic —
+    * EXACT in IEEE — so each bigram's quantized probability carries
+    * exactly ONE rounded operation (the division). */
+  final val LmQuantum: Long = 1L << 20
+
+  /** LM quality scoring, CCNet-style (Wenzek et al. 2020 §4.3: rank
+    * crawled documents by a language model trained on trusted text): a
+    * Laplace-smoothed BIGRAM model is fitted on the PRIOR snapshot
+    * slice — the incremental family's split, scoring the fresh crawl
+    * against the corpus already ingested — and each fresh document is
+    * scored by its mean smoothed bigram probability
+    * q(w₂|w₁) = (c(w₁w₂)+1)/(c(w₁)+V), V = fit-slice vocabulary size.
+    *
+    * Deliberately probability-mean, not log-perplexity: counts and V
+    * are integers < 2⁵³ (exact double conversion), each bigram's score
+    * is ONE correctly-rounded IEEE division scaled by an exact power
+    * of two and floored to a LONG, the per-doc sum is integer, and the
+    * final mean is one more exact-integer division — bit-identical on
+    * any engine, where ln() would hang the ranking on libm (the
+    * TF-IDF raw-frequency-idf argument). Monotone per-bigram in the
+    * true probability, so the RANKING a curation gate consumes is the
+    * perplexity ranking up to the mean-vs-geometric-mean choice.
+    *
+    * Scale shape: the model is two count relations — bigrams and
+    * unigrams of the trusted slice, one shuffle-agg each — plus a
+    * 1-row vocabulary total (broadcast); scoring is the fresh bigram
+    * fan-out hash-joined against them on (w1, w2) / (w1), then one
+    * per-doc agg. At 100 TB the model tables are top-K-pruned
+    * (unseen/rare n-grams all collapse to the same smoothed floor, so
+    * pruning the tail only re-buckets scores the floor already
+    * dominates) and broadcast; the fit is once-per-snapshot, exactly
+    * like the quantizer fits. */
+  def textLmScore(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    textLmScoreOn(
+      docs.filter(pmod($"doc_id", lit(Dedup.SnapshotMod)) < Dedup.SnapshotNewMin),
+      docs.filter(pmod($"doc_id", lit(Dedup.SnapshotMod)) >= Dedup.SnapshotNewMin))
+  }
+
+  /** The transform of [[textLmScore]] over any (fit, score) pair of
+    * (doc_id, text) frames (spec entry point: hand-computable fits). */
+  private[graft] def textLmScoreOn(fit: DataFrame, score: DataFrame): DataFrame = {
+    val spark = fit.sparkSession
+    import spark.implicits._
+    def bigrams(df: DataFrame): DataFrame = df
+      .select($"doc_id", split($"text", " ").as("t"))
+      .filter(size($"t") >= 2)
+      .select($"doc_id", explode(transform(sequence(lit(0), size($"t") - 2),
+        i => struct(element_at($"t", i + 1).as("w1"),
+          element_at($"t", i + 2).as("w2")))).as("bg"))
+      .select($"doc_id", $"bg.w1".as("w1"), $"bg.w2".as("w2"))
+    val c2 = bigrams(fit).groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
+    val c1 = fit.select(explode(split($"text", " ")).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("c1"))
+    val vocab = c1.agg(count(lit(1)).as("v"))
+    bigrams(score)
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(c1.withColumnRenamed("w", "w1"), Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select($"doc_id",
+        floor((coalesce($"c2", lit(0L)) + lit(1L)).cast("double") /
+          (coalesce($"c1", lit(0L)) + $"v").cast("double") *
+          lit(LmQuantum.toDouble)).cast("long").as("qf"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum($"qf").as("sum_q"))
+      .select($"doc_id", $"n_bigrams", $"sum_q",
+        ($"sum_q".cast("double") / $"n_bigrams".cast("double")).as("score"))
+      .orderBy($"doc_id")
+  }
+
   /** The transform of [[textRedactPii]] on any (doc_id, text) frame
     * (spec entry point: plantable PII inputs). */
   private[graft] def redactFrame(docs: DataFrame): DataFrame = {
@@ -404,6 +476,7 @@ object TextAnalysis {
     "text_stats_by_lang" -> textStatsByGroup,
     "text_repetition" -> textRepetition,
     "text_tfidf_topk" -> textTfidfTopk,
+    "text_lm_score" -> textLmScore,
   )
 
   /** The engine's Karp–Rabin term constants, embedded in the oracle SQL
@@ -440,6 +513,45 @@ object TextAnalysis {
         |SELECT doc_id, rk, term, tf, df,
         |  CAST(floor(score * ${1L << 20}) AS BIGINT) AS score_q
         |FROM s WHERE rk <= $TfidfTopK ORDER BY doc_id, rk""".stripMargin,
+    // the LM fit + scoring mirrored op-for-op: integer counts, ONE
+    // correctly-rounded division per bigram, exact 2^20 scale, floor,
+    // integer sum, one exact final mean division (see textLmScore's
+    // determinism note)
+    "text_lm_score" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
+         |fitb AS (
+         |  SELECT unnest([{'w1': t[i], 'w2': t[i+1]} for i in range(1, len(t))]) AS bg
+         |  FROM toks
+         |  WHERE doc_id % ${Dedup.SnapshotMod} < ${Dedup.SnapshotNewMin}
+         |    AND len(t) >= 2
+         |),
+         |c2 AS (SELECT bg.w1 AS w1, bg.w2 AS w2, count(*) AS c2
+         |       FROM fitb GROUP BY bg.w1, bg.w2),
+         |c1 AS (SELECT w, count(*) AS c1 FROM (
+         |         SELECT unnest(t) AS w FROM toks
+         |         WHERE doc_id % ${Dedup.SnapshotMod} < ${Dedup.SnapshotNewMin})
+         |       GROUP BY w),
+         |tot AS (SELECT count(*) AS v FROM c1),
+         |fb AS (
+         |  SELECT doc_id,
+         |    unnest([{'w1': t[i], 'w2': t[i+1]} for i in range(1, len(t))]) AS bg
+         |  FROM toks
+         |  WHERE doc_id % ${Dedup.SnapshotMod} >= ${Dedup.SnapshotNewMin}
+         |    AND len(t) >= 2
+         |),
+         |scored AS (
+         |  SELECT fb.doc_id,
+         |    CAST(floor((COALESCE(c2.c2, 0) + 1)::DOUBLE
+         |      / (COALESCE(c1.c1, 0) + tot.v)::DOUBLE
+         |      * $LmQuantum.0) AS BIGINT) AS qf
+         |  FROM fb
+         |  LEFT JOIN c2 ON c2.w1 = fb.bg.w1 AND c2.w2 = fb.bg.w2
+         |  LEFT JOIN c1 ON c1.w = fb.bg.w1
+         |  CROSS JOIN tot
+         |)
+         |SELECT doc_id, count(*) AS n_bigrams, CAST(sum(qf) AS BIGINT) AS sum_q,
+         |  CAST(sum(qf) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS score
+         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // same patterns (spliced from the engine constants), RE2 semantics;
     // 'g' flag makes DuckDB's replace global like Spark's
     "text_redact_pii" ->

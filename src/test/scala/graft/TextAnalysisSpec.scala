@@ -167,6 +167,23 @@ class TextAnalysisSpec extends AnyFunSuite {
       (3L, 1, "cherry", 2L, 2L), (3L, 2, "date", 1L, 1L)))
   }
 
+  test("LM score matches hand-computed smoothed bigram probabilities") {
+    import spark.implicits._
+    // fit "a b a c": unigrams a:2 b:1 c:1 (V=3); bigrams (a,b) (b,a) (a,c)
+    val fit = Seq((1L, "a b a c")).toDF("doc_id", "text")
+    val score = Seq(
+      (8L, "a b x"), // (a,b): (1+1)/(2+3)=0.4 → 419430; (b,x): (0+1)/(1+3)=0.25 → 262144
+      (9L, "z z"),   // (z,z): (0+1)/(0+3)=1/3 → 349525
+      (10L, "solo")) // < 2 tokens: no bigrams, no row
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.textLmScoreOn(fit, score).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === Seq(
+      (8L, 2L, 419430L + 262144L, (419430L + 262144L) / 2.0),
+      (9L, 1L, 349525L, 349525.0)),
+      s"got ${got.toSeq}")
+  }
+
   test("fingerprint is stable and order-sensitive") {
     import spark.implicits._
     val df = Seq("abcdefghij", "abcdefghij", "jihgfedcba").toDF("text")
