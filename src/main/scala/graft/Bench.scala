@@ -104,6 +104,9 @@ object Bench {
     "dedup_simhash_incremental",
     // tf-idf top-k: tf shuffle-agg + term-window df + per-doc rank
     "text_tfidf_topk",
+    // LM scoring: two model-count aggs on the fit slice + the fresh
+    // bigram fan-out hash-joined against them
+    "text_lm_score",
     // PQ/ADC: subvector codebook fit + 4-byte code scan — a genuinely
     // different scan shape from the IVF queries (table-lookup distance
     // over compressed codes, not float dot products over raw vectors)
