@@ -418,30 +418,61 @@ object TextAnalysis {
       docs.filter(pmod($"doc_id", lit(Dedup.SnapshotMod)) >= Dedup.SnapshotNewMin))
   }
 
-  /** The transform of [[textLmScore]] over any (fit, score) pair of
-    * (doc_id, text) frames (spec entry point: hand-computable fits). */
-  private[graft] def textLmScoreOn(fit: DataFrame, score: DataFrame): DataFrame = {
-    val spark = fit.sparkSession
+  /** (doc_id, w1, w2) bigram-occurrence fan-out — the ONE bigram
+    * definition, shared by the fit and both the batch and streaming
+    * scoring paths. */
+  private[graft] def lmBigrams(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
     import spark.implicits._
-    def bigrams(df: DataFrame): DataFrame = df
-      .select($"doc_id", split($"text", " ").as("t"))
+    df.select($"doc_id", split($"text", " ").as("t"))
       .filter(size($"t") >= 2)
       .select($"doc_id", explode(transform(sequence(lit(0), size($"t") - 2),
         i => struct(element_at($"t", i + 1).as("w1"),
           element_at($"t", i + 2).as("w2")))).as("bg"))
       .select($"doc_id", $"bg.w1".as("w1"), $"bg.w2".as("w2"))
-    val c2 = bigrams(fit).groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
+  }
+
+  /** The fitted LM: bigram counts, unigram counts, and the 1-row
+    * vocabulary total. */
+  private[graft] def lmModelOn(fit: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val spark = fit.sparkSession
+    import spark.implicits._
+    val c2 = lmBigrams(fit).groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
     val c1 = fit.select(explode(split($"text", " ")).as("w"))
       .groupBy($"w").agg(count(lit(1)).as("c1"))
-    val vocab = c1.agg(count(lit(1)).as("v"))
-    bigrams(score)
+    (c2, c1, c1.agg(count(lit(1)).as("v")))
+  }
+
+  /** The scoring frame's model joins (caller supplies the `v` column —
+    * crossJoin(broadcast) batch-side, a collected literal stream-side). */
+  private[graft] def lmScoredBigrams(score: DataFrame, c2: DataFrame,
+      c1: DataFrame): DataFrame = {
+    val spark = score.sparkSession
+    import spark.implicits._
+    lmBigrams(score)
       .join(c2, Seq("w1", "w2"), "left")
       .join(c1.withColumnRenamed("w", "w1"), Seq("w1"), "left")
-      .crossJoin(broadcast(vocab))
-      .select($"doc_id",
-        floor((coalesce($"c2", lit(0L)) + lit(1L)).cast("double") /
-          (coalesce($"c1", lit(0L)) + $"v").cast("double") *
-          lit(LmQuantum.toDouble)).cast("long").as("qf"))
+  }
+
+  /** Per-bigram quantized smoothed probability over a joined frame
+    * carrying nullable c2/c1 and a `v` column — the single rounded
+    * division (see [[textLmScore]]). */
+  private[graft] def lmQf(joined: DataFrame): DataFrame = {
+    val spark = joined.sparkSession
+    import spark.implicits._
+    joined.select($"doc_id",
+      floor((coalesce($"c2", lit(0L)) + lit(1L)).cast("double") /
+        (coalesce($"c1", lit(0L)) + $"v").cast("double") *
+        lit(LmQuantum.toDouble)).cast("long").as("qf"))
+  }
+
+  /** The transform of [[textLmScore]] over any (fit, score) pair of
+    * (doc_id, text) frames (spec entry point: hand-computable fits). */
+  private[graft] def textLmScoreOn(fit: DataFrame, score: DataFrame): DataFrame = {
+    val spark = fit.sparkSession
+    import spark.implicits._
+    val (c2, c1, vocab) = lmModelOn(fit)
+    lmQf(lmScoredBigrams(score, c2, c1).crossJoin(broadcast(vocab)))
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum($"qf").as("sum_q"))
       .select($"doc_id", $"n_bigrams", $"sum_q",

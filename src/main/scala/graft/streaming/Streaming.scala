@@ -1135,6 +1135,58 @@ object Streaming {
       .orderBy($"lang")
   }
 
+  /** STREAMING LM quality scoring — the batch
+    * [[graft.operators.TextAnalysis.textLmScore]] model applied at
+    * INGEST, the third member of the fitted-model-at-ingest family
+    * (decontam's eval gram set, mix-sample's probability table): the
+    * bigram/unigram count model is fitted batch-side on the PRIOR
+    * snapshot and each checkpointed ONCE (the mix-sample lesson: an
+    * un-checkpointed static side re-runs its corpus aggregation every
+    * micro-batch — StreamScanAudit pins delta=0 here too), the
+    * vocabulary size collects as ONE long (the model's scalar, same
+    * footing as a broadcast model), and the fresh delta streams
+    * through the shared bigram fan-out + model joins. A document's
+    * bigrams all arrive in its own micro-batch (the fan-out is
+    * row-local), so each per-doc emission is already complete and the
+    * update-mode fold's max-struct is batch-equal under any batch
+    * split. At 100 TB the model tables are the top-K-pruned broadcast
+    * form textLmScore documents. */
+  def streamLmScore(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Dedup.{SnapshotMod, SnapshotNewMin}
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+      .filter(pmod($"doc_id", lit(SnapshotMod)) >= SnapshotNewMin)
+    val prior = graft.sources.Tables.documents(spark, sfDir)
+      .filter(pmod($"doc_id", lit(SnapshotMod)) < SnapshotNewMin)
+    runLmScoreStream(stream, prior)
+  }
+
+  /** The transform of [[streamLmScore]] on any streaming docs frame +
+    * static fit snapshot (spec entry point). */
+  private[graft] def runLmScoreStream(stream: DataFrame, prior: DataFrame): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    import graft.operators.{Materialize, TextAnalysis}
+    val (c2r, c1r, _) = TextAnalysis.lmModelOn(prior)
+    val c2 = Materialize.frame(c2r)
+    val c1 = Materialize.frame(c1r)
+    // vocabulary size off the CHECKPOINTED unigram table — one Long to
+    // the driver, no extra corpus pass
+    val v = c1.count()
+    val perDoc = TextAnalysis.lmQf(
+        TextAnalysis.lmScoredBigrams(stream, c2, c1).withColumn("v", lit(v)))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum($"qf").as("sum_q"))
+    runToMemory(perDoc, "update")
+      .groupBy($"doc_id")
+      .agg(max(struct($"n_bigrams", $"sum_q")).as("s"))
+      .select($"doc_id", $"s.n_bigrams".as("n_bigrams"), $"s.sum_q".as("sum_q"),
+        ($"s.sum_q".cast("double") / $"s.n_bigrams".cast("double")).as("score"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_events_hourly" -> streamEventsHourly,
     "stream_sessions" -> streamSessions,
@@ -1155,6 +1207,7 @@ object Streaming {
     "stream_pipeline_samples_warmstart" -> streamPipelineSamplesWarmstart,
     "stream_decontam" -> streamDecontam,
     "stream_mix_sample" -> streamMixSample,
+    "stream_lm_score" -> streamLmScore,
   )
 
   /** Streaming results are checked against the same SQL as their batch
@@ -1278,6 +1331,9 @@ object Streaming {
     // same corpus the probability table was fitted on, so the gate
     // decisions — per-row deterministic — must reproduce the batch agg
     "stream_mix_sample" -> graft.operators.Curation.oracles("cur_mix_sample"),
+    // the batch LM oracle verbatim: same model fitted on the same prior
+    // slice, per-doc scores complete on the document's own batch
+    "stream_lm_score" -> graft.operators.TextAnalysis.oracles("text_lm_score"),
   )
 
   /** Exact-Jaccard pairs restricted to ≥ 1 fresh member — the oracle

@@ -120,6 +120,8 @@ object StreamScanAudit {
       "stream_decontam" ->
         (b => Streaming.runDecontamStream(stream(b), evalSlice)),
       "stream_mix_sample" -> (b => Streaming.runMixSampleStream(stream(b), snapshot)),
+      "stream_lm_score" ->
+        (b => Streaming.runLmScoreStream(stream(b).filter(freshPred), prior)),
     )
 
     def measure(f: => DataFrame): (Long, Long) = {

@@ -471,6 +471,28 @@ class StreamingSpec extends AnyFunSuite {
         s"bootstrapped resident must be evicted — got $got")
   }
 
+  test("streaming LM scoring equals the batch scorer across batches") {
+    import org.apache.spark.sql.DataFrame
+    import spark.implicits._
+    // fit snapshot "a b a c" (V=3); fresh docs arrive over TWO batches
+    // — per-doc scores are complete on each doc's own batch, so the
+    // stream must equal the batch transform on the union
+    val fit = Seq((1L, "a b a c")).toDF("doc_id", "text")
+    val in = Files.createTempDirectory("graft_lm_in_").toString
+    val base = System.currentTimeMillis()
+    writeOneFile(Seq((8L, "a b x")).toDF("doc_id", "text"), s"$in/b1.parquet", base)
+    writeOneFile(Seq((9L, "z z"), (10L, "solo")).toDF("doc_id", "text"),
+      s"$in/b2.parquet", base + 60000)
+    val schema = spark.read.parquet(in).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val got = Streaming.runLmScoreStream(stream, fit).collect().map(_.toSeq).toSeq
+    val batch = graft.operators.TextAnalysis.textLmScoreOn(
+      fit, spark.read.parquet(in)).collect().map(_.toSeq).toSeq
+    assert(got === batch, s"stream $got != batch $batch")
+    assert(got.size === 2) // "solo" has no bigrams
+  }
+
   test("warm-start samples: prior chunk suppressed, novel folds, eviction reopens") {
     import org.apache.spark.sql.DataFrame
     import org.apache.spark.sql.functions.{expr => fexpr, lit}
