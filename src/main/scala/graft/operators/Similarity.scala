@@ -636,10 +636,23 @@ object Similarity {
   def dedupSemantic(spark: SparkSession, sfDir: String): DataFrame =
     dedupSemanticOn(embeddings(spark, sfDir), SemDedupTauQ)
 
-  private[graft] def dedupSemanticOn(e: DataFrame, tauQ: Long): DataFrame = {
+  private[graft] def dedupSemanticOn(e: DataFrame, tauQ: Long): DataFrame =
+    dedupSemanticK(e, tauQ, NumCentroids)
+
+  /** The k-PARAMETRIC form — the scale path the fixed-k oracle query
+    * cannot show: SemDeDup sizes the cluster count to the corpus
+    * (k ∝ n) so per-cell occupancy, and with it the Σ n_c² pair space,
+    * stays bounded as the corpus grows. The driver-contract query pins
+    * k = [[NumCentroids]] for hash-checkability; `tools.SemanticScaleProbe`
+    * measures this form at k ∝ n on the ×10 corpus (SCALING.md). */
+  private[graft] def dedupSemanticK(e: DataFrame, tauQ: Long, k: Int): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
-    val fitted = fitCentroids(e, seedCentroids(e), KMeansIters)
+    val seeds = e.filter($"vec_id" >= NumQueries && $"vec_id" < NumQueries + k)
+      .orderBy($"vec_id")
+      .select($"v").collect().map(_.getSeq[Double](0).toSeq).toSeq
+    require(seeds.size == k, s"corpus too small for k=$k seeds (got ${seeds.size})")
+    val fitted = fitCentroids(e, seeds, KMeansIters)
     val scoreArr = quantScores(fitted)
     // explicit isnotnull on every column the pair join will infer
     // non-null on its branches: exchange-reuse plumbing (the round-3/5
