@@ -244,11 +244,94 @@ object Multimodal {
     spark.createDataFrame(out, realFeatureSchema).orderBy("doc_id")
   }
 
+  /** Nearest-neighbor downsample factor for [[mmResizeReal]]. */
+  final val ResizeFactor = 2
+  final val ResW: Int = PngW / ResizeFactor
+  final val ResH: Int = PngH / ResizeFactor
+
+  /** Nearest-neighbor downsample on the DECODED raster: out(x, y) =
+    * in(f·x, f·y) — the explicit index map (rather than an
+    * AffineTransformOp) so the convention is a spec, not an imaging-
+    * library implementation detail, and the oracle can recompute every
+    * output pixel from first principles. */
+  private[graft] def resizeNearest(img: java.awt.image.BufferedImage,
+      f: Int): java.awt.image.BufferedImage = {
+    val w = img.getWidth / f
+    val h = img.getHeight / f
+    val out = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        out.getRaster.setSample(x, y, 0, img.getRaster.getSample(x * f, y * f, 0))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  private val resizeSchema = StructType(
+    Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("r_width", IntegerType, nullable = false),
+      StructField("r_height", IntegerType, nullable = false),
+      StructField("pixel_sum", LongType, nullable = false)) ++
+    (0 until FeatureDim).map(b =>
+      StructField(s"f$b", DoubleType, nullable = false)))
+
+  /** The RESIZE leg of the multimodal contract (decode /
+    * feature-extract / resize / frame-sample): each doc's REAL PNG
+    * payload is decoded by the actual codec, nearest-neighbor
+    * downsampled ×[[ResizeFactor]] on the raster, and reduced to the
+    * resized raster's pixel sum + 16-bin luminance histogram — same
+    * batched mapPartitions shape as [[mmFeaturesReal]]. The oracle
+    * recomputes every resized pixel from the text bytes through the
+    * encodePng tiling composed with the out(x,y) = in(2x, 2y) index
+    * map, so the decode → resize path is cross-checked by an engine
+    * that never touches a PNG or a raster. */
+  def mmResizeReal(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val out = docs.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val s = r.getString(1)
+        val png = encodePng(
+          if (s == null) Array.emptyByteArray else s.getBytes("UTF-8"))
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+        require(img != null, "payload is not a decodable image")
+        val res = resizeNearest(img, ResizeFactor)
+        val hist = new Array[Float](FeatureDim)
+        var sum = 0L
+        var y = 0
+        while (y < ResH) {
+          var x = 0
+          while (x < ResW) {
+            val v = res.getRaster.getSample(x, y, 0)
+            sum += v
+            hist(v * FeatureDim / 256) += 1f
+            x += 1
+          }
+          y += 1
+        }
+        val n = (ResW * ResH).toFloat
+        var b = 0
+        while (b < FeatureDim) { hist(b) /= n; b += 1 }
+        Row.fromSeq(Seq[Any](r.getLong(0), PngW, PngH, ResW, ResH, sum) ++
+          (0 until FeatureDim).map(hist(_).toDouble))
+      }
+    }
+    spark.createDataFrame(out, resizeSchema).orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_manifest" -> mmManifest,
     "mm_features" -> mmFeatures,
     "mm_frames" -> mmFrames,
     "mm_features_real" -> mmFeaturesReal,
+    "mm_resize_real" -> mmResizeReal,
   )
 
   val oracles: Map[String, String] = Map(
@@ -319,6 +402,36 @@ object Multimodal {
         |SELECT doc_id, CAST($PngW AS INT) AS width, CAST($PngH AS INT) AS height,
         |$binCols
         |  $sumChain AS feature_sum
+        |FROM px ORDER BY doc_id""".stripMargin
+    },
+    // First-principles mirror of decode → nearest-neighbor resize: the
+    // resized pixel k (x = k mod ResW, y = k div ResW) is the SOURCE
+    // raster's (2x, 2y) = text byte ((2y·PngW + 2x) mod len) — the
+    // encodePng tiling composed with the explicit index map; histogram
+    // bins at p // 16 over ResW·ResH pixels with the float32
+    // normalization, pixel_sum exact-integer.
+    "mm_resize_real" -> {
+      val n = ResW * ResH
+      val bins = (0 until FeatureDim).map { b =>
+        s"(len(list_filter(ps, p -> p // 16 = $b))::FLOAT / $n.0::FLOAT)::DOUBLE"
+      }
+      val binCols = bins.zipWithIndex
+        .map { case (e, b) => s"  $e AS f$b" }.mkString(",\n")
+      val srcIdx = s"(($ResizeFactor*(k//$ResW))*$PngW + $ResizeFactor*(k%$ResW))"
+      s"""WITH px AS (
+        |  SELECT doc_id,
+        |    CASE WHEN octet_length(encode(text)) = 0
+        |      THEN [0 for k in range(0, $n)]
+        |      ELSE [ascii(text[($srcIdx % octet_length(encode(text))) + 1 :
+        |                      ($srcIdx % octet_length(encode(text))) + 1])
+        |            for k in range(0, $n)]
+        |    END AS ps
+        |  FROM documents
+        |)
+        |SELECT doc_id, CAST($PngW AS INT) AS width, CAST($PngH AS INT) AS height,
+        |  CAST($ResW AS INT) AS r_width, CAST($ResH AS INT) AS r_height,
+        |  CAST(list_sum(ps) AS BIGINT) AS pixel_sum,
+        |$binCols
         |FROM px ORDER BY doc_id""".stripMargin
     },
   )

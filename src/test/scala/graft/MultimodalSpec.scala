@@ -71,6 +71,26 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("real resize: decode → nearest-neighbor downsample matches the index map") {
+    // the resized raster must equal out(x, y) = source byte
+    // ((2y·W + 2x) mod len) — the codec round-trip composed with the
+    // explicit resize convention, computed here without any imaging API
+    for (text <- Seq("resize me please, a deterministic pixel source",
+        "", "zz", (0 until 300).map(i => (i % 96 + 32).toChar).mkString)) {
+      val bytes = text.getBytes("UTF-8")
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(Multimodal.encodePng(bytes)))
+      val res = Multimodal.resizeNearest(img, Multimodal.ResizeFactor)
+      assert(res.getWidth === Multimodal.ResW && res.getHeight === Multimodal.ResH)
+      for (y <- 0 until Multimodal.ResH; x <- 0 until Multimodal.ResW) {
+        val src = (2 * y) * Multimodal.PngW + 2 * x
+        val expected = if (bytes.isEmpty) 0 else bytes(src % bytes.length) & 0xff
+        assert(res.getRaster.getSample(x, y, 0) === expected,
+          s"pixel ($x,$y) of '${text.take(15)}'")
+      }
+    }
+  }
+
   test("mm_features_real decodes every document with the contracted shape") {
     val rows = Multimodal.mmFeaturesReal(spark, sf).collect()
     assert(rows.length === graft.sources.Tables.documents(spark, sf).count())
