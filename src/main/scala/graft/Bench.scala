@@ -114,6 +114,9 @@ object Bench {
     // IVF-PQ composed index: coarse probe routing + residual ADC scan
     // inside the probed cells — the FAISS IndexIVFPQ shape
     "sim_ann_ivfpq",
+    // its maintenance form: frozen models, delta-only encode appended
+    // to the code artifact
+    "sim_ann_ivfpq_incremental",
   )
 
   /** Aggregates per-stage task metrics between reset() and snapshot(). */

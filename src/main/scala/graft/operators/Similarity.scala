@@ -460,20 +460,7 @@ object Similarity {
     import spark.implicits._
     val e = embeddings(spark, sfDir)
     val cents = seedCentroids(e)
-    val centLit = typedLit(cents)
-    val scoreArr = array(cents.map(cv => VectorOps.cosine($"v", typedLit(cv))): _*)
-    val assigned = assignedCells(e, scoreArr)
-    // residual against the row's OWN cell centroid (exact IEEE
-    // subtraction — identical on both engines)
-    val resid = zip_with($"v", element_at(centLit, $"cell" + 1), (a, b) => a - b)
-    // materialize (vec_id, cell, residual) ONCE: four consumers follow
-    // — the codebook-seed collect, each fit iteration's scan, and the
-    // encode pass — and each would otherwise re-derive the 16-cosine
-    // assignment + subtraction from the raw scan (measured: ~2× the
-    // battery wall and 12 s of GC from the replayed expression tree).
-    // The frame is the fit working set a production build would stage.
-    val residFrame = Materialize.frame(
-      assigned.select($"vec_id", $"cell", resid.as("r")))
+    val residFrame = ivfResidFrame(e, cents)
     // the 16 codebook-seed residuals, driver-collected — bounded, the
     // codebook IS the model (the seedCentroids footing)
     val cbSeeds = residFrame
@@ -488,12 +475,47 @@ object Similarity {
     // the fitted codewords adapt to the within-cell spread — see
     // SimilaritySpec's recall comparison and its uniform-data caveat).
     val cb = fitPqCodebooks(residFrame.select($"r".as("v")), cbSeeds, KMeansIters)
-    // encode: (vec_id, cell, 8 residual codes) — the 13 B/vector index
-    val codes = residFrame
+    ivfPqAdcSearch(e, cents, cb, ivfPqEncode(residFrame, cb), nprobe)
+  }
+
+  /** The materialized (vec_id, cell, residual) frame both IVF-PQ
+    * variants build on: four consumers follow (codebook-seed collect,
+    * fit iterations, encode), and each would otherwise re-derive the
+    * 16-cosine assignment + subtraction from the raw scan (measured:
+    * ~2× the battery wall and 12 s of GC from the replayed expression
+    * tree). The frame is the fit working set a production build would
+    * stage. Residuals are exact IEEE subtractions against the row's
+    * OWN cell centroid — identical on both engines. */
+  private def ivfResidFrame(e: DataFrame, cents: Seq[Seq[Double]]): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val centLit = typedLit(cents)
+    val scoreArr = array(cents.map(cv => VectorOps.cosine($"v", typedLit(cv))): _*)
+    val resid = zip_with($"v", element_at(centLit, $"cell" + 1), (a, b) => a - b)
+    Materialize.frame(
+      assignedCells(e, scoreArr).select($"vec_id", $"cell", resid.as("r")))
+  }
+
+  /** Encode a residual frame against the given codebooks: (vec_id,
+    * cell, 8 residual codes) — the 13 B/vector index; pure map work. */
+  private def ivfPqEncode(residFrame: DataFrame,
+      cb: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val spark = residFrame.sparkSession
+    import spark.implicits._
+    residFrame
       .repartition(spark.sparkContext.defaultParallelism, $"vec_id")
       .select($"vec_id", $"cell",
         array((0 until PqSubspaces).map(m => pqCodeCol(cb, $"r", m)): _*).as("code"))
-    // per-(query, probe-cell) coarse term + per-query subspace tables
+  }
+
+  /** The shared ADC search tail: per-(query, probe-cell) coarse terms +
+    * per-query subspace lookup tables broadcast into the codes scan. */
+  private def ivfPqAdcSearch(e: DataFrame, cents: Seq[Seq[Double]],
+      cb: Seq[Seq[Seq[Double]]], codes: DataFrame, nprobe: Int): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val centLit = typedLit(cents)
+    val scoreArr = array(cents.map(cv => VectorOps.cosine($"v", typedLit(cv))): _*)
     val probeCells = slice(
       sort_array(zip_with(scoreArr, sequence(lit(0), lit(NumCentroids - 1)),
         (s, i) => struct((-s).as("ns"), i.as("idx")))),
@@ -521,6 +543,48 @@ object Similarity {
       .filter($"rk" <= TopK)
       .select($"query_id", $"rk", $"vec_id", $"score_q")
       .orderBy($"query_id", $"rk")
+  }
+
+  /** INCREMENTAL IVF-PQ index maintenance — the compressed-index twin
+    * of [[simAnnIvfIncremental]] (FAISS's steady-state add()): BOTH
+    * models are frozen at index creation — the seeded coarse quantizer
+    * and the residual codebooks Lloyd-fitted on the PRIOR slice (the
+    * corpus that existed when the index was built; codeword seeds are
+    * the residuals of the 16 lowest-id PRIOR vectors after the coarse
+    * range) — and the fresh delta is ENCODED ALONE against them, its
+    * (vec_id, cell, codes) rows appended to the prior code artifact
+    * through the identical ADC search tail. Encoding is a
+    * deterministic per-row function of (v, frozen models), so
+    * slice-wise encode ∪ ≡ whole-corpus encode with the same models —
+    * pinned by SimilaritySpec's sliced ≡ unsliced differential. Unlike
+    * the plain-IVF incremental this CANNOT share the full query's
+    * oracle (the full query refits codebooks on every corpus, so its
+    * codes differ); the oracle mirrors the prior-slice fit explicitly.
+    * Re-fitting on drift is the rebuild path (= [[simAnnIvfPq]]); this
+    * is the per-ingest steady state, delta-sized everywhere. */
+  def simAnnIvfPqIncremental(spark: SparkSession, sfDir: String): DataFrame =
+    simAnnIvfPqIncrementalOn(spark, sfDir, sliced = true)
+
+  private[graft] def simAnnIvfPqIncrementalOn(spark: SparkSession,
+      sfDir: String, sliced: Boolean): DataFrame = {
+    import spark.implicits._
+    val e = embeddings(spark, sfDir)
+    val cents = seedCentroids(e)
+    val residFrame = ivfResidFrame(e, cents)
+    val priorResid = residFrame
+      .filter(pmod($"vec_id", lit(Dedup.SnapshotMod)) < Dedup.SnapshotNewMin)
+    val cbSeeds = priorResid
+      .filter($"vec_id" >= IvfPqSeedBase)
+      .orderBy($"vec_id").limit(NumCentroids)
+      .select($"r").collect().map(_.getSeq[Double](0).toSeq).toSeq
+    val cb = fitPqCodebooks(priorResid.select($"r".as("v")), cbSeeds, KMeansIters)
+    val codes =
+      if (sliced)
+        ivfPqEncode(priorResid, cb).unionByName(ivfPqEncode(
+          residFrame.filter(
+            pmod($"vec_id", lit(Dedup.SnapshotMod)) >= Dedup.SnapshotNewMin), cb))
+      else ivfPqEncode(residFrame, cb)
+    ivfPqAdcSearch(e, cents, cb, codes, NProbe)
   }
 
   /** vec_id's m-th [[PqSubDim]]-dim sub-slice. */
@@ -749,6 +813,7 @@ object Similarity {
     "sim_ann_ivf_kmeans" -> simAnnIvfKmeans,
     "sim_ann_pq" -> simAnnPq,
     "sim_ann_ivfpq" -> simAnnIvfPq,
+    "sim_ann_ivfpq_incremental" -> simAnnIvfPqIncremental,
     "dedup_semantic" -> dedupSemantic,
     "sim_label_stats" -> simLabelStats,
     "sim_label_stats_sampled" -> simLabelStatsSampled,
@@ -837,7 +902,18 @@ object Similarity {
     * sim_ann_pq mirror passes the embeddings themselves; the IVF-PQ
     * mirror passes its residual CTE (round 11). */
   private def pqFitCtes(iters: Int, rel: String, vcol: String,
-      seedLo: Int): String = {
+      seedLo: Int): String =
+    pqFitCtesWithSeeds(iters, rel, vcol,
+      s"""(SELECT vec_id - $seedLo AS c, $vcol FROM $rel
+         |    WHERE vec_id >= $seedLo AND vec_id < ${seedLo + NumCentroids})""".stripMargin)
+
+  /** [[pqFitCtes]] with an arbitrary seed relation `(c, $vcol)` and an
+    * optional fit-row filter — the incremental IVF-PQ mirror seeds from
+    * the 16 lowest-id PRIOR vectors after the coarse range (not a
+    * contiguous id window) and FITS on the prior slice only, while the
+    * downstream encoding still reads the full `sv`. */
+  private def pqFitCtesWithSeeds(iters: Int, rel: String, vcol: String,
+      seedsRel: String, fitWhere: String = "TRUE"): String = {
     val iterCtes = (1 to iters).map { k =>
       s"""pa$k AS (
          |  SELECT vec_id, m, c AS cell FROM (
@@ -846,6 +922,7 @@ object Similarity {
          |        ORDER BY CAST(floor((cb.cc - 2.0 * list_dot_product(s.sv, cb.cv))
          |          * ${ScoreScale.toLong}.0) AS BIGINT) ASC, cb.c ASC) AS rn
          |    FROM sv s JOIN cb${k - 1} cb USING (m)
+         |    WHERE $fitWhere
          |  ) t WHERE rn = 1
          |),
          |pm$k AS (
@@ -876,14 +953,12 @@ object Similarity {
        |  FROM sv
        |),
        |cb0 AS (
-       |  SELECT ms.m, s.vec_id - $seedLo AS c,
+       |  SELECT ms.m, s.c,
        |    s.$vcol[ms.m*$PqSubDim+1 : ms.m*$PqSubDim+$PqSubDim] AS cv,
        |    list_dot_product(
        |      s.$vcol[ms.m*$PqSubDim+1 : ms.m*$PqSubDim+$PqSubDim],
        |      s.$vcol[ms.m*$PqSubDim+1 : ms.m*$PqSubDim+$PqSubDim]) AS cc
-       |  FROM ms CROSS JOIN (
-       |    SELECT vec_id, $vcol FROM $rel
-       |    WHERE vec_id >= $seedLo AND vec_id < ${seedLo + NumCentroids}) s
+       |  FROM ms CROSS JOIN $seedsRel s
        |),
        |$iterCtes""".stripMargin
   }
@@ -891,6 +966,85 @@ object Similarity {
   private def pqFitPrefixSql(iters: Int): String =
     s"""ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |${pqFitCtes(iters, "ev", "v", NumQueries)}""".stripMargin
+
+  /** The full IVF-PQ mirror given a fit-CTE chain: the seeded-IVF
+    * assignment/probe CTEs (rk/assign/probes verbatim from
+    * ivfSeededSql's shape) composed with the PQ fit + ADC discipline
+    * over RESIDUALS — norms via list_dot_product ≡ the engine's normSq
+    * fold, every assignment/table/score comparison an integer, the
+    * per-(query, cell) coarse term joined through the candidate's
+    * cell. Shared by the full and incremental variants, which differ
+    * only in `fitCtes`. */
+  private def ivfPqSqlWith(fitCtes: String): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |c AS (
+       |  SELECT vec_id - $NumQueries AS cid, embedding::DOUBLE[] AS cv FROM embeddings
+       |  WHERE vec_id >= $NumQueries AND vec_id < ${NumQueries + NumCentroids}
+       |),
+       |rk AS (
+       |  SELECT e.vec_id, c.cid,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${cosListSql("e.v", "c.cv")} DESC, c.cid ASC) AS rn
+       |  FROM e, c
+       |),
+       |assign AS (SELECT vec_id, cid AS cell FROM rk WHERE rn = 1),
+       |resid AS (
+       |  SELECT a.vec_id, a.cell,
+       |    [e.v[i] - c.cv[i] for i in range(1, ${graft.functions.LshImpl.Dims + 1})] AS r
+       |  FROM assign a JOIN e ON e.vec_id = a.vec_id JOIN c ON c.cid = a.cell
+       |),
+       |$fitCtes,
+       |cb AS (SELECT m, c, cv, cc FROM cb$KMeansIters),
+       |dist AS (
+       |  SELECT s.vec_id, cb.m, cb.c,
+       |    CAST(floor((cb.cc - 2.0 * list_dot_product(s.sv, cb.cv))
+       |      * ${ScoreScale.toLong}.0) AS BIGINT) AS dq
+       |  FROM sv s JOIN cb USING (m)
+       |),
+       |codes AS (
+       |  SELECT vec_id, m, c AS code FROM (
+       |    SELECT vec_id, m, c,
+       |      row_number() OVER (PARTITION BY vec_id, m
+       |        ORDER BY dq ASC, c ASC) AS rn
+       |    FROM dist) t WHERE rn = 1
+       |),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cid AS cell FROM rk
+       |  WHERE rn <= $NProbe AND vec_id < $NumQueries
+       |),
+       |coarse AS (
+       |  SELECT p.query_id, p.cell,
+       |    CAST(floor(list_dot_product(q.v, c.cv) * ${ScoreScale.toLong}.0) AS BIGINT) AS ct
+       |  FROM probes p JOIN e q ON q.vec_id = p.query_id JOIN c ON c.cid = p.cell
+       |),
+       |tab AS (
+       |  SELECT q.vec_id AS query_id, cb.m, cb.c,
+       |    CAST(floor(
+       |      list_dot_product(q.v[cb.m*$PqSubDim+1 : cb.m*$PqSubDim+$PqSubDim], cb.cv)
+       |      * ${ScoreScale.toLong}.0) AS BIGINT) AS t
+       |  FROM e q CROSS JOIN cb WHERE q.vec_id < $NumQueries
+       |),
+       |cand AS (
+       |  SELECT p.query_id, a.vec_id, p.cell
+       |  FROM probes p JOIN assign a USING (cell)
+       |  WHERE a.vec_id <> p.query_id
+       |),
+       |sc AS (
+       |  SELECT cd.query_id, cd.vec_id,
+       |    co.ct + CAST(sum(tab.t) AS BIGINT) AS score_q
+       |  FROM cand cd
+       |  JOIN coarse co ON co.query_id = cd.query_id AND co.cell = cd.cell
+       |  JOIN codes k ON k.vec_id = cd.vec_id
+       |  JOIN tab ON tab.query_id = cd.query_id AND tab.m = k.m
+       |    AND tab.c = k.code
+       |  GROUP BY cd.query_id, cd.vec_id, co.ct
+       |)
+       |SELECT query_id, rk, vec_id, score_q FROM (
+       |  SELECT query_id, vec_id, score_q,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score_q DESC, vec_id ASC) AS rk
+       |  FROM sc) t WHERE rk <= $TopK
+       |ORDER BY query_id, rk""".stripMargin
 
   private def kmeansIvfSql(iters: Int): String = {
     s"""WITH ${fitPrefixSql(iters)},
@@ -1068,75 +1222,22 @@ object Similarity {
     // comparison an integer; the per-(query, cell) coarse term joins
     // through the candidate's cell
     "sim_ann_ivfpq" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |c AS (
-         |  SELECT vec_id - $NumQueries AS cid, embedding::DOUBLE[] AS cv FROM embeddings
-         |  WHERE vec_id >= $NumQueries AND vec_id < ${NumQueries + NumCentroids}
-         |),
-         |rk AS (
-         |  SELECT e.vec_id, c.cid,
-         |    row_number() OVER (PARTITION BY e.vec_id
-         |      ORDER BY ${cosListSql("e.v", "c.cv")} DESC, c.cid ASC) AS rn
-         |  FROM e, c
-         |),
-         |assign AS (SELECT vec_id, cid AS cell FROM rk WHERE rn = 1),
-         |resid AS (
-         |  SELECT a.vec_id, a.cell,
-         |    [e.v[i] - c.cv[i] for i in range(1, ${graft.functions.LshImpl.Dims + 1})] AS r
-         |  FROM assign a JOIN e ON e.vec_id = a.vec_id JOIN c ON c.cid = a.cell
-         |),
-         |${pqFitCtes(KMeansIters, "resid", "r", IvfPqSeedBase)},
-         |cb AS (SELECT m, c, cv, cc FROM cb$KMeansIters),
-         |dist AS (
-         |  SELECT s.vec_id, cb.m, cb.c,
-         |    CAST(floor((cb.cc - 2.0 * list_dot_product(s.sv, cb.cv))
-         |      * ${ScoreScale.toLong}.0) AS BIGINT) AS dq
-         |  FROM sv s JOIN cb USING (m)
-         |),
-         |codes AS (
-         |  SELECT vec_id, m, c AS code FROM (
-         |    SELECT vec_id, m, c,
-         |      row_number() OVER (PARTITION BY vec_id, m
-         |        ORDER BY dq ASC, c ASC) AS rn
-         |    FROM dist) t WHERE rn = 1
-         |),
-         |probes AS (
-         |  SELECT vec_id AS query_id, cid AS cell FROM rk
-         |  WHERE rn <= $NProbe AND vec_id < $NumQueries
-         |),
-         |coarse AS (
-         |  SELECT p.query_id, p.cell,
-         |    CAST(floor(list_dot_product(q.v, c.cv) * ${ScoreScale.toLong}.0) AS BIGINT) AS ct
-         |  FROM probes p JOIN e q ON q.vec_id = p.query_id JOIN c ON c.cid = p.cell
-         |),
-         |tab AS (
-         |  SELECT q.vec_id AS query_id, cb.m, cb.c,
-         |    CAST(floor(
-         |      list_dot_product(q.v[cb.m*$PqSubDim+1 : cb.m*$PqSubDim+$PqSubDim], cb.cv)
-         |      * ${ScoreScale.toLong}.0) AS BIGINT) AS t
-         |  FROM e q CROSS JOIN cb WHERE q.vec_id < $NumQueries
-         |),
-         |cand AS (
-         |  SELECT p.query_id, a.vec_id, p.cell
-         |  FROM probes p JOIN assign a USING (cell)
-         |  WHERE a.vec_id <> p.query_id
-         |),
-         |sc AS (
-         |  SELECT cd.query_id, cd.vec_id,
-         |    co.ct + CAST(sum(tab.t) AS BIGINT) AS score_q
-         |  FROM cand cd
-         |  JOIN coarse co ON co.query_id = cd.query_id AND co.cell = cd.cell
-         |  JOIN codes k ON k.vec_id = cd.vec_id
-         |  JOIN tab ON tab.query_id = cd.query_id AND tab.m = k.m
-         |    AND tab.c = k.code
-         |  GROUP BY cd.query_id, cd.vec_id, co.ct
-         |)
-         |SELECT query_id, rk, vec_id, score_q FROM (
-         |  SELECT query_id, vec_id, score_q,
-         |    row_number() OVER (PARTITION BY query_id
-         |      ORDER BY score_q DESC, vec_id ASC) AS rk
-         |  FROM sc) t WHERE rk <= $TopK
-         |ORDER BY query_id, rk""".stripMargin,
+      ivfPqSqlWith(pqFitCtes(KMeansIters, "resid", "r", IvfPqSeedBase)),
+    // the incremental mirror differs ONLY in the fit chain: codebooks
+    // fitted on the PRIOR slice (frozen at index creation), seeded from
+    // the 16 lowest-id prior vectors after the coarse range; encoding
+    // (dist/codes) still reads the full residual fan-out — the frozen
+    // models applied to every slice, which is what makes the sliced
+    // engine-side encode ∪ equal the from-scratch encode
+    "sim_ann_ivfpq_incremental" ->
+      ivfPqSqlWith(pqFitCtesWithSeeds(KMeansIters, "resid", "r",
+        s"""(SELECT c, r FROM (
+           |      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, r
+           |      FROM resid
+           |      WHERE vec_id >= $IvfPqSeedBase
+           |        AND vec_id % ${Dedup.SnapshotMod} < ${Dedup.SnapshotNewMin}
+           |      ORDER BY vec_id LIMIT $NumCentroids) q)""".stripMargin,
+        s"s.vec_id % ${Dedup.SnapshotMod} < ${Dedup.SnapshotNewMin}")),
     // the fitted assignment + qc mirrored through the shared fit
     // prefix; the drop rule is pure integer comparisons (qc and the
     // pair score both floor-quantized LONGs — the kmeans parity

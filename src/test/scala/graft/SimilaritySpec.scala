@@ -153,6 +153,20 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ivfpqRecall >= 0.05, s"IVF-PQ recall@5 = $ivfpqRecall below floor")
   }
 
+  test("incremental IVF-PQ: sliced delta encode ≡ whole-corpus encode (frozen models)") {
+    // encoding is a deterministic per-row function of (v, frozen
+    // quantizer, frozen codebooks), so encoding prior and delta as
+    // separate slices and unioning must equal encoding everything at
+    // once — the maintenance-invisibility claim for the compressed
+    // index (the sim_ann_ivf_incremental argument applied to codes)
+    val sliced = Similarity.simAnnIvfPqIncrementalOn(spark, sf, sliced = true)
+      .collect().map(_.toSeq).toSeq
+    val whole = Similarity.simAnnIvfPqIncrementalOn(spark, sf, sliced = false)
+      .collect().map(_.toSeq).toSeq
+    assert(sliced === whole)
+    assert(sliced.nonEmpty)
+  }
+
   test("ANN result never contains a self-match or a rank outside 1..k") {
     val rows = Similarity.simAnnLsh(spark, sf)
       .select("query_id", "rk", "vec_id").collect()
