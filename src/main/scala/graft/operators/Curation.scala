@@ -421,13 +421,34 @@ object Curation {
     val spark = prior.sparkSession
     import spark.implicits._
     // prior artifacts are built from REDACTED text — exactly what the
-    // pipeline would have persisted when the prior snapshot was ingested
+    // pipeline would have persisted when the prior snapshot was
+    // ingested; building them inline keeps the driver-contract query
+    // self-contained, and the FromArtifacts seam below (pinned by
+    // CurationSpec's written-artifact round-trip) is the production
+    // entry where they are read back from storage instead
     val redP = prior.select($"doc_id", TextAnalysis.redactedCol($"text").as("text"))
+    pipelineCurateSamplesIncrementalFromArtifacts(
+      redP.select(md5($"text").as("h")).distinct(),
+      Dedup.minhashHashed(redP),
+      chunksUnordered(redP).select(md5($"chunk_text").as("ch")).distinct(),
+      fresh)
+  }
+
+  /** The incremental pipeline against EXPLICIT prior-snapshot
+    * artifacts — (h) doc-hash index, (doc_id, hv) shingle-set/band
+    * source, (ch) chunk-hash index — the seam that makes the
+    * stored-artifact deployment testable end-to-end: CurationSpec
+    * writes all three to parquet, reads them back, and pins the output
+    * equal to the inline form. */
+  private[graft] def pipelineCurateSamplesIncrementalFromArtifacts(
+      priorHashes: DataFrame, priorSets: DataFrame, priorChunks: DataFrame,
+      fresh: DataFrame): DataFrame = {
+    val spark = fresh.sparkSession
+    import spark.implicits._
     val redF = fresh.select($"doc_id", TextAnalysis.redactedCol($"text").as("text"))
     // stage 1: exact-incremental — keep-first per content hash WITHIN
     // the delta (row_number, the keep-first form samplesOfKept uses),
     // then the prior hash-index anti-join
-    val priorHashes = redP.select(md5($"text").as("h")).distinct()
     val wh = Window.partitionBy($"h").orderBy($"doc_id")
     val novel = Materialize.frame(
       redF.select($"doc_id", $"text", md5($"text").as("h"))
@@ -435,7 +456,7 @@ object Curation {
         .join(priorHashes, Seq("h"), "left_anti")
         .select($"doc_id", $"text"))
     // stage 2: near-dup — prior band-index probe ∪ delta-internal LSH
-    val hp = Dedup.minhashHashed(redP)
+    val hp = priorSets
     val hn = Dedup.minhashHashed(novel)
     // both verify sides read the same aliased frame so the two
     // broadcast subtrees stay canonically identical (the
@@ -461,8 +482,6 @@ object Curation {
     val good = kept.filter(TextAnalysis.qualityScore($"text") >= QualityCut)
     // stages 4–5: chunk fan-out, keep-first within the delta, prior
     // chunk-index suppression
-    val priorChunks = chunksUnordered(redP)
-      .select(md5($"chunk_text").as("ch")).distinct()
     val w = Window.partitionBy(md5($"chunk_text")).orderBy($"doc_id", $"chunk_idx")
     chunksUnordered(good)
       .withColumn("rn", row_number().over(w)).filter($"rn" === 1).drop("rn")

@@ -270,6 +270,40 @@ class CurationSpec extends AnyFunSuite {
       s"got ${got.toSeq}")
   }
 
+  test("incremental pipeline runs against WRITTEN prior artifacts unchanged") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the production deployment: the three prior-snapshot indexes are
+    // parquet artifacts on storage, not inline subplans — write them,
+    // read them back, and require the pipeline output identical to the
+    // self-contained form on the real corpus slices
+    val sfd = SparkTestSession.sf0001
+    val docs = graft.sources.Tables.documents(spark, sfd)
+    val prior = docs.filter(pmod($"doc_id", lit(graft.operators.Dedup.SnapshotMod))
+      < graft.operators.Dedup.SnapshotNewMin)
+    val fresh = docs.filter(pmod($"doc_id", lit(graft.operators.Dedup.SnapshotMod))
+      >= graft.operators.Dedup.SnapshotNewMin)
+    val redP = prior.select($"doc_id",
+      graft.operators.TextAnalysis.redactedCol($"text").as("text"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_incr_art_").toString
+    redP.select(md5($"text").as("h")).distinct()
+      .write.mode("overwrite").parquet(s"$dir/hashes")
+    graft.operators.Dedup.minhashHashed(redP)
+      .write.mode("overwrite").parquet(s"$dir/sets")
+    Curation.chunksOf(redP).select(md5($"chunk_text").as("ch")).distinct()
+      .write.mode("overwrite").parquet(s"$dir/chunks")
+    val fromArtifacts = Curation.pipelineCurateSamplesIncrementalFromArtifacts(
+        spark.read.parquet(s"$dir/hashes"),
+        spark.read.parquet(s"$dir/sets"),
+        spark.read.parquet(s"$dir/chunks"),
+        fresh)
+      .collect().map(_.toSeq).toSeq
+    val inline = Curation.pipelineCurateSamplesIncrementalOn(prior, fresh)
+      .collect().map(_.toSeq).toSeq
+    assert(fromArtifacts === inline)
+    assert(fromArtifacts.nonEmpty)
+  }
+
   test("packBins ≡ the global-window formulation (differential)") {
     val fast = Curation.packBins(spark, sf).collect().map(_.toSeq)
     val ref = Curation.packBinsWindowed(spark, sf).collect().map(_.toSeq)
