@@ -479,6 +479,52 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** INCREMENTAL embedding near-dup — the embedding-space member of
+    * the incremental dedup family (exact, MinHash, SimHash and cluster
+    * maintenance already have one): the fresh delta's sign-bit band
+    * keys probe the PRIOR corpus's band-blocked index; candidates are
+    * cross-snapshot ONLY (the prior never re-pairs with itself), each
+    * verified with the exact cosine, same top-20 output contract as
+    * [[dedupEmbedCosineBlocked]]. At scale the prior index is a
+    * write-once (label, band, cell)-bucketed artifact — the MinHash
+    * band-index argument in embedding space — and the probe join is
+    * exchange-free on the index side. */
+  def dedupEmbedCosineIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    dedupEmbedCosineIncrementalOn(
+      emb.filter(pmod($"vec_id", lit(SnapshotMod)) < SnapshotNewMin),
+      emb.filter(pmod($"vec_id", lit(SnapshotMod)) >= SnapshotNewMin))
+  }
+
+  /** The transform of [[dedupEmbedCosineIncremental]] over any (prior,
+    * fresh) pair of embeddings frames (spec entry point). */
+  private[graft] def dedupEmbedCosineIncrementalOn(
+      prior: DataFrame, fresh: DataFrame): DataFrame = {
+    val spark = prior.sparkSession
+    import spark.implicits._
+    import graft.functions.VectorOps
+    def vecsOf(df: DataFrame): DataFrame =
+      df.select($"vec_id", VectorOps.toDouble($"embedding").as("v"))
+    val candidates = embedBanded(prior).as("a").join(embedBanded(fresh).as("b"),
+        $"a.label" === $"b.label" && $"a.c" === $"b.c" && $"a.cell" === $"b.cell")
+      .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
+        $"a.label".as("label"))
+      .distinct()
+    // both verify sides read the same aliased pool frame (the
+    // dedupMinHashLsh broadcast-reuse note); vec_a only matches prior
+    // ids, vec_b only fresh
+    val pool = vecsOf(prior).unionByName(vecsOf(fresh))
+    candidates.as("cd")
+      .join(pool.as("sa"), $"cd.vec_a" === $"sa.vec_id")
+      .join(pool.as("sb"), $"cd.vec_b" === $"sb.vec_id")
+      .select($"cd.vec_a".as("vec_a"), $"cd.vec_b".as("vec_b"),
+        $"cd.label".as("label"), VectorOps.cosine($"sa.v", $"sb.v").as("cos"))
+      .orderBy($"cos".desc, $"vec_a".asc, $"vec_b".asc)
+      .limit(20)
+      .select($"vec_a", $"vec_b", $"label", round($"cos", 4).as("cosine"))
+  }
+
   /** The dedup *result*: documents kept after dropping the higher doc_id
     * of every confirmed near-duplicate pair. */
   def dedupKept(spark: SparkSession, sfDir: String): DataFrame = {
@@ -1161,12 +1207,15 @@ object Dedup {
   def dedupEmbedCosineBlocked(spark: SparkSession, sfDir: String): DataFrame =
     dedupEmbedCosineBlockedOn(Tables.embeddings(spark, sfDir))
 
-  private[graft] def dedupEmbedCosineBlockedOn(emb: DataFrame): DataFrame = {
+  /** The sign-bit banding fan-out (vec_id, label, c, cell), shared by
+    * the blocked self-join and the incremental probe. Ends in one
+    * explicit exchange on the full join key, shared by both join sides
+    * (same AQE-broadcast-collapse guard as the shingle joins above;
+    * explicit width like every other guard here — the bare-column form
+    * is AQE-coalescible, which re-serializes the banding). */
+  private[graft] def embedBanded(emb: DataFrame): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    import graft.functions.VectorOps
-    val e = emb.select($"vec_id", $"label", $"embedding",
-      VectorOps.toDouble($"embedding").as("v"))
     val bandCols = (0 until EmbedBands).map { b =>
       val cell = (0 until EmbedBandBits).map { j =>
         (element_at($"embedding", b * EmbedBandBits + j + 1) >= lit(0f))
@@ -1174,13 +1223,18 @@ object Dedup {
       }.reduce(_ + _)
       struct(lit(b).as("c"), cell.as("cell"))
     }
-    // one explicit exchange on the full join key, shared by both self-join
-    // sides (same AQE-broadcast-collapse guard as the shingle joins
-    // above; explicit width like every other guard here — the bare
-    // -column form is AQE-coalescible, which re-serializes the banding)
-    val banded = e.select($"vec_id", $"label", explode(array(bandCols: _*)).as("k"))
+    emb.select($"vec_id", $"label", explode(array(bandCols: _*)).as("k"))
       .select($"vec_id", $"label", $"k.c".as("c"), $"k.cell".as("cell"))
       .repartition(spark.sparkContext.defaultParallelism, $"label", $"c", $"cell")
+  }
+
+  private[graft] def dedupEmbedCosineBlockedOn(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    import graft.functions.VectorOps
+    val e = emb.select($"vec_id", $"label", $"embedding",
+      VectorOps.toDouble($"embedding").as("v"))
+    val banded = embedBanded(emb)
     val candidates = banded.as("a").join(banded.as("b"),
         $"a.label" === $"b.label" && $"a.c" === $"b.c" &&
           $"a.cell" === $"b.cell" && $"a.vec_id" < $"b.vec_id")
@@ -1405,6 +1459,7 @@ object Dedup {
     "dedup_simhash_incremental" -> dedupSimHashIncremental,
     "dedup_embed_cosine" -> dedupEmbedCosine,
     "dedup_embed_cosine_blocked" -> dedupEmbedCosineBlocked,
+    "dedup_embed_cosine_incremental" -> dedupEmbedCosineIncremental,
     "dedup_clusters" -> dedupClusters,
     "dedup_clusters_incremental" -> dedupClustersIncremental,
     "dedup_clusters_all" -> dedupClustersAll,
@@ -1757,6 +1812,25 @@ object Dedup {
         |      (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
         |       sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS cos
         |  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+        |    AND ($embedBandMatch)
+        |)
+        |SELECT vec_a, vec_b, label, round(cos, 4) AS cosine
+        |FROM cand ORDER BY cos DESC, vec_a ASC, vec_b ASC
+        |LIMIT 20""".stripMargin,
+    // the banding mirrored bit-for-bit, restricted to prior x fresh
+    // pairs (the a < b self-pairing rule replaced by the snapshot
+    // split) - the blocked search as an index probe
+    "dedup_embed_cosine_incremental" ->
+      s"""WITH v AS (SELECT vec_id, label, embedding, $embedBandSelect
+        |  FROM embeddings),
+        |cand AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+        |    list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+        |      (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+        |       sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS cos
+        |  FROM v a JOIN v b ON a.label = b.label
+        |    AND a.vec_id % $SnapshotMod < $SnapshotNewMin
+        |    AND b.vec_id % $SnapshotMod >= $SnapshotNewMin
         |    AND ($embedBandMatch)
         |)
         |SELECT vec_a, vec_b, label, round(cos, 4) AS cosine

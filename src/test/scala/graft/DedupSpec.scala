@@ -407,6 +407,26 @@ class DedupSpec extends AnyFunSuite {
     assert(fanout === 1, "exactly the planted hot shingle family exceeds the cap")
   }
 
+  test("incremental embed-cosine pairs cross-snapshot only; prior twins never re-pair") {
+    import spark.implicits._
+    // base A (fixed sign pattern); prior = {A, D ≈ A} — an EXISTING
+    // duplicate pair inside the prior corpus that must NOT re-emerge;
+    // fresh = {B ∥ A (all bands match, cos = 1), C = −A (every sign
+    // flipped: zero shared band cells)}.
+    val a = (0 until 64).map(i => (((i % 7) - 3) / 10.0f) + (if (i % 7 == 3) 0.05f else 0f)).toArray
+    val prior = Seq(
+      (1L, a, 0),
+      (2L, a.map(_ * 0.9f), 0)).toDF("vec_id", "embedding", "label")
+    val fresh = Seq(
+      (18L, a.map(_ * 1.1f), 0),
+      (19L, a.map(-_), 0)).toDF("vec_id", "embedding", "label")
+    val got = Dedup.dedupEmbedCosineIncrementalOn(prior, fresh)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(got.map(p => (p._1, p._2)).toSet === Set((1L, 18L), (2L, 18L)),
+      s"expected exactly the prior×fresh parallel pairs, got ${got.toSeq}")
+    assert(got.forall(_._3 === 1.0), s"parallel vectors must score 1.0: ${got.toSeq}")
+  }
+
   test("blocked embed-cosine captures planted near-dup embeddings and prunes background") {
     import spark.implicits._
     // 200 gaussian base vectors (4 labels) + 15 jittered near-copies
