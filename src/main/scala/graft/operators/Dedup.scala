@@ -504,9 +504,19 @@ object Dedup {
     val spark = prior.sparkSession
     import spark.implicits._
     import graft.functions.VectorOps
-    def vecsOf(df: DataFrame): DataFrame =
-      df.select($"vec_id", VectorOps.toDouble($"embedding").as("v"))
-    val candidates = embedBanded(prior).as("a").join(embedBanded(fresh).as("b"),
+    // each snapshot side ends in ONE explicit vec_id exchange that both
+    // its banding and its verify-pool leg replay (the minhashHashed
+    // discipline — without the shared materialized subtree the two
+    // banded frames and the four pool-union legs each re-scanned the
+    // table: ScanAudit measured embeddings=6)
+    def sideOf(df: DataFrame): DataFrame = df
+      .filter($"vec_id".isNotNull)
+      .select($"vec_id", $"label", $"embedding",
+        VectorOps.toDouble($"embedding").as("v"))
+      .repartition(spark.sparkContext.defaultParallelism, $"vec_id")
+    val p = sideOf(prior)
+    val f = sideOf(fresh)
+    val candidates = embedBanded(p).as("a").join(embedBanded(f).as("b"),
         $"a.label" === $"b.label" && $"a.c" === $"b.c" && $"a.cell" === $"b.cell")
       .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
         $"a.label".as("label"))
@@ -514,7 +524,7 @@ object Dedup {
     // both verify sides read the same aliased pool frame (the
     // dedupMinHashLsh broadcast-reuse note); vec_a only matches prior
     // ids, vec_b only fresh
-    val pool = vecsOf(prior).unionByName(vecsOf(fresh))
+    val pool = p.select($"vec_id", $"v").unionByName(f.select($"vec_id", $"v"))
     candidates.as("cd")
       .join(pool.as("sa"), $"cd.vec_a" === $"sa.vec_id")
       .join(pool.as("sb"), $"cd.vec_b" === $"sb.vec_id")

@@ -471,8 +471,18 @@ object TextAnalysis {
   private[graft] def textLmScoreOn(fit: DataFrame, score: DataFrame): DataFrame = {
     val spark = fit.sparkSession
     import spark.implicits._
-    val (c2, c1, vocab) = lmModelOn(fit)
-    lmQf(lmScoredBigrams(score, c2, c1).crossJoin(broadcast(vocab)))
+    val (c2r, c1r, _) = lmModelOn(fit)
+    // the model tables materialize once — they ARE the artifact a
+    // production pipeline stores, and the streaming twin reads them
+    // the identical way; the vocabulary size collects off the
+    // checkpointed unigram table. Without this the vocab scalar and
+    // the c1 join leg each re-ran the fit-slice aggregation from the
+    // scan (ScanAudit measured documents=4; now the two model builds
+    // are the only fit-slice passes).
+    val c2 = graft.operators.Materialize.frame(c2r)
+    val c1 = graft.operators.Materialize.frame(c1r)
+    val v = c1.count()
+    lmQf(lmScoredBigrams(score, c2, c1).withColumn("v", lit(v)))
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum($"qf").as("sum_q"))
       .select($"doc_id", $"n_bigrams", $"sum_q",

@@ -67,7 +67,14 @@ object ScanAudit {
         // write-once artifacts in production, materialized inline here
         // so the query is self-contained on the driver's tables (the
         // delta side's scans sit behind the novel-set checkpoint)
-        "cur_pipeline_samples_incremental" -> Map("documents" -> 2))
+        "cur_pipeline_samples_incremental" -> Map("documents" -> 2),
+        // two logical passes per snapshot side: the sign-band index
+        // build and the verify-side vector fetch — in production the
+        // prior pair is the stored (label, band, cell)-bucketed index +
+        // the vector table, and column pruning keeps the two consumers
+        // on different projections (carrying all columns through one
+        // exchange would move the full vectors twice to save a scan)
+        "dedup_embed_cosine_incremental" -> Map("embeddings" -> 4))
       val mark =
         if (flagged.isEmpty) "ok"
         else if (byDesign.get(name).contains(flagged)) "ok/2x"
