@@ -49,6 +49,23 @@ object BenchStream {
     runOnce(spark, src, s"$work/warm") // warm-up: not reported
     val r = runOnce(spark, src, s"$work/run")
 
+    // the RESTART shape: the prior snapshot's chunk-hash index
+    // bootstraps the state (initialState), ONLY the delta streams —
+    // the per-ingest steady state a re-deployed pipeline runs; its
+    // docs/s is over the delta (the work actually done per crawl)
+    import spark.implicits._
+    val deltaSrc = s"$work/delta"
+    val priorDocs = staged.filter(
+      pmod($"doc_id", lit(graft.operators.Dedup.SnapshotMod))
+        < graft.operators.Dedup.SnapshotNewMin)
+    val deltaDocs = staged.filter(
+      pmod($"doc_id", lit(graft.operators.Dedup.SnapshotMod))
+        >= graft.operators.Dedup.SnapshotNewMin)
+    val nDelta = deltaDocs.count()
+    deltaDocs.repartition(Batches).write.mode("overwrite").parquet(deltaSrc)
+    runWarmstart(spark, deltaSrc, priorDocs, s"$work/ws_warm") // warm-up
+    val w = runWarmstart(spark, deltaSrc, priorDocs, s"$work/ws_run")
+
     val json = "{" + Seq(
       "\"metric\":\"stream_pipeline_samples_ttl_file\"",
       "\"unit\":\"sec\"",
@@ -60,10 +77,50 @@ object BenchStream {
       s""""emitted_rows":${r.emitted}""",
       s""""samples":${r.samples}""",
       s""""state_rows":${r.stateRows}""",
-      s""""state_mem_bytes":${r.stateMem}""").mkString(",") + "}"
+      s""""state_mem_bytes":${r.stateMem}""",
+      s""""warmstart":{"docs":$nDelta,"batches":${w.batches},""" +
+        s""""wall_sec":${"%.4f".format(w.wallSec)},""" +
+        s""""docs_per_sec":${"%.1f".format(nDelta / w.wallSec)},""" +
+        s""""emitted_rows":${w.emitted},"samples":${w.samples},""" +
+        s""""state_rows":${w.stateRows},"state_mem_bytes":${w.stateMem}}""")
+      .mkString(",") + "}"
     println(json)
     Files.write(Paths.get("bench_stream.json"), (json + "\n").getBytes)
     spark.stop()
+  }
+
+  /** One warm-start run: prior chunk index bootstrapped as initial
+    * state, delta-only file source → checkpointed parquet sink. */
+  private def runWarmstart(spark: SparkSession, deltaSrc: String,
+      prior: org.apache.spark.sql.DataFrame, out: String): Run = {
+    import spark.implicits._
+    def withTs(df: org.apache.spark.sql.DataFrame) = df.withColumn("ts",
+      timestamp_seconds(lit(1700000000L) + pmod($"doc_id", lit(3600))))
+    val schema = spark.read.parquet(deltaSrc).schema
+    val docs = withTs(spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(deltaSrc))
+    val emissions = graft.streaming.Streaming
+      .pipelineSamplesWarmstartTTLTransform(docs, withTs(prior), "1 hour")
+    val t0 = System.nanoTime()
+    val q = emissions.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", s"$out/sink")
+      .option("checkpointLocation", s"$out/ckpt")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val wall = (System.nanoTime() - t0) / 1e9
+    val progs = q.recentProgress
+    val state = progs.reverse.iterator
+      .flatMap(_.stateOperators.headOption)
+      .find(_.numRowsTotal > 0)
+    val sinkDf = spark.read.parquet(s"$out/sink")
+    Run(wall,
+      progs.count(_.numInputRows > 0),
+      sinkDf.count(),
+      sinkDf.select($"h").distinct().count(),
+      state.map(_.numRowsTotal).getOrElse(-1L),
+      state.map(_.memoryUsedBytes).getOrElse(-1L))
   }
 
   /** One full file-source → file-sink run; wall time covers the stream
