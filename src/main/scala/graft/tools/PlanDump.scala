@@ -79,6 +79,12 @@ object PlanDump {
       "The daily-crawl incremental pipeline: the delta's novel set materializes ONCE (Materialize.frame behind the keep-first window + prior hash-index anti-join), then its band signatures probe the prior side's band index (cross ∪ delta-internal candidates, one merge-walk verify over a shared aliased pool) and the surviving chunks anti-join the prior chunk-hash index — the two remaining corpus-sized scans are the PRIOR side's band/chunk index builds, which are write-once bucketed artifacts in production (ScanAudit: ok/2x).",
     "sim_ann_ivfpq" ->
       "IVF-PQ (IVFADC): assignment, residual, and the 8 code argmins are per-row map work against baked literals; each residual-fit iteration is ONE posexplode + (m, cell) integer-sum aggregate (8×16×9 longs collected); search broadcasts (query, probe-cell, coarse-term) rows and the per-query lookup tables into the codes scan — scoring is 8 table lookups + integer adds per candidate, the compressed-corpus scan PQ exists for.",
+    "text_lm_score" ->
+      "LM scoring: the bigram/unigram model tables sit behind Materialize (the stored-model artifact; their fit-slice scans ran once, eagerly), the vocabulary size is a collected literal, and the plan shows only the FRESH slice's bigram fan-out hash-joined against the two model relations + one per-doc aggregate — documents=1 in ScanAudit.",
+    "dedup_embed_cosine_incremental" ->
+      "Incremental embedding near-dup: each snapshot side ends in ONE explicit vec_id exchange replayed by its banding and its verify-pool leg; candidates come from the (label, band, cell) equi-join of delta bands against the prior index (no a<b self-pairing — the slices are disjoint), verified by exact cosine. The two passes per side are the stored band-index + vector-table artifacts in production (ScanAudit ok/4x note).",
+    "sim_ann_ivfpq_incremental" ->
+      "Incremental IVF-PQ: identical ADC search tail to sim_ann_ivfpq, but the residual-codebook fit reads only the PRIOR slice of the materialized residual frame (frozen at index creation) and the encode runs as prior ∪ delta slices — the per-row code map is deterministic under frozen models, so the union equals a whole-corpus encode (spec-pinned) while per-ingest work is delta-sized.",
     "stream_dedup_chunks_ngram" ->
       "Streaming chunk near-dup (post-run fold shown): the stateful operator is the SAME banded-minhash flatMapGroupsWithState as stream_dedup_minhash_ttl, fed packed (doc_id, chunk_idx) keys through the chunk fan-out Generate — chunks are ordinary documents to the band state machine; per-resident TTL eviction bounds state to O(chunk residents per band cell in the TTL window).",
     "stream_sessions" ->
