@@ -44,7 +44,7 @@ object ScaleGen {
     // corrupting the ×R linear-pairs claim this generator exists to test
     def assertIdsUnderStride(table: String, idCol: String): Unit = {
       val maxId = spark.read.parquet(s"$src/$table.parquet")
-        .agg(max(col(idCol))).head.getLong(0)
+        .agg(max(col(idCol))).head().getLong(0)
       require(maxId < idStride,
         s"ScaleGen: max($idCol) = $maxId in $table >= idStride $idStride — " +
           "replica id ranges would overlap; raise idStride")

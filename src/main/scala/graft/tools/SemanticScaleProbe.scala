@@ -57,7 +57,7 @@ object SemanticScaleProbe {
         .select((array_position(scoreArr, array_max(scoreArr)) - 1).as("cell"))
         .groupBy($"cell").agg(count(lit(1)).as("nc"))
         .agg(sum($"nc" * $"nc").as("s2"), max($"nc").as("maxc"))
-        .head
+        .head()
       println(f"[semscale] k=$k%4d wall=$sec%7.2f s kept=$kept%8d " +
         f"sum_nc2=${pairSpace.getLong(0)}%12d max_cell=${pairSpace.getLong(1)}%8d")
     }
