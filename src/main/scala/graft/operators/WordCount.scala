@@ -143,6 +143,58 @@ object WordCount {
       .orderBy(col("cnt").desc, col("word").asc)
       .limit(20)
 
+  /** Count-min sketch geometry: [[CmsRows]] independent hash rows ×
+    * [[CmsWidth]] buckets — 4 KB of longs at ANY corpus size. */
+  final val CmsRows = 4
+  final val CmsWidth = 1024
+
+  /** Row-i bucket of a token: Md5Lower64("i:token") mod width.
+    * Signed-pmod ≡ DuckDB's UBIGINT mod because 2⁶⁴ ≡ 0 (mod width). */
+  private[graft] def cmsBucket(i: Int, word: org.apache.spark.sql.Column) =
+    pmod(graft.functions.Md5Lower64(concat_ws(":", lit(i.toString), word)),
+      lit(CmsWidth.toLong)).cast("int")
+
+  /** The sketch itself: ONE (row, bucket) aggregation over the token
+    * stream — mergeable by cell-wise addition (spec-pinned), the
+    * bounded frequency artifact of Cormode & Muthukrishnan 2005. */
+  private[graft] def cmsSketch(words: DataFrame): DataFrame = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    words
+      .select(posexplode(array((0 until CmsRows).map(i =>
+        cmsBucket(i, $"word")): _*)).as(Seq("r", "b")))
+      .groupBy($"r", $"b").agg(count(lit(1)).as("c"))
+  }
+
+  /** Heavy hitters via a COUNT-MIN SKETCH next to the exact truth: the
+    * 4×1024-cell sketch is the bounded mergeable artifact that answers
+    * "which keys are hot enough to salt" (the trigger for
+    * [[wcWordCountsSalted]]'s two-level form) WITHOUT a per-key
+    * shuffle — at 100 TB each partition folds its token stream into
+    * 4 KB of longs and the merge is cell-wise addition. The query
+    * emits the TRUE top-20 tokens (the verification harness;
+    * production consults only estimates) alongside their CMS
+    * estimates: est = min over rows of the token's bucket count, ≥ the
+    * true count by construction — the one-sided CMS bound, pinned for
+    * EVERY token by the spec; the oracle rebuilds the identical sketch
+    * from md5_number_lower. */
+  def wcHeavyHittersCms(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val words = docWords(spark, sfDir)
+    val cms = cmsSketch(words)
+    val top = counts(words)
+      .orderBy($"cnt".desc, $"word".asc)
+      .limit(20)
+    top
+      .select($"word", $"cnt",
+        posexplode(array((0 until CmsRows).map(i =>
+          cmsBucket(i, $"word")): _*)).as(Seq("r", "b")))
+      .join(cms, Seq("r", "b"))
+      .groupBy($"word", $"cnt")
+      .agg(min($"c").as("est"))
+      .orderBy($"cnt".desc, $"word".asc)
+  }
+
   /** Per-document token counts — the reference's per-file accounting
     * generalized to a document table (exercises split without explode
     * fan-out: size(split(...))). */
@@ -212,6 +264,7 @@ object WordCount {
     "wc_ranked" -> wcRanked,
     "wc_topk" -> wcTopK,
     "wc_per_doc" -> wcPerDoc,
+    "wc_heavy_hitters_cms" -> wcHeavyHittersCms,
   )
 
   /** DuckDB oracles. The documents corpus is ASCII lowercase + single
@@ -261,6 +314,34 @@ object WordCount {
         |FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS word FROM documents) t
         |WHERE word <> ''
         |GROUP BY word ORDER BY cnt DESC, word ASC LIMIT 20""".stripMargin,
+    // the sketch rebuilt identically: md5_number_lower ≡ Md5Lower64 and
+    // UBIGINT % width ≡ signed pmod (2^64 ≡ 0 mod width); est = min
+    // over the 4 rows' bucket counts
+    "wc_heavy_hitters_cms" ->
+      s"""WITH w AS (
+         |  SELECT word FROM (
+         |    SELECT unnest(regexp_split_to_array(text, '\\s+')) AS word FROM documents) t
+         |  WHERE word <> ''
+         |),
+         |rws AS (SELECT unnest(range(0, $CmsRows)) AS r),
+         |cms AS (
+         |  SELECT r,
+         |    CAST(md5_number_lower(r::VARCHAR || ':' || word) % $CmsWidth AS INT) AS b,
+         |    count(*) AS c
+         |  FROM w CROSS JOIN rws
+         |  GROUP BY 1, 2
+         |),
+         |top AS (
+         |  SELECT word, count(*) AS cnt FROM w
+         |  GROUP BY word ORDER BY cnt DESC, word ASC LIMIT 20
+         |)
+         |SELECT t.word, t.cnt, min(cms.c) AS est
+         |FROM top t CROSS JOIN rws rr
+         |JOIN cms ON cms.r = rr.r
+         |  AND cms.b = CAST(md5_number_lower(rr.r::VARCHAR || ':' || t.word)
+         |              % $CmsWidth AS INT)
+         |GROUP BY t.word, t.cnt
+         |ORDER BY t.cnt DESC, t.word ASC""".stripMargin,
     "wc_per_doc" ->
       """SELECT doc_id, len(regexp_split_to_array(text, '\s+')) AS n_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,

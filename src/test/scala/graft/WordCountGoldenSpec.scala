@@ -48,6 +48,38 @@ class WordCountGoldenSpec extends AnyFunSuite {
       s"approx=$approx exact=$exact")
   }
 
+  test("count-min sketch: one-sided bound for EVERY token; sketch is mergeable") {
+    import org.apache.spark.sql.functions._
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val sf = SparkTestSession.sf0001
+    val words = graft.sources.Tables.documents(spark, sf)
+      .select(explode(split($"text", "\\s+")).as("word"))
+      .filter(length($"word") > 0)
+    val cms = WordCount.cmsSketch(words)
+    // one-sided bound: est(w) = min_i c(i, bucket_i(w)) >= true count
+    // for ALL tokens, not just the emitted top-20 — the CMS guarantee
+    val truth = words.groupBy($"word").agg(count(lit(1)).as("cnt"))
+    val est = truth
+      .select($"word", $"cnt",
+        posexplode(array((0 until WordCount.CmsRows).map(i =>
+          WordCount.cmsBucket(i, $"word")): _*)).as(Seq("r", "b")))
+      .join(cms, Seq("r", "b"))
+      .groupBy($"word", $"cnt").agg(min($"c").as("est"))
+    val violations = est.filter($"est" < $"cnt").count()
+    assert(violations === 0, "CMS estimate must never undercount")
+    assert(est.count() === truth.count())
+    // mergeability: cell-wise sum of the two halves' sketches ≡ the
+    // full sketch — what makes the artifact buildable per-partition
+    val h1 = WordCount.cmsSketch(words.filter(crc32($"word") % 2 === 0))
+    val h2 = WordCount.cmsSketch(words.filter(crc32($"word") % 2 === 1))
+    val merged = h1.unionByName(h2)
+      .groupBy($"r", $"b").agg(sum($"c").as("c"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val full = cms.collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(merged === full, "sketch must merge by cell-wise addition")
+  }
+
   test("Text5: engine output byte-identical to reference (omp format)") {
     val got = WordCount.formattedBytes(SparkTestSession.spark,
       Seq(s"$corpusDir/Text5.txt"), "raw_text_input/Text5.txt",
