@@ -56,6 +56,8 @@ object Bench {
     "q16_nation_benchmark", "q17_asof_event_order", "q19_sessions",
     "q25_range_join", "q28_stats", "q29_rolling_window",
     "wc_word_counts", "wc_ranked", "wc_word_stats",
+    // the mergeable frequency sketch: one (row, bucket) agg + top-20 probe
+    "wc_heavy_hitters_cms",
     "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
     "dedup_simhash_pairs", "dedup_containment",
     // the 16-bit-band scale variant next to the 8-bit search it mirrors
