@@ -1023,13 +1023,7 @@ object Streaming {
           Iterator((uid, nSessions, mx, total.toDouble / nSessions, total))
         }
       .toDF("user_id", "n_sessions", "max_session_events", "avg_raw", "total_events")
-    runToMemory(updated, "append")
-      .groupBy($"user_id")
-      .agg(max(struct($"total_events", $"n_sessions", $"max_session_events", $"avg_raw")).as("s"))
-      .select($"user_id", $"s.n_sessions".as("n_sessions"),
-        $"s.max_session_events".as("max_session_events"),
-        round($"s.avg_raw", 4).as("avg_session_events"))
-      .orderBy($"user_id")
+    foldSessions(runToMemory(updated, "append"))
   }
 
   /** STREAMING benchmark decontamination: the ingest-tier twin of the
@@ -1135,6 +1129,89 @@ object Streaming {
       .orderBy($"lang")
   }
 
+  /** [[runSessionsStream]] with BOUNDED state — the watermark bound its
+    * contract note promises: the eviction TTL IS the session gap. Once
+    * the watermark passes a user's `lastTs + gap`, no non-late event
+    * can EXTEND the open session (any arrival must start a new one), so
+    * the user's five-long state is dropped at its next firing; a
+    * returning user starts a fresh EPOCH counting from zero, and the
+    * monotone snapshot fold keeps the LARGEST epoch (max by
+    * total_events) — the [[runDedupStreamTTL]] trade applied to
+    * sessionization: exact within an epoch, per-epoch stats across
+    * them. State is O(users active within the gap window), not O(users
+    * ever seen). The driver feed is one micro-batch (watermark zero, no
+    * eviction fires), so the result equals the unbounded form and the
+    * batch q19 oracle; eviction and epoch restart are pinned by
+    * StreamingSpec's multi-batch test. */
+  def streamSessionsTTL(spark: SparkSession, sfDir: String): DataFrame =
+    runSessionsStreamTTL(eventsStream(spark, sfDir))
+
+  private[graft] def runSessionsStreamTTL(events: DataFrame): DataFrame =
+    foldSessions(runToMemory(sessionsTTLTransform(events), "append"))
+
+  /** Pre-fold emission seam (the [[pipelineSamplesTTLEmissions]]
+    * pattern): epoch restarts are only visible here. */
+  private[graft] def sessionsTTLEmissions(events: DataFrame): DataFrame =
+    runToMemory(sessionsTTLTransform(events), "append")
+
+  private def sessionsTTLTransform(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val gapMs = graft.operators.Sessions.GapMinutes * 60000L
+    val ev = events
+      .select($"user_id", $"event_id", $"ts")
+      .filter($"user_id".isNotNull && $"event_id".isNotNull && $"ts".isNotNull)
+      .withWatermark("ts", s"$gapMs milliseconds")
+      .as[(Long, Long, java.sql.Timestamp)]
+    ev.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long, Long, Long), (Long, Long, Long, Double, Long)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) { (uid, rows, state) =>
+          if (state.hasTimedOut) {
+            // watermark passed lastTs + gap: the open session can never
+            // extend — stats were already emitted, drop the state
+            state.remove()
+            Iterator.empty
+          } else {
+            var (lastTs, openN, closedCount, closedMax, total) =
+              state.getOption.getOrElse((Long.MinValue, 0L, 0L, 0L, 0L))
+            rows.toSeq.sortBy(r => (r._3.getTime, r._2)).foreach { r =>
+              val t = r._3.getTime
+              if (openN == 0L || t - lastTs > gapMs) {
+                if (openN > 0L) {
+                  closedCount += 1
+                  if (openN > closedMax) closedMax = openN
+                }
+                openN = 1L
+              } else openN += 1L
+              lastTs = t
+              total += 1L
+            }
+            state.update((lastTs, openN, closedCount, closedMax, total))
+            state.setTimeoutTimestamp(lastTs, s"$gapMs milliseconds")
+            val nSessions = closedCount + (if (openN > 0L) 1L else 0L)
+            val mx = math.max(closedMax, openN)
+            Iterator((uid, nSessions, mx, total.toDouble / nSessions, total))
+          }
+        }
+      .toDF("user_id", "n_sessions", "max_session_events", "avg_raw", "total_events")
+  }
+
+  /** The shared snapshot fold of both sessionization streams: per-user
+    * emissions are monotone in total_events, so the latest (largest)
+    * snapshot is a max-struct. */
+  private def foldSessions(emitted: DataFrame): DataFrame = {
+    val spark = emitted.sparkSession
+    import spark.implicits._
+    emitted
+      .groupBy($"user_id")
+      .agg(max(struct($"total_events", $"n_sessions", $"max_session_events", $"avg_raw")).as("s"))
+      .select($"user_id", $"s.n_sessions".as("n_sessions"),
+        $"s.max_session_events".as("max_session_events"),
+        round($"s.avg_raw", 4).as("avg_session_events"))
+      .orderBy($"user_id")
+  }
+
   /** STREAMING LM quality scoring — the batch
     * [[graft.operators.TextAnalysis.textLmScore]] model applied at
     * INGEST, the third member of the fitted-model-at-ingest family
@@ -1190,6 +1267,7 @@ object Streaming {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_events_hourly" -> streamEventsHourly,
     "stream_sessions" -> streamSessions,
+    "stream_sessions_ttl" -> streamSessionsTTL,
     "stream_wc_counts" -> streamWordCounts,
     "stream_user_totals" -> streamUserTotals,
     "stream_active_users" -> streamActiveUsers,
@@ -1216,6 +1294,9 @@ object Streaming {
     // the batch q19 sessionization oracle verbatim: the stateful
     // gap-fold must reproduce the window formulation exactly
     "stream_sessions" -> graft.operators.Sessions.oracles("q19_sessions"),
+    // single-batch feed (watermark zero, no eviction) ⇒ identical to
+    // the unbounded fold and the batch window formulation
+    "stream_sessions_ttl" -> graft.operators.Sessions.oracles("q19_sessions"),
     "stream_events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         |  count(*) AS n, round(sum(value), 2) AS total_value

@@ -471,6 +471,46 @@ class StreamingSpec extends AnyFunSuite {
         s"bootstrapped resident must be evicted — got $got")
   }
 
+  test("TTL sessions: in-window gap folds, evicted user restarts an epoch") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions.{expr => fexpr}
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_sessttl_in_").toString
+    val t0 = 1700000000L
+    val base = System.currentTimeMillis()
+    def ev(rows: Seq[(Long, Long, Long)]): DataFrame =
+      rows.toDF("user_id", "event_id", "sec")
+        .select($"user_id", $"event_id", fexpr("timestamp_seconds(sec)").as("ts"))
+    // b1: user 7 — two events 10 min apart (one session; deadline
+    // t0+600+gap)
+    writeOneFile(ev(Seq((7L, 100L, t0), (7L, 101L, t0 + 600))), s"$in/b1.parquet", base)
+    // b2: watermark pusher far in the future (wm ≈ t0+100000−gap)
+    writeOneFile(ev(Seq((90L, 900L, t0 + 100000))), s"$in/b2.parquet", base + 60000)
+    // b3: quiet batch — user 7's state times out against the advanced
+    // watermark
+    writeOneFile(ev(Seq((91L, 910L, t0 + 100010))), s"$in/b3.parquet", base + 120000)
+    // b4: user 7 returns after eviction — a fresh epoch counting from 1
+    writeOneFile(ev(Seq((7L, 102L, t0 + 100020))), s"$in/b4.parquet", base + 180000)
+    val schema = spark.read.parquet(in).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val emitted = Streaming.sessionsTTLEmissions(stream)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSeq
+    // epoch restart: the post-eviction emission counts from total = 1
+    // (unbounded state would carry total = 3 and n_sessions = 2)
+    assert(emitted.contains((7L, 1L, 1L)),
+      s"post-eviction arrival must start a fresh epoch, got $emitted")
+    assert(emitted.contains((7L, 1L, 2L)),
+      s"the first epoch's two-event session must have been emitted, got $emitted")
+    // the snapshot fold keeps the LARGEST epoch — the documented
+    // per-epoch trade (exact within an epoch)
+    val folded = Streaming.runSessionsStreamTTL(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(in))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(folded.filter(_._1 == 7L) === Seq((7L, 1L, 2L)),
+      s"fold must keep the largest epoch (2-event session), got $folded")
+  }
+
   test("streaming LM scoring equals the batch scorer across batches") {
     import org.apache.spark.sql.DataFrame
     import spark.implicits._
