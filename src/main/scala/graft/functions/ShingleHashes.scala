@@ -90,6 +90,42 @@ object ShingleHashImpl {
   def md5Low64(s: UTF8String): ArrayData = hashes(s, useMd5 = true)
   def xxh64N(s: UTF8String, width: Int): ArrayData =
     hashesN(s, useMd5 = false, width)
+
+  /** POSITIONAL width-token gram hashes: element i is the hash of the
+    * window starting at token i — NO sort, NO dedupe, so `posexplode`
+    * recovers (token offset, gram hash) pairs. The exact-substring
+    * family needs offsets (a shared span IS a run of consecutive shared
+    * gram positions); every other gram consumer wants the set form
+    * above. Same zero-copy slice machinery. */
+  def xxh64NPos(s: UTF8String, width: Int): ArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    var spaces = 0
+    var i = 0
+    while (i < n) { if (bytes(i) == ' ') spaces += 1; i += 1 }
+    val tokens = spaces + 1
+    if (tokens < width) return empty
+    val starts = new Array[Int](tokens)
+    val ends = new Array[Int](tokens)
+    starts(0) = 0
+    var t = 0
+    i = 0
+    while (i < n) {
+      if (bytes(i) == ' ') { ends(t) = i; t += 1; starts(t) = i + 1 }
+      i += 1
+    }
+    ends(tokens - 1) = n
+    val w = tokens - width + 1
+    val out = new Array[Long](w)
+    i = 0
+    while (i < w) {
+      val off = starts(i)
+      val len = ends(i + width - 1) - off
+      out(i) = XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET + off, len, XxhSeed)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** `ngram_xxh64(string, n) -> array<bigint>` — the width-generalized
@@ -111,6 +147,27 @@ case class NGramXxh64(child: Expression, n: Int) extends ShingleHashBase {
 
 object NGramXxh64 {
   def apply(c: Column, n: Int): Column = Shim.column(NGramXxh64(Shim.expression(c), n))
+}
+
+/** `ngram_xxh64_pos(string, n) -> array<bigint>` — POSITIONAL twin of
+  * [[NGramXxh64]]: element i hashes the n-token window at token offset
+  * i (no sort, no dedupe). `posexplode` over it is the (doc, offset,
+  * gram) expansion the exact-substring dedup's run-merge consumes. */
+case class NGramXxh64Pos(child: Expression, n: Int) extends ShingleHashBase {
+  require(n >= 1, s"ngram width must be >= 1, got $n")
+  override protected def implName: String = "xxh64"
+  override def prettyName: String = s"ngram${n}_xxh64_pos"
+  override def nullSafeEval(input: Any): Any =
+    ShingleHashImpl.xxh64NPos(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleHashImpl.xxh64NPos($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): NGramXxh64Pos =
+    copy(child = newChild)
+}
+
+object NGramXxh64Pos {
+  def apply(c: Column, n: Int): Column =
+    Shim.column(NGramXxh64Pos(Shim.expression(c), n))
 }
 
 sealed abstract class ShingleHashBase extends UnaryExpression {

@@ -218,6 +218,65 @@ object Similarity {
   private def ivfSearchWith(e: DataFrame, scoreArr: Column, nprobe: Int): DataFrame =
     ivfSearchOverAssigned(e, assignedCells(e, scoreArr), scoreArr, nprobe)
 
+  /** Query probe cells: indices of the nprobe best scores — sort
+    * (−score, idx) ascending so ties fall to the lower cell id. The ONE
+    * routing expression every IVF-family consumer shares (plain search
+    * tail, ADC search tail, the candidate-pool accessors below) —
+    * shared so the composition claim "IVF-PQ changes the scoring inside
+    * probed cells, never the routing" is structural, not coincidental. */
+  private def probeCellsExpr(scoreArr: Column, nprobe: Int): Column =
+    slice(
+      sort_array(zip_with(scoreArr, sequence(lit(0), lit(NumCentroids - 1)),
+        (s, i) => struct((-s).as("ns"), i.as("idx")))),
+      1, nprobe).getField("idx")
+
+  /** The pre-scoring candidate pool (query_id, vec_id) a probe
+    * structure surfaces: probes × cell-membership minus self. Used by
+    * SimilaritySpec to pin that the IVF and IVF-PQ paths route over the
+    * IDENTICAL candidate pairs at reduced nprobe — the non-vacuous form
+    * of the composition claim (top-k sets legitimately differ between
+    * exact-cosine and ADC scoring, so only the pool itself can be
+    * compared). */
+  private[graft] def candidatePairs(e: DataFrame, assigned: DataFrame,
+      scoreArr: Column, nprobe: Int): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val probes = e.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), explode(probeCellsExpr(scoreArr, nprobe)).as("cell"))
+    broadcast(probes).join(assigned, Seq("cell"))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id")
+  }
+
+  /** Candidate pool of the seeded-IVF search path at the given nprobe:
+    * routing = seeded-centroid cosine scores, membership = the direct
+    * [[assignedCells]] frame — exactly what [[simAnnIvfOn]] joins. */
+  private[graft] def ivfCandidatePairsOn(spark: SparkSession, sfDir: String,
+      nprobe: Int): DataFrame = {
+    import spark.implicits._
+    val e = embeddings(spark, sfDir)
+    val cents = seedCentroids(e)
+    val scoreArr = array(cents.map(cv => VectorOps.cosine($"v", typedLit(cv))): _*)
+    candidatePairs(e, assignedCells(e, scoreArr), scoreArr, nprobe)
+  }
+
+  /** Candidate pool of the IVF-PQ search path at the given nprobe:
+    * routing = the same seeded scores, membership = the MATERIALIZED
+    * residual frame's (vec_id, cell) — the cells [[ivfPqEncode]]
+    * carries verbatim into the code artifact [[ivfPqAdcSearch]] joins.
+    * Comparing this against [[ivfCandidatePairsOn]] pins that the
+    * materialize/encode pipeline preserved the assignment bit-for-bit
+    * (the codebook fit cannot change cells, so it is skipped). */
+  private[graft] def ivfPqCandidatePairsOn(spark: SparkSession, sfDir: String,
+      nprobe: Int): DataFrame = {
+    import spark.implicits._
+    val e = embeddings(spark, sfDir)
+    val cents = seedCentroids(e)
+    val scoreArr = array(cents.map(cv => VectorOps.cosine($"v", typedLit(cv))): _*)
+    candidatePairs(e, ivfResidFrame(e, cents).select($"vec_id", $"cell"),
+      scoreArr, nprobe)
+  }
+
   /** Search tail over an EXPLICIT (vec_id, v, cell) assignment frame —
     * the seam that makes index maintenance injectable: the full
     * variants pass the freshly-computed assignment of the whole
@@ -227,12 +286,7 @@ object Similarity {
       nprobe: Int): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
-    // query probe cells: indices of the nprobe best scores — sort
-    // (−score, idx) ascending so ties fall to the lower cell id
-    val probeCells = slice(
-      sort_array(zip_with(scoreArr, sequence(lit(0), lit(NumCentroids - 1)),
-        (s, i) => struct((-s).as("ns"), i.as("idx")))),
-      1, nprobe).getField("idx")
+    val probeCells = probeCellsExpr(scoreArr, nprobe)
     // the vector rides through the (broadcast) cell join — cells are
     // disjoint so candidates are unique by construction and no second
     // corpus pass is needed: re-joining the table by vec_id to fetch v
@@ -516,10 +570,7 @@ object Similarity {
     import spark.implicits._
     val centLit = typedLit(cents)
     val scoreArr = array(cents.map(cv => VectorOps.cosine($"v", typedLit(cv))): _*)
-    val probeCells = slice(
-      sort_array(zip_with(scoreArr, sequence(lit(0), lit(NumCentroids - 1)),
-        (s, i) => struct((-s).as("ns"), i.as("idx")))),
-      1, nprobe).getField("idx")
+    val probeCells = probeCellsExpr(scoreArr, nprobe)
     val probes = e.filter($"vec_id" < NumQueries)
       .select($"vec_id".as("query_id"), $"v".as("qv"), explode(probeCells).as("cell"))
       .select($"query_id", $"cell",

@@ -70,31 +70,53 @@ object WordCount {
     * vocabularies round-trip exactly. */
   def formattedBytes(spark: SparkSession, paths: Seq[String],
       headerLabel: String, includeUnique: Boolean): Array[Byte] = {
-    // Small-corpus split tuning, scoped to this run: the default
-    // openCostInBytes (4 MB) inflates each small file to 4 MB for
-    // bin-packing, so a 29-file / 15 MB corpus packs into ~2 splits and
-    // tokenizes on 2 of 32 cores. Aim for ~2 splits per core, floored so
-    // a genuinely large input keeps large scan partitions (at cluster
-    // scale the default packing is already right; this matters only for
-    // the reference's many-tiny-files workload).
+    // Small-corpus task-shape tuning, scoped to this run (conf restored
+    // in the finally). Two knobs, both re-chosen by a measured sweep
+    // (graft.tools.WcTune, 2026-08-14; r12):
+    //  - scan splits: the default openCostInBytes (4 MB) inflates each
+    //    small file to 4 MB for bin-packing, so a 29-file / 15 MB corpus
+    //    packs into ~2 splits and tokenizes on 2 of 32 cores; the r11
+    //    256 KB floor over-corrected to ~60 splits whose per-task
+    //    overhead dominated a 15 MB input. The sweep's optimum is ~1 MB
+    //    splits (≈15 tasks — FEWER than cores, because a task costs more
+    //    than tokenizing 1 MB); clamp keeps genuinely large inputs at
+    //    the default 128 MB packing.
+    //  - reduce partitions: the shuffle carries the VOCABULARY (57k
+    //    rows / 5.6 MB here), not the corpus — 32 reduce tasks over
+    //    5.6 MB is pure scheduling overhead (measured 0.59 s → 0.25 s
+    //    going 32 → 4). Size ≈ one task per 4 MB of input as a proxy,
+    //    floored at 4 and capped at the session default so a large
+    //    corpus keeps full reduce parallelism.
     val totalBytes = paths.map(p => new java.io.File(p).length()).sum
     val cores = spark.sparkContext.defaultParallelism.toLong
-    val target = math.max(totalBytes / math.max(cores * 2L, 1L), 256L * 1024)
+    val target = math.min(
+      math.max(totalBytes / math.max(cores * 2L, 1L), 1024L * 1024),
+      128L * 1024 * 1024)
     val conf = spark.conf
     val oldMax = conf.getOption("spark.sql.files.maxPartitionBytes")
     val oldCost = conf.getOption("spark.sql.files.openCostInBytes")
+    val oldShuffle = conf.getOption("spark.sql.shuffle.partitions")
+    val reduceParts = math.min(
+      math.max(totalBytes / (4L * 1024 * 1024), 4L),
+      oldShuffle.flatMap(_.toLongOption).getOrElse(cores))
     conf.set("spark.sql.files.maxPartitionBytes", target.toString)
     conf.set("spark.sql.files.openCostInBytes", (64L * 1024).toString)
+    conf.set("spark.sql.shuffle.partitions", reduceParts.toString)
     try formattedBytesInner(spark, paths, headerLabel, includeUnique)
     finally {
       oldMax.fold(conf.unset("spark.sql.files.maxPartitionBytes"))(
         conf.set("spark.sql.files.maxPartitionBytes", _))
       oldCost.fold(conf.unset("spark.sql.files.openCostInBytes"))(
         conf.set("spark.sql.files.openCostInBytes", _))
+      oldShuffle.fold(conf.unset("spark.sql.shuffle.partitions"))(
+        conf.set("spark.sql.shuffle.partitions", _))
     }
   }
 
-  private def formattedBytesInner(spark: SparkSession, paths: Seq[String],
+  /** The pipeline under whatever split/shuffle conf is already set —
+    * the seam graft.tools.WcTune sweeps without the wrapper's own
+    * split tuning fighting the experiment. */
+  private[graft] def formattedBytesInner(spark: SparkSession, paths: Seq[String],
       headerLabel: String, includeUnique: Boolean): Array[Byte] = {
     val words = tokenize(linesFromFiles(spark, paths), "value")
     val cnts = counts(words)

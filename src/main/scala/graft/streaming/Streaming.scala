@@ -1014,7 +1014,12 @@ object Streaming {
               }
               openN = 1L
             } else openN += 1L
-            lastTs = t
+            // monotone: a cross-batch late event (t < lastTs, possible
+            // only when the ordering contract above is violated) joins
+            // the open session without REGRESSING its frontier — the
+            // session-window "end only extends" rule, and what keeps
+            // the TTL twin's eviction deadline monotone
+            if (t > lastTs) lastTs = t
             total += 1L
           }
           state.update((lastTs, openN, closedCount, closedMax, total))
@@ -1184,7 +1189,11 @@ object Streaming {
                 }
                 openN = 1L
               } else openN += 1L
-              lastTs = t
+              // monotone frontier (see runSessionsStream): an
+              // in-watermark late event (t < lastTs across batches)
+              // joins the open session but must not pull the eviction
+              // deadline backwards
+              if (t > lastTs) lastTs = t
               total += 1L
             }
             state.update((lastTs, openN, closedCount, closedMax, total))

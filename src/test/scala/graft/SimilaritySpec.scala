@@ -82,21 +82,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(fitted >= 0.3, s"k-means IVF mean recall@5 = $fitted below floor")
   }
 
-  test("IVF-PQ candidate set ≡ seeded IVF's (same quantizer, same probes)") {
+  test("IVF-PQ candidate pool ≡ seeded IVF's (same quantizer, same probes)") {
     // the composition claim: IVFPQ changes the SCORING inside probed
     // cells (residual ADC vs exact cosine), never the candidate
-    // routing — both queries must surface candidates from the identical
-    // (assignment, probe) structure. Compare the full candidate pools
-    // via full-probe runs: with nprobe = NumCentroids both rank the
-    // whole corpus minus self, so the result SETS (not orders) match.
-    val ivf = Similarity.simAnnIvfOn(spark, sf, Similarity.NumCentroids)
-      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
-    val pq = Similarity.simAnnIvfPqOn(spark, sf, Similarity.NumCentroids)
-      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
-    assert(ivf.map(_._1) === pq.map(_._1))
-    // per query both emit TopK rows drawn from the same pool; at full
-    // probe the pools are equal, so sizes must agree exactly
-    assert(ivf.size === pq.size)
+    // routing. Top-k outputs can't pin this (both always emit TopK rows
+    // per query regardless of routing, and the two scorings rank the
+    // pool differently), so compare the PRE-scoring candidate pairs
+    // themselves: probes × cell-membership at the production nprobe,
+    // where a routing divergence (e.g. the materialized residual frame
+    // drifting from the direct assignment) would change the pair set.
+    val ivf = Similarity.ivfCandidatePairsOn(spark, sf, Similarity.NProbe)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity.ivfPqCandidatePairsOn(spark, sf, Similarity.NProbe)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf.nonEmpty)
+    // strictly-reduced probe sanity: the pool at nprobe=1 must be a
+    // PROPER subset — proves nprobe actually narrows routing (a pool
+    // accessor that ignored nprobe would pass the equality alone)
+    val ivf1 = Similarity.ivfCandidatePairsOn(spark, sf, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf1.subsetOf(ivf) && ivf1.size < ivf.size)
+    assert(ivf === pq)
   }
 
   test("IVF-PQ recall@5 vs exact-DOT truth: ADC comparable to raw PQ at equal pools") {
