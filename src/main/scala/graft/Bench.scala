@@ -59,6 +59,9 @@ object Bench {
     // the mergeable frequency sketch: one (row, bucket) agg + top-20 probe
     "wc_heavy_hitters_cms",
     "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    // ExactSubstr: positional-gram run merge — two window exchanges
+    // over the token-positional gram frame
+    "dedup_exact_substring",
     "dedup_simhash_pairs", "dedup_containment",
     // the 16-bit-band scale variant next to the 8-bit search it mirrors
     "dedup_simhash_pairs_b16",

@@ -76,6 +76,72 @@ object Dedup {
       .orderBy($"h")
   }
 
+  /** Exact-substring window: flag spans of at least this many
+    * whitespace tokens shared VERBATIM between distinct documents.
+    * ExactSubstr (Lee et al. 2021, "Deduplicating Training Data Makes
+    * Language Models Better" §4.1) uses 50 BPE tokens over a suffix
+    * array; 25 whitespace tokens here because the synthetic documents
+    * run 10–99 tokens (median 56) — the same fraction of a document.
+    * The knob is the one scale lever: wider windows shrink both the
+    * shared-gram set and the run-merge state. */
+  final val ExactSubstrTokens = 25
+
+  /** EXACT-SUBSTRING dedup — the ExactSubstr family: every maximal span
+    * of ≥ [[ExactSubstrTokens]] tokens that appears verbatim in two or
+    * more distinct documents, at ARBITRARY token offsets (what the
+    * aligned-chunk exact dedup structurally cannot see). Output one row
+    * per maximal span occurrence: (doc_id, start_token, len_tokens) —
+    * the drop-list a curation pass subtracts from each document.
+    *
+    * Spark-first shape replacing the paper's suffix array: a shared
+    * span of length L IS a run of L−W+1 consecutive shared W-gram
+    * offsets, so (1) expand each doc to POSITIONAL W-gram hashes (fused
+    * one-pass expression, no gram strings), (2) mark gram hashes held
+    * by ≥2 distinct docs — min≠max over a window keyed on the hash, ONE
+    * shuffle, no count-distinct rewrite, (3) merge consecutive shared
+    * offsets per doc with the classic pos−row_number run id — one
+    * shuffle on doc_id, state bounded by document length. Candidates
+    * are gram-bucketed throughout (never all-pairs); at 100 TB the
+    * gram frame is the corpus token count × 12 B — the same order as
+    * the suffix array ExactSubstr builds, but shuffle-partitioned
+    * instead of memory-mapped, and the hottest key is bounded by the
+    * most-repeated single gram (a boilerplate gram costs its occurrence
+    * count, not its square — no pairing happens on the gram). */
+  def dedupExactSubstring(spark: SparkSession, sfDir: String): DataFrame =
+    dedupExactSubstringOn(Tables.documents(spark, sfDir))
+
+  /** The transform over any (doc_id, text) frame (spec entry point:
+    * plantable mid-document overlaps and sub-window negatives). */
+  private[graft] def dedupExactSubstringOn(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val W = ExactSubstrTokens
+    val grams = docs
+      // spread the per-row expansion before it runs (the shingles
+      // rationale: a small file scans as one split)
+      .repartition(spark.sparkContext.defaultParallelism, $"doc_id")
+      .select($"doc_id", posexplode(
+        graft.functions.NGramXxh64Pos($"text", W)).as(Seq("pos", "h")))
+    val byHash = Window.partitionBy($"h")
+    val shared = grams
+      // shared ⇔ ≥2 distinct doc_ids hold the gram ⇔ min ≠ max over the
+      // hash partition — two frame-less window aggs on ONE exchange
+      // (a groupBy(h)+re-join would shuffle the gram frame twice)
+      .withColumn("mn", min($"doc_id").over(byHash))
+      .withColumn("mx", max($"doc_id").over(byHash))
+      .filter($"mn" =!= $"mx")
+      .select($"doc_id", $"pos")
+    val byDocPos = Window.partitionBy($"doc_id").orderBy($"pos")
+    shared
+      .withColumn("rid", $"pos" - row_number().over(byDocPos))
+      .groupBy($"doc_id", $"rid")
+      .agg(min($"pos").cast("long").as("start_token"),
+        (count(lit(1)) + lit(W - 1)).as("len_tokens"))
+      .select($"doc_id", $"start_token", $"len_tokens")
+      .orderBy($"doc_id", $"start_token")
+  }
+
   /** The deterministic snapshot split for [[dedupIncremental]]:
     * doc_id % [[SnapshotMod]] ≥ [[SnapshotNewMin]] is the "new crawl"
     * delta (20%), the rest the already-ingested corpus snapshot. The
@@ -1455,6 +1521,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> dedupExact,
     "dedup_exact_bow" -> dedupExactBow,
+    "dedup_exact_substring" -> dedupExactSubstring,
     "dedup_incremental" -> dedupIncremental,
     "dedup_incremental_bloom" -> dedupIncrementalBloom,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
@@ -1720,6 +1787,40 @@ object Dedup {
         |FROM documents
         |GROUP BY md5(array_to_string(list_sort(string_split(text, ' ')), ' '))
         |ORDER BY h""".stripMargin,
+    // gram TEXT on the oracle side vs xxh64 gram hashes on the engine
+    // side — equal join/window semantics up to 64-bit collisions (the
+    // decontamination argument); min≠max over the gram partition is the
+    // ≥2-distinct-docs test, pos − row_number() the run merge
+    "dedup_exact_substring" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+         |),
+         |grams AS (
+         |  SELECT doc_id, unnest(range(1, len(t) - $ExactSubstrTokens + 2)) AS i, t
+         |  FROM toks WHERE len(t) >= $ExactSubstrTokens
+         |),
+         |g2 AS (
+         |  SELECT doc_id, i - 1 AS pos,
+         |    array_to_string(t[i : i + $ExactSubstrTokens - 1], ' ') AS g
+         |  FROM grams
+         |),
+         |shared AS (
+         |  SELECT doc_id, pos FROM (
+         |    SELECT doc_id, pos,
+         |      min(doc_id) OVER (PARTITION BY g) AS mn,
+         |      max(doc_id) OVER (PARTITION BY g) AS mx
+         |    FROM g2) s
+         |  WHERE mn <> mx
+         |),
+         |runs AS (
+         |  SELECT doc_id, pos,
+         |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rid
+         |  FROM shared
+         |)
+         |SELECT doc_id, min(pos) AS start_token,
+         |  count(*) + ${ExactSubstrTokens - 1} AS len_tokens
+         |FROM runs GROUP BY doc_id, rid
+         |ORDER BY doc_id, start_token""".stripMargin,
     // NOT EXISTS, not NOT IN: same anti-join semantics as the engine
     // regardless of SQL null quirks (h is never null here, but the
     // form should not depend on it)

@@ -655,4 +655,56 @@ class DedupSpec extends AnyFunSuite {
       .agg(org.apache.spark.sql.functions.sum("n_dups")).collect()(0).getLong(0)
     assert(groups === total)
   }
+
+  test("positional gram hashes ≡ per-window xxhash64 of the joined-token slice") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // edge cases: empty, short-of-width, consecutive separators (empty
+    // tokens), exact-width, repeats — plus the real corpus
+    val edges = Seq("", "a", "a b c", "a  b c d", " a b c d ",
+      "a b c d", "x y x y x y", "a b c d e f").toDF("text")
+    val real = graft.sources.Tables.documents(spark, sf).select($"text")
+    val W = 4
+    for (df <- Seq(edges, real)) {
+      val toks = split($"text", " ")
+      val strings = when(size(toks) >= W,
+        transform(sequence(lit(0), size(toks) - W),
+          i => concat_ws(" ", (0 until W).map(k => element_at(toks, i + k + 1)): _*)))
+        .otherwise(array().cast("array<string>"))
+      val a = df.select(graft.functions.NGramXxh64Pos($"text", W))
+        .collect().map(_.getSeq[Long](0))
+      val b = df.select(transform(strings, s => xxhash64(s)))
+        .collect().map(_.getSeq[Long](0))
+      a.zip(b).zipWithIndex.foreach { case ((x, y), i) => assert(x === y, s"row $i") }
+    }
+  }
+
+  test("exact-substring: planted cross-doc spans, sub-window negatives stay silent") {
+    import spark.implicits._
+    val W = Dedup.ExactSubstrTokens // 25
+    def words(p: String, n: Int) = (1 to n).map(i => s"$p$i")
+    val S = words("s", 30) // the long planted span
+    val T = words("t", W)  // an exactly-window-sized span
+    val docs = Seq(
+      // S mid-document at different offsets in two docs
+      (1L, (words("a", 10) ++ S ++ words("b", 10)).mkString(" ")),
+      (2L, (words("c", 5) ++ S ++ words("d", 5)).mkString(" ")),
+      // sub-window negative: only W−1 = 24 tokens of S — no complete
+      // window is shared, must NOT be flagged
+      (3L, (words("e", 5) ++ S.take(W - 1) ++ words("f", 10)).mkString(" ")),
+      // no overlap at all
+      (4L, words("g", 60).mkString(" ")),
+      // TWO separate maximal spans in one document: T (shared with doc
+      // 6) and the first W tokens of S (shared with docs 1/2)
+      (5L, (T ++ words("h", 5) ++ S.take(W)).mkString(" ")),
+      (6L, (T ++ words("i", 30)).mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupExactSubstringOn(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expected = Set(
+      (1L, 10L, 30L), (2L, 5L, 30L), // the full maximal S span
+      (5L, 0L, W.toLong), (5L, (W + 5).toLong, W.toLong), // two runs, not one
+      (6L, 0L, W.toLong))
+    assert(got === expected)
+  }
 }
