@@ -109,6 +109,9 @@ object Bench {
     "dedup_simhash_incremental",
     // tf-idf top-k: tf shuffle-agg + term-window df + per-doc rank
     "text_tfidf_topk",
+    // subword counting + the packer budgeted in subword tokens: pure
+    // map work through the greedy longest-match expression
+    "text_tokencount_bpe", "cur_pack_bins_bpe",
     // LM scoring: two model-count aggs on the fit slice + the fresh
     // bigram fan-out hash-joined against them
     "text_lm_score",

@@ -92,6 +92,22 @@ object Curation {
       "n_docs")
   }
 
+  /** [[packBins]] with the budget in SUBWORD tokens — the unit trainers
+    * actually pack context windows by (a 2000-whitespace-token budget
+    * overstuffs a window by the subword inflation factor). Same
+    * two-pass prefix-sum machinery; only the measure column changes to
+    * [[graft.functions.BpeTokenCount]]'s greedy longest-match count
+    * over the committed merges fixture. */
+  def packBinsBpe(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    packPrepared(
+      Tables.documents(spark, sfDir)
+        .select($"doc_id",
+          graft.functions.BpeTokenCount($"text").as("n_tokens"))
+        .orderBy($"doc_id"),
+      "n_docs")
+  }
+
   /** [[packBins]] at SAMPLE granularity: chunks in (doc_id, chunk_idx)
     * order packed into [[PackBudget]]-token context windows — the form
     * a trainer actually packs (documents are only packed whole when
@@ -780,6 +796,7 @@ object Curation {
     "cur_text_chunks" -> textChunks,
     "cur_split_assign" -> splitAssign,
     "cur_pack_bins" -> packBins,
+    "cur_pack_bins_bpe" -> packBinsBpe,
     "cur_shuffle_order" -> shuffleOrder,
     "cur_pipeline" -> pipelineCurate,
     "cur_pipeline_full" -> pipelineCurateFull,
@@ -1181,6 +1198,37 @@ object Curation {
          |  FROM chunks
          |)
          |SELECT CAST(pre_sum // $PackBudget AS BIGINT) AS bin, count(*) AS n_chunks,
+         |  CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+         |FROM pre GROUP BY 1 ORDER BY bin""".stripMargin,
+    // the whitespace packer's prefix-sum body over the BPE-counted
+    // measure: the recursive greedy walk (text_tokencount_bpe's oracle,
+    // vocab spliced from the same fixture) feeds the same binning SQL
+    "cur_pack_bins_bpe" ->
+      s"""WITH RECURSIVE vocab(piece) AS (VALUES ${TextAnalysis.bpeVocabValues}),
+         |words AS (
+         |  SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS wid,
+         |         unnest(string_split(text, ' ')) AS w
+         |  FROM documents
+         |),
+         |step AS (
+         |  SELECT doc_id, wid, w, 0 AS pos, 0 AS cnt FROM words
+         |  UNION ALL
+         |  SELECT doc_id, wid, w,
+         |    pos + coalesce((SELECT max(len(piece)) FROM vocab
+         |                    WHERE piece = substr(w, pos + 1, len(piece))), 1),
+         |    cnt + 1
+         |  FROM step WHERE pos < len(w)
+         |),
+         |toks AS (
+         |  SELECT doc_id, sum(cnt) AS n_tokens
+         |  FROM step WHERE pos >= len(w) GROUP BY doc_id
+         |), pre AS (
+         |  SELECT doc_id, n_tokens,
+         |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre_sum
+         |  FROM toks
+         |)
+         |SELECT CAST(pre_sum // $PackBudget AS BIGINT) AS bin, count(*) AS n_docs,
          |  CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
          |FROM pre GROUP BY 1 ORDER BY bin""".stripMargin,
     "cur_pack_bins" ->

@@ -128,6 +128,20 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Subword token counting — [[graft.functions.BpeTokenCount]]'s
+    * greedy longest-match over the committed merges fixture, next to
+    * the whitespace count it refines. Pure map work (one fused pass
+    * per row, no shuffle beyond the output sort); at 100 TB the vocab
+    * is a broadcast-sized model artifact and the plan is unchanged. */
+  def textTokenCountBpe(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select($"doc_id",
+        size(split($"text", " ")).cast("long").as("ws_tokens"),
+        graft.functions.BpeTokenCount($"text").as("bpe_tokens"))
+      .orderBy($"doc_id")
+  }
+
   /** Content fingerprint: minimum md5 over all character 8-grams —
     * winnowing-style document fingerprinting with an exactly mirrorable
     * SQL form (the rolling-FNV fast path at scale is SimHash64; this
@@ -512,6 +526,7 @@ object TextAnalysis {
     "text_langid" -> textLangId,
     "text_quality" -> textQuality,
     "text_tokencount" -> textTokenCount,
+    "text_tokencount_bpe" -> textTokenCountBpe,
     "text_fingerprint" -> textFingerprint,
     "text_fingerprint_winnow" -> textFingerprintWinnow,
     "text_stats_by_lang" -> textStatsByGroup,
@@ -519,6 +534,14 @@ object TextAnalysis {
     "text_tfidf_topk" -> textTfidfTopk,
     "text_lm_score" -> textLmScore,
   )
+
+  /** The BPE merges fixture as a SQL VALUES body, spliced into the
+    * `text_tokencount_bpe` and `cur_pack_bins_bpe` oracles from the
+    * same source (BpeImpl.Vocab) so they cannot drift. Every piece is
+    * ASCII with no quote characters except `'`, which doubles. */
+  private[operators] def bpeVocabValues: String =
+    graft.functions.BpeImpl.Vocab
+      .map(p => "('" + p.replace("'", "''") + "')").mkString(", ")
 
   /** The engine's Karp–Rabin term constants, embedded in the oracle SQL
     * from the same source (WinnowImpl.coef) so they cannot drift. */
@@ -661,6 +684,34 @@ object TextAnalysis {
         |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS bpeish_tokens,
         |  CAST(ceil(length(text)::DOUBLE / 4.0) AS BIGINT) AS char4_estimate
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // the vocab VALUES are spliced from BpeImpl.Vocab (the committed
+    // fixture) so engine and oracle can never disagree on the merges
+    // table; the recursive CTE walks the same greedy positions — at
+    // each pos take the LONGEST matching piece, else advance one code
+    // point — and sums terminal counts per doc
+    "text_tokencount_bpe" ->
+      s"""WITH RECURSIVE vocab(piece) AS (VALUES ${bpeVocabValues}),
+        |words AS (
+        |  SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS wid,
+        |         unnest(string_split(text, ' ')) AS w
+        |  FROM documents
+        |),
+        |step AS (
+        |  SELECT doc_id, wid, w, 0 AS pos, 0 AS cnt FROM words
+        |  UNION ALL
+        |  SELECT doc_id, wid, w,
+        |    pos + coalesce((SELECT max(len(piece)) FROM vocab
+        |                    WHERE piece = substr(w, pos + 1, len(piece))), 1),
+        |    cnt + 1
+        |  FROM step WHERE pos < len(w)
+        |)
+        |SELECT s.doc_id,
+        |  CAST(any_value(t.ws) AS BIGINT) AS ws_tokens,
+        |  CAST(sum(s.cnt) AS BIGINT) AS bpe_tokens
+        |FROM (SELECT doc_id, cnt FROM step WHERE pos >= len(w)) s
+        |JOIN (SELECT doc_id, len(string_split(text, ' ')) AS ws FROM documents) t
+        |  USING (doc_id)
+        |GROUP BY s.doc_id ORDER BY doc_id""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id,
         |  list_min([md5(text[i:i+7]) for i in range(1, greatest(length(text) - 7, 1) + 1)]) AS fingerprint

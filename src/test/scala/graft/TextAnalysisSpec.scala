@@ -200,4 +200,40 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(fps(0) === fps(1))
     assert(fps(0) !== fps(2))
   }
+
+  test("BPE greedy longest-match: hand-tokenized sentence set") {
+    import graft.functions.BpeImpl
+    import org.apache.spark.unsafe.types.UTF8String
+    def c(s: String): Long = BpeImpl.count(UTF8String.fromString(s))
+    // hand segmentations over the committed fixture vocab:
+    assert(c("the") === 1L)              // [the]
+    assert(c("theory") === 3L)           // the|or|y
+    assert(c("testing") === 3L)          // te|st|ing
+    assert(c("estimate") === 4L)         // est|i|ma|te ("im" not a merge)
+    assert(c("quand") === 3L)            // q|u|and
+    assert(c("it's") === 3L)             // it|'|s
+    assert(c("x") === 1L)
+    assert(c("") === 0L)
+    assert(c("  ") === 0L)               // spaces are never counted
+    assert(c("café") === 4L)        // c|a|f|<unk é: one code point>
+    assert(c("the theory of testing") === 8L) // 1+3+1+3
+    // per-word decomposition: the whole-string walk ≡ sum over words
+    // (pieces cannot span a space)
+    assert(c("estimate quand") === c("estimate") + c("quand"))
+    // greedy prefers the LONGEST piece: "ing" (3) over "in"+"g"
+    assert(c("ing") === 1L)
+    // a surrogate-pair code point counts ONE (DuckDB len semantics)
+    assert(c(new String(Character.toChars(0x1F600))) === 1L)
+  }
+
+  test("BPE counts lower-bound at one token per non-empty word on the real corpus") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val bad = graft.sources.Tables.documents(spark, SparkTestSession.sf0001)
+      .select($"doc_id",
+        size(filter(split($"text", " "), w => length(w) > 0)).cast("long").as("nw"),
+        graft.functions.BpeTokenCount($"text").as("bpe"))
+      .filter($"bpe" < $"nw")
+    assert(bad.count() === 0L)
+  }
 }
