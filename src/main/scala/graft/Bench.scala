@@ -115,6 +115,9 @@ object Bench {
     // LM scoring: two model-count aggs on the fit slice + the fresh
     // bigram fan-out hash-joined against them
     "text_lm_score",
+    // learned quality classifier: ≤4096-key fit agg, broadcast model
+    // probe into the fresh feature expansion (no scoring-side shuffle)
+    "text_quality_model",
     // PQ/ADC: subvector codebook fit + 4-byte code scan — a genuinely
     // different scan shape from the IVF queries (table-lookup distance
     // over compressed codes, not float dot products over raw vectors)

@@ -504,6 +504,115 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Hashed-feature space for the LEARNED quality classifier: power-of-
+    * two bucket count so bucketing is a bitwise AND — identical on the
+    * engine's signed long and the oracle's unsigned md5 value (bit
+    * pattern, not modulo, so sign conventions cannot diverge). */
+  final val QmBuckets = 4096
+  /** Probability quantum (the 2⁻²⁰ grid every cross-engine probability
+    * in this repo lives on). */
+  final val QmQuantum: Long = 1L << 20
+  /** Teacher threshold splitting the fit slice into quality classes:
+    * the heuristic [[qualityScore]]'s corpus median (~0.561 at sf0.01),
+    * so both classes are populated — the DCLM/fastText bootstrap where
+    * a cheap signal labels the data a learned scorer then generalizes. */
+  final val QmLabelThreshold = 0.56
+
+  /** Hashed n-gram feature expansion: one row per unigram and per
+    * bigram occurrence, bucketed to [[QmBuckets]] by md5-low64 & mask.
+    * Bigram text is the two consecutive tokens joined by ' ' — the
+    * contiguous byte slice, same convention as every gram family here.
+    * All non-`text` columns pass through (the fit side rides its label
+    * through the expansion instead of re-joining corpus-sized frames). */
+  private[graft] def qmFeatures(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val keep = docs.columns.filter(_ != "text").map(col).toSeq
+    val mask = lit((QmBuckets - 1).toLong)
+    val toks = docs.select(keep :+ split($"text", " ").as("t"): _*)
+    val uni = toks.select(keep :+ explode($"t").as("w"): _*)
+      .select(keep :+ graft.functions.Md5Lower64($"w").bitwiseAND(mask).as("b"): _*)
+    val bi = toks.filter(size($"t") >= 2)
+      .select(keep :+ explode(transform(sequence(lit(0), size($"t") - 2),
+        i => concat(element_at($"t", i + 1), lit(" "),
+          element_at($"t", i + 2)))).as("bg"): _*)
+      .select(keep :+ graft.functions.Md5Lower64($"bg").bitwiseAND(mask).as("b"): _*)
+    uni.unionByName(bi)
+  }
+
+  /** Closed-form fit: per bucket, the Laplace-smoothed positive-class
+    * probability on the 2⁻²⁰ grid — (cpos+1)·Q div (cpos+cneg+2), ALL
+    * INTEGER arithmetic (exact on both engines; no logs, no libm). The
+    * model is ≤ [[QmBuckets]] rows at ANY corpus size — the broadcast
+    * artifact a production pipeline stores. */
+  private[graft] def qmModelOn(fit: DataFrame): DataFrame = {
+    val spark = fit.sparkSession
+    import spark.implicits._
+    val labeled = fit.select($"doc_id", $"text",
+      (qualityScore($"text") >= lit(QmLabelThreshold)).as("pos"))
+    qmFeatures(labeled.select($"text", $"pos"))
+      .groupBy($"b")
+      .agg(sum(when($"pos", 1L).otherwise(0L)).as("cpos"),
+        sum(when(!$"pos", 1L).otherwise(0L)).as("cneg"))
+      .select($"b",
+        expr(s"((cpos + 1) * $QmQuantum) div (cpos + cneg + 2)").as("qv"))
+  }
+
+  /** LEARNED quality scoring — the third standard quality signal next
+    * to the heuristic `text_quality` and the bigram LM `text_lm_score`:
+    * a linear scorer over hashed n-gram features (the fastText/DCLM
+    * quality-classifier shape), fitted closed-form (Naive-Bayes-style
+    * per-feature class probabilities — one distributed counting pass,
+    * no iterations, which is what keeps the fit oracle-mirrorable) on
+    * the heuristic-labeled PRIOR slice and applied to the FRESH slice.
+    * Score = mean quantized positive-class probability of the doc's
+    * features; unseen buckets score the 1/2 prior.
+    *
+    * Scale shape: fit = one shuffle of the fit expansion onto ≤4096
+    * bucket keys (map-side partial agg does the heavy lifting); model
+    * materializes once (the stored artifact) and BROADCASTS into the
+    * scoring expansion, so the fresh side never shuffles its features —
+    * map work + the per-doc agg. The streaming twin
+    * (`stream_quality_model`) reads the same model frame at ingest. */
+  def textQualityModel(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    textQualityModelOn(
+      docs.filter(pmod($"doc_id", lit(Dedup.SnapshotMod)) < Dedup.SnapshotNewMin),
+      docs.filter(pmod($"doc_id", lit(Dedup.SnapshotMod)) >= Dedup.SnapshotNewMin))
+  }
+
+  /** The transform over any (fit, score) pair of (doc_id, text) frames
+    * (spec entry point: hand-computable 3-doc fits). */
+  private[graft] def textQualityModelOn(fit: DataFrame, score: DataFrame): DataFrame = {
+    val spark = fit.sparkSession
+    import spark.implicits._
+    val model = graft.operators.Materialize.frame(qmModelOn(fit))
+    qmScoreAgainst(score, model)
+  }
+
+  /** Per-doc scoring aggregate against an explicit model frame — the
+    * seam the streaming twin injects the materialized artifact through
+    * (streaming-safe: no sort; the batch tail below adds score+order). */
+  private[graft] def qmPerDocAgg(score: DataFrame, model: DataFrame): DataFrame = {
+    val spark = score.sparkSession
+    import spark.implicits._
+    qmFeatures(score.select($"doc_id", $"text"))
+      .join(broadcast(model), Seq("b"), "left")
+      .select($"doc_id", coalesce($"qv", lit(QmQuantum / 2)).as("qv"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_feats"), sum($"qv").as("sum_q"))
+  }
+
+  private[graft] def qmScoreAgainst(score: DataFrame, model: DataFrame): DataFrame = {
+    val spark = score.sparkSession
+    import spark.implicits._
+    qmPerDocAgg(score, model)
+      .select($"doc_id", $"n_feats", $"sum_q",
+        ($"sum_q".cast("double") / $"n_feats".cast("double")).as("score"))
+      .orderBy($"doc_id")
+  }
+
   /** The transform of [[textRedactPii]] on any (doc_id, text) frame
     * (spec entry point: plantable PII inputs). */
   private[graft] def redactFrame(docs: DataFrame): DataFrame = {
@@ -533,6 +642,7 @@ object TextAnalysis {
     "text_repetition" -> textRepetition,
     "text_tfidf_topk" -> textTfidfTopk,
     "text_lm_score" -> textLmScore,
+    "text_quality_model" -> textQualityModel,
   )
 
   /** The BPE merges fixture as a SQL VALUES body, spliced into the
@@ -712,6 +822,46 @@ object TextAnalysis {
         |JOIN (SELECT doc_id, len(string_split(text, ' ')) AS ws FROM documents) t
         |  USING (doc_id)
         |GROUP BY s.doc_id ORDER BY doc_id""".stripMargin,
+    // the learned scorer's mirror: heuristic labels via the SAME spliced
+    // quality expression, md5-low64 & mask bucketing (bit pattern — the
+    // signed/unsigned representations agree), integer-only smoothed
+    // class probability ((c+1)·Q // (n+2)), mean over the fresh doc's
+    // features with the Q/2 unseen prior
+    "text_quality_model" ->
+      s"""WITH lab AS (
+        |  SELECT doc_id, text, ($qualitySqlExpr) >= ${QmLabelThreshold}::DOUBLE AS pos
+        |  FROM documents WHERE doc_id % ${Dedup.SnapshotMod} < ${Dedup.SnapshotNewMin}
+        |),
+        |labt AS (SELECT pos, string_split(text, ' ') AS t FROM lab),
+        |ffeat AS (
+        |  SELECT pos, md5_number_lower(w) & ${QmBuckets - 1} AS b
+        |  FROM (SELECT pos, unnest(t) AS w FROM labt)
+        |  UNION ALL
+        |  SELECT pos, md5_number_lower(bg) & ${QmBuckets - 1} AS b
+        |  FROM (SELECT pos, unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS bg
+        |        FROM labt WHERE len(t) >= 2)
+        |),
+        |model AS (
+        |  SELECT b, count(*) FILTER (WHERE pos) AS cpos,
+        |    count(*) FILTER (WHERE NOT pos) AS cneg
+        |  FROM ffeat GROUP BY b
+        |),
+        |q AS (SELECT b, (cpos + 1) * $QmQuantum // (cpos + cneg + 2) AS qv FROM model),
+        |st AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |       WHERE doc_id % ${Dedup.SnapshotMod} >= ${Dedup.SnapshotNewMin}),
+        |sfeat AS (
+        |  SELECT doc_id, md5_number_lower(w) & ${QmBuckets - 1} AS b
+        |  FROM (SELECT doc_id, unnest(t) AS w FROM st)
+        |  UNION ALL
+        |  SELECT doc_id, md5_number_lower(bg) & ${QmBuckets - 1} AS b
+        |  FROM (SELECT doc_id, unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS bg
+        |        FROM st WHERE len(t) >= 2)
+        |),
+        |j AS (SELECT doc_id, coalesce(qv, ${QmQuantum / 2}) AS qv
+        |      FROM sfeat LEFT JOIN q USING (b))
+        |SELECT doc_id, count(*) AS n_feats, CAST(sum(qv) AS BIGINT) AS sum_q,
+        |  CAST(sum(qv) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS score
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id,
         |  list_min([md5(text[i:i+7]) for i in range(1, greatest(length(text) - 7, 1) + 1)]) AS fingerprint

@@ -1273,6 +1273,42 @@ object Streaming {
       .orderBy($"doc_id")
   }
 
+  /** STREAMING learned quality scoring — the fitted-model-at-ingest
+    * twin of `text_quality_model` (the [[streamLmScore]] pattern): the
+    * ≤4096-row hashed-feature model is fitted closed-form on the PRIOR
+    * snapshot, materialized once, and BROADCAST into every micro-batch's
+    * feature expansion; the stream never shuffles its features and the
+    * model never refits per trigger. Per-doc emissions are complete per
+    * batch (update mode), so the post-run fold keeps the max-struct —
+    * batch-equal in bounded replay, oracle shared with the batch query. */
+  def streamQualityModel(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Dedup.{SnapshotMod, SnapshotNewMin}
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+      .filter(pmod($"doc_id", lit(SnapshotMod)) >= SnapshotNewMin)
+    val prior = graft.sources.Tables.documents(spark, sfDir)
+      .filter(pmod($"doc_id", lit(SnapshotMod)) < SnapshotNewMin)
+    runQualityModelStream(stream, prior)
+  }
+
+  /** The transform of [[streamQualityModel]] on any streaming docs
+    * frame + static fit snapshot (spec entry point). */
+  private[graft] def runQualityModelStream(stream: DataFrame, prior: DataFrame): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    import graft.operators.{Materialize, TextAnalysis}
+    val model = Materialize.frame(TextAnalysis.qmModelOn(prior))
+    val perDoc = TextAnalysis.qmPerDocAgg(stream, model)
+    runToMemory(perDoc, "update")
+      .groupBy($"doc_id")
+      .agg(max(struct($"n_feats", $"sum_q")).as("s"))
+      .select($"doc_id", $"s.n_feats".as("n_feats"), $"s.sum_q".as("sum_q"),
+        ($"s.sum_q".cast("double") / $"s.n_feats".cast("double")).as("score"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_events_hourly" -> streamEventsHourly,
     "stream_sessions" -> streamSessions,
@@ -1295,6 +1331,7 @@ object Streaming {
     "stream_decontam" -> streamDecontam,
     "stream_mix_sample" -> streamMixSample,
     "stream_lm_score" -> streamLmScore,
+    "stream_quality_model" -> streamQualityModel,
   )
 
   /** Streaming results are checked against the same SQL as their batch
@@ -1424,6 +1461,9 @@ object Streaming {
     // the batch LM oracle verbatim: same model fitted on the same prior
     // slice, per-doc scores complete on the document's own batch
     "stream_lm_score" -> graft.operators.TextAnalysis.oracles("text_lm_score"),
+    // fitted-model-at-ingest: the frozen prior-slice fit scores the
+    // stream, so the batch mirror applies verbatim
+    "stream_quality_model" -> graft.operators.TextAnalysis.oracles("text_quality_model"),
   )
 
   /** Exact-Jaccard pairs restricted to ≥ 1 fresh member — the oracle

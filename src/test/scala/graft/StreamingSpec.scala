@@ -533,6 +533,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.size === 2) // "solo" has no bigrams
   }
 
+  test("streaming quality-model scoring equals the batch scorer across batches") {
+    import spark.implicits._
+    // fit = one positive (10 stopwords, quality 1.5) + one negative
+    // ("zzz", 0.05); fresh docs split over two batches — the frozen
+    // prior-slice model must score the union exactly like the batch
+    val fit = Seq((1L, Seq.fill(10)("the").mkString(" ")), (2L, "zzz"))
+      .toDF("doc_id", "text")
+    val in = Files.createTempDirectory("graft_qm_in_").toString
+    val base = System.currentTimeMillis()
+    writeOneFile(Seq((8L, "the zzz ccc")).toDF("doc_id", "text"), s"$in/b1.parquet", base)
+    writeOneFile(Seq((9L, "qqq"), (10L, "the the")).toDF("doc_id", "text"),
+      s"$in/b2.parquet", base + 60000)
+    val schema = spark.read.parquet(in).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val got = Streaming.runQualityModelStream(stream, fit).collect().map(_.toSeq).toSeq
+    val batch = graft.operators.TextAnalysis.textQualityModelOn(
+      fit, spark.read.parquet(in)).collect().map(_.toSeq).toSeq
+    assert(got === batch, s"stream $got != batch $batch")
+    assert(got.size === 3)
+  }
+
   test("warm-start samples: prior chunk suppressed, novel folds, eviction reopens") {
     import org.apache.spark.sql.DataFrame
     import org.apache.spark.sql.functions.{expr => fexpr, lit}

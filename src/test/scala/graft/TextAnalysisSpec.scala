@@ -226,6 +226,47 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(c(new String(Character.toChars(0x1F600))) === 1L)
   }
 
+  test("learned quality model ≡ plain-Scala reference on a hand-built 3-doc fit") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    import graft.functions.Md5Lower64Impl
+    import org.apache.spark.unsafe.types.UTF8String
+    val Q = TextAnalysis.QmQuantum
+    val B = TextAnalysis.QmBuckets
+    // hand-labeled fit slice (labels via the heuristic, computed by
+    // hand): 10× "the" → quality 1·1·(0.5+1) = 1.5 ≥ 0.56 → POSITIVE;
+    // "zzz" → 0.1·1·0.5 = 0.05 → negative; "aaa bbb" → 0.2·1·0.5 = 0.1
+    // → negative
+    val d1 = Seq.fill(10)("the").mkString(" ")
+    val fit = Seq((1L, d1), (2L, "zzz"), (3L, "aaa bbb")).toDF("doc_id", "text")
+    val score = Seq((10L, "the zzz ccc"), (11L, "qqq")).toDF("doc_id", "text")
+    // plain-JVM reference: same features (unigrams + space-joined
+    // bigrams, md5-low64 & mask), same integer-only smoothed count
+    def bucket(s: String): Long = Md5Lower64Impl.md5Lower64(UTF8String.fromString(s)) & (B - 1)
+    def feats(text: String): Seq[Long] = {
+      val t = text.split(" ", -1).toSeq
+      t.map(bucket) ++ t.zip(t.drop(1)).map { case (a, b) => bucket(a + " " + b) }
+    }
+    val counts = collection.mutable.Map[Long, (Long, Long)]().withDefaultValue((0L, 0L))
+    for ((text, pos) <- Seq((d1, true), ("zzz", false), ("aaa bbb", false));
+         b <- feats(text)) {
+      val (p, n) = counts(b)
+      counts(b) = if (pos) (p + 1, n) else (p, n + 1)
+    }
+    val qv = counts.map { case (b, (p, n)) => b -> (p + 1) * Q / (p + n + 2) }
+    def expected(docId: Long, text: String): (Long, Long, Long) = {
+      val fs = feats(text)
+      (docId, fs.size.toLong, fs.map(b => qv.getOrElse(b, Q / 2)).sum)
+    }
+    val exp = Set(expected(10L, "the zzz ccc"), expected(11L, "qqq"))
+    val got = TextAnalysis.textQualityModelOn(fit, score).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === exp)
+    // the fit genuinely bites: the positive-heavy "the" bucket scores
+    // above the unseen prior, the negative-only "zzz" bucket below it
+    assert(qv(bucket("the")) > Q / 2 && qv(bucket("zzz")) < Q / 2)
+  }
+
   test("BPE counts lower-bound at one token per non-empty word on the real corpus") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
