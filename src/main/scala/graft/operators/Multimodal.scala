@@ -244,6 +244,103 @@ object Multimodal {
     spark.createDataFrame(out, realFeatureSchema).orderBy("doc_id")
   }
 
+  /** Fixed sample count / rate for the REAL audio payloads: every doc
+    * becomes a [[WavSamples]]-sample 16-bit mono PCM WAV (the audio
+    * analogue of encodePng's fixed 16×12 raster). */
+  final val WavSamples = 256
+  final val WavRate = 8000
+
+  /** Deterministic REAL audio payload: sample k is the text byte
+    * (k mod len) recentered to signed 16-bit ((b−128)·256; silence for
+    * empty docs), written as an actual RIFF/WAVE container by
+    * javax.sound.sampled — header, fmt chunk, little-endian PCM data.
+    * Pure JVM, no native codec needed (the audio ImageIO). */
+  private[graft] def encodeWav(text: Array[Byte]): Array[Byte] = {
+    val pcm = new Array[Byte](WavSamples * 2)
+    var k = 0
+    while (k < WavSamples) {
+      val b = if (text.length == 0) 128 else text(k % text.length) & 0xff
+      val s = (b - 128) * 256
+      pcm(2 * k) = (s & 0xff).toByte
+      pcm(2 * k + 1) = ((s >> 8) & 0xff).toByte
+      k += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      WavRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, WavSamples.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** REAL audio decode: parse the WAV container (javax.sound: RIFF
+    * signature, fmt chunk → AudioFormat, data chunk), VALIDATE the
+    * format contract (16-bit signed mono little-endian PCM — anything
+    * else fails loudly; production would quarantine), then reduce the
+    * samples to (n_samples, rate, exact amplitude sum, 16-bin amplitude
+    * histogram, float32-normalized). Bin = (s+32768)·16/65536 — the
+    * full signed range split evenly. */
+  private[graft] def decodeWavHistogram(wav: Array[Byte]): (Int, Int, Long, Array[Float]) = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    val f = ais.getFormat
+    require(
+      f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+        f.getSampleSizeInBits == 16 && f.getChannels == 1 && !f.isBigEndian,
+      s"unsupported audio format: $f")
+    val bytes = ais.readAllBytes()
+    val n = bytes.length / 2
+    val hist = new Array[Float](FeatureDim)
+    var sum = 0L
+    var k = 0
+    while (k < n) {
+      val s = (((bytes(2 * k) & 0xff) | (bytes(2 * k + 1) << 8)).toShort).toInt
+      sum += s
+      hist((s + 32768) * FeatureDim / 65536) += 1f
+      k += 1
+    }
+    var b = 0
+    while (b < FeatureDim) { hist(b) /= n.toFloat; b += 1 }
+    (n, f.getSampleRate.toInt, sum, hist)
+  }
+
+  private val audioSchema = StructType(
+    Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("n_samples", IntegerType, nullable = false),
+      StructField("sample_rate", IntegerType, nullable = false),
+      StructField("amp_sum", LongType, nullable = false)) ++
+    (0 until FeatureDim).map(b =>
+      StructField(s"f$b", DoubleType, nullable = false)))
+
+  /** The AUDIO leg of the real-codec contract the manifest promises —
+    * completing decode/feature-extract for media_type=audio the way
+    * [[mmFeaturesReal]] does for image: each doc becomes a genuine WAV
+    * container and the extractor runs the actual javax.sound codec
+    * (header parse, fmt validation, PCM read) before histogramming
+    * amplitudes, in the same batched mapPartitions shape (per-partition
+    * init point, rows streamed, no shuffle). The DuckDB oracle
+    * recomputes every bin and the exact amplitude sum from the text
+    * bytes WITHOUT touching a WAV — samples are (b−128)·256, so bin
+    * (s+32768)//4096 collapses to b//16 and the whole container
+    * round-trip is cross-checked from first principles. */
+  def mmFeaturesAudioReal(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val out = docs.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val s = r.getString(1)
+        val wav = encodeWav(
+          if (s == null) Array.emptyByteArray else s.getBytes("UTF-8"))
+        val (n, rate, sum, hist) = decodeWavHistogram(wav)
+        Row.fromSeq(Seq[Any](r.getLong(0), n, rate, sum) ++
+          (0 until FeatureDim).map(hist(_).toDouble))
+      }
+    }
+    spark.createDataFrame(out, audioSchema).orderBy("doc_id")
+  }
+
   /** Nearest-neighbor downsample factor for [[mmResizeReal]]. */
   final val ResizeFactor = 2
   final val ResW: Int = PngW / ResizeFactor
@@ -331,6 +428,7 @@ object Multimodal {
     "mm_features" -> mmFeatures,
     "mm_frames" -> mmFrames,
     "mm_features_real" -> mmFeaturesReal,
+    "mm_features_audio_real" -> mmFeaturesAudioReal,
     "mm_resize_real" -> mmResizeReal,
   )
 
@@ -402,6 +500,36 @@ object Multimodal {
         |SELECT doc_id, CAST($PngW AS INT) AS width, CAST($PngH AS INT) AS height,
         |$binCols
         |  $sumChain AS feature_sum
+        |FROM px ORDER BY doc_id""".stripMargin
+    },
+    // First-principles mirror of the REAL audio round-trip: encodeWav
+    // writes sample k = (byte[k mod len] − 128)·256 (128-bytes ⇒
+    // silence for empty docs) into a genuine WAV; the amplitude bin
+    // (s+32768)//4096 collapses to byte//16 and amp_sum to
+    // Σ(b−128)·256 — recomputed here from the text with no container,
+    // cross-checking javax.sound's header parse + PCM read exactly.
+    // ascii(char) == byte on the verified-ASCII corpus (the standing
+    // mm precondition).
+    "mm_features_audio_real" -> {
+      val bins = (0 until FeatureDim).map { b =>
+        s"(len(list_filter(bs, b -> b // 16 = $b))::FLOAT / $WavSamples.0::FLOAT)::DOUBLE"
+      }
+      val binCols = bins.zipWithIndex
+        .map { case (e, b) => s"  $e AS f$b" }.mkString(",\n")
+      s"""WITH px AS (
+        |  SELECT doc_id,
+        |    CASE WHEN octet_length(encode(text)) = 0
+        |      THEN [128 for k in range(0, $WavSamples)]
+        |      ELSE [ascii(text[(k % octet_length(encode(text))) + 1 :
+        |                       (k % octet_length(encode(text))) + 1])
+        |            for k in range(0, $WavSamples)]
+        |    END AS bs
+        |  FROM documents
+        |)
+        |SELECT doc_id, CAST($WavSamples AS INT) AS n_samples,
+        |  CAST($WavRate AS INT) AS sample_rate,
+        |  CAST(list_sum(list_transform(bs, b -> (b - 128) * 256)) AS BIGINT) AS amp_sum,
+        |$binCols
         |FROM px ORDER BY doc_id""".stripMargin
     },
     // First-principles mirror of decode → nearest-neighbor resize: the

@@ -101,6 +101,43 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("WAV round-trip ≡ direct computation from the source bytes") {
+    // the codec path (javax.sound container write + header parse + PCM
+    // read) against first-principles arithmetic on the same bytes —
+    // incl. empty (silence), single-byte, and >127 bytes (signed-byte
+    // pitfalls on both the encode recenter and the LE sample decode)
+    val cases = Seq(
+      Array.emptyByteArray,
+      Array[Byte](0),
+      Array[Byte](127, -128.toByte, -1),  // bytes 127, 128, 255
+      "the quick brown fox".getBytes("UTF-8"))
+    for (bytes <- cases) {
+      val (n, rate, sum, hist) =
+        Multimodal.decodeWavHistogram(Multimodal.encodeWav(bytes))
+      assert(n === Multimodal.WavSamples)
+      assert(rate === Multimodal.WavRate)
+      val tiled = (0 until Multimodal.WavSamples)
+        .map(k => if (bytes.isEmpty) 128 else bytes(k % bytes.length) & 0xff)
+      assert(sum === tiled.map(b => ((b - 128) * 256).toLong).sum)
+      val expHist = new Array[Float](Multimodal.FeatureDim)
+      tiled.foreach(b => expHist(b / 16) += 1f)
+      (0 until Multimodal.FeatureDim).foreach { b =>
+        assert(hist(b) === expHist(b) / Multimodal.WavSamples,
+          s"bin $b of ${bytes.toSeq}")
+      }
+    }
+    // bin boundaries: bytes 0→bin0, 15→bin0, 16→bin1, 255→bin15
+    val (_, _, _, h) = Multimodal.decodeWavHistogram(
+      Multimodal.encodeWav(Array[Byte](0, 15, 16, -1.toByte)))
+    assert(h(0) === 128f / 256 && h(1) === 64f / 256 && h(15) === 64f / 256)
+  }
+
+  test("WAV decode rejects non-audio payloads loudly") {
+    intercept[Exception] {
+      Multimodal.decodeWavHistogram("not a wav".getBytes("UTF-8"))
+    }
+  }
+
   test("frame sampling covers every 4th frame with full frames except the tail") {
     val rows = Multimodal.mediaFrameSample(spark, sf).collect()
     assert(rows.nonEmpty)
