@@ -239,10 +239,17 @@ object Bench {
     }
     selected.filter(queries.contains).foreach { name =>
       try {
-        execute(queries(name)(spark, sfDir)) // warm-up run
+        // warm-up run, TIMED: cold wall − median wall ≈ plan analysis +
+        // codegen compile + JIT — the per-query one-off cost a
+        // production job pays once (the r11 ANN family showed an 80 s
+        // cold run; this column is what makes that diagnosable without
+        // an ad-hoc rerun). Spliced into the breakdown as "cold_wall".
+        val cold = timeSec(execute(queries(name)(spark, sfDir)))
         drain()
         // median-of-3..5 measured: steady-state, contention-robust
-        record(name, medianRun(execute(queries(name)(spark, sfDir))))
+        val m = medianRun(execute(queries(name)(spark, sfDir)))
+        record(name, m.copy(json =
+          m.json.stripSuffix("}") + f""","cold_wall":$cold%.4f}"""))
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
