@@ -251,4 +251,22 @@ class PlanSpec extends AnyFunSuite {
     val partialIdx = p.indexOf("partial_")
     assert(exchangeIdx > 0 && partialIdx > 0, p.take(800))
   }
+
+  test("quality model: the ≤4096-row model BROADCASTS into the scoring expansion") {
+    // the scale contract of the learned scorer: the fresh side's
+    // feature fan-out is map work probing a broadcast — a shuffled
+    // model join would re-exchange the corpus-sized expansion
+    val p = plan(TextAnalysis.textQualityModel(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("SortMergeJoin"), p.take(1200))
+  }
+
+  test("exact-substring: join-free — two window exchanges over the positional gram frame") {
+    // shared-gram detection is min≠max over the hash window and the run
+    // merge a window + agg on doc_id: no join, no broadcast, and the
+    // groupBy(doc_id, rid) rides the second window's partitioning
+    val p = plan(Dedup.dedupExactSubstring(spark, sf))
+    assert(!p.contains("Join"), p.take(1200))
+    assert("Window".r.findAllIn(p).size >= 2, p.take(1200))
+  }
 }
