@@ -529,15 +529,17 @@ object TextAnalysis {
     import spark.implicits._
     val keep = docs.columns.filter(_ != "text").map(col).toSeq
     val mask = lit((QmBuckets - 1).toLong)
-    val toks = docs.select(keep :+ split($"text", " ").as("t"): _*)
-    val uni = toks.select(keep :+ explode($"t").as("w"): _*)
-      .select(keep :+ graft.functions.Md5Lower64($"w").bitwiseAND(mask).as("b"): _*)
-    val bi = toks.filter(size($"t") >= 2)
-      .select(keep :+ explode(transform(sequence(lit(0), size($"t") - 2),
-        i => concat(element_at($"t", i + 1), lit(" "),
-          element_at($"t", i + 2)))).as("bg"): _*)
-      .select(keep :+ graft.functions.Md5Lower64($"bg").bitwiseAND(mask).as("b"): _*)
-    uni.unionByName(bi)
+    def bk(c: Column): Column = graft.functions.Md5Lower64(c).bitwiseAND(mask)
+    // ONE generator over the concatenated unigram+bigram bucket array —
+    // a union of two per-gram expansions would scan the corpus twice
+    // (ScanAudit caught exactly that in the first cut)
+    val t = split($"text", " ")
+    val feats = concat(
+      transform(t, w => bk(w)),
+      when(size(t) >= 2, transform(sequence(lit(0), size(t) - 2),
+        i => bk(concat(element_at(t, i + 1), lit(" "), element_at(t, i + 2)))))
+        .otherwise(array().cast("array<long>")))
+    docs.select(keep :+ explode(feats).as("b"): _*)
   }
 
   /** Closed-form fit: per bucket, the Laplace-smoothed positive-class
