@@ -60,8 +60,11 @@ object Bench {
     "wc_heavy_hitters_cms",
     "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
     // ExactSubstr: positional-gram run merge — two window exchanges
-    // over the token-positional gram frame
-    "dedup_exact_substring",
+    // over the token-positional gram frame; the strip composition
+    // applies the interval-union drop and rebuilds the corpus
+    "dedup_exact_substring", "cur_strip_substrings",
+    // its daily-crawl form: fresh delta probes the prior 8 B/gram index
+    "dedup_substring_incremental",
     "dedup_simhash_pairs", "dedup_containment",
     // the 16-bit-band scale variant next to the 8-bit search it mirrors
     "dedup_simhash_pairs_b16",

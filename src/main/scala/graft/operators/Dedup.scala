@@ -118,6 +118,11 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val W = ExactSubstrTokens
     val grams = docs
+      // explicit inferable predicates (the explodedHashes
+      // canonicalization rule): without them the strip composition's
+      // joins infer isnotnull on ONE branch and split the shared
+      // doc_id exchange into two scans
+      .filter($"doc_id".isNotNull && $"text".isNotNull)
       // spread the per-row expansion before it runs (the shingles
       // rationale: a small file scans as one split)
       .repartition(spark.sparkContext.defaultParallelism, $"doc_id")
@@ -140,6 +145,101 @@ object Dedup {
         (count(lit(1)) + lit(W - 1)).as("len_tokens"))
       .select($"doc_id", $"start_token", $"len_tokens")
       .orderBy($"doc_id", $"start_token")
+  }
+
+  /** INCREMENTAL exact-substring dedup — the daily-crawl form of
+    * [[dedupExactSubstring]]: flag spans only in the FRESH delta, where
+    * a span is shared if its grams appear verbatim in the PRIOR corpus
+    * (probing the prior's DISTINCT gram-hash index — positions are not
+    * needed on the index side, so the artifact is 8 B/gram, write-once,
+    * hash-bucketed in production) or in another fresh document (the
+    * same min≠max window as the full query, delta-sized). Union of the
+    * two shared sets feeds the identical run merge. Per-snapshot cost:
+    * |delta tokens| × (index probe + window), independent of corpus
+    * size; the prior never re-flags itself. */
+  def dedupSubstringIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    dedupSubstringIncrementalOn(
+      docs.filter(pmod($"doc_id", lit(SnapshotMod)) < SnapshotNewMin),
+      docs.filter(pmod($"doc_id", lit(SnapshotMod)) >= SnapshotNewMin))
+  }
+
+  /** The transform over any (prior, fresh) pair of (doc_id, text)
+    * frames (spec entry point). */
+  private[graft] def dedupSubstringIncrementalOn(prior: DataFrame,
+      fresh: DataFrame): DataFrame = {
+    val spark = prior.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val W = ExactSubstrTokens
+    def grams(df: DataFrame): DataFrame = df
+      .repartition(spark.sparkContext.defaultParallelism, $"doc_id")
+      .select($"doc_id", posexplode(
+        graft.functions.NGramXxh64Pos($"text", W)).as(Seq("pos", "h")))
+    // the prior-side index: DISTINCT gram hashes only (the stored
+    // artifact); distinct keeps the probe join from fanning out on
+    // grams the prior repeats
+    val priorIdx = grams(prior).select($"h").distinct()
+    val freshG = grams(fresh)
+    val byHash = Window.partitionBy($"h")
+    val withinFresh = freshG
+      .withColumn("mn", min($"doc_id").over(byHash))
+      .withColumn("mx", max($"doc_id").over(byHash))
+      .filter($"mn" =!= $"mx")
+      .select($"doc_id", $"pos")
+    val inPrior = freshG.join(priorIdx, Seq("h"), "left_semi")
+      .select($"doc_id", $"pos")
+    val shared = withinFresh.unionByName(inPrior).distinct()
+    val byDocPos = Window.partitionBy($"doc_id").orderBy($"pos")
+    shared
+      .withColumn("rid", $"pos" - row_number().over(byDocPos))
+      .groupBy($"doc_id", $"rid")
+      .agg(min($"pos").cast("long").as("start_token"),
+        (count(lit(1)) + lit(W - 1)).as("len_tokens"))
+      .select($"doc_id", $"start_token", $"len_tokens")
+      .orderBy($"doc_id", $"start_token")
+  }
+
+  /** The ExactSubstr DROP applied — the deduplicated corpus the span
+    * list exists to produce: every token covered by ANY flagged span is
+    * removed and the survivors rejoin in order. Span token-intervals
+    * can OVERLAP (two maximal gram runs ≥2 apart still cover shared
+    * tokens when the gap is < W), so the drop is the interval UNION,
+    * implemented as an anti-join of the positional token expansion
+    * against the exploded span positions — both frames doc-bounded,
+    * shuffled on doc_id, no interval arithmetic in the plan. Emits
+    * (doc_id, kept_text, n_kept, n_dropped) for every document
+    * (span-free docs pass through whole). */
+  def curStripSubstrings(spark: SparkSession, sfDir: String): DataFrame =
+    curStripSubstringsOn(Tables.documents(spark, sfDir))
+
+  private[graft] def curStripSubstringsOn(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val spans = dedupExactSubstringOn(docs)
+    val dropIdx = spans
+      .select($"doc_id",
+        explode(sequence($"start_token", $"start_token" + $"len_tokens" - 1)).as("idx"))
+      .distinct()
+    val toks = docs
+      // same explicit predicates as the span branch so both land on
+      // ONE canonical scan+exchange subtree (ReusedExchange)
+      .filter($"doc_id".isNotNull && $"text".isNotNull)
+      .repartition(spark.sparkContext.defaultParallelism, $"doc_id")
+      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("idx", "w")))
+    val nAll = toks.groupBy($"doc_id").agg(count(lit(1)).as("n_total"))
+    val kept = toks.join(dropIdx, Seq("doc_id", "idx"), "left_anti")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(struct($"idx", $"w"))),
+          s => s.getField("w")), " ").as("kept_text"))
+    nAll.join(kept, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"kept_text", lit("")).as("kept_text"),
+        coalesce($"n_kept", lit(0L)).as("n_kept"),
+        ($"n_total" - coalesce($"n_kept", lit(0L))).as("n_dropped"))
+      .orderBy($"doc_id")
   }
 
   /** The deterministic snapshot split for [[dedupIncremental]]:
@@ -1522,6 +1622,8 @@ object Dedup {
     "dedup_exact" -> dedupExact,
     "dedup_exact_bow" -> dedupExactBow,
     "dedup_exact_substring" -> dedupExactSubstring,
+    "dedup_substring_incremental" -> dedupSubstringIncremental,
+    "cur_strip_substrings" -> curStripSubstrings,
     "dedup_incremental" -> dedupIncremental,
     "dedup_incremental_bloom" -> dedupIncrementalBloom,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
@@ -1777,6 +1879,36 @@ object Dedup {
   private val embedBandMatch: String =
     (0 until EmbedBands).map(b => s"a.b$b = b.b$b").mkString(" OR ")
 
+  /** The exact-substring span derivation as a reusable SQL body (no
+    * ORDER BY wrapper conflicts), shared by the standalone span query
+    * and the strip composition so the run-merge arithmetic cannot
+    * drift. */
+  private[graft] val substringSpansBody: String =
+    s"""SELECT doc_id, min(pos) AS start_token,
+       |  count(*) + ${ExactSubstrTokens - 1} AS len_tokens
+       |FROM (
+       |  SELECT doc_id, pos,
+       |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rid
+       |  FROM (
+       |    SELECT doc_id, pos FROM (
+       |      SELECT doc_id, pos,
+       |        min(doc_id) OVER (PARTITION BY g) AS mn,
+       |        max(doc_id) OVER (PARTITION BY g) AS mx
+       |      FROM (
+       |        SELECT doc_id, i - 1 AS pos,
+       |          array_to_string(t[i : i + ${ExactSubstrTokens - 1}], ' ') AS g
+       |        FROM (
+       |          SELECT doc_id, unnest(range(1, len(t) - ${ExactSubstrTokens} + 2)) AS i, t
+       |          FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+       |          WHERE len(t) >= $ExactSubstrTokens)
+       |      ) g2
+       |    ) s WHERE mn <> mx
+       |  ) shared
+       |) runs GROUP BY doc_id, rid""".stripMargin
+
+  private[graft] val substringSpansSql: String =
+    s"$substringSpansBody\nORDER BY doc_id, start_token"
+
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dups
@@ -1791,27 +1923,39 @@ object Dedup {
     // side — equal join/window semantics up to 64-bit collisions (the
     // decontamination argument); min≠max over the gram partition is the
     // ≥2-distinct-docs test, pos − row_number() the run merge
-    "dedup_exact_substring" ->
+    "dedup_exact_substring" -> substringSpansSql,
+    // the prior side collapses to DISTINCT gram text (the 8 B/gram
+    // index); shared = within-fresh window ∪ prior probe, same merge
+    "dedup_substring_incremental" ->
       s"""WITH toks AS (
          |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
          |),
-         |grams AS (
-         |  SELECT doc_id, unnest(range(1, len(t) - $ExactSubstrTokens + 2)) AS i, t
-         |  FROM toks WHERE len(t) >= $ExactSubstrTokens
-         |),
-         |g2 AS (
+         |fg AS (
          |  SELECT doc_id, i - 1 AS pos,
          |    array_to_string(t[i : i + $ExactSubstrTokens - 1], ' ') AS g
-         |  FROM grams
+         |  FROM (SELECT doc_id, unnest(range(1, len(t) - $ExactSubstrTokens + 2)) AS i, t
+         |        FROM toks
+         |        WHERE doc_id % $SnapshotMod >= $SnapshotNewMin
+         |          AND len(t) >= $ExactSubstrTokens)
          |),
-         |shared AS (
+         |pg AS (
+         |  SELECT DISTINCT array_to_string(t[i : i + $ExactSubstrTokens - 1], ' ') AS g
+         |  FROM (SELECT unnest(range(1, len(t) - $ExactSubstrTokens + 2)) AS i, t
+         |        FROM toks
+         |        WHERE doc_id % $SnapshotMod < $SnapshotNewMin
+         |          AND len(t) >= $ExactSubstrTokens)
+         |),
+         |wf AS (
          |  SELECT doc_id, pos FROM (
          |    SELECT doc_id, pos,
          |      min(doc_id) OVER (PARTITION BY g) AS mn,
          |      max(doc_id) OVER (PARTITION BY g) AS mx
-         |    FROM g2) s
+         |    FROM fg) s
          |  WHERE mn <> mx
          |),
+         |ip AS (SELECT fg.doc_id, fg.pos FROM fg JOIN pg USING (g)),
+         |shared AS (SELECT DISTINCT doc_id, pos FROM
+         |  (SELECT * FROM wf UNION ALL SELECT * FROM ip)),
          |runs AS (
          |  SELECT doc_id, pos,
          |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rid
@@ -1821,6 +1965,38 @@ object Dedup {
          |  count(*) + ${ExactSubstrTokens - 1} AS len_tokens
          |FROM runs GROUP BY doc_id, rid
          |ORDER BY doc_id, start_token""".stripMargin,
+    // the span CTE verbatim + interval-union drop via NOT EXISTS on the
+    // exploded span positions, survivors re-joined in token order
+    "cur_strip_substrings" ->
+      s"""WITH spans AS ($substringSpansBody),
+         |drop_idx AS (
+         |  SELECT DISTINCT doc_id, idx FROM (
+         |    SELECT doc_id,
+         |      unnest(range(start_token, start_token + len_tokens)) AS idx
+         |    FROM spans)
+         |),
+         |tk AS (
+         |  SELECT doc_id,
+         |    generate_subscripts(string_split(text, ' '), 1) - 1 AS idx,
+         |    unnest(string_split(text, ' ')) AS w
+         |  FROM documents
+         |),
+         |keptt AS (
+         |  SELECT tk.doc_id, tk.idx, tk.w FROM tk
+         |  WHERE NOT EXISTS (SELECT 1 FROM drop_idx d
+         |                    WHERE d.doc_id = tk.doc_id AND d.idx = tk.idx)
+         |),
+         |kept AS (
+         |  SELECT doc_id, count(*) AS n_kept,
+         |    string_agg(w, ' ' ORDER BY idx) AS kept_text
+         |  FROM keptt GROUP BY doc_id
+         |),
+         |alln AS (SELECT doc_id, len(string_split(text, ' ')) AS n_total FROM documents)
+         |SELECT a.doc_id, coalesce(k.kept_text, '') AS kept_text,
+         |  coalesce(k.n_kept, 0) AS n_kept,
+         |  a.n_total - coalesce(k.n_kept, 0) AS n_dropped
+         |FROM alln a LEFT JOIN kept k USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     // NOT EXISTS, not NOT IN: same anti-join semantics as the engine
     // regardless of SQL null quirks (h is never null here, but the
     // form should not depend on it)

@@ -62,6 +62,10 @@ object ScanAudit {
         "dedup_minhash_incremental" -> Map("documents" -> 2),
         // same two-logical-tables argument, SimHash flavor
         "dedup_simhash_incremental" -> Map("documents" -> 2),
+        // same argument: prior gram-hash index build + fresh positional
+        // expansion — in production the prior side is the stored
+        // 8 B/gram artifact
+        "dedup_substring_incremental" -> Map("documents" -> 2),
         // the composed daily-crawl pipeline: the 2 final-plan scans are
         // the PRIOR side's band-index and chunk-index builds — stored
         // write-once artifacts in production, materialized inline here

@@ -656,6 +656,62 @@ class DedupSpec extends AnyFunSuite {
     assert(groups === total)
   }
 
+  test("substring strip removes the interval UNION of overlapping spans") {
+    import spark.implicits._
+    val W = Dedup.ExactSubstrTokens
+    def words(p: String, n: Int) = (1 to n).map(i => s"$p$i")
+    val a = words("a", 29) // doc 1: 29 tokens, grams at offsets 0..4
+    val docs = Seq(
+      (1L, a.mkString(" ")),
+      (2L, a.take(W).mkString(" ")),        // = gram 0 of doc 1
+      (3L, a.slice(2, 2 + W).mkString(" ")), // = gram 2 of doc 1
+      (4L, words("z", 30).mkString(" "))     // untouched
+    ).toDF("doc_id", "text")
+    // doc 1's shared gram offsets are {0, 2} (offset 1 unshared): two
+    // maximal spans (0,25) and (2,25) whose token intervals OVERLAP —
+    // the strip must drop their UNION [0,27), keeping a28,a29
+    val spans = Dedup.dedupExactSubstringOn(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(spans === Set((1L, 0L, 25L), (1L, 2L, 25L),
+      (2L, 0L, 25L), (3L, 0L, 25L)))
+    val got = Dedup.curStripSubstringsOn(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === Set(
+      (1L, "a28 a29", 2L, 27L),
+      (2L, "", 0L, 25L),
+      (3L, "", 0L, 25L),
+      (4L, words("z", 30).mkString(" "), 30L, 0L)))
+  }
+
+  test("incremental substring: fresh probes prior index, prior never self-flags") {
+    import spark.implicits._
+    val W = Dedup.ExactSubstrTokens
+    def words(p: String, n: Int) = (1 to n).map(i => s"$p$i")
+    val S = words("s", W) // span shared prior↔fresh
+    val T = words("t", W) // span shared fresh↔fresh
+    val prior = Seq(
+      (1L, (words("p", 5) ++ S).mkString(" ")),
+      // a prior-prior duplicate: must NOT appear (output is fresh-only)
+      (2L, (S ++ words("q", 5)).mkString(" "))
+    ).toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, (words("f", 3) ++ S ++ words("g", 3)).mkString(" ")), // hits prior
+      (11L, (T ++ words("h", 8)).mkString(" ")),                  // fresh↔fresh
+      (12L, (words("i", 8) ++ T).mkString(" ")),
+      (13L, words("u", 40).mkString(" "))                          // novel
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupSubstringIncrementalOn(prior, fresh).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set(
+      (10L, 3L, W.toLong), (11L, 0L, W.toLong), (12L, 8L, W.toLong)))
+    // differential vs the full query: on (prior ∪ fresh), the full
+    // span list restricted to fresh doc_ids must equal the incremental
+    val full = Dedup.dedupExactSubstringOn(prior.unionByName(fresh)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter(_._1 >= 10L).toSet
+    assert(got === full)
+  }
+
   test("positional gram hashes ≡ per-window xxhash64 of the joined-token slice") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
