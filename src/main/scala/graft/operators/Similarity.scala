@@ -453,7 +453,7 @@ object Similarity {
       .select($"vec_id",
         array((0 until PqSubspaces).map(m => pqCodeCol(cb, $"v", m)): _*).as("code"))
     def tabCol(m: Int): Column = array(cb(m).map(cv =>
-      floor(VectorOps.dot(pqSub($"qv", m), typedLit(cv)) * lit(ScoreScale)).cast("long")): _*)
+      floor(VectorOps.dotLit($"qv", cv, m * PqSubDim) * lit(ScoreScale)).cast("long")): _*)
     val q = e.filter($"vec_id" < NumQueries)
       .select($"vec_id".as("query_id"), $"v".as("qv"))
       .select($"query_id" +: (0 until PqSubspaces).map(m => tabCol(m).as(s"tab$m")): _*)
@@ -577,7 +577,7 @@ object Similarity {
         floor(VectorOps.dot($"qv", element_at(centLit, $"cell" + 1)) * lit(ScoreScale))
           .cast("long").as("coarse"))
     def tabCol(m: Int): Column = array(cb(m).map(cv =>
-      floor(VectorOps.dot(pqSub($"qv", m), typedLit(cv)) * lit(ScoreScale)).cast("long")): _*)
+      floor(VectorOps.dotLit($"qv", cv, m * PqSubDim) * lit(ScoreScale)).cast("long")): _*)
     val qt = e.filter($"vec_id" < NumQueries)
       .select($"vec_id".as("query_id"), $"v".as("qv"))
       .select($"query_id" +: (0 until PqSubspaces).map(m => tabCol(m).as(s"tab$m")): _*)
@@ -647,7 +647,7 @@ object Similarity {
     * `ORDER BY dq ASC, c ASC`. */
   private def pqCodeCol(cb: Seq[Seq[Seq[Double]]], v: Column, m: Int): Column = {
     val dists = array(cb(m).map { cv =>
-      floor((lit(normSq(cv)) - lit(2.0) * VectorOps.dot(pqSub(v, m), typedLit(cv)))
+      floor((lit(normSq(cv)) - lit(2.0) * VectorOps.dotLit(v, cv, m * PqSubDim))
         * lit(ScoreScale)).cast("long")
     }: _*)
     (array_position(dists, array_min(dists)) - 1).cast("int")

@@ -367,4 +367,41 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got(2L).isEmpty)
     assert(got(3L).isEmpty)
   }
+
+  test("native dot product ≡ the HOF fold, bit-for-bit, on every corpus pair") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorOps
+    // the round-12 swap's whole claim: identical IEEE sequence. Compare
+    // raw doubles with ===, no tolerance — a one-ulp drift here flips
+    // IVF cells (see simAnnIvfOn's BIT-PARITY note), so the test must
+    // be exact. Query block × corpus = every pair shape the ANN family
+    // evaluates.
+    val e = Similarity.embeddings(spark, sf)
+    val q = e.filter($"vec_id" < Similarity.NumQueries)
+      .select($"vec_id".as("qid"), $"v".as("qv"))
+    val both = e.join(broadcast(q), $"vec_id" =!= $"qid")
+      .select(
+        VectorOps.dot($"qv", $"v").as("native"),
+        VectorOps.dotUnfused($"qv", $"v").as("hof"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
+    // the fused-slice literal form against its unfused composition
+    val cv = Similarity.seedCentroids(e).head
+    val lits = e.select(
+        VectorOps.dotLit($"v", cv.slice(8, 16), 8).as("native"),
+        VectorOps.dotUnfused(slice($"v", 9, 8), typedlit(cv.slice(8, 16))).as("hof"))
+      .collect()
+    lits.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
+    // edge cases: empty ≡ 0.0 on both; a length MISMATCH is null on
+    // both (zip_with pads the shorter array with nulls — the native
+    // form preserves that contract rather than silently truncating)
+    val edge = Seq((Seq.empty[Double], Seq.empty[Double]),
+      (Seq(1.5, 2.5), Seq(3.5))).toDF("a", "b")
+    val eg = edge.select(VectorOps.dot($"a", $"b"), VectorOps.dotUnfused($"a", $"b"))
+      .collect()
+    eg.foreach(r => assert(Option(r.get(0)) === Option(r.get(1))))
+    assert(eg(0).getDouble(0) === 0.0 && eg(1).isNullAt(0))
+  }
 }
