@@ -114,7 +114,7 @@ object Bench {
     "text_tfidf_topk",
     // subword counting + the packer budgeted in subword tokens: pure
     // map work through the greedy longest-match expression
-    "text_tokencount_bpe", "cur_pack_bins_bpe",
+    "text_tokencount_bpe", "cur_pack_bins_bpe", "cur_pack_chunks_bpe",
     // LM scoring: two model-count aggs on the fit slice + the fresh
     // bigram fan-out hash-joined against them
     "text_lm_score",

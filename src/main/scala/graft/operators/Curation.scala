@@ -122,6 +122,22 @@ object Curation {
       "n_chunks")
   }
 
+  /** [[packChunks]] with the budget in SUBWORD tokens — chunk
+    * granularity × the BPE measure, completing the 2×2 the two axes
+    * span (doc/chunk × whitespace/subword). Same machinery throughout;
+    * n_tokens is recomputed from the chunk TEXT by the greedy
+    * longest-match expression (a chunk's subword count is not derivable
+    * from its whitespace count). */
+  def packChunksBpe(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    packPrepared(
+      textChunks(spark, sfDir)
+        .select($"doc_id", $"chunk_idx",
+          graft.functions.BpeTokenCount($"chunk_text").as("n_tokens"))
+        .orderBy($"doc_id", $"chunk_idx"),
+      "n_chunks")
+  }
+
   /** The shared two-pass packer over a PRE-SORTED frame with a long
     * `n_tokens` column (partitions globally ordered by the caller's
     * range sort): job 1 collects one Long per partition, job 2 adds
@@ -808,6 +824,7 @@ object Curation {
     "cur_pipeline_samples_ccq" -> pipelineCurateSamplesCcq,
     "cur_pipeline_samples_incremental" -> pipelineCurateSamplesIncremental,
     "cur_pack_chunks" -> packChunks,
+    "cur_pack_chunks_bpe" -> packChunksBpe,
     "cur_decontam" -> decontaminate,
     "cur_mix_sample" -> mixSample,
   )
@@ -1189,6 +1206,39 @@ object Curation {
          |FROM good GROUP BY lang ORDER BY lang""".stripMargin,
     // the packBins window formulation over the chunk CTE, in the same
     // (doc_id, chunk_idx) order the engine's range sort uses
+    // chunk granularity x subword measure: the greedy-walk CTE keyed
+    // (doc_id, chunk_idx) re-counts each chunk's text, then the same
+    // prefix-sum binning
+    "cur_pack_chunks_bpe" ->
+      s"""WITH RECURSIVE vocab(piece) AS (VALUES ${TextAnalysis.bpeVocabValues}),
+         |ck AS ($chunksSql),
+         |words AS (
+         |  SELECT doc_id, chunk_idx,
+         |    generate_subscripts(string_split(chunk_text, ' '), 1) AS wid,
+         |    unnest(string_split(chunk_text, ' ')) AS w
+         |  FROM ck
+         |),
+         |step AS (
+         |  SELECT doc_id, chunk_idx, wid, w, 0 AS pos, 0 AS cnt FROM words
+         |  UNION ALL
+         |  SELECT doc_id, chunk_idx, wid, w,
+         |    pos + coalesce((SELECT max(len(piece)) FROM vocab
+         |                    WHERE piece = substr(w, pos + 1, len(piece))), 1),
+         |    cnt + 1
+         |  FROM step WHERE pos < len(w)
+         |),
+         |toks AS (
+         |  SELECT doc_id, chunk_idx, sum(cnt) AS n_tokens
+         |  FROM step WHERE pos >= len(w) GROUP BY doc_id, chunk_idx
+         |), pre AS (
+         |  SELECT n_tokens,
+         |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id, chunk_idx
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre_sum
+         |  FROM toks
+         |)
+         |SELECT CAST(pre_sum // $PackBudget AS BIGINT) AS bin, count(*) AS n_chunks,
+         |  CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+         |FROM pre GROUP BY 1 ORDER BY bin""".stripMargin,
     "cur_pack_chunks" ->
       s"""WITH chunks AS ($chunksSql),
          |pre AS (
