@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{NormalizeWord, SimHash64, TokenizeNormalize}
+import graft.functions.{BpeTokenCount, DotProduct, NormalizeWord, SimHash64, TokenizeNormalize}
 
 /** `SparkSessionExtensions` installer — the config-driven alternative to
   * `Graft.install`: add `spark.sql.extensions=graft.GraftExtensions` to
@@ -25,5 +25,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("tokenize_normalize"),
       info("tokenize_normalize", "fused whitespace tokenize + normalize generator"),
       (es: Seq[Expression]) => TokenizeNormalize(es.head)))
+    e.injectFunction((FunctionIdentifier("bpe_token_count"),
+      info("bpe_token_count", "greedy longest-match subword count over the committed merges fixture"),
+      (es: Seq[Expression]) => BpeTokenCount(es.head)))
+    e.injectFunction((FunctionIdentifier("dot_product"),
+      info("dot_product", "native dense dot product over two array<double> columns"),
+      (es: Seq[Expression]) => DotProduct(es(0), es(1))))
   }
 }

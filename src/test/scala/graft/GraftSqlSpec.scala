@@ -15,6 +15,11 @@ class GraftSqlSpec extends AnyFunSuite {
     val toks = spark.sql(
       "SELECT tokenize_normalize('Foo,  BAR!! ...') AS word").collect()
     assert(toks.map(_.getString(0)).toSeq === Seq("foo", "bar"))
+    val r12 = spark.sql(
+      "SELECT bpe_token_count('the theory') AS n, " +
+        "dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d").collect()(0)
+    assert(r12.getLong(0) === 4L) // the | the,or,y
+    assert(r12.getDouble(1) === 11.0)
   }
 
   test("GraftExtensions wires the same functions via spark.sql.extensions") {
