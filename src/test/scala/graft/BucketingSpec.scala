@@ -180,4 +180,67 @@ class BucketingSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS graft_simhash_index")
     }
   }
+
+  test("substring gram index as a bucketed artifact: delta probe joins with NO index-side shuffle") {
+    // the dedupSubstringIncremental scale claim, demonstrated like the
+    // band/chunk indexes above: the prior corpus's DISTINCT gram-hash
+    // index (8 B/gram) is a write-once artifact bucketed on h; the
+    // fresh delta's positional-gram probe then shuffles ONLY the
+    // delta-sized side, and the composed result equals the inline op.
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.Dedup
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
+    try {
+      val sf = SparkTestSession.sf0001
+      val W = Dedup.ExactSubstrTokens
+      val docs = Tables.documents(spark, sf)
+      val prior = docs.filter(pmod($"doc_id", lit(Dedup.SnapshotMod)) < Dedup.SnapshotNewMin)
+      val fresh = docs.filter(pmod($"doc_id", lit(Dedup.SnapshotMod)) >= Dedup.SnapshotNewMin)
+      def posGrams(df: org.apache.spark.sql.DataFrame) = df
+        .filter($"doc_id".isNotNull && $"text".isNotNull)
+        .select($"doc_id", posexplode(
+          graft.functions.NGramXxh64Pos($"text", W)).as(Seq("pos", "h")))
+      posGrams(prior).select($"h").distinct()
+        .write.mode("overwrite").bucketBy(8, "h").sortBy("h")
+        .saveAsTable("graft_gram_index")
+      val index = spark.table("graft_gram_index")
+      val freshG = posGrams(fresh)
+      val inPrior = freshG.join(index, Seq("h"), "left_semi")
+        .select($"doc_id", $"pos")
+      inPrior.collect()
+      val full = inPrior.queryExecution.executedPlan.toString
+      val cut = full.indexOf("Initial Plan")
+      val plan = if (cut >= 0) full.substring(0, cut) else full
+      val hExchanges = "Exchange hashpartitioning\\(h".r.findAllIn(plan).size
+      assert(hExchanges == 1,
+        s"expected exactly one h exchange (the delta side), got $hExchanges:\n${plan.take(1500)}")
+      assert(plan.contains("Bucketed: true"),
+        s"index scan is not bucket-aligned:\n${plan.take(1500)}")
+      // compose with the within-delta window and the shared run merge:
+      // must equal the inline incremental form
+      val byHash = Window.partitionBy($"h")
+      val withinFresh = freshG
+        .withColumn("mn", min($"doc_id").over(byHash))
+        .withColumn("mx", max($"doc_id").over(byHash))
+        .filter($"mn" =!= $"mx")
+        .select($"doc_id", $"pos")
+      val shared = withinFresh.unionByName(inPrior).distinct()
+      val byDocPos = Window.partitionBy($"doc_id").orderBy($"pos")
+      val got = shared
+        .withColumn("rid", $"pos" - row_number().over(byDocPos))
+        .groupBy($"doc_id", $"rid")
+        .agg(min($"pos").cast("long").as("start_token"),
+          (count(lit(1)) + lit(W - 1)).as("len_tokens"))
+        .select($"doc_id", $"start_token", $"len_tokens")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val expected = Dedup.dedupSubstringIncrementalOn(prior, fresh).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === expected)
+      assert(got.nonEmpty, "testdata should contain cross-snapshot shared spans")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS graft_gram_index")
+    }
+  }
 }
