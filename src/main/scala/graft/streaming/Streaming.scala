@@ -1159,6 +1159,85 @@ object Streaming {
   private[graft] def sessionsTTLEmissions(events: DataFrame): DataFrame =
     runToMemory(sessionsTTLTransform(events), "append")
 
+  /** EVENT-TIME-ORDERED sessionization — the buffered form the TTL
+    * stream's contract note points at: where [[runSessionsStreamTTL]]
+    * folds events in ARRIVAL order across batches (exact only for
+    * per-user batch-ordered feeds), this buffers in-watermark events in
+    * state and folds them in EVENT-TIME order on every invocation, so
+    * the result is exact under ANY arrival order Spark admits (late
+    * rows beyond the watermark are filtered by the runtime before the
+    * state function sees them). State is bounded the same way the TTL
+    * form's is, but mechanically: once the watermark passes a folded
+    * session's `lastTs + gap`, that session is immutable — no
+    * admissible event can extend it (anything arriving has ts ≥
+    * watermark ≥ lastTs+gap, starting a new session) or land inside its
+    * ordered past — so its events leave the buffer and only its STATS
+    * persist. Buffered state = O(events inside the trailing gap window
+    * per user); the timeout at (max buffered ts + gap) guarantees the
+    * final open session also evicts, after which the per-user state is
+    * three longs. Emissions are cumulative snapshots, monotone in
+    * total_events, so the shared max-struct fold and the batch q19
+    * oracle apply verbatim. */
+  def streamSessionsBuffered(spark: SparkSession, sfDir: String): DataFrame =
+    runSessionsStreamBuffered(eventsStream(spark, sfDir))
+
+  private[graft] def runSessionsStreamBuffered(events: DataFrame): DataFrame =
+    foldSessions(runToMemory(sessionsBufferedTransform(events), "append"))
+
+  private def sessionsBufferedTransform(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val gapMs = graft.operators.Sessions.GapMinutes * 60000L
+    val ev = events
+      .select($"user_id", $"event_id", $"ts")
+      .filter($"user_id".isNotNull && $"event_id".isNotNull && $"ts".isNotNull)
+      .withWatermark("ts", s"$gapMs milliseconds")
+      .as[(Long, Long, java.sql.Timestamp)]
+    // state: (closedCount, closedMax, closedTotal, buffered (ts, event_id))
+    ev.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long, Seq[(Long, Long)]), (Long, Long, Long, Double, Long)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) { (uid, rows, state) =>
+          var (closedCount, closedMax, closedTotal, buffered) =
+            state.getOption.getOrElse((0L, 0L, 0L, Seq.empty[(Long, Long)]))
+          buffered = (buffered ++ rows.map(r => (r._3.getTime, r._2)))
+            .sortBy(identity)
+          val wm = state.getCurrentWatermarkMs()
+          // fold the buffer in event-time order into (lastTs, size) runs
+          val sessions = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+          buffered.foreach { case (t, _) =>
+            if (sessions.nonEmpty && t - sessions.last._1 <= gapMs) {
+              val (_, n) = sessions.last
+              sessions(sessions.size - 1) = (t, n + 1)
+            } else sessions += ((t, 1L))
+          }
+          // evict sessions the watermark has sealed (lastTs + gap ≤ wm):
+          // stats move to the closed aggregate, events leave the buffer
+          val closed = sessions.takeWhile { case (lastTs, _) => lastTs + gapMs <= wm }
+          if (closed.nonEmpty) {
+            val closedEvents = closed.map(_._2).sum
+            closedCount += closed.size
+            closedMax = math.max(closedMax, closed.map(_._2).max)
+            closedTotal += closedEvents
+            buffered = buffered.drop(closedEvents.toInt)
+          }
+          val open = sessions.drop(closed.size)
+          if (buffered.isEmpty) state.remove()
+          else {
+            state.update((closedCount, closedMax, closedTotal, buffered))
+            state.setTimeoutTimestamp(buffered.last._1, s"$gapMs milliseconds")
+          }
+          val total = closedTotal + open.map(_._2).sum
+          val nSessions = closedCount + open.size
+          if (nSessions == 0L) Iterator.empty
+          else {
+            val mx = math.max(closedMax, if (open.isEmpty) 0L else open.map(_._2).max)
+            Iterator((uid, nSessions, mx, total.toDouble / nSessions, total))
+          }
+        }
+      .toDF("user_id", "n_sessions", "max_session_events", "avg_raw", "total_events")
+  }
+
   private def sessionsTTLTransform(events: DataFrame): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
@@ -1313,6 +1392,7 @@ object Streaming {
     "stream_events_hourly" -> streamEventsHourly,
     "stream_sessions" -> streamSessions,
     "stream_sessions_ttl" -> streamSessionsTTL,
+    "stream_sessions_buffered" -> streamSessionsBuffered,
     "stream_wc_counts" -> streamWordCounts,
     "stream_user_totals" -> streamUserTotals,
     "stream_active_users" -> streamActiveUsers,
@@ -1343,6 +1423,9 @@ object Streaming {
     // single-batch feed (watermark zero, no eviction) ⇒ identical to
     // the unbounded fold and the batch window formulation
     "stream_sessions_ttl" -> graft.operators.Sessions.oracles("q19_sessions"),
+    // the buffered event-time fold equals the batch window formulation
+    // by construction on any admissible feed — same oracle
+    "stream_sessions_buffered" -> graft.operators.Sessions.oracles("q19_sessions"),
     "stream_events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         |  count(*) AS n, round(sum(value), 2) AS total_value
