@@ -16,10 +16,17 @@ object Sessions {
 
   final val GapMinutes = 30
 
-  def q19Sessions(spark: SparkSession, sfDir: String): DataFrame = {
+  def q19Sessions(spark: SparkSession, sfDir: String): DataFrame =
+    sessionsOn(Tables.events(spark, sfDir))
+
+  /** The window formulation on any (user_id, event_id, ts) frame —
+    * spec entry point (the buffered streaming fold compares against it
+    * on plantable out-of-order feeds). */
+  private[graft] def sessionsOn(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
     import spark.implicits._
     val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
-    val sessions = Tables.events(spark, sfDir)
+    val sessions = events
       .withColumn("prev_ts", lag($"ts", 1).over(w))
       .withColumn("new_session",
         // integer-millisecond comparison on both engines (DuckDB's

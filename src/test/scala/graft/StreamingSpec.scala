@@ -533,6 +533,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.size === 2) // "solo" has no bigrams
   }
 
+  test("buffered sessions: in-watermark OUT-OF-ORDER arrival folds in event-time order") {
+    import org.apache.spark.sql.functions.{expr => fexpr}
+    import spark.implicits._
+    val gapMin = graft.operators.Sessions.GapMinutes // 30
+    val t0 = 1700000000L
+    def docs(rows: Seq[(Long, Long, Long)]) =
+      rows.toDF("user_id", "event_id", "sec")
+        .select($"user_id", $"event_id", fexpr("timestamp_seconds(sec)").as("ts"))
+    val in = Files.createTempDirectory("graft_sb_in_").toString
+    val base = System.currentTimeMillis()
+    // batch 1: user 7 at t0 and t0+50min → watermark advances to t0+20min
+    writeOneFile(docs(Seq((7L, 1L, t0), (7L, 2L, t0 + 50 * 60))), s"$in/b1.parquet", base)
+    // batch 2: t0+25min — ahead of the watermark (admissible) but BEHIND
+    // the already-seen t0+50min: event-time order says the three events
+    // are ONE session (gaps 25, 25 ≤ 30); arrival order says two
+    writeOneFile(docs(Seq((7L, 3L, t0 + 25 * 60))), s"$in/b2.parquet", base + 60000)
+    // batch 3: another user far in the future — advances the watermark
+    // past user 7 entirely, forcing the buffered state to seal + evict
+    writeOneFile(docs(Seq((9L, 4L, t0 + 36000))), s"$in/b3.parquet", base + 120000)
+    val schema = spark.read.parquet(in).schema
+    def stream() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val buffered = Streaming.runSessionsStreamBuffered(stream())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(buffered === Set((7L, 1L, 3L), (9L, 1L, 1L)),
+      s"buffered fold must be event-time-exact, got $buffered")
+    // the contrast that motivates the buffered form: the arrival-order
+    // TTL fold splits at the 50-minute gap it saw first and can never
+    // unsee it — same feed, 2 sessions
+    val ttl = Streaming.runSessionsStreamTTL(stream())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(ttl.contains((7L, 2L, 2L)),
+      s"expected the arrival-order fold to split user 7, got $ttl")
+    // and the buffered result equals the batch window formulation on
+    // the union — the shared-oracle claim
+    val batch = graft.operators.Sessions.sessionsOn(spark.read.parquet(in))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(buffered === batch)
+  }
+
   test("streaming quality-model scoring equals the batch scorer across batches") {
     import spark.implicits._
     // fit = one positive (10 stopwords, quality 1.5) + one negative
