@@ -84,7 +84,10 @@ object Bench {
     // the materializing samples form, and its cluster-keep variants
     // (union pair graph + connected components instead of pair drop;
     // ccq keeps the best-quality member instead of the minimum id)
-    "cur_pipeline_full", "cur_pipeline_samples", "cur_pipeline_samples_cc",
+    "cur_pipeline_full", "cur_pipeline_samples",
+    // the learned-gate variant: broadcast model probe + integer gate
+    "cur_pipeline_samples_qm",
+    "cur_pipeline_samples_cc",
     "cur_pipeline_samples_ccq",
     // the daily-crawl incremental samples pipeline: only the delta flows,
     // probing the prior snapshot's doc-hash, minhash-band and chunk-hash

@@ -317,6 +317,36 @@ object Curation {
     samplesOfKept(red.join(drop, Seq("doc_id"), "left_anti"))
   }
 
+  /** [[pipelineCurateSamples]] with the heuristic quality gate replaced
+    * by the LEARNED scorer — the production sequencing where a quality
+    * model fitted on an earlier snapshot gates today's curation
+    * (DCLM/fastText-style): the ≤4096-row hashed-feature model is
+    * fitted closed-form on the PRIOR slice of the redacted corpus, and
+    * a kept document passes when its mean quantized positive-class
+    * probability clears the 1/2 prior — tested as 2·sum_q ≥ n_feats·Q,
+    * exact integer arithmetic, no double compare. Scale shape adds one
+    * broadcast model probe + a doc-sized semi-join over the
+    * near-dup-kept frame; everything else is [[pipelineCurateSamples]]
+    * verbatim. */
+  def pipelineCurateSamplesQm(spark: SparkSession, sfDir: String): DataFrame =
+    pipelineCurateSamplesQmOn(Tables.documents(spark, sfDir))
+
+  private[graft] def pipelineCurateSamplesQmOn(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val red = docs.select($"doc_id",
+      TextAnalysis.redactedCol($"text").as("text"))
+    val drop = Dedup.dedupNgramJaccardOnDocs(red)
+      .select($"doc_b".as("doc_id")).distinct()
+    val kept = red.join(drop, Seq("doc_id"), "left_anti")
+    val model = Materialize.frame(TextAnalysis.qmModelOn(
+      red.filter(pmod($"doc_id", lit(Dedup.SnapshotMod)) < Dedup.SnapshotNewMin)))
+    val pass = TextAnalysis.qmPerDocAgg(kept, model)
+      .filter($"sum_q" * 2 >= $"n_feats" * lit(TextAnalysis.QmQuantum))
+      .select($"doc_id")
+    samplesOfGood(kept.join(pass, Seq("doc_id"), "left_semi"))
+  }
+
   /** [[pipelineCurateSamples]] with the pair-based doc_b drop replaced
     * by the PRINCIPLED cluster-representative keep of
     * `dedup_kept_clusters`: connected components over the UNION pair
@@ -528,7 +558,15 @@ object Curation {
   private def samplesOfKept(kept: DataFrame): DataFrame = {
     val spark = kept.sparkSession
     import spark.implicits._
-    val good = kept.filter(TextAnalysis.qualityScore($"text") >= QualityCut)
+    samplesOfGood(kept.filter(TextAnalysis.qualityScore($"text") >= QualityCut))
+  }
+
+  /** The chunk-expansion + keep-first tail over an already
+    * quality-gated frame — the seam the learned-gate pipeline variant
+    * injects its gate through. */
+  private def samplesOfGood(good: DataFrame): DataFrame = {
+    val spark = good.sparkSession
+    import spark.implicits._
     // Keep-first in ONE pass: row_number over the content-hash partition
     // (the oracle's own formulation). Rounds 5–10 used a min(struct)
     // representative agg + semi-join — TWO consumers of the chunk
@@ -820,6 +858,7 @@ object Curation {
     "dedup_chunks_ngram" -> dedupChunksNgram,
     "dedup_chunks_containment" -> dedupChunksContainment,
     "cur_pipeline_samples" -> pipelineCurateSamples,
+    "cur_pipeline_samples_qm" -> pipelineCurateSamplesQm,
     "cur_pipeline_samples_cc" -> pipelineCurateSamplesCc,
     "cur_pipeline_samples_ccq" -> pipelineCurateSamplesCcq,
     "cur_pipeline_samples_incremental" -> pipelineCurateSamplesIncremental,
@@ -966,6 +1005,36 @@ object Curation {
     // same constants, chunk-level keep-first via row_number over the
     // chunk-hash partition — the output hash covers every emitted
     // sample's full text
+    // the learned-gate variant: qm CTEs (ONE definition, spliced from
+    // TextAnalysis) fit on the prior slice of red, score kept, and the
+    // gate is the exact-integer 2*sum_q >= n_feats*Q prior test
+    "cur_pipeline_samples_qm" ->
+      s"""WITH red AS (
+         |  SELECT doc_id, ${TextAnalysis.redactedSqlExpr} AS text
+         |  FROM documents
+         |),
+         |pairs AS (${Dedup.cappedJaccardSqlFrom("red")}),
+         |kept AS (
+         |  SELECT doc_id, text FROM red
+         |  WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
+         |),
+         |${TextAnalysis.qmScoreCtes(
+             s"(SELECT text FROM red WHERE doc_id % ${Dedup.SnapshotMod} < ${Dedup.SnapshotNewMin})",
+             "kept")},
+         |good AS (
+         |  SELECT kept.doc_id, kept.text FROM kept
+         |  JOIN qm_scores USING (doc_id)
+         |  WHERE 2 * sum_q >= n_feats * ${TextAnalysis.QmQuantum}
+         |),
+         |chunks AS (${chunksSqlFrom("good")}),
+         |sel AS (
+         |  SELECT doc_id, chunk_idx, chunk_text, n_tokens,
+         |    row_number() OVER (PARTITION BY md5(chunk_text)
+         |      ORDER BY doc_id, chunk_idx) AS rn
+         |  FROM chunks
+         |)
+         |SELECT doc_id, chunk_idx, chunk_text, n_tokens
+         |FROM sel WHERE rn = 1 ORDER BY doc_id, chunk_idx""".stripMargin,
     "cur_pipeline_samples" ->
       s"""WITH red AS (
          |  SELECT doc_id, ${TextAnalysis.redactedSqlExpr} AS text

@@ -647,6 +647,50 @@ object TextAnalysis {
     "text_quality_model" -> textQualityModel,
   )
 
+  /** The learned quality scorer's full SQL derivation as named CTEs —
+    * fit (heuristic labels → hashed features → integer-smoothed model)
+    * over `fitSrc` (any relation with a `text` column) and per-doc
+    * scores over `scoreSrc` (any relation with `doc_id, text`),
+    * terminating in `qm_scores(doc_id, n_feats, sum_q)`. ONE
+    * definition, spliced into both the standalone `text_quality_model`
+    * oracle and the learned-gate pipeline oracle so the model
+    * arithmetic cannot drift. */
+  private[operators] def qmScoreCtes(fitSrc: String, scoreSrc: String): String =
+    s"""qm_lab AS (
+       |  SELECT text, ($qualitySqlExpr) >= ${QmLabelThreshold}::DOUBLE AS pos
+       |  FROM $fitSrc
+       |),
+       |qm_labt AS (SELECT pos, string_split(text, ' ') AS t FROM qm_lab),
+       |qm_ffeat AS (
+       |  SELECT pos, md5_number_lower(w) & ${QmBuckets - 1} AS b
+       |  FROM (SELECT pos, unnest(t) AS w FROM qm_labt)
+       |  UNION ALL
+       |  SELECT pos, md5_number_lower(bg) & ${QmBuckets - 1} AS b
+       |  FROM (SELECT pos, unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS bg
+       |        FROM qm_labt WHERE len(t) >= 2)
+       |),
+       |qm_model AS (
+       |  SELECT b, count(*) FILTER (WHERE pos) AS cpos,
+       |    count(*) FILTER (WHERE NOT pos) AS cneg
+       |  FROM qm_ffeat GROUP BY b
+       |),
+       |qm_q AS (SELECT b, (cpos + 1) * $QmQuantum // (cpos + cneg + 2) AS qv FROM qm_model),
+       |qm_st AS (SELECT doc_id, string_split(text, ' ') AS t FROM $scoreSrc),
+       |qm_sfeat AS (
+       |  SELECT doc_id, md5_number_lower(w) & ${QmBuckets - 1} AS b
+       |  FROM (SELECT doc_id, unnest(t) AS w FROM qm_st)
+       |  UNION ALL
+       |  SELECT doc_id, md5_number_lower(bg) & ${QmBuckets - 1} AS b
+       |  FROM (SELECT doc_id, unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS bg
+       |        FROM qm_st WHERE len(t) >= 2)
+       |),
+       |qm_j AS (SELECT doc_id, coalesce(qv, ${QmQuantum / 2}) AS qv
+       |         FROM qm_sfeat LEFT JOIN qm_q USING (b)),
+       |qm_scores AS (
+       |  SELECT doc_id, count(*) AS n_feats, CAST(sum(qv) AS BIGINT) AS sum_q
+       |  FROM qm_j GROUP BY doc_id
+       |)""".stripMargin
+
   /** The BPE merges fixture as a SQL VALUES body, spliced into the
     * `text_tokencount_bpe` and `cur_pack_bins_bpe` oracles from the
     * same source (BpeImpl.Vocab) so they cannot drift. Every piece is
@@ -830,40 +874,12 @@ object TextAnalysis {
     // class probability ((c+1)·Q // (n+2)), mean over the fresh doc's
     // features with the Q/2 unseen prior
     "text_quality_model" ->
-      s"""WITH lab AS (
-        |  SELECT doc_id, text, ($qualitySqlExpr) >= ${QmLabelThreshold}::DOUBLE AS pos
-        |  FROM documents WHERE doc_id % ${Dedup.SnapshotMod} < ${Dedup.SnapshotNewMin}
-        |),
-        |labt AS (SELECT pos, string_split(text, ' ') AS t FROM lab),
-        |ffeat AS (
-        |  SELECT pos, md5_number_lower(w) & ${QmBuckets - 1} AS b
-        |  FROM (SELECT pos, unnest(t) AS w FROM labt)
-        |  UNION ALL
-        |  SELECT pos, md5_number_lower(bg) & ${QmBuckets - 1} AS b
-        |  FROM (SELECT pos, unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS bg
-        |        FROM labt WHERE len(t) >= 2)
-        |),
-        |model AS (
-        |  SELECT b, count(*) FILTER (WHERE pos) AS cpos,
-        |    count(*) FILTER (WHERE NOT pos) AS cneg
-        |  FROM ffeat GROUP BY b
-        |),
-        |q AS (SELECT b, (cpos + 1) * $QmQuantum // (cpos + cneg + 2) AS qv FROM model),
-        |st AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
-        |       WHERE doc_id % ${Dedup.SnapshotMod} >= ${Dedup.SnapshotNewMin}),
-        |sfeat AS (
-        |  SELECT doc_id, md5_number_lower(w) & ${QmBuckets - 1} AS b
-        |  FROM (SELECT doc_id, unnest(t) AS w FROM st)
-        |  UNION ALL
-        |  SELECT doc_id, md5_number_lower(bg) & ${QmBuckets - 1} AS b
-        |  FROM (SELECT doc_id, unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS bg
-        |        FROM st WHERE len(t) >= 2)
-        |),
-        |j AS (SELECT doc_id, coalesce(qv, ${QmQuantum / 2}) AS qv
-        |      FROM sfeat LEFT JOIN q USING (b))
-        |SELECT doc_id, count(*) AS n_feats, CAST(sum(qv) AS BIGINT) AS sum_q,
-        |  CAST(sum(qv) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS score
-        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      s"""WITH ${qmScoreCtes(
+            s"(SELECT text FROM documents WHERE doc_id % ${Dedup.SnapshotMod} < ${Dedup.SnapshotNewMin})",
+            s"(SELECT doc_id, text FROM documents WHERE doc_id % ${Dedup.SnapshotMod} >= ${Dedup.SnapshotNewMin})")}
+        |SELECT doc_id, n_feats, sum_q,
+        |  CAST(sum_q AS DOUBLE) / CAST(n_feats AS DOUBLE) AS score
+        |FROM qm_scores ORDER BY doc_id""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id,
         |  list_min([md5(text[i:i+7]) for i in range(1, greatest(length(text) - 7, 1) + 1)]) AS fingerprint

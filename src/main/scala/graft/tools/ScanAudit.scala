@@ -82,7 +82,14 @@ object ScanAudit {
         // sketch pass + exact-truth pass: the truth side exists only as
         // the verification harness (production consults the 4 KB sketch
         // alone — that single pass IS the operator)
-        "wc_heavy_hitters_cms" -> Map("documents" -> 2))
+        "wc_heavy_hitters_cms" -> Map("documents" -> 2),
+        // the learned gate's per-doc SCORING expansion is a second
+        // consumer of the post-dedup kept corpus next to the chunk
+        // expansion (structurally different fan-outs, no shareable
+        // exchange); in production `kept` is the stored post-dedup
+        // artifact both passes read — the fit-slice pass sits behind
+        // the model checkpoint and is not in the final plan
+        "cur_pipeline_samples_qm" -> Map("documents" -> 2))
       val mark =
         if (flagged.isEmpty) "ok"
         else if (byDesign.get(name).contains(flagged)) "ok/2x"
