@@ -96,6 +96,8 @@ object Bench {
     // benchmark decontamination: fused 13-gram expansion on both slices,
     // eval gram set broadcast
     "cur_decontam",
+    // flag → surgery: eval-shared spans excised, the doc survives
+    "cur_decontam_strip",
     // temperature-smoothed language mixture sampling: one corpus
     // exchange replayed by stats and gate, L-row probability broadcast
     "cur_mix_sample",

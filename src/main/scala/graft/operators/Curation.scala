@@ -753,6 +753,46 @@ object Curation {
       .orderBy($"doc_id")
   }
 
+  /** Decontamination STRIP — [[decontaminate]] upgraded from flagging
+    * to SURGERY: instead of dropping a training document that shares a
+    * [[DecontamGram]]-token window with the eval set, remove exactly
+    * the overlapping SPANS (the run-merged maximal eval-shared windows,
+    * interval-union semantics) and keep the rest of the document — how
+    * production pipelines actually decontaminate (dropping whole docs
+    * over one leaked question costs real data). Output one row per
+    * training doc: (doc_id, kept_text, n_kept, n_dropped).
+    *
+    * Scale shape: eval gram set broadcast (benchmark-sized) probed by
+    * the training side's POSITIONAL gram expansion (map work over one
+    * doc_id spread), run merge + strip both doc-bounded — the
+    * decontaminate plan plus the exact-substring strip tail, no new
+    * exchange class. */
+  def decontamStrip(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    decontamStripOn(
+      docs.filter(pmod($"doc_id", lit(EvalSliceMod)) =!= EvalSliceRem),
+      docs.filter(pmod($"doc_id", lit(EvalSliceMod)) === EvalSliceRem))
+  }
+
+  /** The transform over any (train, eval) pair of (doc_id, text)
+    * frames (spec entry point: plantable overlap surgery). */
+  private[graft] def decontamStripOn(train: DataFrame, eval: DataFrame): DataFrame = {
+    val spark = train.sparkSession
+    import spark.implicits._
+    val W = DecontamGram
+    def posG(df: DataFrame) = df
+      .filter($"doc_id".isNotNull && $"text".isNotNull)
+      .repartition(spark.sparkContext.defaultParallelism, $"doc_id")
+      .select($"doc_id", posexplode(
+        graft.functions.NGramXxh64Pos($"text", W)).as(Seq("pos", "h")))
+    val evalGrams = posG(eval).select($"h").distinct()
+    val shared = posG(train)
+      .join(broadcast(evalGrams), Seq("h"), "left_semi")
+      .select($"doc_id", $"pos")
+    Dedup.stripSpans(train, Dedup.mergeSpanRuns(shared, W))
+  }
+
   /** Probability quantum for cross-engine-visible probabilities
     * (floor-quantized to 2⁻²⁰ grid — the IVF parity trick). */
   final val MixQuantum = 1L << 20
@@ -865,6 +905,7 @@ object Curation {
     "cur_pack_chunks" -> packChunks,
     "cur_pack_chunks_bpe" -> packChunksBpe,
     "cur_decontam" -> decontaminate,
+    "cur_decontam_strip" -> decontamStrip,
     "cur_mix_sample" -> mixSample,
   )
 
@@ -940,6 +981,68 @@ object Curation {
     // string-gram mirror of the fused 13-gram hash expansion: gram
     // COUNTS are hash-family-independent (distinct grams ↦ distinct
     // xxh64 up to ~n²/2⁶⁴ — the Jaccard families' argument)
+    // flag → surgery: the eval-shared maximal spans (positional gram
+    // text vs the engine's positional gram hashes — the decontam
+    // argument) interval-union-stripped from each training doc
+    "cur_decontam_strip" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+         |),
+         |eg AS (
+         |  SELECT DISTINCT array_to_string(t[i : i + ${DecontamGram - 1}], ' ') AS g
+         |  FROM (SELECT unnest(range(1, len(t) - ${DecontamGram - 2})) AS i, t
+         |        FROM toks
+         |        WHERE doc_id % $EvalSliceMod = $EvalSliceRem
+         |          AND len(t) >= $DecontamGram)
+         |),
+         |tg AS (
+         |  SELECT doc_id, i - 1 AS pos,
+         |    array_to_string(t[i : i + ${DecontamGram - 1}], ' ') AS g
+         |  FROM (SELECT doc_id, unnest(range(1, len(t) - ${DecontamGram - 2})) AS i, t
+         |        FROM toks
+         |        WHERE doc_id % $EvalSliceMod <> $EvalSliceRem
+         |          AND len(t) >= $DecontamGram)
+         |),
+         |shared AS (SELECT doc_id, pos FROM tg JOIN eg USING (g)),
+         |runs AS (
+         |  SELECT doc_id, pos,
+         |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rid
+         |  FROM shared
+         |),
+         |spans AS (
+         |  SELECT doc_id, min(pos) AS start_token,
+         |    count(*) + ${DecontamGram - 1} AS len_tokens
+         |  FROM runs GROUP BY doc_id, rid
+         |),
+         |drop_idx AS (
+         |  SELECT DISTINCT doc_id, idx FROM (
+         |    SELECT doc_id,
+         |      unnest(range(start_token, start_token + len_tokens)) AS idx
+         |    FROM spans)
+         |),
+         |tk AS (
+         |  SELECT doc_id,
+         |    generate_subscripts(string_split(text, ' '), 1) - 1 AS idx,
+         |    unnest(string_split(text, ' ')) AS w
+         |  FROM documents WHERE doc_id % $EvalSliceMod <> $EvalSliceRem
+         |),
+         |keptt AS (
+         |  SELECT tk.doc_id, tk.idx, tk.w FROM tk
+         |  WHERE NOT EXISTS (SELECT 1 FROM drop_idx d
+         |                    WHERE d.doc_id = tk.doc_id AND d.idx = tk.idx)
+         |),
+         |kept AS (
+         |  SELECT doc_id, count(*) AS n_kept,
+         |    string_agg(w, ' ' ORDER BY idx) AS kept_text
+         |  FROM keptt GROUP BY doc_id
+         |),
+         |alln AS (SELECT doc_id, len(string_split(text, ' ')) AS n_total
+         |         FROM documents WHERE doc_id % $EvalSliceMod <> $EvalSliceRem)
+         |SELECT a.doc_id, coalesce(k.kept_text, '') AS kept_text,
+         |  coalesce(k.n_kept, 0) AS n_kept,
+         |  a.n_total - coalesce(k.n_kept, 0) AS n_dropped
+         |FROM alln a LEFT JOIN kept k USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     "cur_decontam" ->
       s"""WITH toks AS (
          |  SELECT doc_id, string_split(text, ' ') AS t FROM documents

@@ -137,12 +137,22 @@ object Dedup {
       .withColumn("mx", max($"doc_id").over(byHash))
       .filter($"mn" =!= $"mx")
       .select($"doc_id", $"pos")
+    mergeSpanRuns(shared, W)
+  }
+
+  /** The shared run merge: consecutive shared gram offsets → maximal
+    * spans (doc_id, start_token, len_tokens). ONE definition for the
+    * full, incremental and decontamination span derivations. */
+  private[graft] def mergeSpanRuns(shared: DataFrame, w: Int): DataFrame = {
+    val spark = shared.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
     val byDocPos = Window.partitionBy($"doc_id").orderBy($"pos")
     shared
       .withColumn("rid", $"pos" - row_number().over(byDocPos))
       .groupBy($"doc_id", $"rid")
       .agg(min($"pos").cast("long").as("start_token"),
-        (count(lit(1)) + lit(W - 1)).as("len_tokens"))
+        (count(lit(1)) + lit(w - 1)).as("len_tokens"))
       .select($"doc_id", $"start_token", $"len_tokens")
       .orderBy($"doc_id", $"start_token")
   }
@@ -190,15 +200,7 @@ object Dedup {
       .select($"doc_id", $"pos")
     val inPrior = freshG.join(priorIdx, Seq("h"), "left_semi")
       .select($"doc_id", $"pos")
-    val shared = withinFresh.unionByName(inPrior).distinct()
-    val byDocPos = Window.partitionBy($"doc_id").orderBy($"pos")
-    shared
-      .withColumn("rid", $"pos" - row_number().over(byDocPos))
-      .groupBy($"doc_id", $"rid")
-      .agg(min($"pos").cast("long").as("start_token"),
-        (count(lit(1)) + lit(W - 1)).as("len_tokens"))
-      .select($"doc_id", $"start_token", $"len_tokens")
-      .orderBy($"doc_id", $"start_token")
+    mergeSpanRuns(withinFresh.unionByName(inPrior).distinct(), W)
   }
 
   /** The ExactSubstr DROP applied — the deduplicated corpus the span
@@ -214,10 +216,15 @@ object Dedup {
   def curStripSubstrings(spark: SparkSession, sfDir: String): DataFrame =
     curStripSubstringsOn(Tables.documents(spark, sfDir))
 
-  private[graft] def curStripSubstringsOn(docs: DataFrame): DataFrame = {
+  private[graft] def curStripSubstringsOn(docs: DataFrame): DataFrame =
+    stripSpans(docs, dedupExactSubstringOn(docs))
+
+  /** The interval-union strip over ANY (doc_id, start_token,
+    * len_tokens) span list — shared by the exact-substring strip and
+    * the decontamination strip. */
+  private[graft] def stripSpans(docs: DataFrame, spans: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val spans = dedupExactSubstringOn(docs)
     val dropIdx = spans
       .select($"doc_id",
         explode(sequence($"start_token", $"start_token" + $"len_tokens" - 1)).as("idx"))

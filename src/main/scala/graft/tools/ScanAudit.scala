@@ -89,7 +89,12 @@ object ScanAudit {
         // exchange); in production `kept` is the stored post-dedup
         // artifact both passes read — the fit-slice pass sits behind
         // the model checkpoint and is not in the final plan
-        "cur_pipeline_samples_qm" -> Map("documents" -> 2))
+        "cur_pipeline_samples_qm" -> Map("documents" -> 2),
+        // train + eval are two logical tables (the decontaminate split);
+        // the train side's gram and strip expansions share ONE
+        // scan+exchange (the curStripSubstrings canonicalization), the
+        // second scan is the broadcast eval gram-set build
+        "cur_decontam_strip" -> Map("documents" -> 2))
       val mark =
         if (flagged.isEmpty) "ok"
         else if (byDesign.get(name).contains(flagged)) "ok/2x"

@@ -411,4 +411,29 @@ class CurationSpec extends AnyFunSuite {
     assert(out.toSeq === Seq((3L, 6L, 3L)),
       s"expected only doc 3 flagged with (n_grams 6, n_hit 3), got ${out.toSeq}")
   }
+
+  test("decontamination STRIP removes exactly the eval-shared span, keeps the rest") {
+    import spark.implicits._
+    // same planted geometry as the flagging test: doc 3's shared gram
+    // offsets are 2,3,4 (the three 13-windows fully inside the
+    // embedded eval run e5..e19), merging to ONE maximal span
+    // (start 2, len 3+12 = 15) = exactly the embedded eval tokens —
+    // surgery must remove those 15 and keep the x-padding; the
+    // disjoint doc and the sub-window doc pass through whole
+    val evalToks = (0 until 30).map(i => s"e$i")
+    val d4text = (0 until 40).map(i => s"y$i").mkString(" ")
+    val d8text = evalToks.take(12).mkString(" ")
+    val train = Seq(
+      (3L, "x1 x2 " + evalToks.slice(5, 20).mkString(" ") + " x3"),
+      (4L, d4text),
+      (8L, d8text))
+      .toDF("doc_id", "text")
+    val ev = Seq((7L, evalToks.mkString(" "))).toDF("doc_id", "text")
+    val got = Curation.decontamStripOn(train, ev).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === Set(
+      (3L, "x1 x2 x3", 3L, 15L),
+      (4L, d4text, 40L, 0L),
+      (8L, d8text, 12L, 0L)))
+  }
 }
