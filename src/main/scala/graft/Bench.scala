@@ -123,6 +123,9 @@ object Bench {
     // LM scoring: two model-count aggs on the fit slice + the fresh
     // bigram fan-out hash-joined against them
     "text_lm_score",
+    // CCNet tertile assignment: materialized score artifact + range
+    // sort + per-partition offsets (no global window)
+    "text_lm_buckets",
     // learned quality classifier: ≤4096-key fit agg, broadcast model
     // probe into the fresh feature expansion (no scoring-side shuffle)
     "text_quality_model",

@@ -424,6 +424,33 @@ object TextAnalysis {
     * pruning the tail only re-buckets scores the floor already
     * dominates) and broadcast; the fit is once-per-snapshot, exactly
     * like the quantizer fits. */
+  /** CCNet's actual USE of the LM score (Wenzek et al. 2020 §4.3):
+    * bucket the scored corpus into head/middle/tail TERTILES — head =
+    * best-scored third, the slice kept outright; tail = the discard
+    * candidate. Bucket = (rank−1)·3 div N over (score DESC, doc_id) —
+    * exact integer arithmetic with deterministic ties, matching the
+    * oracle's row_number formulation.
+    *
+    * Scale shape: ranking uses the range-partitioned sort +
+    * per-partition zipWithIndex offsets (the WordCount.ranked /
+    * packPrepared pattern) — every partition stays parallel, no global
+    * window funnel; the scored frame materializes once (it is the
+    * artifact CCNet stores) and N collects off it as one Long. */
+  def textLmBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val scored = graft.operators.Materialize.frame(textLmScore(spark, sfDir))
+    val n = scored.count()
+    val sorted = scored.orderBy($"score".desc, $"doc_id".asc)
+    val schema = StructType(sorted.schema.fields :+
+      StructField("bucket", LongType, nullable = false))
+    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ i * 3 / n)
+    }
+    spark.createDataFrame(rdd, schema).orderBy($"doc_id")
+  }
+
   def textLmScore(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir)
@@ -644,6 +671,7 @@ object TextAnalysis {
     "text_repetition" -> textRepetition,
     "text_tfidf_topk" -> textTfidfTopk,
     "text_lm_score" -> textLmScore,
+    "text_lm_buckets" -> textLmBuckets,
     "text_quality_model" -> textQualityModel,
   )
 
@@ -710,35 +738,10 @@ object TextAnalysis {
   private def langScoreSql(markers: Seq[String]): String =
     s"len(list_filter(toks, x -> list_contains(${markers.mkString("['", "', '", "']")}, x)))::DOUBLE / greatest(len(toks), 1)::DOUBLE"
 
-  val oracles: Map[String, String] = Map(
-    // raw-frequency idf: the score is ONE IEEE division of integer-
-    // valued doubles (correctly rounded by the standard on both
-    // engines), so rank order cannot diverge; output score on the
-    // 2^-20 grid
-    "text_tfidf_topk" ->
-      s"""WITH tf AS (
-        |  SELECT doc_id, t AS term, count(*) AS tf
-        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
-        |  WHERE t <> '' GROUP BY doc_id, t
-        |),
-        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-        |s AS (
-        |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
-        |    CAST(tf.tf AS DOUBLE) / CAST(dfreq.df AS DOUBLE) AS score,
-        |    row_number() OVER (PARTITION BY tf.doc_id
-        |      ORDER BY CAST(tf.tf AS DOUBLE) / CAST(dfreq.df AS DOUBLE) DESC,
-        |        tf.term ASC) AS rk
-        |  FROM tf JOIN dfreq USING (term)
-        |)
-        |SELECT doc_id, rk, term, tf, df,
-        |  CAST(floor(score * ${1L << 20}) AS BIGINT) AS score_q
-        |FROM s WHERE rk <= $TfidfTopK ORDER BY doc_id, rk""".stripMargin,
-    // the LM fit + scoring mirrored op-for-op: integer counts, ONE
-    // correctly-rounded division per bigram, exact 2^20 scale, floor,
-    // integer sum, one exact final mean division (see textLmScore's
-    // determinism note)
-    "text_lm_score" ->
-      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
+  /** The text_lm_score derivation WITHOUT the final ORDER BY — the
+    * reusable body the bucket oracle wraps. */
+  private val lmScoreSqlBody: String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
          |fitb AS (
          |  SELECT unnest([{'w1': t[i], 'w2': t[i+1]} for i in range(1, len(t))]) AS bg
          |  FROM toks
@@ -771,7 +774,46 @@ object TextAnalysis {
          |)
          |SELECT doc_id, count(*) AS n_bigrams, CAST(sum(qf) AS BIGINT) AS sum_q,
          |  CAST(sum(qf) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS score
-         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+         |FROM scored GROUP BY doc_id""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    // raw-frequency idf: the score is ONE IEEE division of integer-
+    // valued doubles (correctly rounded by the standard on both
+    // engines), so rank order cannot diverge; output score on the
+    // 2^-20 grid
+    "text_tfidf_topk" ->
+      s"""WITH tf AS (
+        |  SELECT doc_id, t AS term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+        |  WHERE t <> '' GROUP BY doc_id, t
+        |),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |s AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+        |    CAST(tf.tf AS DOUBLE) / CAST(dfreq.df AS DOUBLE) AS score,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY CAST(tf.tf AS DOUBLE) / CAST(dfreq.df AS DOUBLE) DESC,
+        |        tf.term ASC) AS rk
+        |  FROM tf JOIN dfreq USING (term)
+        |)
+        |SELECT doc_id, rk, term, tf, df,
+        |  CAST(floor(score * ${1L << 20}) AS BIGINT) AS score_q
+        |FROM s WHERE rk <= $TfidfTopK ORDER BY doc_id, rk""".stripMargin,
+    // the LM fit + scoring mirrored op-for-op: integer counts, ONE
+    // correctly-rounded division per bigram, exact 2^20 scale, floor,
+    // integer sum, one exact final mean division (see textLmScore's
+    // determinism note)
+    "text_lm_score" -> s"$lmScoreSqlBody\nORDER BY doc_id",
+    // CCNet's actual use of the LM: head/middle/tail tertiles by score,
+    // rank-assigned — (rn−1)·3 // N over (score DESC, doc_id), exact
+    // integer arithmetic, deterministic ties
+    "text_lm_buckets" ->
+      s"""WITH base AS ($lmScoreSqlBody)
+        |SELECT doc_id, n_bigrams, sum_q, score,
+        |  ((row_number() OVER (ORDER BY score DESC, doc_id) - 1) * 3)
+        |    // (count(*) OVER ()) AS bucket
+        |FROM base ORDER BY doc_id""".stripMargin,
+
     // same patterns (spliced from the engine constants), RE2 semantics;
     // 'g' flag makes DuckDB's replace global like Spark's
     "text_redact_pii" ->

@@ -201,6 +201,24 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(fps(0) !== fps(2))
   }
 
+  test("LM buckets: balanced tertiles ordered by score") {
+    import graft.operators.TextAnalysis
+    val rows = TextAnalysis.textLmBuckets(spark, SparkTestSession.sf0001).collect()
+      .map(r => (r.getDouble(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    // bucket sizes differ by at most one (the rank formula's guarantee)
+    val sizes = rows.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(sizes.keySet.subsetOf(Set(0L, 1L, 2L)))
+    assert(sizes.values.max - sizes.values.min <= 1, s"sizes $sizes")
+    // head (0) outranks middle outranks tail: min score of bucket k ≥
+    // max score of bucket k+1
+    for (k <- 0L to 1L if sizes.contains(k) && sizes.contains(k + 1)) {
+      val lo = rows.filter(_._2 == k).map(_._1).min
+      val hi = rows.filter(_._2 == k + 1).map(_._1).max
+      assert(lo >= hi, s"bucket $k min $lo < bucket ${k + 1} max $hi")
+    }
+  }
+
   test("BPE greedy longest-match: hand-tokenized sentence set") {
     import graft.functions.BpeImpl
     import org.apache.spark.unsafe.types.UTF8String
