@@ -133,6 +133,9 @@ object Bench {
     // different scan shape from the IVF queries (table-lookup distance
     // over compressed codes, not float dot products over raw vectors)
     "sim_ann_pq",
+    // SQ8: min/max fit + asymmetric dequantized scan — the 4x-memory
+    // exactness tier next to PQ's 32x
+    "sim_ann_sq8",
     // IVF-PQ composed index: coarse probe routing + residual ADC scan
     // inside the probed cells — the FAISS IndexIVFPQ shape
     "sim_ann_ivfpq",

@@ -397,6 +397,54 @@ object Similarity {
     cents
   }
 
+  /** Per-term quantum for the SQ8 asymmetric score: each dimension's
+    * q·x̂ product floors onto this grid BEFORE the sum, making the
+    * 64-term score an ORDER-FREE integer sum (the lmQf discipline) —
+    * float addition reassociation between Spark's partial aggregation
+    * and DuckDB's sequential fold can never bite. */
+  final val Sq8TermScale = 1e12
+
+  /** SCALAR QUANTIZATION (SQ8, the FAISS ScalarQuantizer): per-DIM
+    * linear 8-bit codes — c_d = floor((x_d − min_d)·255/(max_d − min_d)
+    * + 0.5) — giving a 64 B/vector artifact (4× under float32, next to
+    * PQ's 32×) with far better reconstruction than PQ on uniform data.
+    * The model is the 64 (min, max) pairs: ONE exploded min/max agg
+    * over the corpus (min/max are order-free, so the fit itself is
+    * oracle-exact with no quantization tricks), collected bounded and
+    * baked as literals. Search is ASYMMETRIC: raw query against
+    * dequantized candidates, score = Σ_d ⌊q_d·x̂_d·[[Sq8TermScale]]⌋ —
+    * integer terms, integer sum. Pure map + the per-query top-k
+    * window; at scale SQ8 composes with IVF routing (this query is the
+    * whole-corpus scan form, the exactness baseline of that
+    * composition). */
+  def simAnnSq8(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = embeddings(spark, sfDir)
+    // the model: per-dim (min, max) — 64 rows at any corpus size
+    val dims = e
+      .select(posexplode($"v").as(Seq("d", "x")))
+      .groupBy($"d").agg(min($"x").as("mn"), max($"x").as("mx"))
+      .orderBy($"d")
+      .collect().map(r => (r.getDouble(1), r.getDouble(2)))
+    val terms = dims.zipWithIndex.map { case ((mn, mx), d) =>
+      val x = element_at($"v", d + 1)
+      val xhat =
+        if (mx == mn) lit(mn) // constant dim: code 0, exact reconstruction
+        else lit(mn) + floor((x - lit(mn)) * lit(255.0) / lit(mx - mn) + lit(0.5)) *
+          lit((mx - mn) / 255.0)
+      floor(element_at($"qv", d + 1) * xhat * lit(Sq8TermScale)).cast("long")
+    }
+    val q = e.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"v".as("qv"))
+    val w = Window.partitionBy($"query_id").orderBy($"score_q".desc, $"vec_id".asc)
+    e.join(broadcast(q), $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id", terms.reduce(_ + _).as("score_q"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= TopK)
+      .select($"query_id", $"rk", $"vec_id", $"score_q")
+      .orderBy($"query_id", $"rk")
+  }
+
   /** Product-quantization geometry: [[PqSubspaces]] disjoint
     * [[PqSubDim]]-dim subspaces (8×8 over 64 dims), [[NumCentroids]]
     * codewords per subspace ⇒ a 4-bit code per subspace, 8 codes ≈ 8
@@ -863,6 +911,7 @@ object Similarity {
     "sim_ann_ivf_incremental" -> simAnnIvfIncremental,
     "sim_ann_ivf_kmeans" -> simAnnIvfKmeans,
     "sim_ann_pq" -> simAnnPq,
+    "sim_ann_sq8" -> simAnnSq8,
     "sim_ann_ivfpq" -> simAnnIvfPq,
     "sim_ann_ivfpq_incremental" -> simAnnIvfPqIncremental,
     "dedup_semantic" -> dedupSemantic,
@@ -1230,6 +1279,35 @@ object Similarity {
     // Codeword norms via list_dot_product(cv,cv) ≡ the engine's
     // left-to-right normSq fold; every assignment/table/score
     // comparison an integer
+    // SQ8: per-dim min/max fit (order-free aggs — oracle-exact with no
+    // quantization tricks), encode/dequant arithmetic op-for-op, and
+    // the per-term-quantized integer score sum (order-free on both
+    // engines)
+    "sim_ann_sq8" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |ex AS (SELECT vec_id, generate_subscripts(v, 1) AS d, unnest(v) AS x FROM e),
+         |dims AS (SELECT d, min(x) AS mn, max(x) AS mx FROM ex GROUP BY d),
+         |xh AS (
+         |  SELECT ex.vec_id, ex.d,
+         |    CASE WHEN mx = mn THEN mn
+         |         ELSE mn + floor((x - mn) * 255.0 / (mx - mn) + 0.5) * ((mx - mn) / 255.0)
+         |    END AS xhat
+         |  FROM ex JOIN dims USING (d)
+         |),
+         |q AS (SELECT vec_id AS query_id, d, x AS qd FROM ex WHERE vec_id < $NumQueries),
+         |terms AS (
+         |  SELECT q.query_id, xh.vec_id,
+         |    CAST(floor(q.qd * xh.xhat * ${Sq8TermScale.toLong}.0) AS BIGINT) AS term
+         |  FROM q JOIN xh ON q.d = xh.d AND xh.vec_id <> q.query_id
+         |),
+         |sc AS (SELECT query_id, vec_id, CAST(sum(term) AS BIGINT) AS score_q
+         |       FROM terms GROUP BY query_id, vec_id),
+         |rk AS (SELECT query_id, vec_id, score_q,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY score_q DESC, vec_id ASC) AS rk
+         |       FROM sc)
+         |SELECT query_id, rk, vec_id, score_q FROM rk
+         |WHERE rk <= $TopK ORDER BY query_id, rk""".stripMargin,
     "sim_ann_pq" ->
       s"""WITH ${pqFitPrefixSql(KMeansIters)},
          |cb AS (SELECT m, c, cv, cc FROM cb$KMeansIters),

@@ -368,6 +368,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got(3L).isEmpty)
   }
 
+  test("SQ8 recall@5 vs exact-dot truth: 8-bit reconstruction barely loses") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorOps
+    val e = Similarity.embeddings(spark, sf)
+    val q = e.filter($"vec_id" < Similarity.NumQueries)
+      .select($"vec_id".as("query_id"), $"v".as("qv"))
+    val w = Window.partitionBy($"query_id").orderBy($"d".desc, $"vec_id".asc)
+    val truth = topkMap(
+      e.join(broadcast(q), $"vec_id" =!= $"query_id")
+        .select($"query_id", $"vec_id", VectorOps.dot($"qv", $"v").as("d"))
+        .withColumn("rk", row_number().over(w)).filter($"rk" <= Similarity.TopK)
+        .select($"query_id", $"rk", $"vec_id"))
+    val sq8 = topkMap(Similarity.simAnnSq8(spark, sf))
+    val rs = truth.map { case (qid, top) =>
+      top.count(sq8.getOrElse(qid, Nil).toSet).toDouble / top.size
+    }
+    val recall = rs.sum / rs.size
+    info(s"SQ8 recall@5 vs exact dot = $recall")
+    // 8-bit per-dim quantization keeps ~99% of the signal on this data;
+    // the floor is far above PQ's (~0.14) because SQ8 stores 64 codes
+    // per vector where PQ stores 8 — the memory/recall trade both
+    // artifacts exist to span
+    assert(recall >= 0.7, s"SQ8 recall@5 = $recall below floor")
+  }
+
   test("native dot product ≡ the HOF fold, bit-for-bit, on every corpus pair") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
