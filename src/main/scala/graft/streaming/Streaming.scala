@@ -1060,6 +1060,79 @@ object Streaming {
   /** The transform of [[streamDecontam]] on any streaming train frame
     * + static eval frame of (doc_id, text) (spec entry point:
     * plantable multi-batch overlap). */
+  /** STREAMING decontamination STRIP — the span-surgery twin of
+    * `cur_decontam_strip` at ingest, and the streaming family's one
+    * fully STATELESS member: a document's stripped form is a pure
+    * function of (its own text, the frozen eval gram set), so the
+    * stream needs no state store at all — the eval set collects ONCE
+    * into a broadcast (benchmark-sized, exactly the artifact a
+    * production ingest job ships to executors) and every micro-batch
+    * maps rows through the positional-gram → membership → run-merge →
+    * interval-union strip walk per document. Per-doc outputs are final
+    * on arrival; the post-run fold is a plain dedup by doc_id. Batch
+    * oracle verbatim. */
+  def streamDecontamStrip(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Curation
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val train = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+      .filter(pmod($"doc_id", lit(Curation.EvalSliceMod)) =!= Curation.EvalSliceRem)
+    val eval = graft.sources.Tables.documents(spark, sfDir)
+      .filter(pmod($"doc_id", lit(Curation.EvalSliceMod)) === Curation.EvalSliceRem)
+    runDecontamStripStream(train, eval)
+  }
+
+  /** The transform of [[streamDecontamStrip]] on any streaming train
+    * frame + static eval frame (spec entry point). */
+  private[graft] def runDecontamStripStream(train: DataFrame, eval: DataFrame): DataFrame = {
+    val spark = train.sparkSession
+    import spark.implicits._
+    import graft.operators.Curation
+    import org.apache.spark.unsafe.types.UTF8String
+    val W = Curation.DecontamGram
+    // the frozen artifact: distinct eval gram hashes, driver-collected
+    // (benchmark-sized by contract) and broadcast
+    val evalSet = eval
+      .repartition(spark.sparkContext.defaultParallelism, $"doc_id")
+      .select(explode(graft.functions.NGramXxh64($"text", W)).as("h"))
+      .distinct().as[Long].collect().toSet
+    val bset = spark.sparkContext.broadcast(evalSet)
+    val stripped = train
+      .select($"doc_id", $"text")
+      .filter($"doc_id".isNotNull && $"text".isNotNull)
+      .as[(Long, String)]
+      .map { case (docId, text) =>
+        val set = bset.value
+        // positional gram hashes via the SAME fused impl the batch
+        // expression compiles to
+        val hs = graft.functions.ShingleHashImpl
+          .xxh64NPos(UTF8String.fromString(text), W)
+        val toks = text.split(" ", -1)
+        val drop = new Array[Boolean](toks.length)
+        var i = 0
+        var n = hs.numElements()
+        while (i < n) {
+          if (set.contains(hs.getLong(i))) {
+            var k = i
+            while (k < i + W) { drop(k) = true; k += 1 }
+          }
+          i += 1
+        }
+        val kept = toks.indices.filterNot(drop).map(toks)
+        (docId, kept.mkString(" "), kept.size.toLong,
+          (toks.length - kept.size).toLong)
+      }
+      .toDF("doc_id", "kept_text", "n_kept", "n_dropped")
+    // per-doc rows are final on arrival: fold = dedup by doc_id
+    runToMemory(stripped, "append")
+      .groupBy($"doc_id")
+      .agg(max(struct($"n_kept", $"n_dropped", $"kept_text")).as("s"))
+      .select($"doc_id", $"s.kept_text".as("kept_text"),
+        $"s.n_kept".as("n_kept"), $"s.n_dropped".as("n_dropped"))
+      .orderBy($"doc_id")
+  }
+
   private[graft] def runDecontamStream(train: DataFrame, eval: DataFrame): DataFrame = {
     val spark = train.sparkSession
     import spark.implicits._
@@ -1409,6 +1482,7 @@ object Streaming {
     "stream_pipeline_samples_ttl" -> streamPipelineSamplesTTL,
     "stream_pipeline_samples_warmstart" -> streamPipelineSamplesWarmstart,
     "stream_decontam" -> streamDecontam,
+    "stream_decontam_strip" -> streamDecontamStrip,
     "stream_mix_sample" -> streamMixSample,
     "stream_lm_score" -> streamLmScore,
     "stream_quality_model" -> streamQualityModel,
@@ -1544,6 +1618,9 @@ object Streaming {
     // the batch LM oracle verbatim: same model fitted on the same prior
     // slice, per-doc scores complete on the document's own batch
     "stream_lm_score" -> graft.operators.TextAnalysis.oracles("text_lm_score"),
+    // stateless per-doc surgery against the frozen eval artifact — the
+    // batch strip oracle verbatim
+    "stream_decontam_strip" -> graft.operators.Curation.oracles("cur_decontam_strip"),
     // fitted-model-at-ingest: the frozen prior-slice fit scores the
     // stream, so the batch mirror applies verbatim
     "stream_quality_model" -> graft.operators.TextAnalysis.oracles("text_quality_model"),

@@ -573,6 +573,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(buffered === batch)
   }
 
+  test("streaming decontam strip equals the batch surgery across batches") {
+    import spark.implicits._
+    // eval tokens e0..e29; train doc 20 embeds e5..e17 (one full
+    // 13-window) mid-doc, doc 21 is clean, doc 22 arrives in a LATER
+    // batch with a different embedded window — stateless per-doc
+    // surgery must match the batch transform on the union
+    val evalToks = (0 until 30).map(i => s"e$i")
+    val ev = Seq((7L, evalToks.mkString(" "))).toDF("doc_id", "text")
+    val in = Files.createTempDirectory("graft_sds_in_").toString
+    val base = System.currentTimeMillis()
+    writeOneFile(Seq(
+      (20L, "x1 x2 " + evalToks.slice(5, 18).mkString(" ") + " x3"),
+      (21L, (0 until 20).map(i => s"y$i").mkString(" "))).toDF("doc_id", "text"),
+      s"$in/b1.parquet", base)
+    writeOneFile(Seq(
+      (22L, evalToks.slice(10, 23).mkString(" ") + " z1 z2")).toDF("doc_id", "text"),
+      s"$in/b2.parquet", base + 60000)
+    val schema = spark.read.parquet(in).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val got = Streaming.runDecontamStripStream(stream, ev).collect().map(_.toSeq).toSet
+    val batch = graft.operators.Curation.decontamStripOn(
+      spark.read.parquet(in), ev).collect().map(_.toSeq).toSet
+    assert(got === batch, s"stream $got != batch $batch")
+    assert(got.exists(r => r.head == 20L && r(1) == "x1 x2 x3"))
+  }
+
   test("streaming quality-model scoring equals the batch scorer across batches") {
     import spark.implicits._
     // fit = one positive (10 stopwords, quality 1.5) + one negative
