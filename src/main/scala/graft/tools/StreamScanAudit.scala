@@ -122,6 +122,12 @@ object StreamScanAudit {
       "stream_mix_sample" -> (b => Streaming.runMixSampleStream(stream(b), snapshot)),
       "stream_lm_score" ->
         (b => Streaming.runLmScoreStream(stream(b).filter(freshPred), prior)),
+      "stream_quality_model" ->
+        (b => Streaming.runQualityModelStream(stream(b).filter(freshPred), prior)),
+      // stateless: the eval set collects before the stream starts, so
+      // per-batch bytes must be DELTA-ONLY with no static re-read at all
+      "stream_decontam_strip" ->
+        (b => Streaming.runDecontamStripStream(stream(b), evalSlice)),
     )
 
     def measure(f: => DataFrame): (Long, Long) = {
