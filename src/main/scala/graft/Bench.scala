@@ -74,6 +74,8 @@ object Bench {
     "sim_ann_ivf_incremental",
     "sim_label_stats_sampled",
     "text_quality", "text_fingerprint_winnow", "mm_features",
+    // real video: GIF encode + codec parse + frame-sampled histograms
+    "mm_frames_real",
     // chunk-granularity near-dup: the pair search over ~10× the row count
     "dedup_chunks_ngram",
     // Lloyd-fitted IVF: the seeded search + 2 fit iterations (each one

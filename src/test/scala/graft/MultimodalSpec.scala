@@ -132,6 +132,33 @@ class MultimodalSpec extends AnyFunSuite {
     assert(h(0) === 128f / 256 && h(1) === 64f / 256 && h(15) === 64f / 256)
   }
 
+  test("GIF multi-frame round-trip ≡ the frame tiling, all channels agree") {
+    // the palette claim the video decoder rests on: ImageIO's GIF
+    // writer maps 8-bit gray to a palette whose index decodes to
+    // (v,v,v) exactly — verified per pixel per frame against the
+    // source tiling, incl. the >127 signed-byte edge
+    for (bytes <- Seq("the quick brown fox".getBytes("UTF-8"),
+      Array[Byte](0, 127, -128.toByte, -1), Array.emptyByteArray)) {
+      val gif = Multimodal.encodeGif(bytes)
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(gif)))
+      assert(reader.getNumImages(true) === Multimodal.GifFrames)
+      for (f <- 0 until Multimodal.GifFrames) {
+        val img = reader.read(f)
+        for (y <- 0 until Multimodal.PngH; x <- 0 until Multimodal.PngW) {
+          val rgb = img.getRGB(x, y)
+          val (r, g, b) = ((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
+          val k = f * Multimodal.PngW * Multimodal.PngH + y * Multimodal.PngW + x
+          val want = if (bytes.isEmpty) 0 else bytes(k % bytes.length) & 0xff
+          assert(r === g && g === b, s"palette not gray at f=$f ($x,$y)")
+          assert(r === want, s"pixel f=$f ($x,$y)")
+        }
+      }
+      reader.dispose()
+    }
+  }
+
   test("WAV decode rejects non-audio payloads loudly") {
     intercept[Exception] {
       Multimodal.decodeWavHistogram("not a wav".getBytes("UTF-8"))
