@@ -8,13 +8,21 @@ import graft.sources.Tables
 /** Multimodal-column plumbing: images/audio/video as opaque `binary`
   * payloads with typed metadata, processed in partition-batched form.
   *
-  * The decode step is a STUB — image/audio codecs are not available in
-  * this environment — implemented as a deterministic fake (a byte
-  * histogram "feature vector") so the Spark-side contract is real and
-  * testable end-to-end: schema (binary + metadata struct), partitioning
-  * (pure map, no shuffle), batch shape (mapPartitions processes an
-  * iterator per partition — the Scala analogue of mapInPandas batches),
-  * and the feature-vector output type `array<float>`.
+  * Two tiers per modality:
+  *  - the STUB tier (`mediaFeatures`/`mediaFrameSample`, round 5):
+  *    a deterministic fake decode (byte histogram) proving the
+  *    Spark-side contract end-to-end — schema (binary + metadata
+  *    struct), partitioning (pure map, no shuffle), batch shape
+  *    (mapPartitions streams an iterator per partition, the Scala
+  *    analogue of mapInPandas batches), output type `array<float>`;
+  *  - the REAL tier, one actual JVM codec per media_type: image = PNG
+  *    via ImageIO (round 10: container parse + inflate + defilter;
+  *    round 11 adds nearest-neighbor resize), audio = WAV via
+  *    javax.sound (round 12: RIFF header parse, fmt validation, PCM
+  *    read), video = animated GIF via ImageIO's sequence reader
+  *    (round 12: palette + LZW, frame sampling). Every real path is
+  *    cross-checked by a DuckDB oracle that recomputes the features
+  *    from the source bytes WITHOUT touching a container.
   *
   * Payloads are derived deterministically from the `documents` table
   * (UTF-8 bytes of `text`) rather than synthesizing new inputs. */
