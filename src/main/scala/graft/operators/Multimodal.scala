@@ -71,6 +71,47 @@ object Multimodal {
   final val PngW = 16
   final val PngH = 12
 
+  /** Thread-confined codec instances. ImageIO's convenience entry
+    * points (`read`/`write`/`createImage*Stream`) wrap EVERY call in a
+    * provider-registry scan plus — with the default `useCache=true` —
+    * a FILE-backed cache stream, i.e. a temp file per payload. Per-row
+    * under 32 decode threads the temp-file churn costs an order of
+    * magnitude more than the codecs themselves (measured: the GIF
+    * frame query's executor CPU went 7.8 s → 79 s the moment the stage
+    * actually parallelized). One reader/writer per (thread, format),
+    * re-targeted per payload via `setInput`/`setOutput` (the documented
+    * reuse protocol), over memory-cached streams — the hot path never
+    * touches the registry or the filesystem. */
+  private def readerTL(fmt: String): ThreadLocal[javax.imageio.ImageReader] =
+    ThreadLocal.withInitial(() =>
+      javax.imageio.ImageIO.getImageReadersByFormatName(fmt).next())
+  private def writerTL(fmt: String): ThreadLocal[javax.imageio.ImageWriter] =
+    ThreadLocal.withInitial(() =>
+      javax.imageio.ImageIO.getImageWritersByFormatName(fmt).next())
+  private val pngReaderTL = readerTL("png")
+  private val pngWriterTL = writerTL("png")
+  private val gifReaderTL = readerTL("gif")
+  private val gifWriterTL = writerTL("gif")
+
+  /** Decode one image payload through the reusable thread-local
+    * reader; a payload the codec rejects fails loudly as
+    * IllegalArgumentException (production would quarantine). */
+  private[graft] def readPng(png: Array[Byte]): java.awt.image.BufferedImage = {
+    val reader = pngReaderTL.get()
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(png))
+    reader.setInput(iis, true, true)
+    try reader.read(0)
+    catch {
+      case e: java.io.IOException =>
+        throw new IllegalArgumentException(
+          "payload is not a decodable image: " + e.getMessage, e)
+    } finally {
+      reader.setInput(null)
+      iis.close()
+    }
+  }
+
   /** Deterministic REAL image payload: a PngW×PngH 8-bit grayscale
     * image whose pixel (x, y) is byte (y·W + x) mod len of the UTF-8
     * text (0 for empty docs), encoded as an actual PNG container by
@@ -91,7 +132,12 @@ object Multimodal {
       y += 1
     }
     val out = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", out)
+    val writer = pngWriterTL.get()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+    writer.setOutput(ios)
+    writer.write(img)
+    ios.close() // flushes the memory cache into `out`
+    writer.setOutput(null)
     out.toByteArray
   }
 
@@ -105,8 +151,7 @@ object Multimodal {
     * luminance over getRGB. A payload the codec rejects fails loudly
     * (production would route it to a quarantine sink instead). */
   private[graft] def decodePngHistogram(png: Array[Byte]): (Int, Int, Array[Float]) = {
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
-    require(img != null, "payload is not a decodable image")
+    val img = readPng(png)
     val w = img.getWidth
     val h = img.getHeight
     val gray = img.getRaster.getNumBands == 1
@@ -206,6 +251,18 @@ object Multimodal {
   def mmFrames(spark: SparkSession, sfDir: String): DataFrame =
     mediaFrameSample(spark, sfDir)
 
+  /** Decode-stage parallelism decoupled from input-split count: a
+    * compute-bound codec stage must run on every core even when the
+    * scan produced fewer splits than cores (one small file, coalesced
+    * tiny files — exactly the local test layout, where a 600 KB
+    * single-file scan serialized all four real codecs onto one core).
+    * The exchanged bytes are the raw doc payloads — orders of magnitude
+    * cheaper than the decode they unlock; at production scale (splits ≥
+    * cores) the same round-robin exchange rebalances skewed splits so
+    * the slowest decode task, not the largest file, bounds the stage. */
+  private def decodeParallel(docs: DataFrame): DataFrame =
+    docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+
   private val realFeatureSchema = StructType(
     Seq(
       StructField("doc_id", LongType, nullable = false),
@@ -229,7 +286,8 @@ object Multimodal {
     * MultimodalSpec's differential test pins the same algebra against
     * directly-computed pixels. */
   def mmFeaturesReal(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val docs = decodeParallel(
+      Tables.documents(spark, sfDir).select("doc_id", "text"))
     val out = docs.rdd.mapPartitions { rows =>
       // per-partition init: ImageIO plugin scan happens once per JVM;
       // a heavyweight codec would allocate its handles here
@@ -268,9 +326,9 @@ object Multimodal {
     * (verified exact for 8-bit gray: the GIF palette maps index →
     * (v,v,v) losslessly). */
   private[graft] def encodeGif(text: Array[Byte]): Array[Byte] = {
-    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val writer = gifWriterTL.get()
     val bos = new java.io.ByteArrayOutputStream()
-    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
     writer.setOutput(ios)
     writer.prepareWriteSequence(null)
     var f = 0
@@ -293,8 +351,8 @@ object Multimodal {
       f += 1
     }
     writer.endWriteSequence()
-    ios.close()
-    writer.dispose()
+    ios.close() // flushes the memory cache into `bos`
+    writer.setOutput(null) // keep the thread-local writer reusable
     bos.toByteArray
   }
 
@@ -317,15 +375,17 @@ object Multimodal {
     * row per SAMPLED frame. The oracle recomputes every bin from the
     * text bytes through the frame tiling — no GIF anywhere. */
   def mmFramesReal(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val docs = decodeParallel(
+      Tables.documents(spark, sfDir).select("doc_id", "text"))
     val out = docs.rdd.mapPartitions { rows =>
       rows.flatMap { r =>
         val s = r.getString(1)
         val gif = encodeGif(
           if (s == null) Array.emptyByteArray else s.getBytes("UTF-8"))
-        val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
-        reader.setInput(javax.imageio.ImageIO.createImageInputStream(
-          new java.io.ByteArrayInputStream(gif)))
+        val reader = gifReaderTL.get()
+        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(gif))
+        reader.setInput(iis)
         val n = reader.getNumImages(true)
         val res = (0 until n by GifFrameStride).map { f =>
           val img = reader.read(f)
@@ -350,7 +410,8 @@ object Multimodal {
           Row.fromSeq(Seq[Any](r.getLong(0), f, n, sum) ++
             (0 until FeatureDim).map(hist(_).toDouble))
         }
-        reader.dispose()
+        reader.setInput(null) // keep the thread-local reader reusable
+        iis.close()
         res
       }
     }
@@ -440,7 +501,8 @@ object Multimodal {
     * (s+32768)//4096 collapses to b//16 and the whole container
     * round-trip is cross-checked from first principles. */
   def mmFeaturesAudioReal(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val docs = decodeParallel(
+      Tables.documents(spark, sfDir).select("doc_id", "text"))
     val out = docs.rdd.mapPartitions { rows =>
       rows.map { r =>
         val s = r.getString(1)
@@ -504,14 +566,14 @@ object Multimodal {
     * map, so the decode → resize path is cross-checked by an engine
     * that never touches a PNG or a raster. */
   def mmResizeReal(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val docs = decodeParallel(
+      Tables.documents(spark, sfDir).select("doc_id", "text"))
     val out = docs.rdd.mapPartitions { rows =>
       rows.map { r =>
         val s = r.getString(1)
         val png = encodePng(
           if (s == null) Array.emptyByteArray else s.getBytes("UTF-8"))
-        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
-        require(img != null, "payload is not a decodable image")
+        val img = readPng(png)
         val res = resizeNearest(img, ResizeFactor)
         val hist = new Array[Float](FeatureDim)
         var sum = 0L

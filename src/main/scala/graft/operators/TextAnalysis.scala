@@ -605,7 +605,15 @@ object TextAnalysis {
     * (`stream_quality_model`) reads the same model frame at ingest. */
   def textQualityModel(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // Expansion parallelism decoupled from input-split count: the gram
+    // fan-out (an md5 per unigram AND bigram — millions of hashes) is
+    // compute-bound map work, and a single-file scan would serialize it
+    // onto one core (measured: wall ≈ executor CPU at sf0.1). The
+    // round-robin exchange moves raw doc bytes once — orders of
+    // magnitude cheaper than the hashing it parallelizes; at production
+    // split counts it only rebalances skew.
     val docs = Tables.documents(spark, sfDir)
+      .repartition(spark.sparkContext.defaultParallelism)
     textQualityModelOn(
       docs.filter(pmod($"doc_id", lit(Dedup.SnapshotMod)) < Dedup.SnapshotNewMin),
       docs.filter(pmod($"doc_id", lit(Dedup.SnapshotMod)) >= Dedup.SnapshotNewMin))
