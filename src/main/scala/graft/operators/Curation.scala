@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
@@ -886,6 +886,99 @@ object Curation {
     mixGateAgg(d, mixProbsOn(d)).orderBy($"lang")
   }
 
+  /** DSIR selection ratio: keep the best-weighted third of the raw
+    * slice (the tertile convention `text_lm_buckets` established). */
+  final val DsirKeepDen = 3L
+
+  /** DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score each RAW-slice
+    * document by how much more likely its hashed n-gram features are
+    * under a TARGET-domain bag-of-ngrams model than under the raw
+    * background model, then keep the top fraction. Target here = the
+    * prior snapshot's English slice (the curated-domain stand-in);
+    * raw = the full fresh snapshot, all languages.
+    *
+    * Feature space = the learned quality scorer's: md5-low64 & 4095
+    * over unigrams + space-joined bigrams ([[TextAnalysis.qmFeatures]]
+    * — ONE definition shared across the model family). Both models are
+    * Laplace-smoothed over the [[TextAnalysis.QmBuckets]] buckets and
+    * quantized to the repo's 2⁻²⁰ grid with the single rounded IEEE
+    * division the LM score established (`floor((c+1)/(N+B) · Q)`,
+    * mirrored operand-for-operand in the oracle). The paper's weight is
+    * Σ log(p_target/p_raw); logs are libm (engine-divergent), so — the
+    * documented `text_lm_score` deviation — the weight is the
+    * quantized-probability DIFFERENCE sum Σ k_b·(qp_b − qq_b), monotone
+    * per-feature in the true ratio and exactly integer thereafter.
+    *
+    * Scale shape: both models are ≤4096-row broadcast artifacts (one
+    * shuffle each onto bucket keys, map-side partials doing the heavy
+    * lifting); the raw side expands ONCE into per-(doc, bucket) counts
+    * (materialized — it feeds the background model AND the scoring
+    * join), so scoring is map work + one per-doc agg. Totals collect
+    * off the bounded model tables, never the corpus. */
+  def dsirWeights(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    // gram fan-out is compute-bound map work — decouple parallelism
+    // from the input split count (the textQualityModel note)
+    val docs = Tables.documents(spark, sfDir)
+      .repartition(spark.sparkContext.defaultParallelism)
+    dsirWeightsOn(
+      docs.filter(pmod($"doc_id", lit(Dedup.SnapshotMod)) < Dedup.SnapshotNewMin &&
+        $"lang" === "en"),
+      docs.filter(pmod($"doc_id", lit(Dedup.SnapshotMod)) >= Dedup.SnapshotNewMin))
+  }
+
+  /** The DSIR transform over any (target, raw) pair of (doc_id, text)
+    * frames (spec entry point: hand-checkable vocabularies). */
+  private[graft] def dsirWeightsOn(target: DataFrame, raw: DataFrame): DataFrame = {
+    val spark = target.sparkSession
+    import spark.implicits._
+    val B = TextAnalysis.QmBuckets.toLong
+    val Q = TextAnalysis.QmQuantum
+    val ct = Materialize.frame(TextAnalysis.qmFeatures(target.select($"text"))
+      .groupBy($"b").agg(count(lit(1)).as("c")))
+    // per-(doc, bucket) raw counts: the ONE raw expansion, feeding both
+    // the background model and the scoring join (algebraically equal to
+    // per-occurrence scoring: Σ_occ (qp−qq) = Σ_b k_b·(qp_b−qq_b))
+    val rdf = Materialize.frame(TextAnalysis.qmFeatures(raw.select($"doc_id", $"text"))
+      .groupBy($"doc_id", $"b").agg(count(lit(1)).as("k")))
+    val cq = Materialize.frame(rdf.groupBy($"b").agg(sum($"k").as("c")))
+    // totals off the ≤4096-row model tables — bounded driver scalars
+    val nt = ct.agg(coalesce(sum($"c"), lit(0L))).collect()(0).getLong(0)
+    val nq = cq.agg(coalesce(sum($"c"), lit(0L))).collect()(0).getLong(0)
+    def q(c: Column, n: Long): Column =
+      floor(c.cast("double") / lit((n + B).toDouble) * lit(Q.toDouble)).cast("long")
+    val qp = ct.select($"b", q($"c" + 1L, nt).as("qp"))
+    val qq = cq.select($"b", q($"c" + 1L, nq).as("qq"))
+    // unseen-in-target buckets smooth to the c=0 floor (a driver literal
+    // off the bounded total); every scored bucket exists in qq by
+    // construction, so that join is inner
+    val qp0 = math.floor(1.0 / (nt + B).toDouble * Q.toDouble).toLong
+    rdf.join(broadcast(qp), Seq("b"), "left")
+      .join(broadcast(qq), Seq("b"))
+      .groupBy($"doc_id")
+      .agg(sum($"k").as("n_feats"),
+        sum($"k" * (coalesce($"qp", lit(qp0)) - $"qq")).as("weight"))
+      .orderBy($"doc_id")
+  }
+
+  /** The resampling step: keep the top ⌈N/[[DsirKeepDen]]⌉ raw docs by
+    * (weight DESC, doc_id) — the deterministic-rank variant of the
+    * paper's Gumbel resampling (reproducible, oracle-expressible; the
+    * stochastic form is one `+ gumbel(seed)` column away). Ranking
+    * rides the range-sort + per-partition zipWithIndex pattern
+    * (`textLmBuckets`) — no global window funnel. */
+  def dsirSelect(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.Row
+    val w = Materialize.frame(dsirWeights(spark, sfDir))
+    val n = w.count()
+    val keep = (n + DsirKeepDen - 1) / DsirKeepDen
+    val sorted = w.orderBy($"weight".desc, $"doc_id".asc)
+    val rdd = sorted.rdd.zipWithIndex().filter(_._2 < keep).map(_._1)
+    spark.createDataFrame(rdd, sorted.schema).orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cur_text_chunks" -> textChunks,
     "cur_split_assign" -> splitAssign,
@@ -907,6 +1000,8 @@ object Curation {
     "cur_decontam" -> decontaminate,
     "cur_decontam_strip" -> decontamStrip,
     "cur_mix_sample" -> mixSample,
+    "cur_dsir_weights" -> dsirWeights,
+    "cur_dsir_select" -> dsirSelect,
   )
 
   /** The chunk expansion as a reusable SQL body (no ORDER BY) over any
@@ -945,7 +1040,79 @@ object Curation {
        |  jaccard
        |FROM pairs ORDER BY doc_a, idx_a, doc_b, idx_b""".stripMargin
 
+  /** The DSIR weight derivation as named CTEs, terminating in
+    * `dsir_w(doc_id, n_feats, weight)` — ONE definition spliced into
+    * both the weights and the select oracles so the model arithmetic
+    * cannot drift. Mirrors [[dsirWeightsOn]] operand-for-operand:
+    * integer gram counts, the single rounded IEEE division onto the
+    * 2⁻²⁰ grid, integer difference-sum. */
+  private def dsirWeightCtes: String = {
+    val m = TextAnalysis.QmBuckets - 1
+    val b = TextAnalysis.QmBuckets
+    val qQ = TextAnalysis.QmQuantum
+    s"""dsir_tt AS (
+       |  SELECT string_split(text, ' ') AS t FROM documents
+       |  WHERE doc_id % ${Dedup.SnapshotMod} < ${Dedup.SnapshotNewMin} AND lang = 'en'
+       |),
+       |dsir_tf AS (
+       |  SELECT md5_number_lower(w) & $m AS b
+       |  FROM (SELECT unnest(t) AS w FROM dsir_tt)
+       |  UNION ALL
+       |  SELECT md5_number_lower(bg) & $m AS b
+       |  FROM (SELECT unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS bg
+       |        FROM dsir_tt WHERE len(t) >= 2)
+       |),
+       |dsir_ct AS (SELECT b, count(*) AS c FROM dsir_tf GROUP BY b),
+       |dsir_rt AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |  WHERE doc_id % ${Dedup.SnapshotMod} >= ${Dedup.SnapshotNewMin}
+       |),
+       |dsir_rf AS (
+       |  SELECT doc_id, md5_number_lower(w) & $m AS b
+       |  FROM (SELECT doc_id, unnest(t) AS w FROM dsir_rt)
+       |  UNION ALL
+       |  SELECT doc_id, md5_number_lower(bg) & $m AS b
+       |  FROM (SELECT doc_id, unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS bg
+       |        FROM dsir_rt WHERE len(t) >= 2)
+       |),
+       |dsir_rdf AS (SELECT doc_id, b, count(*) AS k FROM dsir_rf GROUP BY doc_id, b),
+       |dsir_cq AS (SELECT b, sum(k) AS c FROM dsir_rdf GROUP BY b),
+       |dsir_nt AS (SELECT coalesce(sum(c), 0) AS n FROM dsir_ct),
+       |dsir_nq AS (SELECT coalesce(sum(c), 0) AS n FROM dsir_cq),
+       |dsir_qp AS (
+       |  SELECT b, CAST(floor((c + 1)::DOUBLE / (n + $b)::DOUBLE * $qQ) AS BIGINT) AS qp
+       |  FROM dsir_ct, dsir_nt
+       |),
+       |dsir_qq AS (
+       |  SELECT b, CAST(floor((c + 1)::DOUBLE / (n + $b)::DOUBLE * $qQ) AS BIGINT) AS qq
+       |  FROM dsir_cq, dsir_nq
+       |),
+       |dsir_qp0 AS (
+       |  SELECT CAST(floor(1::DOUBLE / (n + $b)::DOUBLE * $qQ) AS BIGINT) AS qp0
+       |  FROM dsir_nt
+       |),
+       |dsir_w AS (
+       |  SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_feats,
+       |    CAST(sum(k * (coalesce(qp, (SELECT qp0 FROM dsir_qp0)) - qq)) AS BIGINT) AS weight
+       |  FROM dsir_rdf LEFT JOIN dsir_qp USING (b) JOIN dsir_qq USING (b)
+       |  GROUP BY doc_id
+       |)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "cur_dsir_weights" ->
+      s"""WITH $dsirWeightCtes
+         |SELECT doc_id, n_feats, weight FROM dsir_w ORDER BY doc_id""".stripMargin,
+    "cur_dsir_select" ->
+      s"""WITH $dsirWeightCtes,
+         |dsir_rk AS (
+         |  SELECT doc_id, n_feats, weight,
+         |    row_number() OVER (ORDER BY weight DESC, doc_id) AS rk
+         |  FROM dsir_w
+         |),
+         |dsir_n AS (SELECT (count(*) + $DsirKeepDen - 1) // $DsirKeepDen AS keep FROM dsir_w)
+         |SELECT doc_id, n_feats, weight FROM dsir_rk, dsir_n
+         |WHERE rk <= keep ORDER BY doc_id""".stripMargin,
     "cur_text_chunks" ->
       s"""$chunksSql
          |ORDER BY doc_id, chunk_idx""".stripMargin,

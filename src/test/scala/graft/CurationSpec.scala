@@ -436,4 +436,39 @@ class CurationSpec extends AnyFunSuite {
       (4L, d4text, 40L, 0L),
       (8L, d8text, 12L, 0L)))
   }
+
+  test("DSIR: target-domain text outweighs background text; counts exact") {
+    import spark.implicits._
+    // target vocabulary {alpha,beta}; raw doc 1 is pure target-domain
+    // language, raw doc 2 pure background — the importance weight must
+    // rank 1 above 2. n_feats = 2n−1 (n unigrams + n−1 bigrams).
+    val target = Seq((0L, "alpha beta alpha beta"), (1L, "beta alpha beta"))
+      .toDF("doc_id", "text")
+    val raw = Seq((10L, "alpha beta alpha"), (11L, "zeta yota koppa"))
+      .toDF("doc_id", "text")
+    val got = Curation.dsirWeightsOn(target, raw).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.keySet === Set(10L, 11L))
+    assert(got(10L)._1 === 5L) // 3 unigrams + 2 bigrams
+    assert(got(11L)._1 === 5L)
+    assert(got(10L)._2 > got(11L)._2,
+      s"target-domain doc must outweigh background doc: $got")
+    // background doc's every feature is unseen in target → its weight
+    // is Σ k·(qp0 − qq_b) with qp0 the smoothing floor — strictly
+    // negative here (raw model probabilities far exceed the floor)
+    assert(got(11L)._2 < 0L)
+  }
+
+  test("DSIR select keeps exactly ceil(N/3) best-weighted docs") {
+    import spark.implicits._
+    val w = Curation.dsirWeights(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    val n = w.length
+    val keep = (n + Curation.DsirKeepDen - 1) / Curation.DsirKeepDen
+    val expected = w.sortBy { case (id, wt) => (-wt, id) }.take(keep.toInt)
+      .map(_._1).toSet
+    val got = Curation.dsirSelect(spark, sf).collect().map(_.getLong(0)).toSet
+    assert(got.size === keep.toInt)
+    assert(got === expected)
+  }
 }
