@@ -962,6 +962,43 @@ object Curation {
       .orderBy($"doc_id")
   }
 
+  /** The two ≤4096-row DSIR model artifacts + the unseen-bucket floor,
+    * fitted on static (target, raw) frames — the seam the streaming
+    * twin broadcasts the stored models through. */
+  private[graft] def dsirModelOn(target: DataFrame, raw: DataFrame): (DataFrame, DataFrame, Long) = {
+    val spark = target.sparkSession
+    import spark.implicits._
+    val B = TextAnalysis.QmBuckets.toLong
+    val Q = TextAnalysis.QmQuantum
+    val ct = Materialize.frame(TextAnalysis.qmFeatures(target.select($"text"))
+      .groupBy($"b").agg(count(lit(1)).as("c")))
+    val cq = Materialize.frame(TextAnalysis.qmFeatures(raw.select($"text"))
+      .groupBy($"b").agg(count(lit(1)).as("c")))
+    val nt = ct.agg(coalesce(sum($"c"), lit(0L))).collect()(0).getLong(0)
+    val nq = cq.agg(coalesce(sum($"c"), lit(0L))).collect()(0).getLong(0)
+    def q(c: Column, n: Long): Column =
+      floor(c.cast("double") / lit((n + B).toDouble) * lit(Q.toDouble)).cast("long")
+    (Materialize.frame(ct.select($"b", q($"c" + 1L, nt).as("qp"))),
+      Materialize.frame(cq.select($"b", q($"c" + 1L, nq).as("qq"))),
+      math.floor(1.0 / (nt + B).toDouble * Q.toDouble).toLong)
+  }
+
+  /** Per-doc DSIR scoring against explicit broadcast models — the
+    * PER-OCCURRENCE formulation (one aggregation, streaming-legal;
+    * algebraically equal to the batch path's per-(doc, bucket) form:
+    * Σ_occ (qp−qq) = Σ_b k_b·(qp_b−qq_b)). Streaming-safe: no sort. */
+  private[graft] def dsirPerDocAgg(score: DataFrame, qp: DataFrame,
+      qq: DataFrame, qp0: Long): DataFrame = {
+    val spark = score.sparkSession
+    import spark.implicits._
+    TextAnalysis.qmFeatures(score.select($"doc_id", $"text"))
+      .join(broadcast(qp), Seq("b"), "left")
+      .join(broadcast(qq), Seq("b"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_feats"),
+        sum(coalesce($"qp", lit(qp0)) - $"qq").as("weight"))
+  }
+
   /** The resampling step: keep the top ⌈N/[[DsirKeepDen]]⌉ raw docs by
     * (weight DESC, doc_id) — the deterministic-rank variant of the
     * paper's Gumbel resampling (reproducible, oracle-expressible; the

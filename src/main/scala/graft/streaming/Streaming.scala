@@ -1461,6 +1461,47 @@ object Streaming {
       .orderBy($"doc_id")
   }
 
+  /** STREAMING DSIR scoring — the fitted-model-at-ingest twin of
+    * `cur_dsir_weights` (the [[streamQualityModel]] pattern): both
+    * ≤4096-row models (target-domain and raw-background bag-of-ngrams)
+    * are fitted ONCE on static snapshots, materialized, and BROADCAST
+    * into every micro-batch's feature expansion — the stream never
+    * shuffles features and no model refits per trigger. Scoring is the
+    * per-occurrence formulation (one aggregation, streaming-legal;
+    * algebraically equal to the batch per-(doc, bucket) form). Per-doc
+    * emissions are complete per batch (update mode), so the post-run
+    * fold keeps the max-struct — batch-equal in bounded replay, oracle
+    * shared with `cur_dsir_weights`. */
+  def streamDsirWeights(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Dedup.{SnapshotMod, SnapshotNewMin}
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+      .filter(pmod($"doc_id", lit(SnapshotMod)) >= SnapshotNewMin)
+    val static = graft.sources.Tables.documents(spark, sfDir)
+    runDsirStream(stream,
+      static.filter(pmod($"doc_id", lit(SnapshotMod)) < SnapshotNewMin &&
+        $"lang" === "en"),
+      static.filter(pmod($"doc_id", lit(SnapshotMod)) >= SnapshotNewMin))
+  }
+
+  /** The transform of [[streamDsirWeights]] on any streaming docs frame
+    * + static (target, raw) model snapshots (spec entry point). */
+  private[graft] def runDsirStream(stream: DataFrame, target: DataFrame,
+      raw: DataFrame): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    import graft.operators.Curation
+    val (qp, qq, qp0) = Curation.dsirModelOn(target, raw)
+    val perDoc = Curation.dsirPerDocAgg(stream, qp, qq, qp0)
+    runToMemory(perDoc, "update")
+      .groupBy($"doc_id")
+      .agg(max(struct($"n_feats", $"weight")).as("s"))
+      .select($"doc_id", $"s.n_feats".as("n_feats"), $"s.weight".as("weight"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_events_hourly" -> streamEventsHourly,
     "stream_sessions" -> streamSessions,
@@ -1486,6 +1527,7 @@ object Streaming {
     "stream_mix_sample" -> streamMixSample,
     "stream_lm_score" -> streamLmScore,
     "stream_quality_model" -> streamQualityModel,
+    "stream_dsir_weights" -> streamDsirWeights,
   )
 
   /** Streaming results are checked against the same SQL as their batch
@@ -1624,6 +1666,7 @@ object Streaming {
     // fitted-model-at-ingest: the frozen prior-slice fit scores the
     // stream, so the batch mirror applies verbatim
     "stream_quality_model" -> graft.operators.TextAnalysis.oracles("text_quality_model"),
+    "stream_dsir_weights" -> graft.operators.Curation.oracles("cur_dsir_weights"),
   )
 
   /** Exact-Jaccard pairs restricted to ≥ 1 fresh member — the oracle

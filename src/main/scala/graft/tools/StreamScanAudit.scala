@@ -124,6 +124,12 @@ object StreamScanAudit {
         (b => Streaming.runLmScoreStream(stream(b).filter(freshPred), prior)),
       "stream_quality_model" ->
         (b => Streaming.runQualityModelStream(stream(b).filter(freshPred), prior)),
+      // both DSIR models fit once off static reads (target = prior
+      // slice, background = static fresh slice) before the stream
+      // starts; per-batch bytes must be delta-only
+      "stream_dsir_weights" ->
+        (b => Streaming.runDsirStream(stream(b).filter(freshPred),
+          prior.filter($"lang" === "en"), spark.read.parquet(split).filter(freshPred))),
       // stateless: the eval set collects before the stream starts, so
       // per-batch bytes must be DELTA-ONLY with no static re-read at all
       "stream_decontam_strip" ->

@@ -622,6 +622,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.size === 3)
   }
 
+  test("streaming DSIR scoring equals the batch weights across batches") {
+    import spark.implicits._
+    // target vocabulary {alpha,beta}; raw slice split over two batches
+    // — frozen target + background models must score the union exactly
+    // like the batch per-(doc,bucket) formulation
+    val target = Seq((1L, "alpha beta alpha beta"), (2L, "beta alpha"))
+      .toDF("doc_id", "text")
+    val in = Files.createTempDirectory("graft_dsir_in_").toString
+    val base = System.currentTimeMillis()
+    writeOneFile(Seq((8L, "alpha beta zeta")).toDF("doc_id", "text"),
+      s"$in/b1.parquet", base)
+    writeOneFile(Seq((9L, "koppa yota"), (10L, "beta beta alpha")).toDF("doc_id", "text"),
+      s"$in/b2.parquet", base + 60000)
+    val raw = spark.read.parquet(in)
+    val schema = raw.schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val got = Streaming.runDsirStream(stream, target, raw).collect().map(_.toSeq).toSeq
+    val batch = graft.operators.Curation.dsirWeightsOn(target, raw)
+      .collect().map(_.toSeq).toSeq
+    assert(got === batch, s"stream $got != batch $batch")
+    assert(got.size === 3)
+  }
+
   test("warm-start samples: prior chunk suppressed, novel folds, eviction reopens") {
     import org.apache.spark.sql.DataFrame
     import org.apache.spark.sql.functions.{expr => fexpr, lit}
