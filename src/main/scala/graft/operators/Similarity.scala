@@ -559,6 +559,15 @@ object Similarity {
 
   private[graft] def simAnnIvfPqOn(spark: SparkSession, sfDir: String,
       nprobe: Int): DataFrame = {
+    val (e, cents, cb, codes) = ivfPqIndex(spark, sfDir)
+    ivfPqAdcSearch(e, cents, cb, codes, nprobe)
+  }
+
+  /** The fitted IVF-PQ index: raw vectors, coarse centroids, Lloyd-
+    * fitted residual codebooks and the encoded (vec_id, cell, codes)
+    * artifact — shared by the plain ADC query and the refine variant. */
+  private def ivfPqIndex(spark: SparkSession, sfDir: String)
+      : (DataFrame, Seq[Seq[Double]], Seq[Seq[Seq[Double]]], DataFrame) = {
     import spark.implicits._
     val e = embeddings(spark, sfDir)
     val cents = seedCentroids(e)
@@ -577,7 +586,7 @@ object Similarity {
     // the fitted codewords adapt to the within-cell spread — see
     // SimilaritySpec's recall comparison and its uniform-data caveat).
     val cb = fitPqCodebooks(residFrame.select($"r".as("v")), cbSeeds, KMeansIters)
-    ivfPqAdcSearch(e, cents, cb, ivfPqEncode(residFrame, cb), nprobe)
+    (e, cents, cb, ivfPqEncode(residFrame, cb))
   }
 
   /** The materialized (vec_id, cell, residual) frame both IVF-PQ
@@ -616,6 +625,21 @@ object Similarity {
       cb: Seq[Seq[Seq[Double]]], codes: DataFrame, nprobe: Int): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
+    val w = Window.partitionBy($"query_id").orderBy($"score_q".desc, $"vec_id".asc)
+    ivfPqAdcScored(e, cents, cb, codes, nprobe)
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= TopK)
+      .select($"query_id", $"rk", $"vec_id", $"score_q")
+      .orderBy($"query_id", $"rk")
+  }
+
+  /** The ADC-scored candidate frame (query_id, vec_id, score_q) before
+    * any top-k cut — shared by the plain search tail and the refine
+    * variant's pool cut. */
+  private def ivfPqAdcScored(e: DataFrame, cents: Seq[Seq[Double]],
+      cb: Seq[Seq[Seq[Double]]], codes: DataFrame, nprobe: Int): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
     val centLit = typedLit(cents)
     val scoreArr = array(cents.map(cv => VectorOps.cosine($"v", typedLit(cv))): _*)
     val probeCells = probeCellsExpr(scoreArr, nprobe)
@@ -631,16 +655,53 @@ object Similarity {
       .select($"query_id" +: (0 until PqSubspaces).map(m => tabCol(m).as(s"tab$m")): _*)
     val radc = (0 until PqSubspaces).map(m =>
       element_at(col(s"tab$m"), element_at($"code", m + 1) + 1)).reduce(_ + _)
-    val w = Window.partitionBy($"query_id").orderBy($"score_q".desc, $"vec_id".asc)
     // cells are disjoint, so each candidate matches exactly one probe
     // row per query — no distinct needed (the simAnnIvf argument)
     broadcast(probes).join(codes, Seq("cell"))
       .filter($"vec_id" =!= $"query_id")
       .join(broadcast(qt), "query_id")
       .select($"query_id", $"vec_id", ($"coarse" + radc).as("score_q"))
-      .withColumn("rk", row_number().over(w))
+  }
+
+  /** ADC-pool size the refine stage re-scores exactly (FAISS's
+    * IndexRefineFlat `k_factor` convention: pool = k_factor · k). */
+  final val RerankPool: Int = 4 * TopK
+
+  /** IVF-PQ with EXACT RE-RANK — the FAISS refine stage
+    * (IndexRefineFlat over an IndexIVFPQ): the compressed ADC scan
+    * nominates a [[RerankPool]]-sized pool per query, then ONLY those
+    * pool vectors are fetched from the full-precision store and
+    * re-scored by the exact dot product; the top [[TopK]] by exact
+    * score is the answer. This recovers quantization-error misrankings
+    * at the cost of `pool` exact distance computations per query —
+    * the standard accuracy/RAM trade: codes in RAM for the scan, raw
+    * vectors touched only pool-sized.
+    *
+    * Scale shape: the pool cut rides the same per-query window as the
+    * ADC top-k (pool-sized, NProbe-cell candidate set — never corpus-
+    * wide); the refine join is a BROADCAST of the ≤ queries×pool pair
+    * list against the vector store (at 100 TB: a point-lookup-shaped
+    * join against the vec_id-bucketed store, delta-free). Exact scores
+    * quantize on the same 10¹² grid as every ANN score here, so the
+    * oracle mirrors integer-for-integer. */
+  def simAnnIvfPqRerank(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val (e, cents, cb, codes) = ivfPqIndex(spark, sfDir)
+    val wa = Window.partitionBy($"query_id").orderBy($"score_q".desc, $"vec_id".asc)
+    val pool = ivfPqAdcScored(e, cents, cb, codes, NProbe)
+      .withColumn("rka", row_number().over(wa))
+      .filter($"rka" <= RerankPool)
+      .select($"query_id", $"vec_id")
+    val q = e.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"v".as("qv"))
+    val wx = Window.partitionBy($"query_id").orderBy($"score_x".desc, $"vec_id".asc)
+    broadcast(pool).join(e, "vec_id")
+      .join(broadcast(q), "query_id")
+      .select($"query_id", $"vec_id",
+        floor(VectorOps.dot($"qv", $"v") * lit(ScoreScale)).cast("long").as("score_x"))
+      .withColumn("rk", row_number().over(wx))
       .filter($"rk" <= TopK)
-      .select($"query_id", $"rk", $"vec_id", $"score_q")
+      .select($"query_id", $"rk", $"vec_id", $"score_x")
       .orderBy($"query_id", $"rk")
   }
 
@@ -914,6 +975,7 @@ object Similarity {
     "sim_ann_sq8" -> simAnnSq8,
     "sim_ann_ivfpq" -> simAnnIvfPq,
     "sim_ann_ivfpq_incremental" -> simAnnIvfPqIncremental,
+    "sim_ann_ivfpq_rerank" -> simAnnIvfPqRerank,
     "dedup_semantic" -> dedupSemantic,
     "sim_label_stats" -> simLabelStats,
     "sim_label_stats_sampled" -> simLabelStatsSampled,
@@ -1075,7 +1137,7 @@ object Similarity {
     * per-(query, cell) coarse term joined through the candidate's
     * cell. Shared by the full and incremental variants, which differ
     * only in `fitCtes`. */
-  private def ivfPqSqlWith(fitCtes: String): String =
+  private def ivfPqSqlWith(fitCtes: String, tail: String = ""): String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |c AS (
        |  SELECT vec_id - $NumQueries AS cid, embedding::DOUBLE[] AS cv FROM embeddings
@@ -1139,11 +1201,37 @@ object Similarity {
        |    AND tab.c = k.code
        |  GROUP BY cd.query_id, cd.vec_id, co.ct
        |)
-       |SELECT query_id, rk, vec_id, score_q FROM (
+       |${if (tail.isEmpty) ivfPqSqlTail else tail}""".stripMargin
+
+  /** Plain ADC top-k tail over the `sc` CTE. */
+  private def ivfPqSqlTail: String =
+    s"""SELECT query_id, rk, vec_id, score_q FROM (
        |  SELECT query_id, vec_id, score_q,
        |    row_number() OVER (PARTITION BY query_id
        |      ORDER BY score_q DESC, vec_id ASC) AS rk
        |  FROM sc) t WHERE rk <= $TopK
+       |ORDER BY query_id, rk""".stripMargin
+
+  /** Refine tail: ADC pool cut + exact-dot re-rank against the raw
+    * vector store — mirrors [[simAnnIvfPqRerank]] integer-for-integer. */
+  private def ivfPqRerankSqlTail: String =
+    s""", pool AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY score_q DESC, vec_id ASC) AS rka
+       |    FROM sc) t WHERE rka <= $RerankPool
+       |),
+       |ex AS (
+       |  SELECT p.query_id, p.vec_id,
+       |    CAST(floor(list_dot_product(q.v, x.v) * ${ScoreScale.toLong}.0) AS BIGINT) AS score_x
+       |  FROM pool p JOIN e q ON q.vec_id = p.query_id JOIN e x ON x.vec_id = p.vec_id
+       |)
+       |SELECT query_id, rk, vec_id, score_x FROM (
+       |  SELECT query_id, vec_id, score_x,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score_x DESC, vec_id ASC) AS rk
+       |  FROM ex) t WHERE rk <= $TopK
        |ORDER BY query_id, rk""".stripMargin
 
   private def kmeansIvfSql(iters: Int): String = {
@@ -1352,6 +1440,12 @@ object Similarity {
     // through the candidate's cell
     "sim_ann_ivfpq" ->
       ivfPqSqlWith(pqFitCtes(KMeansIters, "resid", "r", IvfPqSeedBase)),
+    // identical CTE chain (same fit, same ADC scores) with the refine
+    // tail: ADC pool cut at RerankPool, exact-dot re-rank off the raw
+    // vector store — integer scores on the shared 10^12 grid
+    "sim_ann_ivfpq_rerank" ->
+      ivfPqSqlWith(pqFitCtes(KMeansIters, "resid", "r", IvfPqSeedBase),
+        ivfPqRerankSqlTail),
     // the incremental mirror differs ONLY in the fit chain: codebooks
     // fitted on the PRIOR slice (frozen at index creation), seeded from
     // the 16 lowest-id prior vectors after the coarse range; encoding

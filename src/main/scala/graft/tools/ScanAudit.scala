@@ -79,6 +79,18 @@ object ScanAudit {
         // on different projections (carrying all columns through one
         // exchange would move the full vectors twice to save a scan)
         "dedup_embed_cosine_incremental" -> Map("embeddings" -> 4),
+        // the 2 scans are the probe-routing and lookup-table builds,
+        // BOTH pruned to the 10 query vectors (PushedFilters vec_id<10
+        // — never the corpus side, which reads once via the residual
+        // checkpoint); merging them would entangle two different
+        // broadcast frames to save a 10-row read
+        "sim_ann_ivfpq" -> Map("embeddings" -> 2),
+        "sim_ann_ivfpq_incremental" -> Map("embeddings" -> 2),
+        // + the refine stage's two legs: the pool's raw-vector fetch
+        // (the point-lookup-shaped refine store read — the IndexRefine
+        // design) and the query-vector fetch for exact scoring (10
+        // rows, pruned)
+        "sim_ann_ivfpq_rerank" -> Map("embeddings" -> 4),
         // sketch pass + exact-truth pass: the truth side exists only as
         // the verification harness (production consults the 4 KB sketch
         // alone — that single pass IS the operator)

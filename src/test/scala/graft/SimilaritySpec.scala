@@ -157,6 +157,17 @@ class SimilaritySpec extends AnyFunSuite {
     // the composed index additionally pays the 4/16-cell probe — a
     // loose usable-floor pin on worst-case uniform data
     assert(ivfpqRecall >= 0.05, s"IVF-PQ recall@5 = $ivfpqRecall below floor")
+
+    // REFINE: the exact re-rank can only help — any dot-truth member
+    // that reaches the ADC pool survives an exact-score re-rank (if 5
+    // pool vectors beat it exactly, they beat it in the full exact
+    // ranking too, contradicting its top-5 membership), and the pool ⊇
+    // the plain ADC top-k. So refine recall ≥ plain recall is a
+    // THEOREM given shared routing, not a tuning observation.
+    val rerankRecall = meanRecall(topkMap(Similarity.simAnnIvfPqRerank(spark, sf)))
+    info(s"IVF-PQ + exact re-rank recall@5 = $rerankRecall")
+    assert(rerankRecall >= ivfpqRecall,
+      s"refine ($rerankRecall) below plain ADC ($ivfpqRecall) — re-rank broke routing")
   }
 
   test("incremental IVF-PQ: sliced delta encode ≡ whole-corpus encode (frozen models)") {
