@@ -203,10 +203,19 @@ object WordCount {
   def wcHeavyHittersCms(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val words = docWords(spark, sfDir)
-    val cms = cmsSketch(words)
     val top = counts(words)
       .orderBy($"cnt".desc, $"word".asc)
       .limit(20)
+    heavyHittersTail(top, cmsSketch(words))
+  }
+
+  /** The estimate-lookup tail over a true-top frame (word, cnt) and a
+    * sketch cell frame (r, b, c) — shared verbatim by the batch query
+    * and the streaming twin (whose cells fold out of streaming state)
+    * so the min-over-rows estimate cannot drift. */
+  private[graft] def heavyHittersTail(top: DataFrame, cms: DataFrame): DataFrame = {
+    val spark = top.sparkSession
+    import spark.implicits._
     top
       .select($"word", $"cnt",
         posexplode(array((0 until CmsRows).map(i =>

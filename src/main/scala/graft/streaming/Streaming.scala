@@ -1461,6 +1461,46 @@ object Streaming {
       .orderBy($"doc_id")
   }
 
+  /** STREAMING heavy hitters — the CMS maintained AS STREAMING STATE:
+    * each micro-batch's tokens fold into the 4×1024-cell (r, b) count
+    * aggregation (update mode — the state store holds exactly the 4 KB
+    * sketch, the bounded mergeable artifact, regardless of stream
+    * length), and per-batch emissions are the touched cells' cumulative
+    * counts, so the post-run max-struct fold per cell recovers the
+    * final sketch. The true top-20 (the verification harness, exactly
+    * as in the batch query) streams as a complete-mode word count; both
+    * passes compose through the batch query's shared estimate tail —
+    * batch-equal in bounded replay, oracle shared with
+    * `wc_heavy_hitters_cms`. Production consults only the sketch pass:
+    * the 4 KB state answers "which keys are hot enough to salt" at
+    * ingest without any per-key shuffle. */
+  def streamHeavyHittersCms(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    def docs = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+    runHeavyHittersCmsStream(docs, docs)
+  }
+
+  /** The transform of [[streamHeavyHittersCms]] on any two streaming
+    * docs frames over the same source (spec entry point) — two frames
+    * because the sketch and truth passes each drive their own sink,
+    * mirroring the batch query's two documented passes. */
+  private[graft] def runHeavyHittersCmsStream(sketchDocs: DataFrame,
+      truthDocs: DataFrame): DataFrame = {
+    val spark = sketchDocs.sparkSession
+    import spark.implicits._
+    import graft.operators.WordCount
+    val cells = runToMemory(
+        WordCount.cmsSketch(WordCount.tokenize(sketchDocs, "text")), "update")
+      .groupBy($"r", $"b").agg(max($"c").as("c"))
+    val top = runToMemory(
+        WordCount.counts(WordCount.tokenize(truthDocs, "text")), "complete")
+      .orderBy($"cnt".desc, $"word".asc)
+      .limit(20)
+    WordCount.heavyHittersTail(top, cells)
+  }
+
   /** STREAMING DSIR scoring — the fitted-model-at-ingest twin of
     * `cur_dsir_weights` (the [[streamQualityModel]] pattern): both
     * ≤4096-row models (target-domain and raw-background bag-of-ngrams)
@@ -1528,6 +1568,7 @@ object Streaming {
     "stream_lm_score" -> streamLmScore,
     "stream_quality_model" -> streamQualityModel,
     "stream_dsir_weights" -> streamDsirWeights,
+    "stream_heavy_hitters_cms" -> streamHeavyHittersCms,
   )
 
   /** Streaming results are checked against the same SQL as their batch
@@ -1667,6 +1708,7 @@ object Streaming {
     // stream, so the batch mirror applies verbatim
     "stream_quality_model" -> graft.operators.TextAnalysis.oracles("text_quality_model"),
     "stream_dsir_weights" -> graft.operators.Curation.oracles("cur_dsir_weights"),
+    "stream_heavy_hitters_cms" -> graft.operators.WordCount.oracles("wc_heavy_hitters_cms"),
   )
 
   /** Exact-Jaccard pairs restricted to ≥ 1 fresh member — the oracle

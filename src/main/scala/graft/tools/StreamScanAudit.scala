@@ -127,6 +127,10 @@ object StreamScanAudit {
       // both DSIR models fit once off static reads (target = prior
       // slice, background = static fresh slice) before the stream
       // starts; per-batch bytes must be delta-only
+      // two streaming passes (sketch state + truth harness), each
+      // reading every file once — per-batch bytes must stay delta-only
+      "stream_heavy_hitters_cms" ->
+        (b => Streaming.runHeavyHittersCmsStream(stream(b), stream(b))),
       "stream_dsir_weights" ->
         (b => Streaming.runDsirStream(stream(b).filter(freshPred),
           prior.filter($"lang" === "en"), spark.read.parquet(split).filter(freshPred))),

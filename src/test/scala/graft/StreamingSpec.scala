@@ -622,6 +622,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.size === 3)
   }
 
+  test("streaming CMS heavy hitters equals the batch sketch across batches") {
+    import spark.implicits._
+    // two batches with overlapping hot tokens — the streaming state's
+    // cumulative cell counts folded by max must equal the batch sketch
+    // over the union, including the min-over-rows estimates
+    val in = Files.createTempDirectory("graft_cms_in_").toString
+    val base = System.currentTimeMillis()
+    writeOneFile(Seq((1L, "aa bb aa cc"), (2L, "bb aa dd")).toDF("doc_id", "text"),
+      s"$in/b1.parquet", base)
+    writeOneFile(Seq((3L, "aa ee bb"), (4L, "ff aa")).toDF("doc_id", "text"),
+      s"$in/b2.parquet", base + 60000)
+    val schema = spark.read.parquet(in).schema
+    def stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val got = Streaming.runHeavyHittersCmsStream(stream, stream)
+      .collect().map(_.toSeq).toSeq
+    val batchDocs = spark.read.parquet(in)
+    val words = graft.operators.WordCount.tokenize(batchDocs, "text")
+    val batch = graft.operators.WordCount.heavyHittersTail(
+      graft.operators.WordCount.counts(words)
+        .orderBy($"cnt".desc, $"word".asc).limit(20),
+      graft.operators.WordCount.cmsSketch(words))
+      .collect().map(_.toSeq).toSeq
+    assert(got === batch, s"stream $got != batch $batch")
+    assert(got.head(0) === "aa" && got.head(1) === 5L)
+    // the one-sided CMS bound holds for every emitted token
+    got.foreach(r => assert(r(2).asInstanceOf[Long] >= r(1).asInstanceOf[Long]))
+  }
+
   test("streaming DSIR scoring equals the batch weights across batches") {
     import spark.implicits._
     // target vocabulary {alpha,beta}; raw slice split over two batches
