@@ -144,6 +144,12 @@ object Bench {
     // its maintenance form: frozen models, delta-only encode appended
     // to the code artifact
     "sim_ann_ivfpq_incremental",
+    // the refine stage: ADC pool cut + exact-dot re-rank against the
+    // raw vector store (pool-sized broadcast point lookups)
+    "sim_ann_ivfpq_rerank",
+    // DSIR data selection: two ≤4096-row broadcast n-gram models, one
+    // raw-side feature expansion, integer ratio weights + tertile keep
+    "cur_dsir_select",
   )
 
   /** Aggregates per-stage task metrics between reset() and snapshot(). */
