@@ -85,6 +85,10 @@ object PlanDump {
       "Incremental embedding near-dup: each snapshot side ends in ONE explicit vec_id exchange replayed by its banding and its verify-pool leg; candidates come from the (label, band, cell) equi-join of delta bands against the prior index (no a<b self-pairing — the slices are disjoint), verified by exact cosine. The two passes per side are the stored band-index + vector-table artifacts in production (ScanAudit ok/4x note).",
     "sim_ann_ivfpq_incremental" ->
       "Incremental IVF-PQ: identical ADC search tail to sim_ann_ivfpq, but the residual-codebook fit reads only the PRIOR slice of the materialized residual frame (frozen at index creation) and the encode runs as prior ∪ delta slices — the per-row code map is deterministic under frozen models, so the union equals a whole-corpus encode (spec-pinned) while per-ingest work is delta-sized.",
+    "sim_ann_ivfpq_rerank" ->
+      "The refine stage: the ADC-scored candidate frame takes a per-query RerankPool window cut, and the pool BROADCASTS into the raw vector store for the exact-dot re-rank — two broadcast joins, no new exchange over the corpus; at 100 TB the refine read is a pool-sized point lookup against the vec_id-bucketed store while the compressed codes carry the scan.",
+    "cur_dsir_weights" ->
+      "DSIR weights: both model aggs collapse map-side onto <=4096 bucket keys before their exchanges (partial_count below the shuffle); the raw per-(doc, bucket) counts materialize ONCE (localCheckpoint scan feeds the background model AND the scoring join), and both model frames re-enter as BroadcastHashJoins — the scoring side's only shuffle is the final per-doc aggregation.",
     "stream_dedup_chunks_ngram" ->
       "Streaming chunk near-dup (post-run fold shown): the stateful operator is the SAME banded-minhash flatMapGroupsWithState as stream_dedup_minhash_ttl, fed packed (doc_id, chunk_idx) keys through the chunk fan-out Generate — chunks are ordinary documents to the band state machine; per-resident TTL eviction bounds state to O(chunk residents per band cell in the TTL window).",
     "stream_sessions" ->
