@@ -150,6 +150,8 @@ object Bench {
     // DSIR data selection: two ≤4096-row broadcast n-gram models, one
     // raw-side feature expansion, integer ratio weights + tertile keep
     "cur_dsir_select",
+    // Gopher rules: pure per-row integer rule evaluation, zero shuffle
+    "text_gopher_rules",
   )
 
   /** Aggregates per-stage task metrics between reset() and snapshot(). */

@@ -205,6 +205,57 @@ object TextAnalysis {
     * are two-phase aggregations keyed (doc_id, gram) then doc_id —
     * partial-agg combines before both exchanges, no all-pairs
     * anywhere. */
+  /** Gopher word-count bounds (Rae et al. 2021 Table A1). */
+  final val GopherMinWords = 50L
+  final val GopherMaxWords = 100000L
+
+  /** The repo's 10-word stopword vocabulary (the same literal the
+    * heuristic quality score and the stopword filter use inline). */
+  final val StopwordList: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  /** GOPHER RULES document filter (Rae et al. 2021 Table A1, the
+    * document-level subset that applies to a line-free corpus — the
+    * third standard public quality filter next to the heuristic score
+    * and the learned classifier): per-document rule booleans plus the
+    * keep conjunction, emitted as DIAGNOSTICS (the DataComp convention:
+    * per-rule columns make the filter auditable; production keeps
+    * `keep`). Every rule is INTEGER arithmetic — mean word length
+    * bounds become 3n ≤ chars ≤ 10n over the single-space token
+    * contract (total token chars = len(text) − (n−1)), the 80%-alpha
+    * rule 5·a ≥ 4·n — so both engines compare exact longs; no rule
+    * touches a float.
+    *
+    * Scale shape: pure per-row map work over one pruned scan + the
+    * final sort — no shuffle at all before the output ordering; the
+    * filter composes in front of any pipeline without adding an
+    * exchange. */
+  def textGopherRules(spark: SparkSession, sfDir: String): DataFrame =
+    gopherRulesOn(Tables.documents(spark, sfDir))
+
+  /** The rule evaluation on any (doc_id, text) frame (spec entry
+    * point: boundary-plantable docs). */
+  private[graft] def gopherRulesOn(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val t = split($"text", " ")
+    val n = size(t).cast("long")
+    val chars = length($"text").cast("long") - (n - 1L)
+    val alphaWords = size(filter(t, x => x.rlike("[a-zA-Z]"))).cast("long")
+    val stopDistinct = size(array_intersect(array_distinct(t),
+      typedLit(StopwordList))).cast("long")
+    val rCount = n >= GopherMinWords && n <= GopherMaxWords
+    val rMeanLen = chars >= n * 3L && chars <= n * 10L
+    val rAlpha = alphaWords * 5L >= n * 4L
+    val rStop = stopDistinct >= 2L
+    val rLorem = !$"text".contains("lorem ipsum")
+    docs.select($"doc_id", n.as("n_words"),
+        rCount.as("r_wordcount"), rMeanLen.as("r_meanlen"),
+        rAlpha.as("r_alpha"), rStop.as("r_stopwords"), rLorem.as("r_lorem"),
+        (rCount && rMeanLen && rAlpha && rStop && rLorem).as("keep"))
+      .orderBy($"doc_id")
+  }
+
   def textRepetition(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     // ScanAudit: documents=3 is DELIBERATE — the three branches (word
@@ -677,6 +728,7 @@ object TextAnalysis {
     "text_fingerprint_winnow" -> textFingerprintWinnow,
     "text_stats_by_lang" -> textStatsByGroup,
     "text_repetition" -> textRepetition,
+    "text_gopher_rules" -> textGopherRules,
     "text_tfidf_topk" -> textTfidfTopk,
     "text_lm_score" -> textLmScore,
     "text_lm_buckets" -> textLmBuckets,
@@ -949,6 +1001,26 @@ object TextAnalysis {
         |FROM g ORDER BY doc_id, gram_min""".stripMargin,
     // ratios are raw IEEE divisions of exact integers on BOTH sides —
     // identical bit patterns by construction, no rounding anywhere
+    "text_gopher_rules" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, text, string_split(text, ' ') AS t,
+         |    len(string_split(text, ' '))::BIGINT AS n,
+         |    (length(text) - (len(string_split(text, ' ')) - 1))::BIGINT AS chars
+         |  FROM documents
+         |),
+         |r AS (
+         |  SELECT doc_id, n AS n_words,
+         |    n >= $GopherMinWords AND n <= $GopherMaxWords AS r_wordcount,
+         |    chars >= n * 3 AND chars <= n * 10 AS r_meanlen,
+         |    len(list_filter(t, x -> regexp_matches(x, '[a-zA-Z]')))::BIGINT * 5 >= n * 4 AS r_alpha,
+         |    len(list_intersect(list_distinct(t),
+         |      ${StopwordList.mkString("['", "', '", "']")}))::BIGINT >= 2 AS r_stopwords,
+         |    NOT contains(text, 'lorem ipsum') AS r_lorem
+         |  FROM g
+         |)
+         |SELECT doc_id, n_words, r_wordcount, r_meanlen, r_alpha, r_stopwords, r_lorem,
+         |  r_wordcount AND r_meanlen AND r_alpha AND r_stopwords AND r_lorem AS keep
+         |FROM r ORDER BY doc_id""".stripMargin,
     "text_repetition" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
         |base AS (SELECT doc_id, len(t)::BIGINT AS n_tokens,

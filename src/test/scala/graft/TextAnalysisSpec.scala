@@ -285,6 +285,34 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(qv(bucket("the")) > Q / 2 && qv(bucket("zzz")) < Q / 2)
   }
 
+  test("Gopher rules: every boundary lands on the exact integer edge") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // docs planted ON the rule edges: 49 vs 50 words (count rule),
+    // mean word length exactly 3 and exactly >10 (3n <= chars <= 10n),
+    // 80% alpha boundary (4/5 vs 3/5), 1 vs 2 distinct stopwords,
+    // and the lorem-ipsum literal
+    def words(n: Int, w: String) = Seq.fill(n)(w).mkString(" ")
+    val docs = Seq(
+      (1L, words(49, "and")),                         // 49 words -> count rule fails
+      (2L, "the and " + words(48, "box")),            // 50 words, chars = 150 = 3n edge
+      (3L, words(50, "abcdefghijk")),                 // mean len 11 > 10
+      (4L, "the of " + words(48, "xxx1")),            // all rules pass (alpha in every word)
+      (5L, "the " + words(49, "box")),                // only 1 distinct stopword
+      (6L, "the of lorem ipsum " + words(46, "box")), // lorem ipsum literal
+      (7L, "the of " + words(48, "123"))              // 2 alpha words of 50 -> 80% rule fails
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherRulesOn(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(!got(1L).getBoolean(2), "49 words must fail r_wordcount")
+    assert(got(2L).getBoolean(7), "50x'and': every rule passes incl. mean len = 3 edge")
+    assert(!got(3L).getBoolean(3), "mean word length 11 must fail r_meanlen")
+    assert(got(4L).getBoolean(5) && got(4L).getBoolean(7))
+    assert(!got(5L).getBoolean(5), "one distinct stopword must fail r_stopwords")
+    assert(!got(6L).getBoolean(6) && !got(6L).getBoolean(7), "lorem ipsum must fail")
+    assert(!got(7L).getBoolean(4), "2 alpha of 50 words must fail the 80% rule")
+  }
+
   test("BPE counts lower-bound at one token per non-empty word on the real corpus") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
