@@ -747,6 +747,46 @@ object Similarity {
     ivfPqAdcSearch(e, cents, cb, codes, NProbe)
   }
 
+  /** The two FROZEN IVF-PQ models of the incremental/ingest paths —
+    * seeded coarse centroids + residual codebooks Lloyd-fitted on the
+    * PRIOR slice (identical arithmetic to
+    * [[simAnnIvfPqIncrementalOn]]'s fit: residuals are a deterministic
+    * per-row map, so building them from the pre-filtered prior slice
+    * equals filtering the full-corpus residual frame). The bounded
+    * model artifact a production ingest job loads once. */
+  private[graft] def ivfPqFrozenModels(spark: SparkSession, sfDir: String)
+      : (Seq[Seq[Double]], Seq[Seq[Seq[Double]]]) = {
+    import spark.implicits._
+    val e = embeddings(spark, sfDir)
+    val cents = seedCentroids(e)
+    val priorResid = ivfResidFrame(
+      e.filter(pmod($"vec_id", lit(Dedup.SnapshotMod)) < Dedup.SnapshotNewMin), cents)
+    val cbSeeds = priorResid.filter($"vec_id" >= IvfPqSeedBase)
+      .orderBy($"vec_id").limit(NumCentroids)
+      .select($"r").collect().map(_.getSeq[Double](0).toSeq).toSeq
+    val cb = fitPqCodebooks(priorResid.select($"r".as("v")), cbSeeds, KMeansIters)
+    (cents, cb)
+  }
+
+  /** Flat (vec_id, cell, m, code) encode of any (vec_id, v) frame
+    * against EXPLICIT frozen models — pure per-row expressions (assign
+    * argmax + residual subtraction + 8 codeword argmins + posexplode),
+    * no shuffle, no checkpoint: STREAMING-LEGAL, the per-ingest encode
+    * map of the FAISS add() path. */
+  private[graft] def annEncodeFlat(rows: DataFrame, cents: Seq[Seq[Double]],
+      cb: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val centLit = typedLit(cents)
+    val scoreArr = array(cents.map(cv => VectorOps.cosine($"v", typedLit(cv))): _*)
+    val resid = zip_with($"v", element_at(centLit, $"cell" + 1), (a, b) => a - b)
+    assignedCells(rows, scoreArr)
+      .select($"vec_id", $"cell", resid.as("r"))
+      .select($"vec_id", $"cell",
+        posexplode(array((0 until PqSubspaces).map(m =>
+          pqCodeCol(cb, $"r", m)): _*)).as(Seq("m", "code")))
+  }
+
   /** vec_id's m-th [[PqSubDim]]-dim sub-slice. */
   private def pqSub(v: Column, m: Int): Column = slice(v, m * PqSubDim + 1, PqSubDim)
 
@@ -1316,6 +1356,25 @@ object Similarity {
        |) t WHERE rk <= $TopK
        |ORDER BY query_id, rk""".stripMargin
 
+  /** Oracle for the STREAMING ingest twin (`stream_ann_encode`,
+    * registered from Streaming.oracles): the incremental query's exact
+    * fit/encode CTE chain — frozen prior-slice models — with the
+    * search tail swapped for the delta slice's flat (vec_id, cell, m,
+    * code) rows; unused search CTEs inline away. */
+  private[graft] def annEncodeOracleSql: String =
+    ivfPqSqlWith(pqFitCtesWithSeeds(KMeansIters, "resid", "r",
+      s"""(SELECT c, r FROM (
+         |      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, r
+         |      FROM resid
+         |      WHERE vec_id >= $IvfPqSeedBase
+         |        AND vec_id % ${Dedup.SnapshotMod} < ${Dedup.SnapshotNewMin}
+         |      ORDER BY vec_id LIMIT $NumCentroids) q)""".stripMargin,
+      s"s.vec_id % ${Dedup.SnapshotMod} < ${Dedup.SnapshotNewMin}"),
+      s"""SELECT c.vec_id, a.cell, c.m, c.code
+         |FROM codes c JOIN assign a USING (vec_id)
+         |WHERE c.vec_id % ${Dedup.SnapshotMod} >= ${Dedup.SnapshotNewMin}
+         |ORDER BY c.vec_id, c.m""".stripMargin)
+
   val oracles: Map[String, String] = Map(
     "sim_topk_brute" ->
       s"""SELECT query_id, rk, vec_id, round(cos, 4) AS cosine FROM (
@@ -1447,6 +1506,8 @@ object Similarity {
       ivfPqSqlWith(pqFitCtes(KMeansIters, "resid", "r", IvfPqSeedBase),
         ivfPqRerankSqlTail),
     // the incremental mirror differs ONLY in the fit chain: codebooks
+    // (annEncodeOracleSql below reuses this exact chain for the
+    // streaming ingest twin's flat encode rows)
     // fitted on the PRIOR slice (frozen at index creation), seeded from
     // the 16 lowest-id prior vectors after the coarse range; encoding
     // (dist/codes) still reads the full residual fan-out — the frozen

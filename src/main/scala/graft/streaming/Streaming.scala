@@ -1461,6 +1461,43 @@ object Streaming {
       .orderBy($"doc_id")
   }
 
+  /** STREAMING ANN index ingestion — encode-at-ingest, the FAISS
+    * add() path as a stream (the streaming family's second fully
+    * STATELESS member after the decontamination strip): both frozen
+    * models (seeded coarse quantizer + prior-slice-fitted residual
+    * codebooks, [[graft.operators.Similarity.ivfPqFrozenModels]]) bake
+    * into per-row expressions, and each fresh vector maps to its
+    * (vec_id, cell, m, code) index rows with NO shuffle and NO state —
+    * the rows a production ingest appends to the vec_id-bucketed code
+    * artifact that `sim_ann_ivfpq_incremental`'s search tail reads.
+    * Emissions are final on arrival (append mode); fold = max-struct
+    * by (vec_id, m). Oracle: the incremental query's fit/encode CTE
+    * chain restricted to the delta slice, flattened per subspace. */
+  def streamAnnEncode(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Dedup.{SnapshotMod, SnapshotNewMin}
+    val schema = spark.read.parquet(s"$sfDir/embeddings.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "embeddings.parquet").parquet(sfDir)
+      .filter(pmod($"vec_id", lit(SnapshotMod)) >= SnapshotNewMin)
+      .select($"vec_id", graft.functions.VectorOps.toDouble($"embedding").as("v"))
+    runAnnEncodeStream(stream, spark, sfDir)
+  }
+
+  /** The transform of [[streamAnnEncode]] on any streaming (vec_id, v)
+    * frame + the static model source (spec entry point). */
+  private[graft] def runAnnEncodeStream(stream: DataFrame, spark: SparkSession,
+      sfDir: String): DataFrame = {
+    import spark.implicits._
+    val (cents, cb) = graft.operators.Similarity.ivfPqFrozenModels(spark, sfDir)
+    val flat = graft.operators.Similarity.annEncodeFlat(stream, cents, cb)
+    runToMemory(flat, "append")
+      .groupBy($"vec_id", $"m")
+      .agg(max(struct($"cell", $"code")).as("s"))
+      .select($"vec_id", $"s.cell".as("cell"), $"m", $"s.code".as("code"))
+      .orderBy($"vec_id", $"m")
+  }
+
   /** STREAMING heavy hitters — the CMS maintained AS STREAMING STATE:
     * each micro-batch's tokens fold into the 4×1024-cell (r, b) count
     * aggregation (update mode — the state store holds exactly the 4 KB
@@ -1569,6 +1606,7 @@ object Streaming {
     "stream_quality_model" -> streamQualityModel,
     "stream_dsir_weights" -> streamDsirWeights,
     "stream_heavy_hitters_cms" -> streamHeavyHittersCms,
+    "stream_ann_encode" -> streamAnnEncode,
   )
 
   /** Streaming results are checked against the same SQL as their batch
@@ -1709,6 +1747,7 @@ object Streaming {
     "stream_quality_model" -> graft.operators.TextAnalysis.oracles("text_quality_model"),
     "stream_dsir_weights" -> graft.operators.Curation.oracles("cur_dsir_weights"),
     "stream_heavy_hitters_cms" -> graft.operators.WordCount.oracles("wc_heavy_hitters_cms"),
+    "stream_ann_encode" -> graft.operators.Similarity.annEncodeOracleSql,
   )
 
   /** Exact-Jaccard pairs restricted to ≥ 1 fresh member — the oracle

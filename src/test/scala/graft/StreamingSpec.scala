@@ -622,6 +622,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.size === 3)
   }
 
+  test("streaming ANN encode equals the frozen-model batch encode across batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{lit, pmod}
+    import graft.operators.{Dedup, Similarity}
+    val sfDir = SparkTestSession.sf0001
+    val fresh = graft.sources.Tables.embeddings(spark, sfDir)
+      .filter(pmod($"vec_id", lit(Dedup.SnapshotMod)) >= Dedup.SnapshotNewMin)
+      .select($"vec_id", $"embedding")
+    val in = Files.createTempDirectory("graft_enc_in_").toString
+    val base = System.currentTimeMillis()
+    writeOneFile(fresh.filter($"vec_id" % 2 === 0), s"$in/b1.parquet", base)
+    writeOneFile(fresh.filter($"vec_id" % 2 === 1), s"$in/b2.parquet", base + 60000)
+    val schema = spark.read.parquet(in).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+      .select($"vec_id", graft.functions.VectorOps.toDouble($"embedding").as("v"))
+    val got = Streaming.runAnnEncodeStream(stream, spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    // batch expected: the identical frozen models applied to the fresh
+    // slice in one go — per-row deterministic encode, so batch order
+    // and batching cannot matter
+    val (cents, cb) = Similarity.ivfPqFrozenModels(spark, sfDir)
+    val batch = Similarity.annEncodeFlat(
+        fresh.select($"vec_id",
+          graft.functions.VectorOps.toDouble($"embedding").as("v")), cents, cb)
+      .orderBy($"vec_id", $"m").collect().map(_.toSeq).toSeq
+    assert(got === batch, s"stream size ${got.size} != batch size ${batch.size} or content drift")
+    assert(got.nonEmpty)
+  }
+
   test("streaming CMS heavy hitters equals the batch sketch across batches") {
     import spark.implicits._
     // two batches with overlapping hot tokens — the streaming state's
