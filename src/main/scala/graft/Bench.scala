@@ -152,6 +152,8 @@ object Bench {
     "cur_dsir_select",
     // Gopher rules: pure per-row integer rule evaluation, zero shuffle
     "text_gopher_rules",
+    // MOSS: winnowed-fingerprint inverted index + df-capped pair join
+    "dedup_winnow_pairs",
   )
 
   /** Aggregates per-stage task metrics between reset() and snapshot(). */

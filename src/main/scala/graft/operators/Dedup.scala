@@ -1625,6 +1625,58 @@ object Dedup {
     dedupClustersOn(docs, stars.unionByName(touchPairs))
   }
 
+  /** MOSS df cap: fingerprints shared by more than this many documents
+    * are dropped before pairing (Schleimer et al. 2003 §5's "too common
+    * to be interesting" rule — and the bound that keeps the inverted
+    * index's per-key pair fan-out ≤ cap²/2 at any corpus size). */
+  final val WinnowDfCap = 20L
+  /** Minimum shared fingerprints for a reported pair. */
+  final val WinnowMinShared = 10L
+
+  /** MOSS-style near-dup pair search over WINNOWED FINGERPRINTS
+    * (Schleimer et al. 2003: the winnowing paper's actual use of the
+    * fingerprints `text_fingerprint_winnow` computes — an inverted
+    * index on the window-min gram hashes, pairs scored by SHARED
+    * FINGERPRINT COUNT): completes the near-dup family with its
+    * character-level robust member (minhash = token sets, simhash =
+    * hamming proximity, containment = asymmetric excerpts, winnow =
+    * position-robust character overlap that survives small edits).
+    * Output (doc_a, doc_b, n_shared, n_a, n_b) — all integers; the
+    * consumer picks its overlap measure from the counts.
+    *
+    * Scale shape: the fingerprint expansion is ~2 hashes per winnow
+    * window per doc, df-capped BEFORE pairing so each fingerprint key
+    * fans out ≤ cap²/2 pairs (no all-pairs anywhere); the post-cap
+    * index materializes once and feeds sizes + both join sides. The
+    * index is the artifact MOSS stores. */
+  def dedupWinnowPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    winnowPairsOn(Tables.documents(spark, sfDir)
+      .repartition(spark.sparkContext.defaultParallelism))
+  }
+
+  /** The pair search on any (doc_id, text) frame (spec entry point:
+    * plantable shared character runs). */
+  private[graft] def winnowPairsOn(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val fps = docs.select($"doc_id",
+      explode(array_distinct(graft.functions.GramWindowMins($"text"))).as("g"))
+    val df = fps.groupBy($"g").agg(count(lit(1)).as("df"))
+    val keep = Materialize.frame(
+      fps.join(df.filter($"df" <= WinnowDfCap), "g").select($"doc_id", $"g"))
+    val sizes = keep.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    keep.as("a").join(keep.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter($"n_shared" >= WinnowMinShared)
+      .join(sizes.select($"doc_id".as("doc_a"), $"n".as("n_a")), "doc_a")
+      .join(sizes.select($"doc_id".as("doc_b"), $"n".as("n_b")), "doc_b")
+      .select($"doc_a", $"doc_b", $"n_shared", $"n_a", $"n_b")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> dedupExact,
     "dedup_exact_bow" -> dedupExactBow,
@@ -1640,6 +1692,7 @@ object Dedup {
     "dedup_kept" -> dedupKept,
     "dedup_simhash" -> dedupSimHash,
     "dedup_simhash_pairs" -> dedupSimHashPairs,
+    "dedup_winnow_pairs" -> dedupWinnowPairs,
     "dedup_simhash_pairs_wide" -> dedupSimHashPairsWide,
     "dedup_simhash_pairs_b16" -> dedupSimHashPairsB16,
     "dedup_simhash_incremental" -> dedupSimHashIncremental,
@@ -2016,6 +2069,26 @@ object Dedup {
     "dedup_ngram_jaccard" -> cappedJaccardSql,
     "dedup_containment" -> containmentSql,
     "dedup_simhash_pairs" -> simhashPairsSqlAt(MaxPairHamming),
+    // the fps derivation is TextAnalysis.winnowFpsCtes — the ONE
+    // winnow-arithmetic definition, shared with text_fingerprint_winnow
+    "dedup_winnow_pairs" ->
+      s"""WITH ${TextAnalysis.winnowFpsCtes},
+         |wf AS (SELECT doc_id, unnest(fp) AS g FROM wfp),
+         |wdf AS (SELECT g, count(*) AS df FROM wf GROUP BY g),
+         |wkeep AS (SELECT wf.doc_id, wf.g FROM wf JOIN wdf USING (g)
+         |          WHERE df <= $WinnowDfCap),
+         |wsz AS (SELECT doc_id, count(*) AS n FROM wkeep GROUP BY doc_id),
+         |wpairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+         |  FROM wkeep a JOIN wkeep b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |  HAVING count(*) >= $WinnowMinShared
+         |)
+         |SELECT doc_a, doc_b, n_shared, sa.n AS n_a, sb.n AS n_b
+         |FROM wpairs
+         |JOIN wsz sa ON sa.doc_id = doc_a
+         |JOIN wsz sb ON sb.doc_id = doc_b
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_simhash_pairs_wide" -> simhashPairsSqlAt(MaxPairHammingWide),
     // same window, same predicate, different band geometry — sharing the
     // ≤15 oracle IS the claim that the 16-bit banding loses nothing

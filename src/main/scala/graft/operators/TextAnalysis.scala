@@ -793,6 +793,25 @@ object TextAnalysis {
     .map { case (c, j) => s"ascii(text[i+$j:i+$j])::BIGINT*$c" }
     .mkString(" + ")
 
+  /** The winnowed-fingerprint derivation as named CTEs terminating in
+    * `wfp(doc_id, fp)` — fp the DISTINCT window-min list per document.
+    * ONE definition spliced into the `text_fingerprint_winnow` oracle
+    * and the MOSS pair-search oracle (`dedup_winnow_pairs`) so the
+    * Karp–Rabin/winnow arithmetic cannot drift between them. */
+  private[operators] def winnowFpsCtes: String =
+    s"""wg AS (
+       |  SELECT doc_id,
+       |    [($winnowGramTerms) % ${graft.functions.WinnowImpl.Mod}
+       |     for i in range(1, greatest(length(text) - ${graft.functions.WinnowImpl.GramLen - 1}, 0) + 1)] h
+       |  FROM documents
+       |),
+       |wfp AS (
+       |  SELECT doc_id, list_distinct(
+       |    [list_min(h[i:i+${graft.functions.WinnowImpl.Window - 1}])
+       |     for i in range(1, len(h) - ${graft.functions.WinnowImpl.Window} + 2)]) AS fp
+       |  FROM wg
+       |)""".stripMargin
+
   /** Marker-fraction SQL for one language profile, generated from the
     * same `profiles` constants the engine uses. */
   private def langScoreSql(markers: Seq[String]): String =
@@ -989,16 +1008,9 @@ object TextAnalysis {
     // ascii(char) == the byte the engine hashes, on the verified-ASCII
     // documents corpus (same contract as the word-count oracles).
     "text_fingerprint_winnow" ->
-      s"""WITH g AS (
-        |  SELECT doc_id,
-        |    [($winnowGramTerms) % ${graft.functions.WinnowImpl.Mod}
-        |     for i in range(1, greatest(length(text) - ${graft.functions.WinnowImpl.GramLen - 1}, 0) + 1)] h
-        |  FROM documents
-        |)
-        |SELECT doc_id, unnest(list_sort(list_distinct(
-        |  [list_min(h[i:i+${graft.functions.WinnowImpl.Window - 1}])
-        |   for i in range(1, len(h) - ${graft.functions.WinnowImpl.Window} + 2)]))) AS gram_min
-        |FROM g ORDER BY doc_id, gram_min""".stripMargin,
+      s"""WITH $winnowFpsCtes
+        |SELECT doc_id, unnest(list_sort(fp)) AS gram_min
+        |FROM wfp ORDER BY doc_id, gram_min""".stripMargin,
     // ratios are raw IEEE divisions of exact integers on BOTH sides —
     // identical bit patterns by construction, no rounding anywhere
     "text_gopher_rules" ->

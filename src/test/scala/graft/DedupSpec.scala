@@ -763,4 +763,24 @@ class DedupSpec extends AnyFunSuite {
       (6L, 0L, W.toLong))
     assert(got === expected)
   }
+
+  test("winnow pairs: edit-robust shared-run detection; disjoint docs stay silent") {
+    import spark.implicits._
+    // docs 1 and 2 share a ~200-char run with ONE inserted char mid-run
+    // — winnowing's point: fingerprints from windows clear of the edit
+    // still match, so the pair survives a small edit that would break
+    // any aligned-chunk hash; doc 3 is character-disjoint
+    val run = (0 until 40).map(i => s"w$i").mkString(" ")
+    val (h1, h2) = run.splitAt(run.length / 2)
+    val docs = Seq(
+      (1L, "prefixa " + run + " tailaa"),
+      (2L, "prefbbb " + h1 + "X" + h2 + " tailbb"),
+      (3L, (100 until 140).map(i => s"q$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.winnowPairsOn(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(p => (p._1, p._2)).toSeq === Seq((1L, 2L)),
+      s"expected exactly the edited pair, got ${got.mkString(",")}")
+    assert(got.head._3 >= graft.operators.Dedup.WinnowMinShared)
+  }
 }
