@@ -238,6 +238,15 @@ object TextAnalysis {
   private[graft] def gopherRulesOn(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    gopherRulesUnordered(docs).orderBy($"doc_id")
+  }
+
+  /** The rule projection without the final sort — the ONE rule
+    * definition, shared with the streaming at-ingest twin (streams
+    * cannot sort; the fold adds the ordering). */
+  private[graft] def gopherRulesUnordered(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val t = split($"text", " ")
     val n = size(t).cast("long")
     val chars = length($"text").cast("long") - (n - 1L)
@@ -253,7 +262,6 @@ object TextAnalysis {
         rCount.as("r_wordcount"), rMeanLen.as("r_meanlen"),
         rAlpha.as("r_alpha"), rStop.as("r_stopwords"), rLorem.as("r_lorem"),
         (rCount && rMeanLen && rAlpha && rStop && rLorem).as("keep"))
-      .orderBy($"doc_id")
   }
 
   def textRepetition(spark: SparkSession, sfDir: String): DataFrame = {

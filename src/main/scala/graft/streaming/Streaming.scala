@@ -1461,6 +1461,40 @@ object Streaming {
       .orderBy($"doc_id")
   }
 
+  /** STREAMING Gopher rules — the quality filter AT INGEST (the
+    * production placement: documents are gated before they ever land
+    * in the corpus store) and the stateless family's third member:
+    * every rule is a pure per-row integer expression, so there is no
+    * state store, no shuffle, and per-doc verdicts are final on
+    * arrival (append mode; fold = max-struct by doc_id). Oracle: the
+    * batch `text_gopher_rules` SQL verbatim. */
+  def streamGopherRules(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+    runGopherRulesStream(stream)
+  }
+
+  /** The transform of [[streamGopherRules]] on any streaming docs
+    * frame (spec entry point). */
+  private[graft] def runGopherRulesStream(stream: DataFrame): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    // gopherRulesOn ends in an orderBy — streams cannot sort, so feed
+    // the rule projection only and sort after the fold
+    val ruled = graft.operators.TextAnalysis.gopherRulesUnordered(stream)
+    runToMemory(ruled, "append")
+      .groupBy($"doc_id")
+      .agg(max(struct($"n_words", $"r_wordcount", $"r_meanlen", $"r_alpha",
+        $"r_stopwords", $"r_lorem", $"keep")).as("s"))
+      .select($"doc_id", $"s.n_words".as("n_words"),
+        $"s.r_wordcount".as("r_wordcount"), $"s.r_meanlen".as("r_meanlen"),
+        $"s.r_alpha".as("r_alpha"), $"s.r_stopwords".as("r_stopwords"),
+        $"s.r_lorem".as("r_lorem"), $"s.keep".as("keep"))
+      .orderBy($"doc_id")
+  }
+
   /** STREAMING ANN index ingestion — encode-at-ingest, the FAISS
     * add() path as a stream (the streaming family's second fully
     * STATELESS member after the decontamination strip): both frozen
@@ -1607,6 +1641,7 @@ object Streaming {
     "stream_dsir_weights" -> streamDsirWeights,
     "stream_heavy_hitters_cms" -> streamHeavyHittersCms,
     "stream_ann_encode" -> streamAnnEncode,
+    "stream_gopher_rules" -> streamGopherRules,
   )
 
   /** Streaming results are checked against the same SQL as their batch
@@ -1748,6 +1783,7 @@ object Streaming {
     "stream_dsir_weights" -> graft.operators.Curation.oracles("cur_dsir_weights"),
     "stream_heavy_hitters_cms" -> graft.operators.WordCount.oracles("wc_heavy_hitters_cms"),
     "stream_ann_encode" -> graft.operators.Similarity.annEncodeOracleSql,
+    "stream_gopher_rules" -> graft.operators.TextAnalysis.oracles("text_gopher_rules"),
   )
 
   /** Exact-Jaccard pairs restricted to ≥ 1 fresh member — the oracle

@@ -622,6 +622,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.size === 3)
   }
 
+  test("streaming Gopher rules equals the batch filter across batches") {
+    import spark.implicits._
+    // boundary docs split over two batches — per-row verdicts must be
+    // identical to the batch rule evaluation over the union
+    def words(n: Int, w: String) = Seq.fill(n)(w).mkString(" ")
+    val in = Files.createTempDirectory("graft_gr_in_").toString
+    val base = System.currentTimeMillis()
+    writeOneFile(Seq((1L, words(49, "and")), (2L, "the and " + words(48, "box")))
+      .toDF("doc_id", "text"), s"$in/b1.parquet", base)
+    writeOneFile(Seq((3L, "the of lorem ipsum " + words(46, "box")))
+      .toDF("doc_id", "text"), s"$in/b2.parquet", base + 60000)
+    val schema = spark.read.parquet(in).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val got = Streaming.runGopherRulesStream(stream).collect().map(_.toSeq).toSeq
+    val batch = graft.operators.TextAnalysis.gopherRulesOn(spark.read.parquet(in))
+      .collect().map(_.toSeq).toSeq
+    assert(got === batch, s"stream $got != batch $batch")
+    assert(got.size === 3)
+  }
+
   test("streaming ANN encode equals the frozen-model batch encode across batches") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{lit, pmod}
