@@ -598,6 +598,92 @@ object Multimodal {
     spark.createDataFrame(out, resizeSchema).orderBy("doc_id")
   }
 
+  /** aHash grid geometry over the [[PngW]]×[[PngH]] raster: 8 block
+    * columns × 4 block rows = 32 bits, each block 2×3 pixels. */
+  final val AhashCols = 8
+  final val AhashRows = 4
+
+  /** 32-bit average hash of a decoded PNG raster — the aHash of the
+    * perceptual-dedup literature, EXACT-integer form: bit (j·8+i) is
+    * set iff its 2×3 block's pixel sum × 32 > the raster total (the
+    * cross-multiplied "block mean > global mean", no division
+    * anywhere). Returns (w, h, ahash). */
+  private[graft] def decodePngAhash(png: Array[Byte]): (Int, Int, Long) = {
+    val img = readPng(png)
+    val w = img.getWidth
+    val h = img.getHeight
+    require(w == PngW && h == PngH, s"aHash grid assumes ${PngW}x$PngH, got ${w}x$h")
+    val bw = PngW / AhashCols
+    val bh = PngH / AhashRows
+    val sums = new Array[Long](AhashCols * AhashRows)
+    var total = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = img.getRaster.getSample(x, y, 0).toLong
+        sums((y / bh) * AhashCols + (x / bw)) += v
+        total += v
+        x += 1
+      }
+      y += 1
+    }
+    var hash = 0L
+    var b = 0
+    while (b < sums.length) {
+      if (sums(b) * (AhashCols * AhashRows).toLong > total) hash |= 1L << b
+      b += 1
+    }
+    (w, h, hash)
+  }
+
+  /** PERCEPTUAL image dedup via average hash (the aHash of the
+    * image-dedup literature — the method LAION-style pipelines use for
+    * cheap near-identical image collapse): each document's PNG payload
+    * decodes through the real codec, the raster reduces to the 32-bit
+    * [[decodePngAhash]] block-mean signature, and documents GROUP BY
+    * hash — the canonical (minimum doc_id) member of each group is the
+    * keeper. Robust to small pixel perturbations by construction
+    * (MultimodalSpec plants a single-pixel edit that keeps the hash
+    * and so collapses the pair — exactly the re-encode/noise case
+    * byte-level dedup misses). Output (doc_id, ahash, n_group,
+    * is_canonical) — all integers/booleans.
+    *
+    * Scale shape: decode+hash is per-row map work behind the
+    * round-robin decode exchange; the group step is ONE shuffle on the
+    * 4-byte hash key (map-side partial min/count) — the image corpus
+    * collapses to its visual-signature groups without any pair
+    * enumeration. */
+  def mmDedupAhash(spark: SparkSession, sfDir: String): DataFrame =
+    mmDedupAhashOn(decodeParallel(
+      Tables.documents(spark, sfDir).select("doc_id", "text")))
+
+  /** The transform on any (doc_id, text) frame (spec entry point:
+    * plantable pixel perturbations). */
+  private[graft] def mmDedupAhashOn(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val hashed = docs.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val s = r.getString(1)
+        val png = encodePng(
+          if (s == null) Array.emptyByteArray else s.getBytes("UTF-8"))
+        val (_, _, ahash) = decodePngAhash(png)
+        Row(r.getLong(0), ahash)
+      }
+    }
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("ahash", LongType, nullable = false)))
+    val hdf = spark.createDataFrame(hashed, schema)
+    val groups = hdf.groupBy($"ahash")
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_group"))
+    hdf.join(groups, "ahash")
+      .select($"doc_id", $"ahash", $"n_group",
+        ($"doc_id" === $"keep_id").as("is_canonical"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_manifest" -> mmManifest,
     "mm_features" -> mmFeatures,
@@ -606,6 +692,7 @@ object Multimodal {
     "mm_features_audio_real" -> mmFeaturesAudioReal,
     "mm_frames_real" -> mmFramesReal,
     "mm_resize_real" -> mmResizeReal,
+    "mm_dedup_ahash" -> mmDedupAhash,
   )
 
   val oracles: Map[String, String] = Map(
@@ -656,6 +743,47 @@ object Multimodal {
     // encode→inflate→defilter→histogram path, not a replay of its
     // output. ascii(char) == byte on the verified-ASCII corpus (same
     // precondition mm_features already relies on).
+    // aHash mirrored from first principles: the raster is the text
+    // bytes tiled mod length (the encodePng contract), block sums are
+    // exact integers, and the bit rule is the cross-multiplied
+    // block-mean > global-mean comparison — no PNG, no division
+    "mm_dedup_ahash" -> {
+      val n = PngW * PngH
+      val bw = PngW / AhashCols
+      val bh = PngH / AhashRows
+      val bits = AhashCols * AhashRows
+      def blockSum(b: Int): String = {
+        val i = b % AhashCols
+        val j = b / AhashCols
+        (for (dy <- 0 until bh; dx <- 0 until bw)
+          yield s"ps[${(j * bh + dy) * PngW + i * bw + dx + 1}]").mkString(" + ")
+      }
+      val bsList = (0 until bits).map(blockSum).mkString("[", ",\n    ", "]")
+      s"""WITH px AS (
+        |  SELECT doc_id,
+        |    CASE WHEN octet_length(encode(text)) = 0
+        |      THEN [0 for k in range(0, $n)]
+        |      ELSE [ascii(text[(k % octet_length(encode(text))) + 1 :
+        |                       (k % octet_length(encode(text))) + 1])
+        |            for k in range(0, $n)]
+        |    END AS ps
+        |  FROM documents
+        |),
+        |bs AS (SELECT doc_id, $bsList AS b FROM px),
+        |ah AS (
+        |  SELECT doc_id,
+        |    list_sum([CASE WHEN b[k+1] * $bits > list_sum(b)
+        |      THEN (1::BIGINT << k) ELSE 0 END
+        |      for k in range(0, $bits)])::BIGINT AS ahash
+        |  FROM bs
+        |),
+        |gr AS (SELECT ahash, min(doc_id) AS keep_id, count(*) AS n_group
+        |       FROM ah GROUP BY ahash)
+        |SELECT ah.doc_id, ah.ahash, gr.n_group,
+        |  ah.doc_id = gr.keep_id AS is_canonical
+        |FROM ah JOIN gr USING (ahash)
+        |ORDER BY ah.doc_id""".stripMargin
+    },
     "mm_features_real" -> {
       val bins = (0 until FeatureDim).map { b =>
         s"(len(list_filter(ps, p -> p // 16 = $b))::FLOAT / 192.0::FLOAT)::DOUBLE"

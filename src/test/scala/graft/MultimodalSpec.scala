@@ -174,4 +174,25 @@ class MultimodalSpec extends AnyFunSuite {
         r.getAs[Int]("frame_bytes") <= Multimodal.FrameSize)
     }
   }
+
+  test("aHash dedup collapses a one-pixel perturbation, splits a restructured image") {
+    import spark.implicits._
+    // 192-char payloads fill the 16x12 raster exactly (one byte per
+    // pixel). A = high-contrast halves; B = A with ONE byte nudged by 1
+    // (the re-encode/noise case byte-level dedup misses — block sums
+    // move by 1 against margins of thousands, hash stable); C = the
+    // halves swapped (every block mean flips sides, different hash).
+    val a = "z" * 96 + "A" * 96
+    val b = "y" + "z" * 95 + "A" * 96
+    val c = "A" * 96 + "z" * 96
+    val got = Multimodal.mmDedupAhashOn(
+        Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got(1L)._1 === got(2L)._1, "one-pixel edit must keep the aHash")
+    assert(got(1L)._1 !== got(3L)._1, "restructured raster must re-hash")
+    assert(got(1L)._2 === 2L && got(2L)._2 === 2L && got(3L)._2 === 1L)
+    assert(got(1L)._3 && !got(2L)._3 && got(3L)._3,
+      "canonical = min doc_id of each hash group")
+  }
 }
