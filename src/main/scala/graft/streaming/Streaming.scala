@@ -1461,6 +1461,77 @@ object Streaming {
       .orderBy($"doc_id")
   }
 
+  /** STREAMING exact-substring dedup, INCREMENTAL — the ExactSubstr
+    * daily-crawl form at ingest: state is keyed by 25-token gram hash,
+    * bootstrapped from the PRIOR snapshot's distinct gram index loaded
+    * as initialState with every prior gram pre-EMITTED (the 8 B/gram
+    * stored artifact as warm-start state — the
+    * [[streamDedupMinhashWarmstart]] pattern applied to grams). A
+    * fresh (doc, pos) occurrence emits immediately when its gram
+    * family is already emitted (prior gram, or a fresh family that
+    * crossed two distinct docs earlier); an unemitted family buffers
+    * its occurrences and flushes ALL of them — including earlier
+    * batches' residents — the moment a second distinct doc arrives,
+    * matching the batch mn≠mx rule exactly. Single-doc repeats never
+    * emit, as in batch. The post-run fold distinct-s the flagged
+    * occurrences and runs the SAME maximal-run merge as the batch
+    * query — oracle shared verbatim with `dedup_substring_incremental`.
+    *
+    * Scale/state: O(distinct gram hashes) — which IS the production
+    * index (a RocksDB state store holding the gram index is the
+    * steady-state deployment); residents buffer only unemitted
+    * single-doc families. A TTL tier would evict cold grams exactly as
+    * the near-dup states do — the documented bounded-state trade. */
+  def streamSubstringIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Dedup.{SnapshotMod, SnapshotNewMin}
+    val prior = graft.sources.Tables.documents(spark, sfDir)
+      .filter(pmod($"doc_id", lit(SnapshotMod)) < SnapshotNewMin)
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val delta = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+      .filter(pmod($"doc_id", lit(SnapshotMod)) >= SnapshotNewMin)
+    runSubstringIncrementalStream(delta, prior)
+  }
+
+  /** The transform of [[streamSubstringIncremental]] on any streaming
+    * delta frame + static prior snapshot (spec entry point). */
+  private[graft] def runSubstringIncrementalStream(delta: DataFrame,
+      prior: DataFrame): DataFrame = {
+    val spark = delta.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val W = graft.operators.Dedup.ExactSubstrTokens
+    def gramsDs(df: DataFrame) = df
+      .select($"doc_id", posexplode(
+        graft.functions.NGramXxh64Pos($"text", W)).as(Seq("pos", "h")))
+      .select($"h", $"doc_id", $"pos").as[(Long, Long, Int)]
+    val initial = gramsDs(
+        prior.repartition(spark.sparkContext.defaultParallelism, $"doc_id"))
+      .groupByKey(_._1)
+      .mapGroups((h, _) => (h, (true, Seq.empty[(Long, Int)])))
+      .groupByKey(_._1).mapValues(_._2)
+    val flagged = gramsDs(delta).groupByKey(_._1)
+      .flatMapGroupsWithState[(Boolean, Seq[(Long, Int)]), (Long, Int)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout, initial) {
+          (h, it, state) =>
+            val arrivals = it.map(t => (t._2, t._3)).toSeq
+            val (emitted, residents) = state.getOption.getOrElse(
+              (false, Seq.empty[(Long, Int)]))
+            val all = residents ++ arrivals
+            if (emitted || all.map(_._1).distinct.size >= 2) {
+              state.update((true, Seq.empty))
+              (if (emitted) arrivals else all).iterator
+            } else {
+              state.update((false, all))
+              Iterator.empty
+            }
+        }
+      .toDF("doc_id", "pos")
+    graft.operators.Dedup.mergeSpanRuns(
+      runToMemory(flagged, "append").distinct(), W)
+  }
+
   /** STREAMING Gopher rules — the quality filter AT INGEST (the
     * production placement: documents are gated before they ever land
     * in the corpus store) and the stateless family's third member:
@@ -1642,6 +1713,7 @@ object Streaming {
     "stream_heavy_hitters_cms" -> streamHeavyHittersCms,
     "stream_ann_encode" -> streamAnnEncode,
     "stream_gopher_rules" -> streamGopherRules,
+    "stream_substring_incremental" -> streamSubstringIncremental,
   )
 
   /** Streaming results are checked against the same SQL as their batch
@@ -1784,6 +1856,8 @@ object Streaming {
     "stream_heavy_hitters_cms" -> graft.operators.WordCount.oracles("wc_heavy_hitters_cms"),
     "stream_ann_encode" -> graft.operators.Similarity.annEncodeOracleSql,
     "stream_gopher_rules" -> graft.operators.TextAnalysis.oracles("text_gopher_rules"),
+    "stream_substring_incremental" ->
+      graft.operators.Dedup.oracles("dedup_substring_incremental"),
   )
 
   /** Exact-Jaccard pairs restricted to ≥ 1 fresh member — the oracle

@@ -127,6 +127,11 @@ object StreamScanAudit {
       // both DSIR models fit once off static reads (target = prior
       // slice, background = static fresh slice) before the stream
       // starts; per-batch bytes must be delta-only
+      // prior gram index loads as initialState BEFORE the stream starts;
+      // per-batch bytes must be delta-only
+      "stream_substring_incremental" ->
+        (b => Streaming.runSubstringIncrementalStream(
+          stream(b).filter(freshPred), prior)),
       // two streaming passes (sketch state + truth harness), each
       // reading every file once — per-batch bytes must stay delta-only
       "stream_heavy_hitters_cms" ->

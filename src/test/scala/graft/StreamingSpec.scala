@@ -622,6 +622,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.size === 3)
   }
 
+  test("streaming substring-incremental: retroactive cross-batch flush equals batch") {
+    import spark.implicits._
+    val W = graft.operators.Dedup.ExactSubstrTokens
+    // shared 30-token run S: doc 20 (batch 1) and doc 21 (batch 2) — the
+    // batch-1 occurrences must flush RETROACTIVELY when doc 21 arrives;
+    // doc 22 repeats a PRIOR doc's run (emits on arrival, pre-emitted
+    // state); doc 23 repeats its own run twice (single doc — silent)
+    val s = (0 until 30).map(i => s"s$i").mkString(" ")
+    val p = (0 until 30).map(i => s"p$i").mkString(" ")
+    val own = (0 until W).map(i => s"o$i").mkString(" ")
+    val prior = Seq((1L, "pa pb " + p)).toDF("doc_id", "text")
+    val in = Files.createTempDirectory("graft_ssi_in_").toString
+    val base = System.currentTimeMillis()
+    writeOneFile(Seq(
+      (20L, "x1 x2 " + s + " x3"),
+      (23L, own + " z9 " + own)).toDF("doc_id", "text"), s"$in/b1.parquet", base)
+    writeOneFile(Seq(
+      (21L, "y1 " + s + " y2 y3"),
+      (22L, p + " w1 w2")).toDF("doc_id", "text"), s"$in/b2.parquet", base + 60000)
+    val schema = spark.read.parquet(in).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val got = Streaming.runSubstringIncrementalStream(stream, prior)
+      .collect().map(_.toSeq).toSeq
+    val batch = graft.operators.Dedup.dedupSubstringIncrementalOn(
+        prior, spark.read.parquet(in)).collect().map(_.toSeq).toSeq
+    assert(got === batch, s"stream $got != batch $batch")
+    val byDoc = got.map(r => r.head.asInstanceOf[Long]).toSet
+    assert(byDoc === Set(20L, 21L, 22L), s"flagged docs: $byDoc")
+  }
+
   test("streaming Gopher rules equals the batch filter across batches") {
     import spark.implicits._
     // boundary docs split over two batches — per-row verdicts must be
