@@ -89,6 +89,10 @@ object PlanDump {
       "The refine stage: the ADC-scored candidate frame takes a per-query RerankPool window cut, and the pool BROADCASTS into the raw vector store for the exact-dot re-rank — two broadcast joins, no new exchange over the corpus; at 100 TB the refine read is a pool-sized point lookup against the vec_id-bucketed store while the compressed codes carry the scan.",
     "cur_dsir_weights" ->
       "DSIR weights: both model aggs collapse map-side onto <=4096 bucket keys before their exchanges (partial_count below the shuffle); the raw per-(doc, bucket) counts materialize ONCE (localCheckpoint scan feeds the background model AND the scoring join), and both model frames re-enter as BroadcastHashJoins — the scoring side's only shuffle is the final per-doc aggregation.",
+    "dedup_winnow_pairs" ->
+      "MOSS pair search: the fingerprint expansion materializes once post-df-cap (localCheckpoint feeds sizes + BOTH self-join sides), the pair join shuffles on the fingerprint key with per-key fan-out bounded by the df cap, and the size joins ride broadcast — no all-pairs stage anywhere.",
+    "mm_dedup_ahash" ->
+      "Perceptual dedup: decode+aHash is per-row map work behind the round-robin decode exchange; ONE shuffle on the 4-byte hash key (partial min/count below it) collapses the corpus to visual-signature groups — no pair enumeration, no second corpus pass.",
     "stream_dedup_chunks_ngram" ->
       "Streaming chunk near-dup (post-run fold shown): the stateful operator is the SAME banded-minhash flatMapGroupsWithState as stream_dedup_minhash_ttl, fed packed (doc_id, chunk_idx) keys through the chunk fan-out Generate — chunks are ordinary documents to the band state machine; per-resident TTL eviction bounds state to O(chunk residents per band cell in the TTL window).",
     "stream_sessions" ->
