@@ -154,6 +154,8 @@ object Bench {
     "text_gopher_rules",
     // MOSS: winnowed-fingerprint inverted index + df-capped pair join
     "dedup_winnow_pairs",
+    // its daily-crawl form: delta probes the stored fingerprint index
+    "dedup_winnow_incremental",
     // perceptual image dedup: real codec decode + 32-bit aHash groupBy
     "mm_dedup_ahash",
   )

@@ -1677,6 +1677,57 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** INCREMENTAL winnow pair search — the daily-crawl form of
+    * [[dedupWinnowPairs]], completing the incremental family's
+    * character-level member (exact, minhash, simhash, embedding,
+    * substring, winnow): the prior snapshot's per-doc fingerprint
+    * rows are the stored MOSS index; the fresh delta's fingerprints
+    * pair INTERNALLY and AGAINST the prior index — the prior side
+    * never self-pairs (those pairs were reported when the prior docs
+    * were the delta). The df cap uses the COMBINED document frequency
+    * (the stored per-gram df counter incremented by the delta — what a
+    * production index maintains), so cap semantics match the
+    * whole-corpus batch query. Same integer output contract. */
+  def dedupWinnowIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+      .repartition(spark.sparkContext.defaultParallelism)
+    winnowIncrementalOn(
+      docs.filter(pmod($"doc_id", lit(SnapshotMod)) < SnapshotNewMin),
+      docs.filter(pmod($"doc_id", lit(SnapshotMod)) >= SnapshotNewMin))
+  }
+
+  /** The transform over any (prior, fresh) pair of (doc_id, text)
+    * frames (spec entry point). */
+  private[graft] def winnowIncrementalOn(prior: DataFrame, fresh: DataFrame): DataFrame = {
+    val spark = prior.sparkSession
+    import spark.implicits._
+    def fps(df: DataFrame): DataFrame = df.select($"doc_id",
+      explode(array_distinct(graft.functions.GramWindowMins($"text"))).as("g"))
+    val fpsP = fps(prior)
+    val fpsF = fps(fresh)
+    // combined df = the maintained per-gram counter of the stored index
+    val df = fpsP.unionByName(fpsF).groupBy($"g").agg(count(lit(1)).as("df"))
+      .filter($"df" <= WinnowDfCap)
+    val keepP = Materialize.frame(fpsP.join(df, "g").select($"doc_id", $"g"))
+    val keepF = Materialize.frame(fpsF.join(df, "g").select($"doc_id", $"g"))
+    val sizes = keepP.unionByName(keepF).groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val cand = keepF.as("a").join(keepF.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("fa"), col("b.doc_id").as("fb"))
+      .unionByName(keepF.as("f").join(keepP.as("p"), col("f.g") === col("p.g"))
+        .select(col("f.doc_id").as("fa"), col("p.doc_id").as("fb")))
+    cand
+      .select(least($"fa", $"fb").as("doc_a"), greatest($"fa", $"fb").as("doc_b"))
+      .groupBy($"doc_a", $"doc_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter($"n_shared" >= WinnowMinShared)
+      .join(sizes.select($"doc_id".as("doc_a"), $"n".as("n_a")), "doc_a")
+      .join(sizes.select($"doc_id".as("doc_b"), $"n".as("n_b")), "doc_b")
+      .select($"doc_a", $"doc_b", $"n_shared", $"n_a", $"n_b")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> dedupExact,
     "dedup_exact_bow" -> dedupExactBow,
@@ -1693,6 +1744,7 @@ object Dedup {
     "dedup_simhash" -> dedupSimHash,
     "dedup_simhash_pairs" -> dedupSimHashPairs,
     "dedup_winnow_pairs" -> dedupWinnowPairs,
+    "dedup_winnow_incremental" -> dedupWinnowIncremental,
     "dedup_simhash_pairs_wide" -> dedupSimHashPairsWide,
     "dedup_simhash_pairs_b16" -> dedupSimHashPairsB16,
     "dedup_simhash_incremental" -> dedupSimHashIncremental,
@@ -2082,6 +2134,36 @@ object Dedup {
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
          |  FROM wkeep a JOIN wkeep b ON a.g = b.g AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2
+         |  HAVING count(*) >= $WinnowMinShared
+         |)
+         |SELECT doc_a, doc_b, n_shared, sa.n AS n_a, sb.n AS n_b
+         |FROM wpairs
+         |JOIN wsz sa ON sa.doc_id = doc_a
+         |JOIN wsz sb ON sb.doc_id = doc_b
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // incremental mirror: identical fps/df/cap arithmetic (combined df
+    // = full-corpus df since corpus = prior ∪ fresh), candidate space
+    // restricted to fresh×fresh (a<b) ∪ fresh×prior — prior never
+    // self-pairs
+    "dedup_winnow_incremental" ->
+      s"""WITH ${TextAnalysis.winnowFpsCtes},
+         |wf AS (SELECT doc_id, unnest(fp) AS g FROM wfp),
+         |wdf AS (SELECT g, count(*) AS df FROM wf GROUP BY g),
+         |wk AS (SELECT wf.doc_id, wf.g FROM wf JOIN wdf USING (g)
+         |       WHERE df <= $WinnowDfCap),
+         |wkf AS (SELECT * FROM wk WHERE doc_id % $SnapshotMod >= $SnapshotNewMin),
+         |wkp AS (SELECT * FROM wk WHERE doc_id % $SnapshotMod < $SnapshotNewMin),
+         |wsz AS (SELECT doc_id, count(*) AS n FROM wk GROUP BY doc_id),
+         |wcand AS (
+         |  SELECT a.doc_id AS fa, b.doc_id AS fb
+         |  FROM wkf a JOIN wkf b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  UNION ALL
+         |  SELECT f.doc_id, p.doc_id FROM wkf f JOIN wkp p ON f.g = p.g
+         |),
+         |wpairs AS (
+         |  SELECT least(fa, fb) AS doc_a, greatest(fa, fb) AS doc_b,
+         |    count(*) AS n_shared
+         |  FROM wcand GROUP BY 1, 2
          |  HAVING count(*) >= $WinnowMinShared
          |)
          |SELECT doc_a, doc_b, n_shared, sa.n AS n_a, sb.n AS n_b

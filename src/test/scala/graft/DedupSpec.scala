@@ -783,4 +783,23 @@ class DedupSpec extends AnyFunSuite {
       s"expected exactly the edited pair, got ${got.mkString(",")}")
     assert(got.head._3 >= graft.operators.Dedup.WinnowMinShared)
   }
+
+  test("winnow incremental: fresh pairs internally and vs prior; prior never self-pairs") {
+    import spark.implicits._
+    val run = (0 until 40).map(i => s"w$i").mkString(" ")
+    val run2 = (200 until 240).map(i => s"v$i").mkString(" ")
+    val prior = Seq(
+      (1L, "pa " + run + " pb"),   // prior twin A
+      (2L, "pc " + run + " pd"))   // prior twin B — the (1,2) pair must NOT report
+      .toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, "fa " + run + " fb"),   // pairs with BOTH prior twins
+      (11L, "fc " + run2 + " fd"),
+      (12L, "fe " + run2 + " ff"))  // 11-12: fresh-internal pair
+      .toDF("doc_id", "text")
+    val got = graft.operators.Dedup.winnowIncrementalOn(prior, fresh).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 10L), (2L, 10L), (11L, 12L)),
+      s"expected cross pairs + fresh-internal pair only, got $got")
+  }
 }
