@@ -1532,6 +1532,44 @@ object Streaming {
       runToMemory(flagged, "append").distinct(), W)
   }
 
+  /** STREAMING perceptual image dedup — the aHash twin of
+    * `mm_dedup_ahash` in the [[streamAnnEncode]] shape: the REAL-CODEC
+    * work (PNG decode + 32-bit block-mean signature) runs per-row AT
+    * INGEST with no shuffle and no state — the hash is the artifact a
+    * production ingest stores next to each image — and the group
+    * collapse (n_group, min-id canonical) folds batch-side over the
+    * final hash table, exactly as a daily dedup job reads the
+    * accumulated signature store. Oracle shared with the batch query. */
+  def streamDedupAhash(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+    runDedupAhashStream(stream)
+  }
+
+  /** The transform of [[streamDedupAhash]] on any streaming docs frame
+    * (spec entry point). */
+  private[graft] def runDedupAhashStream(stream: DataFrame): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val hashed = stream.select($"doc_id", $"text").as[(Long, String)]
+      .map { case (docId, text) =>
+        val png = graft.operators.Multimodal.encodePng(
+          if (text == null) Array.emptyByteArray else text.getBytes("UTF-8"))
+        val (_, _, ahash) = graft.operators.Multimodal.decodePngAhash(png)
+        (docId, ahash)
+      }.toDF("doc_id", "ahash")
+    val folded = runToMemory(hashed, "append")
+      .groupBy($"doc_id").agg(max($"ahash").as("ahash")) // dedup on replay
+    val groups = folded.groupBy($"ahash")
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_group"))
+    folded.join(groups, "ahash")
+      .select($"doc_id", $"ahash", $"n_group",
+        ($"doc_id" === $"keep_id").as("is_canonical"))
+      .orderBy($"doc_id")
+  }
+
   /** STREAMING Gopher rules — the quality filter AT INGEST (the
     * production placement: documents are gated before they ever land
     * in the corpus store) and the stateless family's third member:
@@ -1714,6 +1752,7 @@ object Streaming {
     "stream_ann_encode" -> streamAnnEncode,
     "stream_gopher_rules" -> streamGopherRules,
     "stream_substring_incremental" -> streamSubstringIncremental,
+    "stream_dedup_ahash" -> streamDedupAhash,
   )
 
   /** Streaming results are checked against the same SQL as their batch
@@ -1858,6 +1897,7 @@ object Streaming {
     "stream_gopher_rules" -> graft.operators.TextAnalysis.oracles("text_gopher_rules"),
     "stream_substring_incremental" ->
       graft.operators.Dedup.oracles("dedup_substring_incremental"),
+    "stream_dedup_ahash" -> graft.operators.Multimodal.oracles("mm_dedup_ahash"),
   )
 
   /** Exact-Jaccard pairs restricted to ≥ 1 fresh member — the oracle

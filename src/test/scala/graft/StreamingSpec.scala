@@ -622,6 +622,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.size === 3)
   }
 
+  test("streaming aHash dedup equals the batch perceptual collapse across batches") {
+    import spark.implicits._
+    // the perturbed twin lands in a DIFFERENT batch than its original —
+    // the fold must still collapse the pair (the hash table is global)
+    val a = "z" * 96 + "A" * 96
+    val b = "y" + "z" * 95 + "A" * 96
+    val c = "A" * 96 + "z" * 96
+    val in = Files.createTempDirectory("graft_sah_in_").toString
+    val base = System.currentTimeMillis()
+    writeOneFile(Seq((1L, a), (3L, c)).toDF("doc_id", "text"), s"$in/b1.parquet", base)
+    writeOneFile(Seq((2L, b)).toDF("doc_id", "text"), s"$in/b2.parquet", base + 60000)
+    val schema = spark.read.parquet(in).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val got = Streaming.runDedupAhashStream(stream).collect().map(_.toSeq).toSeq
+    val batch = graft.operators.Multimodal.mmDedupAhashOn(spark.read.parquet(in))
+      .collect().map(_.toSeq).toSeq
+    assert(got === batch, s"stream $got != batch $batch")
+    val byDoc = got.map(r => (r.head.asInstanceOf[Long],
+      r(2).asInstanceOf[Long], r(3).asInstanceOf[Boolean])).toSet
+    assert(byDoc === Set((1L, 2L, true), (2L, 2L, false), (3L, 1L, true)))
+  }
+
   test("streaming substring-incremental: retroactive cross-batch flush equals batch") {
     import spark.implicits._
     val W = graft.operators.Dedup.ExactSubstrTokens
