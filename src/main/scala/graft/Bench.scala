@@ -150,6 +150,9 @@ object Bench {
     // DSIR data selection: two ≤4096-row broadcast n-gram models, one
     // raw-side feature expansion, integer ratio weights + tertile keep
     "cur_dsir_select",
+    // the DSIR-gated pipeline: redact + near-dup drop + importance
+    // selection + chunk dedup in one dataflow
+    "cur_pipeline_samples_dsir",
     // Gopher rules: pure per-row integer rule evaluation, zero shuffle
     "text_gopher_rules",
     // MOSS: winnowed-fingerprint inverted index + df-capped pair join

@@ -347,6 +347,43 @@ object Curation {
     samplesOfGood(kept.join(pass, Seq("doc_id"), "left_semi"))
   }
 
+  /** [[pipelineCurateSamples]] with the quality gate replaced by DSIR
+    * SELECTION — the data-selection sequencing (Xie et al. 2023 as the
+    * gate of a curation run): both bag-of-ngrams models fit on the
+    * REDACTED corpus (target = the prior snapshot's English slice, the
+    * curated-domain stand-in; background = the near-dup-kept FRESH
+    * slice, which is also the scored corpus), and the kept fresh docs
+    * whose importance weights rank in the top third become the
+    * training samples — the pipeline emits exactly the chunks of the
+    * docs DSIR chose this crawl. Scale shape adds the two ≤4096-row
+    * broadcast models + the rank step's range-sort over the weights
+    * frame (doc-count rows, bytes each) to the samples pipeline. */
+  def pipelineCurateSamplesDsir(spark: SparkSession, sfDir: String): DataFrame =
+    pipelineCurateSamplesDsirOn(Tables.documents(spark, sfDir))
+
+  private[graft] def pipelineCurateSamplesDsirOn(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val red = docs.select($"doc_id", $"lang",
+      TextAnalysis.redactedCol($"text").as("text"))
+    val drop = Dedup.dedupNgramJaccardOnDocs(red.select($"doc_id", $"text"))
+      .select($"doc_b".as("doc_id")).distinct()
+    val kept = red.join(drop, Seq("doc_id"), "left_anti")
+    // the kept fresh slice is read by the background-model build, the
+    // scoring expansion AND the chunk fan-out — materialize the staged
+    // artifact once (a production run stores the post-dedup corpus)
+    val freshKept = Materialize.frame(kept
+      .filter(pmod($"doc_id", lit(Dedup.SnapshotMod)) >= Dedup.SnapshotNewMin)
+      .select($"doc_id", $"text"))
+    val target = red
+      .filter(pmod($"doc_id", lit(Dedup.SnapshotMod)) < Dedup.SnapshotNewMin &&
+        $"lang" === "en")
+      .select($"text")
+    val selected = dsirSelectFrom(dsirWeightsOn(target, freshKept))
+      .select($"doc_id")
+    samplesOfGood(freshKept.join(selected, Seq("doc_id"), "left_semi"))
+  }
+
   /** [[pipelineCurateSamples]] with the pair-based doc_b drop replaced
     * by the PRINCIPLED cluster-representative keep of
     * `dedup_kept_clusters`: connected components over the UNION pair
@@ -1005,10 +1042,15 @@ object Curation {
     * stochastic form is one `+ gumbel(seed)` column away). Ranking
     * rides the range-sort + per-partition zipWithIndex pattern
     * (`textLmBuckets`) — no global window funnel. */
-  def dsirSelect(spark: SparkSession, sfDir: String): DataFrame = {
+  def dsirSelect(spark: SparkSession, sfDir: String): DataFrame =
+    dsirSelectFrom(dsirWeights(spark, sfDir))
+
+  /** The rank-and-keep step over any DSIR weights frame — the seam the
+    * DSIR-gated pipeline reuses. */
+  private[graft] def dsirSelectFrom(wIn: DataFrame): DataFrame = {
+    val spark = wIn.sparkSession
     import spark.implicits._
-    import org.apache.spark.sql.Row
-    val w = Materialize.frame(dsirWeights(spark, sfDir))
+    val w = Materialize.frame(wIn)
     val n = w.count()
     val keep = (n + DsirKeepDen - 1) / DsirKeepDen
     val sorted = w.orderBy($"weight".desc, $"doc_id".asc)
@@ -1039,6 +1081,7 @@ object Curation {
     "cur_mix_sample" -> mixSample,
     "cur_dsir_weights" -> dsirWeights,
     "cur_dsir_select" -> dsirSelect,
+    "cur_pipeline_samples_dsir" -> pipelineCurateSamplesDsir,
   )
 
   /** The chunk expansion as a reusable SQL body (no ORDER BY) over any
@@ -1083,13 +1126,19 @@ object Curation {
     * cannot drift. Mirrors [[dsirWeightsOn]] operand-for-operand:
     * integer gram counts, the single rounded IEEE division onto the
     * 2⁻²⁰ grid, integer difference-sum. */
-  private def dsirWeightCtes: String = {
+  private def dsirWeightCtes: String = dsirWeightCtesFrom(
+    s"documents WHERE doc_id % ${Dedup.SnapshotMod} < ${Dedup.SnapshotNewMin} AND lang = 'en'",
+    s"documents WHERE doc_id % ${Dedup.SnapshotMod} >= ${Dedup.SnapshotNewMin}")
+
+  /** The parameterized form: `targetSrc` any relation with a `text`
+    * column, `rawSrc` any relation with `(doc_id, text)` — the seam
+    * the DSIR-gated pipeline oracle points at the kept fresh slice. */
+  private[operators] def dsirWeightCtesFrom(targetSrc: String, rawSrc: String): String = {
     val m = TextAnalysis.QmBuckets - 1
     val b = TextAnalysis.QmBuckets
     val qQ = TextAnalysis.QmQuantum
     s"""dsir_tt AS (
-       |  SELECT string_split(text, ' ') AS t FROM documents
-       |  WHERE doc_id % ${Dedup.SnapshotMod} < ${Dedup.SnapshotNewMin} AND lang = 'en'
+       |  SELECT string_split(text, ' ') AS t FROM $targetSrc
        |),
        |dsir_tf AS (
        |  SELECT md5_number_lower(w) & $m AS b
@@ -1101,8 +1150,7 @@ object Curation {
        |),
        |dsir_ct AS (SELECT b, count(*) AS c FROM dsir_tf GROUP BY b),
        |dsir_rt AS (
-       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
-       |  WHERE doc_id % ${Dedup.SnapshotMod} >= ${Dedup.SnapshotNewMin}
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM $rawSrc
        |),
        |dsir_rf AS (
        |  SELECT doc_id, md5_number_lower(w) & $m AS b
@@ -1153,6 +1201,45 @@ object Curation {
     "cur_text_chunks" ->
       s"""$chunksSql
          |ORDER BY doc_id, chunk_idx""".stripMargin,
+    // the DSIR-gated pipeline: dsir CTEs (ONE definition) pointed at
+    // the redacted prior-en target and the near-dup-kept fresh slice,
+    // rank keep = the cur_dsir_select formulation, samples tail shared
+    "cur_pipeline_samples_dsir" ->
+      s"""WITH red AS (
+         |  SELECT doc_id, lang, ${TextAnalysis.redactedSqlExpr} AS text
+         |  FROM documents
+         |),
+         |pairs AS (${Dedup.cappedJaccardSqlFrom("red")}),
+         |kept AS (
+         |  SELECT doc_id, text FROM red
+         |  WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
+         |),
+         |freshkept AS (
+         |  SELECT doc_id, text FROM kept
+         |  WHERE doc_id % ${Dedup.SnapshotMod} >= ${Dedup.SnapshotNewMin}
+         |),
+         |${dsirWeightCtesFrom(
+             s"(SELECT text FROM red WHERE doc_id % ${Dedup.SnapshotMod} < ${Dedup.SnapshotNewMin} AND lang = 'en')",
+             "freshkept")},
+         |dsir_rk AS (
+         |  SELECT doc_id,
+         |    row_number() OVER (ORDER BY weight DESC, doc_id) AS rk
+         |  FROM dsir_w
+         |),
+         |dsir_n AS (SELECT (count(*) + $DsirKeepDen - 1) // $DsirKeepDen AS keep FROM dsir_w),
+         |good AS (
+         |  SELECT f.doc_id, f.text FROM freshkept f
+         |  JOIN dsir_rk USING (doc_id), dsir_n WHERE rk <= keep
+         |),
+         |chunks AS (${chunksSqlFrom("good")}),
+         |sel AS (
+         |  SELECT doc_id, chunk_idx, chunk_text, n_tokens,
+         |    row_number() OVER (PARTITION BY md5(chunk_text)
+         |      ORDER BY doc_id, chunk_idx) AS rn
+         |  FROM chunks
+         |)
+         |SELECT doc_id, chunk_idx, chunk_text, n_tokens
+         |FROM sel WHERE rn = 1 ORDER BY doc_id, chunk_idx""".stripMargin,
     // the engine's op tree mirrored VERBATIM: integer-quantized sqrt
     // weights (sums exact), one left-to-right IEEE division chain,
     // 53-bit dyadic hash fractions, output probability on the 2^-20
