@@ -269,4 +269,31 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p.take(1200))
     assert("Window".r.findAllIn(p).size >= 2, p.take(1200))
   }
+
+  test("DSIR weights: both models BROADCAST into the scoring side") {
+    // the scale contract: the raw expansion is map work probing two
+    // ≤4096-row broadcasts; a shuffled model join would re-exchange
+    // the corpus-sized per-(doc, bucket) frame
+    val p = plan(Curation.dsirWeights(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(1200))
+    assert(!p.contains("SortMergeJoin"), p.take(1200))
+  }
+
+  test("IVF-PQ refine: pool and query vectors broadcast — no corpus-side exchange for re-rank") {
+    // the refine store read must be a broadcast-probed point lookup;
+    // a shuffle here would move the vector corpus to re-rank 200 rows
+    val p = plan(Similarity.simAnnIvfPqRerank(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("SortMergeJoin"), p.take(1200))
+  }
+
+  test("aHash dedup: one hash-key aggregation, no pair join") {
+    // perceptual collapse = groupBy(ahash) with partial agg below the
+    // exchange; any Join beyond the group-info re-attach (broadcast or
+    // shuffled-hash on the tiny group table) is a design break — the
+    // operator must never enumerate pairs
+    val p = plan(Multimodal.mmDedupAhash(spark, sf))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    assert(p.contains("HashAggregate"), p.take(1200))
+  }
 }
