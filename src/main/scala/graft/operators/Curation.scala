@@ -790,6 +790,50 @@ object Curation {
       .orderBy($"doc_id")
   }
 
+  /** N-GRAM NOVELTY vs the prior snapshot — the dataset-freshness
+    * metric of crawl analysis (what fraction of a fresh document's
+    * [[DecontamGram]]-token windows has the corpus never seen): every
+    * fresh doc scored by its distinct-gram miss rate against the prior
+    * snapshot's distinct gram set. Unlike decontamination (whose eval
+    * side is benchmark-sized by contract and broadcasts), the
+    * reference here is the PRIOR CORPUS — the join is a plain shuffle
+    * on the gram hash against the stored 8 B/gram index,
+    * hash-bucketed in production so the index side re-reads
+    * exchange-free; no broadcast of anything corpus-sized. Novelty is
+    * one raw IEEE division of exact integers (the repetition-signals
+    * discipline). */
+  def textNovelty(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    noveltyOn(
+      docs.filter(pmod($"doc_id", lit(Dedup.SnapshotMod)) < Dedup.SnapshotNewMin),
+      docs.filter(pmod($"doc_id", lit(Dedup.SnapshotMod)) >= Dedup.SnapshotNewMin))
+  }
+
+  /** The novelty transform over any (prior, fresh) pair of (doc_id,
+    * text) frames (spec entry point: plantable overlap). */
+  private[graft] def noveltyOn(prior: DataFrame, fresh: DataFrame): DataFrame = {
+    val spark = prior.sparkSession
+    import spark.implicits._
+    def grams(docs: DataFrame): DataFrame = docs
+      .repartition(spark.sparkContext.defaultParallelism, $"doc_id")
+      .select($"doc_id",
+        graft.functions.NGramXxh64($"text", DecontamGram).as("g"))
+      .filter(size($"g") > 0)
+    val priorIdx = grams(prior)
+      .select(explode($"g").as("h"), lit(1).as("hit")).distinct()
+    grams(fresh)
+      .select($"doc_id", size($"g").cast("long").as("n_grams"),
+        explode($"g").as("h"))
+      .join(priorIdx, Seq("h"), "left")
+      .groupBy($"doc_id")
+      .agg(max($"n_grams").as("n_grams"),
+        sum(when($"hit".isNull, 1L).otherwise(0L)).as("n_novel"))
+      .select($"doc_id", $"n_grams", $"n_novel",
+        ($"n_novel".cast("double") / $"n_grams".cast("double")).as("novelty"))
+      .orderBy($"doc_id")
+  }
+
   /** Decontamination STRIP — [[decontaminate]] upgraded from flagging
     * to SURGERY: instead of dropping a training document that shares a
     * [[DecontamGram]]-token window with the eval set, remove exactly
@@ -1082,6 +1126,7 @@ object Curation {
     "cur_dsir_weights" -> dsirWeights,
     "cur_dsir_select" -> dsirSelect,
     "cur_pipeline_samples_dsir" -> pipelineCurateSamplesDsir,
+    "cur_novelty" -> textNovelty,
   )
 
   /** The chunk expansion as a reusable SQL body (no ORDER BY) over any
@@ -1334,6 +1379,32 @@ object Curation {
          |  a.n_total - coalesce(k.n_kept, 0) AS n_dropped
          |FROM alln a LEFT JOIN kept k USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    // novelty mirrored with the decontam gram definition (distinct
+    // string grams stand in for the engine's distinct xxh64 set — the
+    // same no-collision contract cur_decontam already relies on)
+    "cur_novelty" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+         |),
+         |grams AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    range(1, len(t) - ${DecontamGram - 2}),
+         |    i -> array_to_string(t[i : i + ${DecontamGram - 1}], ' '))) AS g
+         |  FROM toks WHERE len(t) >= $DecontamGram
+         |),
+         |pr AS (SELECT DISTINCT unnest(g) AS h FROM grams
+         |       WHERE doc_id % ${Dedup.SnapshotMod} < ${Dedup.SnapshotNewMin}),
+         |fr AS (SELECT doc_id, len(g) AS n_grams, unnest(g) AS h
+         |       FROM grams WHERE doc_id % ${Dedup.SnapshotMod} >= ${Dedup.SnapshotNewMin}),
+         |j AS (
+         |  SELECT fr.doc_id, max(fr.n_grams) AS n_grams,
+         |    CAST(sum(CASE WHEN pr.h IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+         |  FROM fr LEFT JOIN pr ON fr.h = pr.h
+         |  GROUP BY fr.doc_id
+         |)
+         |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams, n_novel,
+         |  n_novel::DOUBLE / n_grams::DOUBLE AS novelty
+         |FROM j ORDER BY doc_id""".stripMargin,
     "cur_decontam" ->
       s"""WITH toks AS (
          |  SELECT doc_id, string_split(text, ' ') AS t FROM documents

@@ -66,6 +66,9 @@ object ScanAudit {
         // expansion — in production the prior side is the stored
         // 8 B/gram artifact
         "dedup_substring_incremental" -> Map("documents" -> 2),
+        // same two-logical-tables argument: prior distinct-gram index
+        // build + fresh gram expansion
+        "cur_novelty" -> Map("documents" -> 2),
         // the composed daily-crawl pipeline: the 2 final-plan scans are
         // the PRIOR side's band-index and chunk-index builds — stored
         // write-once artifacts in production, materialized inline here

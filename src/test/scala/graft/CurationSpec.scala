@@ -437,6 +437,27 @@ class CurationSpec extends AnyFunSuite {
       (8L, d8text, 12L, 0L)))
   }
 
+  test("novelty: copied doc scores 0, novel doc scores 1, partial overlap exact") {
+    import spark.implicits._
+    val W = Curation.DecontamGram
+    val priorRun = (0 until 20).map(i => s"p$i").mkString(" ")
+    val prior = Seq((1L, priorRun)).toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, priorRun),                                      // verbatim copy: 0.0
+      (11L, (100 until 120).map(i => s"n$i").mkString(" ")), // fully novel: 1.0
+      // first W tokens = the prior run's first window (1 seen gram),
+      // then novel tail — exactly 1 of its grams is seen
+      (12L, (0 until W).map(i => s"p$i").mkString(" ") + " " +
+        (200 until 210).map(i => s"m$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Curation.noveltyOn(prior, fresh).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(10L)._3 === 0.0)
+    assert(got(11L)._3 === 1.0)
+    val (n12, nov12, _) = got(12L)
+    assert(nov12 === n12 - 1, s"exactly one seen gram expected: ${got(12L)}")
+  }
+
   test("DSIR: target-domain text outweighs background text; counts exact") {
     import spark.implicits._
     // target vocabulary {alpha,beta}; raw doc 1 is pure target-domain
