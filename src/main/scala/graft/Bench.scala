@@ -161,6 +161,8 @@ object Bench {
     "dedup_winnow_incremental",
     // perceptual image dedup: real codec decode + 32-bit aHash groupBy
     "mm_dedup_ahash",
+    // crawl freshness: fresh grams shuffle-joined vs the prior index
+    "cur_novelty",
   )
 
   /** Aggregates per-stage task metrics between reset() and snapshot(). */
