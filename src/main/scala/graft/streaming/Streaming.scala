@@ -1532,6 +1532,56 @@ object Streaming {
       runToMemory(flagged, "append").distinct(), W)
   }
 
+  /** STREAMING n-gram novelty — the crawl-freshness metric AT INGEST:
+    * the prior snapshot's distinct gram index materializes ONCE (the
+    * stored 8 B/gram artifact; without the checkpoint the stream-static
+    * contract re-runs the prior expansion every micro-batch) and each
+    * arriving doc's distinct grams LEFT-join it — the natively
+    * supported stream-static join — then aggregate to the per-doc miss
+    * count. Per-doc emissions are complete per batch (update mode), so
+    * the max-struct fold is batch-equal; novelty's raw IEEE division
+    * happens after the fold, as in the batch query. Oracle shared with
+    * `cur_novelty`. */
+  def streamNovelty(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Dedup.{SnapshotMod, SnapshotNewMin}
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+      .filter(pmod($"doc_id", lit(SnapshotMod)) >= SnapshotNewMin)
+    val prior = graft.sources.Tables.documents(spark, sfDir)
+      .filter(pmod($"doc_id", lit(SnapshotMod)) < SnapshotNewMin)
+    runNoveltyStream(stream, prior)
+  }
+
+  /** The transform of [[streamNovelty]] on any streaming docs frame +
+    * static prior snapshot (spec entry point). */
+  private[graft] def runNoveltyStream(stream: DataFrame, prior: DataFrame): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    import graft.operators.{Curation, Materialize}
+    val W = Curation.DecontamGram
+    val priorIdx = Materialize.frame(
+      prior.repartition(spark.sparkContext.defaultParallelism, $"doc_id")
+        .select(explode(graft.functions.NGramXxh64($"text", W)).as("h"))
+        .distinct().select($"h", lit(1).as("hit")))
+    val perDoc = stream
+      .select($"doc_id", graft.functions.NGramXxh64($"text", W).as("g"))
+      .filter(size($"g") > 0)
+      .select($"doc_id", size($"g").cast("long").as("n_grams"),
+        explode($"g").as("h"))
+      .join(priorIdx, Seq("h"), "left")
+      .groupBy($"doc_id")
+      .agg(max($"n_grams").as("n_grams"),
+        sum(when($"hit".isNull, 1L).otherwise(0L)).as("n_novel"))
+    runToMemory(perDoc, "update")
+      .groupBy($"doc_id")
+      .agg(max(struct($"n_grams", $"n_novel")).as("s"))
+      .select($"doc_id", $"s.n_grams".as("n_grams"), $"s.n_novel".as("n_novel"),
+        ($"s.n_novel".cast("double") / $"s.n_grams".cast("double")).as("novelty"))
+      .orderBy($"doc_id")
+  }
+
   /** STREAMING perceptual image dedup — the aHash twin of
     * `mm_dedup_ahash` in the [[streamAnnEncode]] shape: the REAL-CODEC
     * work (PNG decode + 32-bit block-mean signature) runs per-row AT
@@ -1753,6 +1803,7 @@ object Streaming {
     "stream_gopher_rules" -> streamGopherRules,
     "stream_substring_incremental" -> streamSubstringIncremental,
     "stream_dedup_ahash" -> streamDedupAhash,
+    "stream_novelty" -> streamNovelty,
   )
 
   /** Streaming results are checked against the same SQL as their batch
@@ -1898,6 +1949,7 @@ object Streaming {
     "stream_substring_incremental" ->
       graft.operators.Dedup.oracles("dedup_substring_incremental"),
     "stream_dedup_ahash" -> graft.operators.Multimodal.oracles("mm_dedup_ahash"),
+    "stream_novelty" -> graft.operators.Curation.oracles("cur_novelty"),
   )
 
   /** Exact-Jaccard pairs restricted to ≥ 1 fresh member — the oracle

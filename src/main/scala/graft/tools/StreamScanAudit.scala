@@ -127,6 +127,10 @@ object StreamScanAudit {
       // both DSIR models fit once off static reads (target = prior
       // slice, background = static fresh slice) before the stream
       // starts; per-batch bytes must be delta-only
+      // prior gram index materializes once; the stream-static left join
+      // must read checkpoint blocks, not re-scan the prior per batch
+      "stream_novelty" ->
+        (b => Streaming.runNoveltyStream(stream(b).filter(freshPred), prior)),
       // prior gram index loads as initialState BEFORE the stream starts;
       // per-batch bytes must be delta-only
       "stream_substring_incremental" ->

@@ -622,6 +622,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.size === 3)
   }
 
+  test("streaming novelty equals the batch miss rate across batches") {
+    import spark.implicits._
+    val W = graft.operators.Curation.DecontamGram
+    val priorRun = (0 until 20).map(i => s"p$i").mkString(" ")
+    val prior = Seq((1L, priorRun)).toDF("doc_id", "text")
+    val in = Files.createTempDirectory("graft_nov_in_").toString
+    val base = System.currentTimeMillis()
+    writeOneFile(Seq((10L, priorRun)).toDF("doc_id", "text"), s"$in/b1.parquet", base)
+    writeOneFile(Seq(
+      (11L, (100 until 120).map(i => s"n$i").mkString(" ")),
+      (12L, (0 until W).map(i => s"p$i").mkString(" ") + " " +
+        (200 until 210).map(i => s"m$i").mkString(" ")))
+      .toDF("doc_id", "text"), s"$in/b2.parquet", base + 60000)
+    val schema = spark.read.parquet(in).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val got = Streaming.runNoveltyStream(stream, prior).collect().map(_.toSeq).toSeq
+    val batch = graft.operators.Curation.noveltyOn(prior, spark.read.parquet(in))
+      .collect().map(_.toSeq).toSeq
+    assert(got === batch, s"stream $got != batch $batch")
+    assert(got.size === 3)
+  }
+
   test("streaming aHash dedup equals the batch perceptual collapse across batches") {
     import spark.implicits._
     // the perturbed twin lands in a DIFFERENT batch than its original —
