@@ -810,28 +810,51 @@ object Curation {
       docs.filter(pmod($"doc_id", lit(Dedup.SnapshotMod)) >= Dedup.SnapshotNewMin))
   }
 
-  /** The novelty transform over any (prior, fresh) pair of (doc_id,
-    * text) frames (spec entry point: plantable overlap). */
-  private[graft] def noveltyOn(prior: DataFrame, fresh: DataFrame): DataFrame = {
-    val spark = prior.sparkSession
+  /** Distinct-gram expansion for the novelty family — the ONE gram
+    * definition both the batch operator and the streaming twin use. */
+  private[graft] def noveltyGrams(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    def grams(docs: DataFrame): DataFrame = docs
+    docs
       .repartition(spark.sparkContext.defaultParallelism, $"doc_id")
       .select($"doc_id",
         graft.functions.NGramXxh64($"text", DecontamGram).as("g"))
       .filter(size($"g") > 0)
-    val priorIdx = grams(prior)
-      .select(explode($"g").as("h"), lit(1).as("hit")).distinct()
-    grams(fresh)
+  }
+
+  /** Per-doc miss counts of `fresh` against a (h, hit) prior gram
+    * index — shared by batch and stream (streaming-legal: one
+    * aggregation, no sort; the division + ordering are the callers'
+    * tails). */
+  private[graft] def noveltyPerDocAgg(fresh: DataFrame, priorIdx: DataFrame): DataFrame = {
+    val spark = fresh.sparkSession
+    import spark.implicits._
+    noveltyGrams(fresh)
       .select($"doc_id", size($"g").cast("long").as("n_grams"),
         explode($"g").as("h"))
       .join(priorIdx, Seq("h"), "left")
       .groupBy($"doc_id")
       .agg(max($"n_grams").as("n_grams"),
         sum(when($"hit".isNull, 1L).otherwise(0L)).as("n_novel"))
-      .select($"doc_id", $"n_grams", $"n_novel",
+  }
+
+  /** The ratio + ordering tail over a folded per-doc miss frame. */
+  private[graft] def noveltyTail(perDoc: DataFrame): DataFrame = {
+    val spark = perDoc.sparkSession
+    import spark.implicits._
+    perDoc.select($"doc_id", $"n_grams", $"n_novel",
         ($"n_novel".cast("double") / $"n_grams".cast("double")).as("novelty"))
       .orderBy($"doc_id")
+  }
+
+  /** The novelty transform over any (prior, fresh) pair of (doc_id,
+    * text) frames (spec entry point: plantable overlap). */
+  private[graft] def noveltyOn(prior: DataFrame, fresh: DataFrame): DataFrame = {
+    val spark = prior.sparkSession
+    import spark.implicits._
+    val priorIdx = noveltyGrams(prior)
+      .select(explode($"g").as("h"), lit(1).as("hit")).distinct()
+    noveltyTail(noveltyPerDocAgg(fresh, priorIdx))
   }
 
   /** Decontamination STRIP — [[decontaminate]] upgraded from flagging
@@ -1014,8 +1037,6 @@ object Curation {
   private[graft] def dsirWeightsOn(target: DataFrame, raw: DataFrame): DataFrame = {
     val spark = target.sparkSession
     import spark.implicits._
-    val B = TextAnalysis.QmBuckets.toLong
-    val Q = TextAnalysis.QmQuantum
     val ct = Materialize.frame(TextAnalysis.qmFeatures(target.select($"text"))
       .groupBy($"b").agg(count(lit(1)).as("c")))
     // per-(doc, bucket) raw counts: the ONE raw expansion, feeding both
@@ -1027,14 +1048,14 @@ object Curation {
     // totals off the ≤4096-row model tables — bounded driver scalars
     val nt = ct.agg(coalesce(sum($"c"), lit(0L))).collect()(0).getLong(0)
     val nq = cq.agg(coalesce(sum($"c"), lit(0L))).collect()(0).getLong(0)
-    def q(c: Column, n: Long): Column =
-      floor(c.cast("double") / lit((n + B).toDouble) * lit(Q.toDouble)).cast("long")
-    val qp = ct.select($"b", q($"c" + 1L, nt).as("qp"))
-    val qq = cq.select($"b", q($"c" + 1L, nq).as("qq"))
+    val qp = ct.select($"b", dsirQ($"c" + 1L, nt).as("qp"))
+    val qq = cq.select($"b", dsirQ($"c" + 1L, nq).as("qq"))
     // unseen-in-target buckets smooth to the c=0 floor (a driver literal
     // off the bounded total); every scored bucket exists in qq by
-    // construction, so that join is inner
-    val qp0 = math.floor(1.0 / (nt + B).toDouble * Q.toDouble).toLong
+    // construction HERE (cq is built from rdf itself), so that join is
+    // inner — the streaming seam's left-join floor is dead weight only
+    // in this self-scoring shape
+    val qp0 = dsirQ0(nt)
     rdf.join(broadcast(qp), Seq("b"), "left")
       .join(broadcast(qq), Seq("b"))
       .groupBy($"doc_id")
@@ -1043,41 +1064,58 @@ object Curation {
       .orderBy($"doc_id")
   }
 
-  /** The two ≤4096-row DSIR model artifacts + the unseen-bucket floor,
-    * fitted on static (target, raw) frames — the seam the streaming
-    * twin broadcasts the stored models through. */
-  private[graft] def dsirModelOn(target: DataFrame, raw: DataFrame): (DataFrame, DataFrame, Long) = {
+  /** The ONE quantizer of the DSIR model family: the single rounded
+    * IEEE division onto the 2⁻²⁰ grid, shared by the batch path, the
+    * streaming model seam and (operand-for-operand) the oracle. */
+  private def dsirQ(c: Column, n: Long): Column =
+    floor(c.cast("double") / lit((n + TextAnalysis.QmBuckets.toLong).toDouble) *
+      lit(TextAnalysis.QmQuantum.toDouble)).cast("long")
+
+  /** The c=0 smoothing floor of a model with total `n` — the quantized
+    * probability every unseen bucket collapses to. */
+  private[graft] def dsirQ0(n: Long): Long =
+    math.floor(1.0 / (n + TextAnalysis.QmBuckets).toDouble *
+      TextAnalysis.QmQuantum.toDouble).toLong
+
+  /** The two ≤4096-row DSIR model artifacts + BOTH unseen-bucket
+    * floors, fitted on static (target, raw) frames — the seam the
+    * streaming twin broadcasts the stored models through. The raw
+    * floor matters exactly when the scored stream is NOT the fitted
+    * raw snapshot (the production drift case): a bucket the background
+    * model never saw must smooth to its c=0 probability, not drop. */
+  private[graft] def dsirModelOn(target: DataFrame, raw: DataFrame)
+      : (DataFrame, DataFrame, Long, Long) = {
     val spark = target.sparkSession
     import spark.implicits._
-    val B = TextAnalysis.QmBuckets.toLong
-    val Q = TextAnalysis.QmQuantum
     val ct = Materialize.frame(TextAnalysis.qmFeatures(target.select($"text"))
       .groupBy($"b").agg(count(lit(1)).as("c")))
     val cq = Materialize.frame(TextAnalysis.qmFeatures(raw.select($"text"))
       .groupBy($"b").agg(count(lit(1)).as("c")))
     val nt = ct.agg(coalesce(sum($"c"), lit(0L))).collect()(0).getLong(0)
     val nq = cq.agg(coalesce(sum($"c"), lit(0L))).collect()(0).getLong(0)
-    def q(c: Column, n: Long): Column =
-      floor(c.cast("double") / lit((n + B).toDouble) * lit(Q.toDouble)).cast("long")
-    (Materialize.frame(ct.select($"b", q($"c" + 1L, nt).as("qp"))),
-      Materialize.frame(cq.select($"b", q($"c" + 1L, nq).as("qq"))),
-      math.floor(1.0 / (nt + B).toDouble * Q.toDouble).toLong)
+    (Materialize.frame(ct.select($"b", dsirQ($"c" + 1L, nt).as("qp"))),
+      Materialize.frame(cq.select($"b", dsirQ($"c" + 1L, nq).as("qq"))),
+      dsirQ0(nt), dsirQ0(nq))
   }
 
   /** Per-doc DSIR scoring against explicit broadcast models — the
     * PER-OCCURRENCE formulation (one aggregation, streaming-legal;
     * algebraically equal to the batch path's per-(doc, bucket) form:
-    * Σ_occ (qp−qq) = Σ_b k_b·(qp_b−qq_b)). Streaming-safe: no sort. */
+    * Σ_occ (qp−qq) = Σ_b k_b·(qp_b−qq_b)). Streaming-safe: no sort.
+    * Both model joins are LEFT with the smoothing floor — a stream
+    * that drifts past the fitted raw snapshot still scores every
+    * occurrence (when the scored frame IS the fitted raw corpus, the
+    * qq floor is provably dead: every bucket exists in cq). */
   private[graft] def dsirPerDocAgg(score: DataFrame, qp: DataFrame,
-      qq: DataFrame, qp0: Long): DataFrame = {
+      qq: DataFrame, qp0: Long, qq0: Long): DataFrame = {
     val spark = score.sparkSession
     import spark.implicits._
     TextAnalysis.qmFeatures(score.select($"doc_id", $"text"))
       .join(broadcast(qp), Seq("b"), "left")
-      .join(broadcast(qq), Seq("b"))
+      .join(broadcast(qq), Seq("b"), "left")
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_feats"),
-        sum(coalesce($"qp", lit(qp0)) - $"qq").as("weight"))
+        sum(coalesce($"qp", lit(qp0)) - coalesce($"qq", lit(qq0))).as("weight"))
   }
 
   /** The resampling step: keep the top ⌈N/[[DsirKeepDen]]⌉ raw docs by

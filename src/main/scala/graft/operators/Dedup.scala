@@ -1660,8 +1660,10 @@ object Dedup {
   private[graft] def winnowPairsOn(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val fps = docs.select($"doc_id",
-      explode(array_distinct(graft.functions.GramWindowMins($"text"))).as("g"))
+    // the Karp–Rabin window-min expansion is the dominant cost and has
+    // TWO consumers (df agg + keep join) — materialize it once
+    val fps = Materialize.frame(docs.select($"doc_id",
+      explode(array_distinct(graft.functions.GramWindowMins($"text"))).as("g")))
     val df = fps.groupBy($"g").agg(count(lit(1)).as("df"))
     val keep = Materialize.frame(
       fps.join(df.filter($"df" <= WinnowDfCap), "g").select($"doc_id", $"g"))
@@ -1702,8 +1704,10 @@ object Dedup {
   private[graft] def winnowIncrementalOn(prior: DataFrame, fresh: DataFrame): DataFrame = {
     val spark = prior.sparkSession
     import spark.implicits._
-    def fps(df: DataFrame): DataFrame = df.select($"doc_id",
-      explode(array_distinct(graft.functions.GramWindowMins($"text"))).as("g"))
+    // each side's expansion has two consumers (combined-df agg + its
+    // keep join) — materialize both once (the winnowPairsOn note)
+    def fps(df: DataFrame): DataFrame = Materialize.frame(df.select($"doc_id",
+      explode(array_distinct(graft.functions.GramWindowMins($"text"))).as("g")))
     val fpsP = fps(prior)
     val fpsF = fps(fresh)
     // combined df = the maintained per-gram counter of the stored index

@@ -658,30 +658,40 @@ object Multimodal {
     mmDedupAhashOn(decodeParallel(
       Tables.documents(spark, sfDir).select("doc_id", "text")))
 
-  /** The transform on any (doc_id, text) frame (spec entry point:
-    * plantable pixel perturbations). */
-  private[graft] def mmDedupAhashOn(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
+  /** Text → at-rest PNG → real-codec decode → aHash: the ONE per-row
+    * signature computation, shared by the batch transform and the
+    * streaming at-ingest twin so the hash cannot drift. */
+  private[graft] def ahashOf(text: String): Long = {
+    val png = encodePng(
+      if (text == null) Array.emptyByteArray else text.getBytes("UTF-8"))
+    decodePngAhash(png)._3
+  }
+
+  /** The group collapse over any (doc_id, ahash) frame — n_group +
+    * min-id canonical, the ONE keeper rule both twins apply. */
+  private[graft] def ahashCollapse(hdf: DataFrame): DataFrame = {
+    val spark = hdf.sparkSession
     import spark.implicits._
-    val hashed = docs.rdd.mapPartitions { rows =>
-      rows.map { r =>
-        val s = r.getString(1)
-        val png = encodePng(
-          if (s == null) Array.emptyByteArray else s.getBytes("UTF-8"))
-        val (_, _, ahash) = decodePngAhash(png)
-        Row(r.getLong(0), ahash)
-      }
-    }
-    val schema = StructType(Seq(
-      StructField("doc_id", LongType, nullable = false),
-      StructField("ahash", LongType, nullable = false)))
-    val hdf = spark.createDataFrame(hashed, schema)
     val groups = hdf.groupBy($"ahash")
       .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_group"))
     hdf.join(groups, "ahash")
       .select($"doc_id", $"ahash", $"n_group",
         ($"doc_id" === $"keep_id").as("is_canonical"))
       .orderBy($"doc_id")
+  }
+
+  /** The transform on any (doc_id, text) frame (spec entry point:
+    * plantable pixel perturbations). */
+  private[graft] def mmDedupAhashOn(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val hashed = docs.rdd.mapPartitions { rows =>
+      rows.map(r => Row(r.getLong(0), ahashOf(r.getString(1))))
+    }
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("ahash", LongType, nullable = false)))
+    ahashCollapse(spark.createDataFrame(hashed, schema))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

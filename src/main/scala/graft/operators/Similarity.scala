@@ -733,11 +733,7 @@ object Similarity {
     val residFrame = ivfResidFrame(e, cents)
     val priorResid = residFrame
       .filter(pmod($"vec_id", lit(Dedup.SnapshotMod)) < Dedup.SnapshotNewMin)
-    val cbSeeds = priorResid
-      .filter($"vec_id" >= IvfPqSeedBase)
-      .orderBy($"vec_id").limit(NumCentroids)
-      .select($"r").collect().map(_.getSeq[Double](0).toSeq).toSeq
-    val cb = fitPqCodebooks(priorResid.select($"r".as("v")), cbSeeds, KMeansIters)
+    val cb = fitPriorResidCodebooks(priorResid)
     val codes =
       if (sliced)
         ivfPqEncode(priorResid, cb).unionByName(ivfPqEncode(
@@ -761,11 +757,19 @@ object Similarity {
     val cents = seedCentroids(e)
     val priorResid = ivfResidFrame(
       e.filter(pmod($"vec_id", lit(Dedup.SnapshotMod)) < Dedup.SnapshotNewMin), cents)
+    (cents, fitPriorResidCodebooks(priorResid))
+  }
+
+  /** The ONE prior-slice residual-codebook fit (seed rule + Lloyd
+    * iterations) shared by the incremental query and the streaming
+    * encode twin — the "identical arithmetic" claim is structural. */
+  private def fitPriorResidCodebooks(priorResid: DataFrame): Seq[Seq[Seq[Double]]] = {
+    val spark = priorResid.sparkSession
+    import spark.implicits._
     val cbSeeds = priorResid.filter($"vec_id" >= IvfPqSeedBase)
       .orderBy($"vec_id").limit(NumCentroids)
       .select($"r").collect().map(_.getSeq[Double](0).toSeq).toSeq
-    val cb = fitPqCodebooks(priorResid.select($"r".as("v")), cbSeeds, KMeansIters)
-    (cents, cb)
+    fitPqCodebooks(priorResid.select($"r".as("v")), cbSeeds, KMeansIters)
   }
 
   /** Flat (vec_id, cell, m, code) encode of any (vec_id, v) frame

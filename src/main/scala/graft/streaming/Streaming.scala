@@ -1560,26 +1560,15 @@ object Streaming {
     val spark = stream.sparkSession
     import spark.implicits._
     import graft.operators.{Curation, Materialize}
-    val W = Curation.DecontamGram
-    val priorIdx = Materialize.frame(
-      prior.repartition(spark.sparkContext.defaultParallelism, $"doc_id")
-        .select(explode(graft.functions.NGramXxh64($"text", W)).as("h"))
-        .distinct().select($"h", lit(1).as("hit")))
-    val perDoc = stream
-      .select($"doc_id", graft.functions.NGramXxh64($"text", W).as("g"))
-      .filter(size($"g") > 0)
-      .select($"doc_id", size($"g").cast("long").as("n_grams"),
-        explode($"g").as("h"))
-      .join(priorIdx, Seq("h"), "left")
-      .groupBy($"doc_id")
-      .agg(max($"n_grams").as("n_grams"),
-        sum(when($"hit".isNull, 1L).otherwise(0L)).as("n_novel"))
-    runToMemory(perDoc, "update")
+    // same index definition as batch, checkpointed (the stream-static
+    // contract re-executes the static subplan per batch otherwise)
+    val priorIdx = Materialize.frame(Curation.noveltyGrams(prior)
+      .select(explode($"g").as("h")).distinct().select($"h", lit(1).as("hit")))
+    val perDoc = Curation.noveltyPerDocAgg(stream, priorIdx)
+    Curation.noveltyTail(runToMemory(perDoc, "update")
       .groupBy($"doc_id")
       .agg(max(struct($"n_grams", $"n_novel")).as("s"))
-      .select($"doc_id", $"s.n_grams".as("n_grams"), $"s.n_novel".as("n_novel"),
-        ($"s.n_novel".cast("double") / $"s.n_grams".cast("double")).as("novelty"))
-      .orderBy($"doc_id")
+      .select($"doc_id", $"s.n_grams".as("n_grams"), $"s.n_novel".as("n_novel")))
   }
 
   /** STREAMING perceptual image dedup — the aHash twin of
@@ -1605,19 +1594,11 @@ object Streaming {
     import spark.implicits._
     val hashed = stream.select($"doc_id", $"text").as[(Long, String)]
       .map { case (docId, text) =>
-        val png = graft.operators.Multimodal.encodePng(
-          if (text == null) Array.emptyByteArray else text.getBytes("UTF-8"))
-        val (_, _, ahash) = graft.operators.Multimodal.decodePngAhash(png)
-        (docId, ahash)
+        (docId, graft.operators.Multimodal.ahashOf(text))
       }.toDF("doc_id", "ahash")
     val folded = runToMemory(hashed, "append")
       .groupBy($"doc_id").agg(max($"ahash").as("ahash")) // dedup on replay
-    val groups = folded.groupBy($"ahash")
-      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_group"))
-    folded.join(groups, "ahash")
-      .select($"doc_id", $"ahash", $"n_group",
-        ($"doc_id" === $"keep_id").as("is_canonical"))
-      .orderBy($"doc_id")
+    graft.operators.Multimodal.ahashCollapse(folded)
   }
 
   /** STREAMING Gopher rules — the quality filter AT INGEST (the
@@ -1763,8 +1744,8 @@ object Streaming {
     val spark = stream.sparkSession
     import spark.implicits._
     import graft.operators.Curation
-    val (qp, qq, qp0) = Curation.dsirModelOn(target, raw)
-    val perDoc = Curation.dsirPerDocAgg(stream, qp, qq, qp0)
+    val (qp, qq, qp0, qq0) = Curation.dsirModelOn(target, raw)
+    val perDoc = Curation.dsirPerDocAgg(stream, qp, qq, qp0, qq0)
     runToMemory(perDoc, "update")
       .groupBy($"doc_id")
       .agg(max(struct($"n_feats", $"weight")).as("s"))

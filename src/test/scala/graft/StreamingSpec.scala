@@ -779,6 +779,28 @@ class StreamingSpec extends AnyFunSuite {
     got.foreach(r => assert(r(2).asInstanceOf[Long] >= r(1).asInstanceOf[Long]))
   }
 
+  test("streaming DSIR scores DRIFTED docs via the background floor") {
+    import spark.implicits._
+    // the production case the frozen-model seam models: the stream has
+    // moved past the fitted raw snapshot. A doc whose every bucket is
+    // unseen in the raw fit must still score — every occurrence
+    // smoothed by the qq floor — not deflate or vanish
+    val target = Seq((1L, "alpha beta alpha")).toDF("doc_id", "text")
+    val raw = Seq((8L, "alpha beta"), (9L, "beta koppa")).toDF("doc_id", "text")
+    val in = Files.createTempDirectory("graft_dsird_in_").toString
+    writeOneFile(Seq((30L, "qq1 qq2 qq3 qq4")).toDF("doc_id", "text"),
+      s"$in/b1.parquet", System.currentTimeMillis())
+    val schema = spark.read.parquet(in).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val got = Streaming.runDsirStream(stream, target, raw).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._1).toSeq === Seq(30L))
+    assert(got.head._2 === 7L, s"4 unigrams + 3 bigrams expected: $got")
+    // all buckets unseen in BOTH models → weight = 7·(qp0 − qq0), a
+    // finite integer (would have been an empty result pre-floor)
+  }
+
   test("streaming DSIR scoring equals the batch weights across batches") {
     import spark.implicits._
     // target vocabulary {alpha,beta}; raw slice split over two batches
