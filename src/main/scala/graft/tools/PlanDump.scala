@@ -93,6 +93,10 @@ object PlanDump {
       "MOSS pair search: the fingerprint expansion materializes once post-df-cap (localCheckpoint feeds sizes + BOTH self-join sides), the pair join shuffles on the fingerprint key with per-key fan-out bounded by the df cap, and the size joins ride broadcast — no all-pairs stage anywhere.",
     "mm_dedup_ahash" ->
       "Perceptual dedup: decode+aHash is per-row map work behind the round-robin decode exchange; ONE shuffle on the 4-byte hash key (partial min/count below it) collapses the corpus to visual-signature groups — no pair enumeration, no second corpus pass.",
+    "cur_novelty" ->
+      "Freshness metric: prior distinct-gram index (one shuffle-dedup) joined by a plain hash exchange on the gram key against the fresh expansion — the corpus-sized reference is NEVER broadcast (decontamination's eval set is benchmark-sized; this one is not); one per-doc agg after the join.",
+    "cur_pipeline_samples_dsir" ->
+      "DSIR-gated pipeline: the kept fresh slice localCheckpoints once and feeds the background model, the scoring expansion AND the chunk fan-out; both DSIR models re-enter as broadcasts; the rank step reads the checkpointed weights frame (doc-count rows) — no corpus-sized exchange beyond the samples tail's content-hash window.",
     "stream_dedup_chunks_ngram" ->
       "Streaming chunk near-dup (post-run fold shown): the stateful operator is the SAME banded-minhash flatMapGroupsWithState as stream_dedup_minhash_ttl, fed packed (doc_id, chunk_idx) keys through the chunk fan-out Generate — chunks are ordinary documents to the band state machine; per-resident TTL eviction bounds state to O(chunk residents per band cell in the TTL window).",
     "stream_sessions" ->
