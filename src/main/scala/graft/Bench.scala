@@ -294,6 +294,15 @@ object Bench {
       // to that query's measurement — later queries must not run under
       // its memory footprint
       spark.catalog.clearCache()
+      // …and the localCheckpoint blocks the curation pipelines pin: the
+      // ContextCleaner only drops them at some later GC, so across a
+      // 70-query battery they accumulate into exactly the memory/GC
+      // pressure the r10–r12 "unchanged-code ×N CPU regression"
+      // adjudications kept measuring (fresh-JVM isolated runs of the
+      // same binaries were 3–12× cheaper). Explicitly unpersisting
+      // between queries keeps each measurement independent of how many
+      // checkpointing queries ran before it.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     }
 
     // Reference-workload comparison: full word count over the committed

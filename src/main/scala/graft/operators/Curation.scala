@@ -13,6 +13,21 @@ import graft.sources.Tables
   */
 object Curation {
 
+  /** Submit independent materialization jobs concurrently (a standard
+    * Spark driver pattern): the scheduler interleaves their stages
+    * across the executor slots, so a pair-search job that can't fill
+    * the cluster overlaps with a model fit instead of serializing
+    * behind it. Laziness everywhere else is untouched — this only
+    * overlaps EAGER work that would otherwise run back-to-back. */
+  private def concurrently[A, B](fa: => A, fb: => B): (A, B) = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val f1 = Future(fa)
+    val f2 = Future(fb)
+    (Await.result(f1, Duration.Inf), Await.result(f2, Duration.Inf))
+  }
+
   final val ChunkTokens = 50
   final val ChunkStride = 40 // 10-token overlap
   final val PackBudget = 2000
@@ -334,13 +349,40 @@ object Curation {
   private[graft] def pipelineCurateSamplesQmOn(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val red = docs.select($"doc_id",
-      TextAnalysis.redactedCol($"text").as("text"))
-    val drop = Dedup.dedupNgramJaccardOnDocs(red)
-      .select($"doc_b".as("doc_id")).distinct()
-    val kept = red.join(drop, Seq("doc_id"), "left_anti")
-    val model = Materialize.frame(TextAnalysis.qmModelOn(
-      red.filter(pmod($"doc_id", lit(Dedup.SnapshotMod)) < Dedup.SnapshotNewMin)))
+    val width = spark.sparkContext.defaultParallelism
+    // The hash repartition up front (explodedHashes pattern — NO
+    // round-robin: its determinism sort re-walks full text rows)
+    // decouples the redact regex + gram fan-outs from the input split
+    // count, and red stays LAZY: every consumer keeps column pruning
+    // and pmod-filter pushdown into the scan (a checkpointed red loses
+    // both — measured +9 s CPU and 1.3 s GC from full-row block reads
+    // at sf0.1; re-running scan+exchange+redact per consumer is a few
+    // hundred parallel CPU-ms each, the cheaper side of the trade).
+    val red = docs.repartition(width, $"doc_id")
+      .select($"doc_id", TextAnalysis.redactedCol($"text").as("text"))
+    // ONLY the pair-search result materializes — the expensive subtree,
+    // and it is doc-id-list-sized, so the checkpoint is bytes. r12's
+    // 7.1 s wall at 30 s CPU was this subtree running TWICE (kept is
+    // consumed by the scoring expansion and the chunk fan-out, each
+    // pulling the whole jaccard DAG); checkpointing `kept` instead
+    // (round-13 first cut) pays full-corpus block IO and pins an
+    // AQE-coalesced 1-partition layout that serializes the scoring
+    // fan-out. The broadcast anti-join below recomputes per consumer
+    // for the price of a scan+redact.
+    // fit slice straight off the scan: the pmod filter pushes below the
+    // redact projection, and the repartition AFTER it spreads the
+    // 1/5-sized slice (and its redact + gram fan-out) across cores —
+    // the textQualityModel seam, minus that query's round-robin.
+    val fitIn = docs
+      .filter(pmod($"doc_id", lit(Dedup.SnapshotMod)) < Dedup.SnapshotNewMin)
+      .repartition(width, $"doc_id")
+      .select($"doc_id", TextAnalysis.redactedCol($"text").as("text"))
+    // pair search ∥ model fit: independent artifacts, overlapped
+    val (drop, model) = concurrently(
+      Materialize.frame(Dedup.dedupNgramJaccardOnDocs(red)
+        .select($"doc_b".as("doc_id")).distinct()),
+      Materialize.frame(TextAnalysis.qmModelOn(fitIn)))
+    val kept = red.join(broadcast(drop), Seq("doc_id"), "left_anti")
     val pass = TextAnalysis.qmPerDocAgg(kept, model)
       .filter($"sum_q" * 2 >= $"n_feats" * lit(TextAnalysis.QmQuantum))
       .select($"doc_id")
@@ -364,22 +406,40 @@ object Curation {
   private[graft] def pipelineCurateSamplesDsirOn(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val red = docs.select($"doc_id", $"lang",
-      TextAnalysis.redactedCol($"text").as("text"))
-    val drop = Dedup.dedupNgramJaccardOnDocs(red.select($"doc_id", $"text"))
-      .select($"doc_b".as("doc_id")).distinct()
-    val kept = red.join(drop, Seq("doc_id"), "left_anti")
-    // the kept fresh slice is read by the background-model build, the
-    // scoring expansion AND the chunk fan-out — materialize the staged
-    // artifact once (a production run stores the post-dedup corpus)
-    val freshKept = Materialize.frame(kept
-      .filter(pmod($"doc_id", lit(Dedup.SnapshotMod)) >= Dedup.SnapshotNewMin)
-      .select($"doc_id", $"text"))
-    val target = red
+    val width = spark.sparkContext.defaultParallelism
+    // Same staging as the qm pipeline: hash-repartition up front (the
+    // redact + gram fan-outs parallelize off any split count), red
+    // LAZY (pruning + pushdown preserved per consumer), and ONLY the
+    // doc-id-list-sized pair-search result checkpointed — the fresh
+    // kept slice is rebuilt per consumer by a scan + redact +
+    // broadcast anti-join, parallel CPU-ms against the near-dup DAG's
+    // seconds.
+    val red = docs.repartition(width, $"doc_id")
+      .select($"doc_id", $"lang",
+        TextAnalysis.redactedCol($"text").as("text"))
+    // target slice straight off the scan: pmod+lang filters push below
+    // the redact projection; the repartition AFTER them spreads the
+    // small slice's redact + gram fan-out across cores (the qm
+    // pipeline's fit seam).
+    val target = docs
       .filter(pmod($"doc_id", lit(Dedup.SnapshotMod)) < Dedup.SnapshotNewMin &&
         $"lang" === "en")
-      .select($"text")
-    val selected = dsirSelectFrom(dsirWeightsOn(target, freshKept))
+      .repartition(width, $"doc_id")
+      .select(TextAnalysis.redactedCol($"text").as("text"))
+    // pair search ∥ target-model fit: independent artifacts, overlapped
+    val (drop, ct) = concurrently(
+      Materialize.frame(
+        Dedup.dedupNgramJaccardOnDocs(red.select($"doc_id", $"text"))
+          .select($"doc_b".as("doc_id")).distinct()),
+      dsirTargetCounts(target))
+    val kept = red.join(broadcast(drop), Seq("doc_id"), "left_anti")
+    val freshKept = kept
+      .filter(pmod($"doc_id", lit(Dedup.SnapshotMod)) >= Dedup.SnapshotNewMin)
+      .select($"doc_id", $"text")
+    // dsirWeightsFromCt materializes the per-(doc,bucket) expansion of
+    // freshKept (rdf) itself, so the lazy freshKept is expanded once
+    // there and re-scanned only by the cheap semi-join + chunk tail.
+    val selected = dsirSelectFrom(dsirWeightsFromCt(ct, freshKept))
       .select($"doc_id")
     samplesOfGood(freshKept.join(selected, Seq("doc_id"), "left_semi"))
   }
@@ -588,6 +648,13 @@ object Curation {
       .select($"doc_id", $"chunk_idx", $"chunk_text", $"n_tokens")
       .orderBy($"doc_id", $"chunk_idx")
   }
+
+  // dev-probe seams (graft.tools.Probe) — sub-step timing only, not part
+  // of any query surface
+  private[graft] def probeDsirSelect(target: DataFrame, raw: DataFrame): DataFrame =
+    dsirSelectFrom(dsirWeightsOn(target, raw))
+  private[graft] def probeSamplesOfGood(good: DataFrame): DataFrame =
+    samplesOfGood(good)
 
   /** The shared tail of both materializing pipelines: quality gate →
     * chunk fan-out → chunk-level exact dedup (keep-first) → ordered
@@ -1034,11 +1101,22 @@ object Curation {
 
   /** The DSIR transform over any (target, raw) pair of (doc_id, text)
     * frames (spec entry point: hand-checkable vocabularies). */
-  private[graft] def dsirWeightsOn(target: DataFrame, raw: DataFrame): DataFrame = {
+  private[graft] def dsirWeightsOn(target: DataFrame, raw: DataFrame): DataFrame =
+    dsirWeightsFromCt(dsirTargetCounts(target), raw)
+
+  /** The ≤4096-row target-side bucket-count artifact, materialized —
+    * split out so callers can overlap this fit with other jobs (the
+    * DSIR-gated pipeline runs it concurrently with the pair search). */
+  private[graft] def dsirTargetCounts(target: DataFrame): DataFrame = {
     val spark = target.sparkSession
     import spark.implicits._
-    val ct = Materialize.frame(TextAnalysis.qmFeatures(target.select($"text"))
+    Materialize.frame(TextAnalysis.qmFeatures(target.select($"text"))
       .groupBy($"b").agg(count(lit(1)).as("c")))
+  }
+
+  private[graft] def dsirWeightsFromCt(ct: DataFrame, raw: DataFrame): DataFrame = {
+    val spark = ct.sparkSession
+    import spark.implicits._
     // per-(doc, bucket) raw counts: the ONE raw expansion, feeding both
     // the background model and the scoring join (algebraically equal to
     // per-occurrence scoring: Σ_occ (qp−qq) = Σ_b k_b·(qp_b−qq_b))
