@@ -303,6 +303,26 @@ object Bench {
       // between queries keeps each measurement independent of how many
       // checkpointing queries ran before it.
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      // r14 adjudication of the r13 substring/decontam "regression"
+      // cluster: fresh-JVM isolated runs (one query per JVM, Bench's own
+      // warm+median protocol, 2 JVMs each) measured cur_strip_substrings
+      // 1.72/1.82 s (battery: 4.55 s, CPU 61 s → 7.5–12 s isolated),
+      // dedup_substring_incremental 1.47/1.54 s (battery 4.08 s),
+      // cur_decontam 1.21/1.15 s (battery 2.10 s),
+      // cur_pipeline_samples_incremental 2.16/2.40 s (battery 3.64 s) —
+      // all at or under their r12 medians, so the cluster was battery
+      // CONTEXT, not code. Root cause: unpersist() frees the blocks the
+      // driver knows about, but everything ContextCleaner owns —
+      // broadcast variables from ~50 prior queries' join plans, shuffle
+      // files, accumulated weak references — is only reclaimed when a
+      // major GC happens to collect the referent. Late-battery queries
+      // therefore run inside a heap full of dead-but-uncollected state
+      // (the 7.6 s GC the r13 breakdown showed inside
+      // cur_strip_substrings). Driving a full GC between queries
+      // (OUTSIDE every timer) lets the cleaner actually run, so each
+      // query starts from the same near-empty heap a production job
+      // gets, making battery numbers match isolated ones.
+      System.gc()
     }
 
     // Reference-workload comparison: full word count over the committed

@@ -444,6 +444,39 @@ object Curation {
     samplesOfGood(freshKept.join(selected, Seq("doc_id"), "left_semi"))
   }
 
+  /** The SOURCE-AWARE samples pipeline — [[pipelineCurateSamples]]
+    * with a per-source document cap ([[capBySource]], RefinedWeb-style
+    * domain capping) gating the near-dup-kept corpus before the chunk
+    * tail: redact → pair-drop → cap each source at [[SourceCapN]]
+    * survivors → chunk + keep-first. The production sequencing for a
+    * crawl where a handful of domains dominate: dedup first (so a
+    * domain cannot spend its cap on duplicates), then cap, then pack.
+    *
+    * Scale shape: the pair search materializes once (doc-id-list
+    * sized); the cap adds one #sources×64 histogram agg + its tiny
+    * window + two histogram-sized joins (AQE broadcasts them when
+    * small); the chunk tail is [[samplesOfGood]] verbatim. */
+  def pipelineCurateSamplesCaps(spark: SparkSession, sfDir: String): DataFrame =
+    pipelineCurateSamplesCapsOn(Tables.documents(spark, sfDir))
+
+  private[graft] def pipelineCurateSamplesCapsOn(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val width = spark.sparkContext.defaultParallelism
+    // same staging as the qm/dsir pipelines: red LAZY, only the
+    // doc-id-list-sized pair result checkpointed
+    val red = docs.repartition(width, $"doc_id")
+      .select($"doc_id", $"source",
+        TextAnalysis.redactedCol($"text").as("text"))
+    val drop = Materialize.frame(
+      Dedup.dedupNgramJaccardOnDocs(red.select($"doc_id", $"text"))
+        .select($"doc_b".as("doc_id")).distinct())
+    val kept = red.join(drop, Seq("doc_id"), "left_anti")
+    val roster = capBySource(kept, lit(1L), SourceCapN).select($"doc_id")
+    samplesOfGood(kept.select($"doc_id", $"text")
+      .join(roster, Seq("doc_id"), "left_semi"))
+  }
+
   /** [[pipelineCurateSamples]] with the pair-based doc_b drop replaced
     * by the PRINCIPLED cluster-representative keep of
     * `dedup_kept_clusters`: connected components over the UNION pair
@@ -696,6 +729,122 @@ object Curation {
       .drop("rn")
       .select($"doc_id", $"chunk_idx", $"chunk_text", $"n_tokens")
       .orderBy($"doc_id", $"chunk_idx")
+  }
+
+  /** Reflow width for the benched corpus's LINE view: the synthetic
+    * documents are single-line (zero "\n" in the testdata), so the
+    * keyed line queries give each document a deterministic line
+    * structure — lines of [[LineTokens]] tokens — before the line ops
+    * run. The operator cores themselves consume real newline-split
+    * lines ([[linesOfText]]); CurationSpec drives them with planted
+    * multi-line documents. */
+  final val LineTokens = 10
+
+  /** The reflow: token array → array of [[LineTokens]]-token line
+    * strings (last line takes the remainder). */
+  private[graft] def reflowLinesArr(text: Column): Column = {
+    val t = split(text, " ")
+    transform(
+      sequence(lit(0), floor((size(t) - 1) / lit(LineTokens)).cast("int")),
+      i => array_join(slice(t, i * LineTokens + 1, lit(LineTokens)), " "))
+  }
+
+  /** Real line structure: text split on newline (the C4 unit). */
+  private[graft] def linesOfText(text: Column): Column = split(text, "\n")
+
+  /** (doc_id, line_idx, line) expansion of a lines-array column. */
+  private[graft] def lineRows(docs: DataFrame, lines: Column): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .filter($"doc_id".isNotNull && $"text".isNotNull)
+      .repartition(spark.sparkContext.defaultParallelism, $"doc_id")
+      .select($"doc_id", posexplode(lines).as(Seq("line_idx", "line")))
+  }
+
+  /** C4-STYLE LINE-LEVEL DEDUP (Raffel et al. 2020 §2.2: the single
+    * most-cited public cleaning step): across the WHOLE corpus, every
+    * distinct line survives exactly once — at its lexicographic-min
+    * (doc_id, line_idx) occurrence — and each document is rebuilt from
+    * its surviving lines in order (a document whose every line lost
+    * becomes empty but stays in the corpus, the strip-family
+    * convention). Shared boilerplate (headers, cookie banners,
+    * licenses) collapses to one occurrence corpus-wide.
+    *
+    * Scale shape: the keep decision shuffles (md5, doc_id, line_idx) —
+    * 48 bytes/line, never line text; winners semi-join back on
+    * (doc_id, line_idx) and the rebuild is one doc-bounded group-agg.
+    * No windows over corpus-wide partitions: the md5 groupBy's keys are
+    * as wide as one line's duplicate set. */
+  def dedupLines(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    import spark.implicits._
+    dedupLinesOn(lineRows(docs, reflowLinesArr($"text")))
+  }
+
+  /** The core over ANY (doc_id, line_idx, line) frame — the spec entry
+    * point feeds it real newline-split documents via [[linesOfText]]. */
+  private[graft] def dedupLinesOn(lines: DataFrame): DataFrame = {
+    val spark = lines.sparkSession
+    import spark.implicits._
+    val winners = lines
+      .select(md5($"line").as("h"),
+        struct($"doc_id", $"line_idx").as("k"))
+      .groupBy($"h").agg(min($"k").as("k"))
+      .select($"k.doc_id".as("doc_id"), $"k.line_idx".as("line_idx"))
+    val kept = lines.join(winners, Seq("doc_id", "line_idx"), "left_semi")
+    val nAll = lines.groupBy($"doc_id").agg(count(lit(1)).as("n_lines"))
+    val reb = kept.groupBy($"doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      array_join(transform(
+        array_sort(collect_list(struct($"line_idx", $"line"))),
+        s => s.getField("line")), "\n").as("kept_text"))
+    nAll.join(reb, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"kept_text", lit("")).as("kept_text"),
+        coalesce($"n_kept", lit(0L)).as("n_kept"),
+        ($"n_lines" - coalesce($"n_kept", lit(0L))).as("n_dropped"))
+      .orderBy($"doc_id")
+  }
+
+  /** The C4 LINE FILTERS as integer/substring predicates: a line
+    * survives when it has ≥ 3 words, does not contain "lorem ipsum",
+    * holds no curly brace, and none of its words is "javascript"
+    * (Raffel et al. 2020 §2.2 — the terminal-punctuation rule is
+    * deliberately omitted from the keyed query because the synthetic
+    * corpus carries no punctuation at all; [[lineKeepPunct]] adds it
+    * and CurationSpec pins it on planted text). Pure per-row lambda
+    * work over the lines array — ZERO shuffle: filter/rebuild happen
+    * inside one projection, no explode, no re-aggregation. */
+  def lineFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    import spark.implicits._
+    lineFilterOn(docs, reflowLinesArr($"text"))
+  }
+
+  /** The C4 keep predicate over one line. */
+  private[graft] def lineKeep(l: Column): Column =
+    size(split(l, " ")) >= 3 &&
+      !l.contains("lorem ipsum") && !l.contains("{") &&
+      !array_contains(split(l, " "), "javascript")
+
+  /** [[lineKeep]] plus the terminal-punctuation rule (real-text form). */
+  private[graft] def lineKeepPunct(l: Column): Column =
+    lineKeep(l) && l.rlike("[.!?\"']$")
+
+  private[graft] def lineFilterOn(docs: DataFrame, lines: Column): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .filter($"doc_id".isNotNull && $"text".isNotNull)
+      .select($"doc_id", lines.as("lines"))
+      .select($"doc_id", filter($"lines", lineKeep _).as("kl"),
+        size($"lines").as("n"))
+      .select($"doc_id",
+        array_join($"kl", "\n").as("kept_text"),
+        size($"kl").cast("long").as("n_kept"),
+        ($"n" - size($"kl")).cast("long").as("n_dropped"))
+      .orderBy($"doc_id")
   }
 
   /** Chunk-level exact dedup: [[dedupExact]] semantics at SAMPLE
@@ -1057,6 +1206,112 @@ object Curation {
     mixGateAgg(d, mixProbsOn(d)).orderBy($"lang")
   }
 
+  /** Per-source document cap for `cur_source_caps` (RefinedWeb-style
+    * domain capping: no single source may contribute more than N
+    * documents). sf-independent by design — at sf0.1 it keeps 10 of
+    * each source's ~250 docs, the over-represented-crawl shape. */
+  final val SourceCapN = 10L
+
+  /** Per-source TOKEN budget for `cur_source_caps_tokens` — the same
+    * cap measured in training tokens instead of documents. Sized to
+    * BIND at every driver SF (≈1.3k tokens/source at sf0.01, ≈13k at
+    * sf0.1), so the boundary-bucket rank path is always exercised. */
+  final val SourceCapTokens = 800L
+
+  /** Range-bucket count for the cap histogram: top-6-bits of the
+    * 53-bit hash → 64 order-preserving buckets. */
+  final val CapBuckets = 64
+  private final val CapBucketShift = 53 - 6 // hbits >> 47 ∈ [0, 64)
+
+  /** SOURCE/DOMAIN-level curation (the RefinedWeb/C4 cap): keep, per
+    * `source`, the documents whose EXCLUSIVE cumulative weight in
+    * md5-hash order stays under `budget` — i.e. the first documents of
+    * a deterministic, content-independent per-source ordering, up to N
+    * docs (weight 1) or T tokens (weight n_tokens). Equivalent to
+    * `row_number() OVER (PARTITION BY source ORDER BY hbits, doc_id)
+    * ≤ N` / the running-token-sum variant — but computed WITHOUT a
+    * per-source sort of the corpus:
+    *
+    *  1. histogram: per (source, range-bucket = top 6 hash bits) weight
+    *     sums — #sources × 64 rows, broadcast-sized at ANY corpus size;
+    *  2. a window over the HISTOGRAM (tiny) finds each source's
+    *     exclusive prefix weight per bucket;
+    *  3. buckets whose prefix + own weight fit the budget are kept
+    *     WHOLE by a broadcast semi-join (no sort, no shuffle beyond the
+    *     histogram agg); buckets past the budget are dropped whole;
+    *  4. only the ONE boundary bucket per source — ~1/64th of that
+    *     source's docs — pays a rank window, and that window partitions
+    *     by (source, bucket), so a source holding half the corpus still
+    *     never concentrates on one task (the skew story a plain
+    *     `Window.partitionBy(source)` rank lacks).
+    *
+    * Weights are ≥ 1, so "prefix + bucket weight ≤ budget ⇒ every doc's
+    * exclusive running weight < budget" holds exactly and the bucket
+    * decomposition reproduces the rank formulation bit-for-bit (bucket
+    * = leading hash bits ⇒ bucket order IS hash-prefix order; equal
+    * hashes land in the same bucket where (hbits, doc_id) breaks the
+    * tie). */
+  private[graft] def capBySource(docs: DataFrame, weight: Column,
+      budget: Long): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val d = docs
+      .filter($"doc_id".isNotNull && $"source".isNotNull)
+      .select($"doc_id", $"source", weight.cast("long").as("w"),
+        graft.functions.Md5Lower64($"doc_id".cast("string"))
+          .bitwiseAND(lit(HashMask53)).as("hbits"))
+      .withColumn("bkt", shiftright($"hbits", CapBucketShift))
+    val hist = d.groupBy($"source", $"bkt").agg(sum($"w").as("bw"))
+    val before = coalesce(
+      sum($"bw").over(Window.partitionBy($"source").orderBy($"bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+    val cum = hist.withColumn("before", before)
+    val keepWhole = cum.filter($"before" + $"bw" <= budget)
+      .select($"source", $"bkt")
+    val boundary = cum
+      .filter($"before" < budget && $"before" + $"bw" > budget)
+      .select($"source", $"bkt", $"before")
+    // no broadcast hint on the histogram sides: with FEW sources they
+    // are trivially small and AQE broadcasts them at runtime; with
+    // DOMAIN-granularity sources (RefinedWeb caps per registered
+    // domain — millions of keys) the histogram is #sources × 64 rows
+    // and a forced broadcast would be the ADVICE-flagged OOM shape.
+    val wholeKept = d
+      .join(keepWhole, Seq("source", "bkt"), "left_semi")
+    val run = coalesce(
+      sum($"w").over(Window.partitionBy($"source", $"bkt")
+        .orderBy($"hbits", $"doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+    val edgeKept = d.join(boundary, Seq("source", "bkt"))
+      .withColumn("run", run)
+      .filter($"before" + $"run" < budget)
+      .select($"doc_id", $"source", $"w", $"hbits", $"bkt")
+    wholeKept.unionByName(edgeKept).select($"doc_id", $"source")
+  }
+
+  /** Cap roster, document budget: ≤ [[SourceCapN]] docs per source. */
+  def sourceCaps(spark: SparkSession, sfDir: String): DataFrame =
+    sourceCapsOn(Tables.documents(spark, sfDir))
+
+  private[graft] def sourceCapsOn(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    capBySource(docs, lit(1L), SourceCapN).orderBy($"doc_id")
+  }
+
+  /** Cap roster, token budget: per source, documents are taken in hash
+    * order while the tokens already taken stay under
+    * [[SourceCapTokens]] (greedy fill — the last doc may overflow). */
+  def sourceCapsTokens(spark: SparkSession, sfDir: String): DataFrame =
+    sourceCapsTokensOn(Tables.documents(spark, sfDir))
+
+  private[graft] def sourceCapsTokensOn(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    capBySource(docs, size(split($"text", " ")), SourceCapTokens)
+      .orderBy($"doc_id")
+  }
+
   /** DSIR selection ratio: keep the best-weighted third of the raw
     * slice (the tertile convention `text_lm_buckets` established). */
   final val DsirKeepDen = 3L
@@ -1239,6 +1494,11 @@ object Curation {
     "cur_decontam" -> decontaminate,
     "cur_decontam_strip" -> decontamStrip,
     "cur_mix_sample" -> mixSample,
+    "dedup_lines" -> dedupLines,
+    "cur_line_filter" -> lineFilter,
+    "cur_source_caps" -> sourceCaps,
+    "cur_source_caps_tokens" -> sourceCapsTokens,
+    "cur_pipeline_samples_caps" -> pipelineCurateSamplesCaps,
     "cur_dsir_weights" -> dsirWeights,
     "cur_dsir_select" -> dsirSelect,
     "cur_pipeline_samples_dsir" -> pipelineCurateSamplesDsir,
@@ -1345,7 +1605,123 @@ object Curation {
        |)""".stripMargin
   }
 
+  /** The reflowed line expansion as a SQL body producing
+    * (doc_id, line_idx, line) — the oracle mirror of
+    * [[reflowLinesArr]] + [[lineRows]]. */
+  private[graft] val reflowLinesSql: String =
+    s"""SELECT doc_id, line_idx,
+       |  array_to_string(
+       |    t[line_idx * $LineTokens + 1 : line_idx * $LineTokens + $LineTokens],
+       |    ' ') AS line
+       |FROM (
+       |  SELECT doc_id,
+       |    unnest(range(0, (len(t) + ${LineTokens - 1}) // $LineTokens)) AS line_idx,
+       |    t
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // keep-first per distinct line content (md5 partition, the
+    // dedup_exact convention), documents rebuilt from survivors
+    "dedup_lines" ->
+      s"""WITH lines AS ($reflowLinesSql),
+         |rk AS (
+         |  SELECT doc_id, line_idx, line,
+         |    row_number() OVER (PARTITION BY md5(line)
+         |      ORDER BY doc_id, line_idx) AS rn
+         |  FROM lines),
+         |reb AS (
+         |  SELECT doc_id, count(*) AS n_kept,
+         |    string_agg(line, chr(10) ORDER BY line_idx) AS kept_text
+         |  FROM rk WHERE rn = 1 GROUP BY doc_id),
+         |alln AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id)
+         |SELECT a.doc_id, coalesce(r.kept_text, '') AS kept_text,
+         |  coalesce(r.n_kept, 0) AS n_kept,
+         |  a.n_lines - coalesce(r.n_kept, 0) AS n_dropped
+         |FROM alln a LEFT JOIN reb r USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    // the C4 line predicates verbatim (lineKeep's four rules)
+    "cur_line_filter" ->
+      s"""WITH lr AS (
+         |  SELECT doc_id,
+         |    [array_to_string(t[i * $LineTokens + 1 : i * $LineTokens + $LineTokens], ' ')
+         |     for i in range(0, (len(t) + ${LineTokens - 1}) // $LineTokens)] AS lines
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+         |f AS (
+         |  SELECT doc_id,
+         |    list_filter(lines, l ->
+         |      len(string_split(l, ' ')) >= 3
+         |      AND NOT contains(l, 'lorem ipsum')
+         |      AND NOT contains(l, '{')
+         |      AND NOT list_contains(string_split(l, ' '), 'javascript')) AS kl,
+         |    len(lines) AS n
+         |  FROM lr)
+         |SELECT doc_id, array_to_string(kl, chr(10)) AS kept_text,
+         |  CAST(len(kl) AS BIGINT) AS n_kept,
+         |  CAST(n - len(kl) AS BIGINT) AS n_dropped
+         |FROM f ORDER BY doc_id""".stripMargin,
+    // the rank formulation — the engine's bucket decomposition must
+    // reproduce it bit-for-bit (capBySource scaladoc)
+    "cur_source_caps" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source,
+         |    md5_number_lower(CAST(doc_id AS VARCHAR)) & $HashMask53 AS hbits
+         |  FROM documents WHERE source IS NOT NULL AND doc_id IS NOT NULL),
+         |rk AS (
+         |  SELECT doc_id, source,
+         |    row_number() OVER (PARTITION BY source ORDER BY hbits, doc_id) AS rn
+         |  FROM d)
+         |SELECT doc_id, source FROM rk WHERE rn <= $SourceCapN
+         |ORDER BY doc_id""".stripMargin,
+    // greedy token fill: kept while the EXCLUSIVE running token sum in
+    // hash order stays under the budget (last doc may overflow)
+    "cur_source_caps_tokens" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+         |    md5_number_lower(CAST(doc_id AS VARCHAR)) & $HashMask53 AS hbits
+         |  FROM documents WHERE source IS NOT NULL AND doc_id IS NOT NULL),
+         |c AS (
+         |  SELECT doc_id, source,
+         |    coalesce(sum(w) OVER (PARTITION BY source ORDER BY hbits, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cw
+         |  FROM d)
+         |SELECT doc_id, source FROM c WHERE cw < $SourceCapTokens
+         |ORDER BY doc_id""".stripMargin,
+    // the source-capped pipeline: redact + pair-drop CTEs as the other
+    // samples oracles, the rank-cap gate, the shared chunk tail
+    "cur_pipeline_samples_caps" ->
+      s"""WITH red AS (
+         |  SELECT doc_id, source, ${TextAnalysis.redactedSqlExpr} AS text
+         |  FROM documents
+         |),
+         |pairs AS (${Dedup.cappedJaccardSqlFrom("red")}),
+         |kept AS (
+         |  SELECT doc_id, source, text FROM red
+         |  WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
+         |),
+         |ck AS (
+         |  SELECT doc_id, source,
+         |    md5_number_lower(CAST(doc_id AS VARCHAR)) & $HashMask53 AS hbits
+         |  FROM kept WHERE source IS NOT NULL AND doc_id IS NOT NULL
+         |),
+         |rk AS (
+         |  SELECT doc_id,
+         |    row_number() OVER (PARTITION BY source ORDER BY hbits, doc_id) AS rn
+         |  FROM ck
+         |),
+         |good AS (
+         |  SELECT k.doc_id, k.text FROM kept k JOIN rk USING (doc_id)
+         |  WHERE rn <= $SourceCapN
+         |),
+         |chunks AS (${chunksSqlFrom("good")}),
+         |sel AS (
+         |  SELECT doc_id, chunk_idx, chunk_text, n_tokens,
+         |    row_number() OVER (PARTITION BY md5(chunk_text)
+         |      ORDER BY doc_id, chunk_idx) AS rn
+         |  FROM chunks
+         |)
+         |SELECT doc_id, chunk_idx, chunk_text, n_tokens
+         |FROM sel WHERE rn = 1 ORDER BY doc_id, chunk_idx""".stripMargin,
     "cur_dsir_weights" ->
       s"""WITH $dsirWeightCtes
          |SELECT doc_id, n_feats, weight FROM dsir_w ORDER BY doc_id""".stripMargin,

@@ -219,9 +219,52 @@ object Dedup {
   private[graft] def curStripSubstringsOn(docs: DataFrame): DataFrame =
     stripSpans(docs, dedupExactSubstringOn(docs))
 
+  /** Within-document repetition gram width for [[curStripRepetition]]:
+    * trigram — the unit `text_repetition`'s dup_trigram_frac diagnoses,
+    * so the repair strips exactly what the diagnostic flags. */
+  final val RepStripK = 3
+
+  /** WITHIN-document repetition removal — the repair for what
+    * `text_repetition` diagnoses: every NON-FIRST occurrence of a
+    * trigram its own document repeats becomes a drop span (start = the
+    * occurrence's token offset, len = [[RepStripK]]), and the interval
+    * UNION of those (overlapping) spans is stripped by the same
+    * [[stripSpans]] machinery the ExactSubstr and decontamination
+    * strips use. Repeated boilerplate collapses to its first
+    * occurrence; a repeat-free document passes through whole.
+    *
+    * Scale shape: the gram key is (doc_id, gram) — DOC-BOUNDED, so the
+    * one aggregation window partitions by keys never wider than a
+    * single document; no cross-document traffic exists anywhere in the
+    * plan (contrast [[curStripSubstringsOn]], whose gram partition is
+    * corpus-wide by construction). Gram TEXT instead of hashes is safe
+    * for the same reason — a partition holds one document's grams. */
+  def curStripRepetition(spark: SparkSession, sfDir: String): DataFrame =
+    curStripRepetitionOn(Tables.documents(spark, sfDir))
+
+  private[graft] def curStripRepetitionOn(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs
+      .filter($"doc_id".isNotNull && $"text".isNotNull)
+      .repartition(spark.sparkContext.defaultParallelism, $"doc_id")
+      .select($"doc_id", posexplode_outer(
+        TextAnalysis.ngramArr(split($"text", " "), RepStripK)).as(Seq("pos", "g")))
+      .filter($"g".isNotNull)
+    // first occurrence per (doc, gram) via one doc-bounded window;
+    // every later occurrence is a drop span
+    val spans = grams
+      .withColumn("mn", min($"pos").over(Window.partitionBy($"doc_id", $"g")))
+      .filter($"pos" > $"mn")
+      .select($"doc_id", $"pos".cast("long").as("start_token"),
+        lit(RepStripK.toLong).as("len_tokens"))
+    stripSpans(docs, spans)
+  }
+
   /** The interval-union strip over ANY (doc_id, start_token,
-    * len_tokens) span list — shared by the exact-substring strip and
-    * the decontamination strip. */
+    * len_tokens) span list — shared by the exact-substring strip, the
+    * within-doc repetition strip and the decontamination strip. */
   private[graft] def stripSpans(docs: DataFrame, spans: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -1738,6 +1781,7 @@ object Dedup {
     "dedup_exact_substring" -> dedupExactSubstring,
     "dedup_substring_incremental" -> dedupSubstringIncremental,
     "cur_strip_substrings" -> curStripSubstrings,
+    "cur_strip_repetition" -> curStripRepetition,
     "dedup_incremental" -> dedupIncremental,
     "dedup_incremental_bloom" -> dedupIncrementalBloom,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
@@ -2025,6 +2069,40 @@ object Dedup {
   private[graft] val substringSpansSql: String =
     s"$substringSpansBody\nORDER BY doc_id, start_token"
 
+  /** The interval-union strip tail as reusable CTEs over a `spans`
+    * CTE — the SQL mirror of [[stripSpans]], shared by the
+    * `cur_strip_substrings` and `cur_strip_repetition` oracles so the
+    * drop/rejoin arithmetic cannot drift. */
+  private[graft] val stripTailSql: String =
+    s"""drop_idx AS (
+       |  SELECT DISTINCT doc_id, idx FROM (
+       |    SELECT doc_id,
+       |      unnest(range(start_token, start_token + len_tokens)) AS idx
+       |    FROM spans)
+       |),
+       |tk AS (
+       |  SELECT doc_id,
+       |    generate_subscripts(string_split(text, ' '), 1) - 1 AS idx,
+       |    unnest(string_split(text, ' ')) AS w
+       |  FROM documents
+       |),
+       |keptt AS (
+       |  SELECT tk.doc_id, tk.idx, tk.w FROM tk
+       |  WHERE NOT EXISTS (SELECT 1 FROM drop_idx d
+       |                    WHERE d.doc_id = tk.doc_id AND d.idx = tk.idx)
+       |),
+       |kept AS (
+       |  SELECT doc_id, count(*) AS n_kept,
+       |    string_agg(w, ' ' ORDER BY idx) AS kept_text
+       |  FROM keptt GROUP BY doc_id
+       |),
+       |alln AS (SELECT doc_id, len(string_split(text, ' ')) AS n_total FROM documents)
+       |SELECT a.doc_id, coalesce(k.kept_text, '') AS kept_text,
+       |  coalesce(k.n_kept, 0) AS n_kept,
+       |  a.n_total - coalesce(k.n_kept, 0) AS n_dropped
+       |FROM alln a LEFT JOIN kept k USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dups
@@ -2085,34 +2163,25 @@ object Dedup {
     // exploded span positions, survivors re-joined in token order
     "cur_strip_substrings" ->
       s"""WITH spans AS ($substringSpansBody),
-         |drop_idx AS (
-         |  SELECT DISTINCT doc_id, idx FROM (
-         |    SELECT doc_id,
-         |      unnest(range(start_token, start_token + len_tokens)) AS idx
-         |    FROM spans)
+         |$stripTailSql""".stripMargin,
+    // within-doc repetition spans (non-first trigram occurrences, gram
+    // TEXT — the engine's doc-bounded key argument) + the shared strip
+    // tail verbatim
+    "cur_strip_repetition" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |g AS (
+         |  SELECT doc_id, i - 1 AS pos,
+         |    array_to_string(t[i : i + ${RepStripK - 1}], ' ') AS g
+         |  FROM (SELECT doc_id, unnest(range(1, len(t) - ${RepStripK - 2})) AS i, t
+         |        FROM toks WHERE len(t) >= $RepStripK)
          |),
-         |tk AS (
-         |  SELECT doc_id,
-         |    generate_subscripts(string_split(text, ' '), 1) - 1 AS idx,
-         |    unnest(string_split(text, ' ')) AS w
-         |  FROM documents
+         |spans AS (
+         |  SELECT doc_id, pos AS start_token, $RepStripK AS len_tokens FROM (
+         |    SELECT doc_id, pos, min(pos) OVER (PARTITION BY doc_id, g) AS mn
+         |    FROM g) s
+         |  WHERE pos > mn
          |),
-         |keptt AS (
-         |  SELECT tk.doc_id, tk.idx, tk.w FROM tk
-         |  WHERE NOT EXISTS (SELECT 1 FROM drop_idx d
-         |                    WHERE d.doc_id = tk.doc_id AND d.idx = tk.idx)
-         |),
-         |kept AS (
-         |  SELECT doc_id, count(*) AS n_kept,
-         |    string_agg(w, ' ' ORDER BY idx) AS kept_text
-         |  FROM keptt GROUP BY doc_id
-         |),
-         |alln AS (SELECT doc_id, len(string_split(text, ' ')) AS n_total FROM documents)
-         |SELECT a.doc_id, coalesce(k.kept_text, '') AS kept_text,
-         |  coalesce(k.n_kept, 0) AS n_kept,
-         |  a.n_total - coalesce(k.n_kept, 0) AS n_dropped
-         |FROM alln a LEFT JOIN kept k USING (doc_id)
-         |ORDER BY doc_id""".stripMargin,
+         |$stripTailSql""".stripMargin,
     // NOT EXISTS, not NOT IN: same anti-join semantics as the engine
     // regardless of SQL null quirks (h is never null here, but the
     // form should not depend on it)

@@ -186,7 +186,7 @@ object TextAnalysis {
   /** Word k-grams of a token array as one array column; empty below k
     * tokens (guarded — sequence(1, k<1) would produce a DESCENDING
     * sequence, not an empty one). */
-  private def ngramArr(tokens: Column, k: Int): Column = {
+  private[graft] def ngramArr(tokens: Column, k: Int): Column = {
     val n = size(tokens)
     when(n >= k,
       transform(sequence(lit(1), n - (k - 1)),

@@ -492,4 +492,111 @@ class CurationSpec extends AnyFunSuite {
     assert(got.size === keep.toInt)
     assert(got === expected)
   }
+
+  test("source caps: over-represented source capped to N, small source kept whole; bucket decomposition ≡ rank window") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // planted over-representation: "big" contributes 100 docs, "small" 5
+    val docs = ((0L until 100L).map(i => (i, "big", s"doc $i words " + ("w " * 20).trim)) ++
+      (100L until 105L).map(i => (i, "small", s"doc $i words " + ("w " * 20).trim)))
+      .toDF("doc_id", "source", "text")
+    val got = Curation.capBySource(docs, lit(1L), Curation.SourceCapN)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got.count(_._2 == "big") === Curation.SourceCapN)
+    assert(got.count(_._2 == "small") === 5) // under the cap: kept whole
+    // differential: the naive rank-window formulation over the same hash
+    val hb = graft.functions.Md5Lower64($"doc_id".cast("string"))
+      .bitwiseAND(lit(Curation.HashMask53))
+    val expected = docs.select($"doc_id", $"source", hb.as("hbits"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"source").orderBy($"hbits", $"doc_id")))
+      .filter($"rn" <= Curation.SourceCapN)
+      .select($"doc_id", $"source")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === expected)
+  }
+
+  test("source token caps: greedy hash-order fill ≡ running-sum window; budget binds") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // 60 docs × ~40 tokens in one source: exclusive running sum must
+    // gate well inside the corpus (budget 800 ⇒ ~20 kept)
+    val docs = (0L until 60L)
+      .map(i => (i, "s0", (0 until 40).map(j => s"t$j").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val got = Curation.capBySource(docs, size(split($"text", " ")),
+      Curation.SourceCapTokens)
+      .collect().map(_.getLong(0)).toSet
+    val hb = graft.functions.Md5Lower64($"doc_id".cast("string"))
+      .bitwiseAND(lit(Curation.HashMask53))
+    val expected = docs
+      .select($"doc_id", $"source", hb.as("hbits"),
+        size(split($"text", " ")).cast("long").as("w"))
+      .withColumn("cw", coalesce(sum($"w").over(
+        Window.partitionBy($"source").orderBy($"hbits", $"doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter($"cw" < Curation.SourceCapTokens)
+      .collect().map(_.getLong(0)).toSet
+    assert(got === expected)
+    assert(got.size < 30 && got.size > 10) // binds, and not degenerately
+  }
+
+  test("line dedup: planted shared boilerplate lines collapse to their first occurrence") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "shared header line\nunique first body\nshared footer line"),
+      (2L, "shared header line\nunique second body\nshared footer line"),
+      (3L, "only original content here")).toDF("doc_id", "text")
+    val lines = Curation.lineRows(docs, Curation.linesOfText($"text"))
+    val got = Curation.dedupLinesOn(lines).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got(0) === ((1L,
+      "shared header line\nunique first body\nshared footer line", 3L, 0L)))
+    // doc 2 keeps only its unique line — header and footer lost to doc 1
+    assert(got(1) === ((2L, "unique second body", 1L, 2L)))
+    assert(got(2) === ((3L, "only original content here", 1L, 0L)))
+  }
+
+  test("line filter: C4 predicates drop short/lorem/brace/javascript lines; punct variant needs terminal punctuation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq((1L,
+      "a good and long enough line\n" +
+        "too short\n" +
+        "this line has lorem ipsum inside it\n" +
+        "object with { brace inside\n" +
+        "enable javascript to view this page\n" +
+        "another perfectly fine content line")).toDF("doc_id", "text")
+    val got = Curation.lineFilterOn(docs, Curation.linesOfText($"text")).collect()(0)
+    assert(got.getString(1) ===
+      "a good and long enough line\nanother perfectly fine content line")
+    assert(got.getLong(2) === 2L && got.getLong(3) === 4L)
+    // the punct variant keeps only sentence-final lines
+    val kp = docs.select(filter(Curation.linesOfText($"text"),
+      l => Curation.lineKeepPunct(l)).as("k")).collect()(0).getSeq[String](0)
+    assert(kp.isEmpty) // none of the planted lines ends in punctuation
+    val kp2 = Seq((1L, "a proper sentence ends here.\nbut this one does not"))
+      .toDF("doc_id", "text")
+      .select(filter(Curation.linesOfText($"text"),
+        l => Curation.lineKeepPunct(l)).as("k")).collect()(0).getSeq[String](0)
+    assert(kp2 === Seq("a proper sentence ends here."))
+  }
+
+  test("strip repetition: planted repeated boilerplate loses every non-first occurrence; clean doc passes whole") {
+    import spark.implicits._
+    val boiler = "click here to subscribe today"
+    val docs = Seq(
+      (1L, s"$boiler some unique middle content words $boiler"),
+      (2L, "all of these words appear exactly once")).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.curStripRepetitionOn(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // 15 tokens; the second "click here to subscribe today" (5 tokens)
+    // repeats trigrams "click here to".."to subscribe today" → its
+    // whole 5-token span is the union of flagged trigram spans
+    assert(got(0) === ((1L,
+      s"$boiler some unique middle content words", 10L, 5L)))
+    assert(got(1) === ((2L, "all of these words appear exactly once", 7L, 0L)))
+  }
 }
