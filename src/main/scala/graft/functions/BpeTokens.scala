@@ -35,23 +35,47 @@ object BpeImpl {
   /** Multi-char merges first (longest 3), then the ASCII single-char
     * base vocabulary. Order is irrelevant to the walk (matching is by
     * length); it is fixed here so the oracle splice is stable. */
+  /** The single-char base vocabulary (always present — the <unk>-free
+    * fallback layer a fitted merge table sits on top of). */
+  val Singles: Seq[String] =
+    ('a' to 'z').map(_.toString) ++
+      ('A' to 'Z').map(_.toString) ++
+      ('0' to '9').map(_.toString) ++
+      ".,;:!?'\"()-_/".map(_.toString)
+
   val Vocab: Seq[String] = Seq(
     "the", "ing", "ion", "and", "ent", "ter", "ers", "est",
     "ly", "ed", "er", "es", "en", "an", "in", "on", "at", "or", "re",
     "he", "nd", "ou", "ar", "st", "te", "al", "it", "is", "to", "of",
     "le", "se", "ve", "me", "de", "ri", "ro", "ic", "ne", "ra", "ce",
     "li", "ch", "ll", "be", "ma", "si", "om", "ur", "un", "co", "ab",
-    "il") ++
-    ('a' to 'z').map(_.toString) ++
-    ('A' to 'Z').map(_.toString) ++
-    ('0' to '9').map(_.toString) ++
-    ".,;:!?'\"()-_/".map(_.toString)
+    "il") ++ Singles
 
-  private val maxLen: Int = Vocab.map(_.length).max
-  private val byLen: Array[java.util.HashSet[String]] = {
+  /** Length-indexed lookup tables for one vocabulary. */
+  private[graft] def tables(
+      vocab: Seq[String]): (Array[java.util.HashSet[String]], Int) = {
+    val maxLen = vocab.map(_.length).max
     val a = Array.fill(maxLen + 1)(new java.util.HashSet[String]())
-    Vocab.foreach(p => a(p.length).add(p))
-    a
+    vocab.foreach(p => a(p.length).add(p))
+    (a, maxLen)
+  }
+
+  private val (byLen, maxLen) = tables(Vocab)
+
+  /** The vocabulary a fitted merge table induces for the greedy
+    * counter: each merge's concatenation with the `</w>` end-of-word
+    * marker dropped (a full-word piece matches the bare word), plus
+    * the single-char base — how a `text_bpe_fit` result plugs into
+    * [[countWith]] (CurationSpec pins the composition). */
+  def vocabFromMerges(merges: Seq[(String, String)]): Seq[String] =
+    (merges.map { case (l, r) => (l + r).stripSuffix("</w>") }
+      .filter(_.nonEmpty) ++ Singles).distinct
+
+  /** [[count]] over an ARBITRARY vocabulary (the fitted-table form);
+    * same walk, tables built per call — callers cache for bulk use. */
+  def countWith(s: String, vocab: Seq[String]): Long = {
+    val (b, m) = tables(vocab)
+    walk(s, b, m)
   }
 
   /** Total subword tokens across all space-separated words of `s`.
@@ -60,8 +84,10 @@ object BpeImpl {
     * fallback advances one full code point (surrogate pairs count 1,
     * as DuckDB counts them). Spaces delimit words and are never
     * counted; pieces cannot span a space (none contains one). */
-  def count(s: UTF8String): Long = {
-    val w = s.toString
+  def count(s: UTF8String): Long = walk(s.toString, byLen, maxLen)
+
+  private def walk(w: String,
+      byLen: Array[java.util.HashSet[String]], maxLen: Int): Long = {
     val n = w.length
     var i = 0
     var cnt = 0L

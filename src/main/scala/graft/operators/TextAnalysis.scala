@@ -142,6 +142,83 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Merge iterations for `text_bpe_fit` — fixed (the deterministic-fit
+    * convention: a production fit runs ~50k steps; the arithmetic per
+    * step is identical). */
+  final val BpeFitMerges = 8
+
+  /** DISTRIBUTED BPE MERGE-TABLE TRAINING (Sennrich et al. 2016) — the
+    * fit half of the subword story whose apply half is
+    * [[textTokenCountBpe]]: learn the [[BpeFitMerges]] highest-count
+    * symbol merges from the corpus itself instead of consuming the
+    * committed fixture.
+    *
+    * Algorithm, classic shape: word-frequency table (ONE corpus-sized
+    * shuffle — all iterations run over the vocabulary-sized result,
+    * never the corpus again); each word starts as its character
+    * sequence plus a `</w>` end-of-word symbol; per iteration, count
+    * adjacent symbol pairs weighted by word frequency (a distributed
+    * agg over the vocab frame), take the argmax with the deterministic
+    * tie-break (count DESC, lhs ASC, rhs ASC — a 1-row collect), and
+    * rewrite every sequence with the pair fused.
+    *
+    * The rewrite is leftmost non-overlapping double-`replace` over the
+    * space-joined sequence (both engines' `replace` shares these
+    * semantics exactly, which is what makes the fit oracle-mirrorable);
+    * it deviates from greedy left-to-right pairing ONLY on odd runs of
+    * ≥5 self-merged symbols ("a a a a a" pairs as 1st+4th, then the
+    * stranded middle on the second pass) — vanishingly rare in text and
+    * DEFINED behavior here, applied identically in engine and oracle.
+    *
+    * Scale shape: iterations touch vocab-sized frames (millions of
+    * rows at web scale — executor-sized, never corpus-sized), each
+    * materialized so lineage stays flat across the K steps; the argmax
+    * moves ONE row to the driver per step. */
+  def textBpeFit(spark: SparkSession, sfDir: String): DataFrame =
+    textBpeFitOn(Tables.documents(spark, sfDir), BpeFitMerges)
+
+  private[graft] def textBpeFitOn(docs: DataFrame, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs
+      .filter($"text".isNotNull)
+      .select(explode(split($"text", " ")).as("w"))
+      .filter(length($"w") > 0)
+      .groupBy($"w").agg(count(lit(1)).as("cnt"))
+      .select(concat(array_join(split($"w", ""), " "), lit(" </w>")).as("seq"),
+        $"cnt")
+    var cur = Materialize.frame(words)
+    val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var step = 1
+    var exhausted = false
+    while (step <= k && !exhausted) {
+      val s = split($"seq", " ")
+      // adjacent pairs via bounds-safe zip of the two shifted slices
+      // (a fully merged single-symbol sequence yields zero pairs)
+      val pairArr = zip_with(
+        slice(s, lit(1), size(s) - 1), slice(s, lit(2), size(s) - 1),
+        (a, b) => struct(a.as("lhs"), b.as("rhs")))
+      val top = cur.select($"cnt", explode(pairArr).as("p"))
+        .groupBy($"p.lhs".as("lhs"), $"p.rhs".as("rhs"))
+        .agg(sum($"cnt").as("c"))
+        .orderBy($"c".desc, $"lhs".asc, $"rhs".asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, c) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        out += ((step, l, r, c))
+        val wrapped = concat(lit(" "), $"seq", lit(" "))
+        def fuse(col: Column): Column =
+          replace(col, lit(s" $l $r "), lit(s" $l$r "))
+        cur = Materialize.frame(
+          cur.select(trim(fuse(fuse(wrapped))).as("seq"), $"cnt"))
+        step += 1
+      }
+    }
+    out.toSeq.toDF("step", "lhs", "rhs", "pair_count").orderBy($"step")
+  }
+
   /** Content fingerprint: minimum md5 over all character 8-grams —
     * winnowing-style document fingerprinting with an exactly mirrorable
     * SQL form (the rolling-FNV fast path at scale is SimHash64; this
@@ -732,6 +809,7 @@ object TextAnalysis {
     "text_quality" -> textQuality,
     "text_tokencount" -> textTokenCount,
     "text_tokencount_bpe" -> textTokenCountBpe,
+    "text_bpe_fit" -> ((s, dir) => textBpeFit(s, dir)),
     "text_fingerprint" -> textFingerprint,
     "text_fingerprint_winnow" -> textFingerprintWinnow,
     "text_stats_by_lang" -> textStatsByGroup,
@@ -862,6 +940,37 @@ object TextAnalysis {
          |SELECT doc_id, count(*) AS n_bigrams, CAST(sum(qf) AS BIGINT) AS sum_q,
          |  CAST(sum(qf) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS score
          |FROM scored GROUP BY doc_id""".stripMargin
+
+  /** `text_bpe_fit` unrolled: w0 = the word-frequency sequences, then
+    * per step i: p_i (pair counts) → t_i (argmax, count DESC / lhs /
+    * rhs) → w_i (the double-replace rewrite — identical leftmost
+    * non-overlapping semantics in both engines; textBpeFitOn scaladoc
+    * defines the behavior). */
+  private[graft] def bpeFitSql(k: Int): String = {
+    val w0 =
+      s"""w0 AS (
+         |  SELECT array_to_string(string_split(w, ''), ' ') || ' </w>' AS seq, cnt
+         |  FROM (SELECT w, count(*) AS cnt
+         |        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |        WHERE len(w) > 0 GROUP BY w))""".stripMargin
+    val steps = (1 to k).map { i =>
+      s"""p$i AS (
+         |  SELECT s[j] AS lhs, s[j + 1] AS rhs, CAST(sum(cnt) AS BIGINT) AS c
+         |  FROM (SELECT s, cnt, unnest(range(1, len(s))) AS j
+         |        FROM (SELECT string_split(seq, ' ') AS s, cnt FROM w${i - 1}))
+         |  GROUP BY 1, 2),
+         |t$i AS (SELECT lhs, rhs, c FROM p$i ORDER BY c DESC, lhs, rhs LIMIT 1),
+         |w$i AS (
+         |  SELECT trim(replace(replace(' ' || seq || ' ',
+         |    ' ' || lhs || ' ' || rhs || ' ', ' ' || lhs || rhs || ' '),
+         |    ' ' || lhs || ' ' || rhs || ' ', ' ' || lhs || rhs || ' ')) AS seq, cnt
+         |  FROM w${i - 1}, t$i)""".stripMargin
+    }
+    val sel = (1 to k)
+      .map(i => s"SELECT $i AS step, lhs, rhs, c AS pair_count FROM t$i")
+      .mkString("\nUNION ALL ")
+    s"WITH ${(w0 +: steps).mkString(",\n")}\n$sel\nORDER BY step"
+  }
 
   val oracles: Map[String, String] = Map(
     // raw-frequency idf: the score is ONE IEEE division of integer-
@@ -997,6 +1106,10 @@ object TextAnalysis {
         |JOIN (SELECT doc_id, len(string_split(text, ' ')) AS ws FROM documents) t
         |  USING (doc_id)
         |GROUP BY s.doc_id ORDER BY doc_id""".stripMargin,
+    // the fit unrolled: K CTE triples (pair counts → deterministic
+    // argmax → double-replace rewrite), generated from the same
+    // constants as the engine loop so the arithmetic cannot drift
+    "text_bpe_fit" -> bpeFitSql(BpeFitMerges),
     // the learned scorer's mirror: heuristic labels via the SAME spliced
     // quality expression, md5-low64 & mask bucketing (bit pattern — the
     // signed/unsigned representations agree), integer-only smoothed

@@ -323,4 +323,29 @@ class TextAnalysisSpec extends AnyFunSuite {
       .filter($"bpe" < $"nw")
     assert(bad.count() === 0L)
   }
+
+  test("BPE fit: hand-fit corpus (low x3, lower x2, newest), deterministic tie-break on equal counts") {
+    import spark.implicits._
+    val docs = Seq((1L, "low low low"), (2L, "lower lower"), (3L, "newest"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.textBpeFitOn(docs, 3).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    // step 1: (l,o) and (o,w) tie at 5 — lhs ASC picks (l,o);
+    // step 2: (lo,w) 5; step 3: (low,</w>) 3
+    assert(got === Seq(
+      (1, "l", "o", 5L), (2, "lo", "w", 5L), (3, "low", "</w>", 3L)))
+  }
+
+  test("fitted merges feed the greedy counter: countWith over vocabFromMerges diverges from the committed fixture") {
+    import graft.functions.BpeImpl
+    val merges = Seq(("l", "o"), ("lo", "w"), ("low", "</w>"))
+    val vocab = BpeImpl.vocabFromMerges(merges)
+    assert(vocab.contains("low") && vocab.contains("lo"))
+    // fitted: "low" is one full-word piece; "lower" = low+e+r
+    assert(BpeImpl.countWith("low lower", vocab) === 4L)
+    // committed fixture has no {lo, low} pieces: l+o+w / l+o+w+er
+    assert(BpeImpl.count(
+      org.apache.spark.unsafe.types.UTF8String.fromString("low lower")) === 7L)
+  }
 }
