@@ -86,6 +86,53 @@ object ShingleHashImpl {
 
   private val empty = new GenericArrayData(Array.empty[Long])
 
+  /** The learned-model feature expansion, FUSED: md5-low64 & mask of
+    * every unigram followed by every space-joined bigram, one byte
+    * walk, duplicates preserved (the model counts occurrences). The
+    * unfused form — `transform(split(text,' '), w => md5&mask)` ++ the
+    * element_at bigram transform — pays the higher-order-function
+    * interpreter per ELEMENT (ArrayTransform has no codegen; measured
+    * 3.2 warm / 19 cold CPU-s for 176k grams in the dsir target fit,
+    * ~18 µs per 0.5 µs hash); this walk is a static call inside
+    * whole-stage codegen like the shingle family above. Bigram bytes =
+    * the contiguous range from token i's start to token i+1's end —
+    * identical to `concat(tok_i, ' ', tok_i1)` under split-on-single-
+    * space semantics (the hashesN argument; differential-pinned in
+    * TextAnalysisSpec). */
+  def qmBuckets(s: UTF8String, mask: Long): ArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    var spaces = 0
+    var i = 0
+    while (i < n) { if (bytes(i) == ' ') spaces += 1; i += 1 }
+    val tokens = spaces + 1
+    val starts = new Array[Int](tokens)
+    val ends = new Array[Int](tokens)
+    starts(0) = 0
+    var t = 0
+    i = 0
+    while (i < n) {
+      if (bytes(i) == ' ') { ends(t) = i; t += 1; starts(t) = i + 1 }
+      i += 1
+    }
+    ends(tokens - 1) = n
+    val nb = if (tokens >= 2) tokens - 1 else 0
+    val out = new Array[Long](tokens + nb)
+    i = 0
+    while (i < tokens) {
+      out(i) = Md5Lower64Impl.md5Lower64Range(
+        bytes, starts(i), ends(i) - starts(i)) & mask
+      i += 1
+    }
+    i = 0
+    while (i < nb) {
+      out(tokens + i) = Md5Lower64Impl.md5Lower64Range(
+        bytes, starts(i), ends(i + 1) - starts(i)) & mask
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def xxh64(s: UTF8String): ArrayData = hashes(s, useMd5 = false)
   def md5Low64(s: UTF8String): ArrayData = hashes(s, useMd5 = true)
   def xxh64N(s: UTF8String, width: Int): ArrayData =
@@ -186,6 +233,27 @@ sealed abstract class ShingleHashBase extends UnaryExpression {
   }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.ShingleHashImpl.$implName($c)")
+}
+
+/** `qm_feature_buckets(string, mask) -> array<bigint>` — the fused
+  * unigram+bigram md5-bucket expansion of the learned-model family
+  * (quality model, LM score, DSIR); see [[ShingleHashImpl.qmBuckets]]. */
+case class QmFeatureBuckets(child: Expression, mask: Long)
+    extends ShingleHashBase {
+  override protected def implName: String = "qmBuckets"
+  override def prettyName: String = "qm_feature_buckets"
+  override def nullSafeEval(input: Any): Any =
+    ShingleHashImpl.qmBuckets(input.asInstanceOf[UTF8String], mask)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ShingleHashImpl.qmBuckets($c, ${mask}L)")
+  override protected def withNewChildInternal(newChild: Expression): QmFeatureBuckets =
+    copy(child = newChild)
+}
+
+object QmFeatureBuckets {
+  def apply(c: Column, mask: Long): Column =
+    Shim.column(QmFeatureBuckets(Shim.expression(c), mask))
 }
 
 /** `shingle_xxh64(string) -> array<bigint>` — engine-internal key family. */

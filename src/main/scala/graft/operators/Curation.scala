@@ -20,12 +20,33 @@ object Curation {
     * behind it. Laziness everywhere else is untouched — this only
     * overlaps EAGER work that would otherwise run back-to-back. */
   private def concurrently[A, B](fa: => A, fb: => B): (A, B) = {
-    import scala.concurrent.{Await, Future}
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val f1 = Future(fa)
-    val f2 = Future(fb)
-    (Await.result(f1, Duration.Inf), Await.result(f2, Duration.Inf))
+    // dedicated pool, NOT the global ExecutionContext: blocking the
+    // global pool from inside Await starves every other library using
+    // it (the ADVICE-flagged hazard), and nested concurrently() calls
+    // would deadlock a bounded shared pool
+    val pool = Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val sc = org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sparkContext)
+    val tag = s"graft-concurrently-${System.nanoTime()}"
+    def side[T](name: String, f: => T): Future[T] = Future {
+      // job-group per side (thread-local), so a failure can cancel
+      // EXACTLY the sibling's in-flight jobs — a dead pipeline never
+      // leaves a zombie job holding executors, and the zip below can't
+      // hang on a sibling that will never finish
+      sc.foreach(_.setJobGroup(s"$tag-$name", tag, interruptOnCancel = true))
+      try f finally sc.foreach(_.clearJobGroup())
+    }
+    try {
+      val f1 = side("a", fa)
+      val f2 = side("b", fb)
+      f1.failed.foreach(_ => sc.foreach(_.cancelJobGroup(s"$tag-b")))
+      f2.failed.foreach(_ => sc.foreach(_.cancelJobGroup(s"$tag-a")))
+      Await.result(f1.zip(f2), Duration.Inf)
+    } finally pool.shutdown()
   }
 
   final val ChunkTokens = 50
@@ -382,7 +403,10 @@ object Curation {
       Materialize.frame(Dedup.dedupNgramJaccardOnDocs(red)
         .select($"doc_b".as("doc_id")).distinct()),
       Materialize.frame(TextAnalysis.qmModelOn(fitIn)))
-    val kept = red.join(broadcast(drop), Seq("doc_id"), "left_anti")
+    // no broadcast hint: the drop list scales with the corpus (the
+    // ADVICE-flagged OOM shape at production size); AQE broadcasts it
+    // at runtime while it is actually small
+    val kept = red.join(drop, Seq("doc_id"), "left_anti")
     val pass = TextAnalysis.qmPerDocAgg(kept, model)
       .filter($"sum_q" * 2 >= $"n_feats" * lit(TextAnalysis.QmQuantum))
       .select($"doc_id")
@@ -391,15 +415,27 @@ object Curation {
 
   /** [[pipelineCurateSamples]] with the quality gate replaced by DSIR
     * SELECTION — the data-selection sequencing (Xie et al. 2023 as the
-    * gate of a curation run): both bag-of-ngrams models fit on the
-    * REDACTED corpus (target = the prior snapshot's English slice, the
-    * curated-domain stand-in; background = the near-dup-kept FRESH
-    * slice, which is also the scored corpus), and the kept fresh docs
-    * whose importance weights rank in the top third become the
-    * training samples — the pipeline emits exactly the chunks of the
-    * docs DSIR chose this crawl. Scale shape adds the two ≤4096-row
-    * broadcast models + the rank step's range-sort over the weights
-    * frame (doc-count rows, bytes each) to the samples pipeline. */
+    * gate of a curation run): near-dup detection and both bag-of-ngrams
+    * models run on RAW text (target = the prior snapshot's English
+    * slice, the curated-domain stand-in; background = the FULL fresh
+    * slice — the paper's raw distribution, fit BEFORE dedup), kept
+    * fresh docs whose importance weights rank in the top third are
+    * selected, and PII REDACTION is applied to the survivors only
+    * before chunking — the C4/RefinedWeb production order, where the
+    * per-byte redaction cost scales with what ships, not with the
+    * crawl (the redact-FIRST sequencing stays available as the qm
+    * pipeline, which gates on redacted text by construction).
+    *
+    * r14 restage rationale: with the background model defined on the
+    * raw fresh slice, the ENTIRE weight computation is independent of
+    * the pair search — the two overlap completely (r13's redact-first
+    * form serialized 5.0 s of wall against 1.9 s of parallelizable
+    * CPU); the drop list then filters the finished weights frame
+    * (per-doc rows, so filtering weights after ≡ scoring kept docs —
+    * the background totals deliberately include the about-to-drop
+    * duplicates, as the paper's raw model does). Scale shape: two
+    * ≤4096-row broadcast models, the rank step's sort over a
+    * doc-count-row weights frame, redaction over the selected third. */
   def pipelineCurateSamplesDsir(spark: SparkSession, sfDir: String): DataFrame =
     pipelineCurateSamplesDsirOn(Tables.documents(spark, sfDir))
 
@@ -407,41 +443,54 @@ object Curation {
     val spark = docs.sparkSession
     import spark.implicits._
     val width = spark.sparkContext.defaultParallelism
-    // Same staging as the qm pipeline: hash-repartition up front (the
-    // redact + gram fan-outs parallelize off any split count), red
-    // LAZY (pruning + pushdown preserved per consumer), and ONLY the
-    // doc-id-list-sized pair-search result checkpointed — the fresh
-    // kept slice is rebuilt per consumer by a scan + redact +
-    // broadcast anti-join, parallel CPU-ms against the near-dup DAG's
-    // seconds.
-    val red = docs.repartition(width, $"doc_id")
-      .select($"doc_id", $"lang",
-        TextAnalysis.redactedCol($"text").as("text"))
-    // target slice straight off the scan: pmod+lang filters push below
-    // the redact projection; the repartition AFTER them spreads the
-    // small slice's redact + gram fan-out across cores (the qm
-    // pipeline's fit seam).
+    // RAW slices (redaction happens after selection — see scaladoc):
+    // hash-repartition up front so the shingle/gram fan-outs
+    // parallelize off any input split count; all frames stay LAZY
+    // (pruning + pushdown preserved), only the two artifacts below
+    // materialize.
+    val raw = docs.repartition(width, $"doc_id").select($"doc_id", $"text")
     val target = docs
       .filter(pmod($"doc_id", lit(Dedup.SnapshotMod)) < Dedup.SnapshotNewMin &&
         $"lang" === "en")
       .repartition(width, $"doc_id")
-      .select(TextAnalysis.redactedCol($"text").as("text"))
-    // pair search ∥ target-model fit: independent artifacts, overlapped
-    val (drop, ct) = concurrently(
-      Materialize.frame(
-        Dedup.dedupNgramJaccardOnDocs(red.select($"doc_id", $"text"))
-          .select($"doc_b".as("doc_id")).distinct()),
-      dsirTargetCounts(target))
-    val kept = red.join(broadcast(drop), Seq("doc_id"), "left_anti")
-    val freshKept = kept
+      .select($"text")
+    val fresh = raw
       .filter(pmod($"doc_id", lit(Dedup.SnapshotMod)) >= Dedup.SnapshotNewMin)
-      .select($"doc_id", $"text")
-    // dsirWeightsFromCt materializes the per-(doc,bucket) expansion of
-    // freshKept (rdf) itself, so the lazy freshKept is expanded once
-    // there and re-scanned only by the cheap semi-join + chunk tail.
-    val selected = dsirSelectFrom(dsirWeightsFromCt(ct, freshKept))
-      .select($"doc_id")
-    samplesOfGood(freshKept.join(selected, Seq("doc_id"), "left_semi"))
+    // pair search ∥ the COMPLETE importance-weight computation: the
+    // background model is the raw fresh slice (pre-dedup — the paper's
+    // raw distribution), so the weights frame needs no drop input and
+    // the two artifact chains overlap end-to-end. The weight side runs
+    // BOTH model expansions (target grams + fresh grams) as ONE
+    // generator job over the side-tagged union — at sf0.1 the wall is
+    // stage-barrier-bound (~50 ms of hash CPU under 30+ serial
+    // barriers), so halving the expansion job count is worth more than
+    // any per-row optimization.
+    val (drop, wAll) = concurrently(
+      Materialize.frame(Dedup.dedupNgramJaccardOnDocs(raw)
+        .select($"doc_b".as("doc_id")).distinct()),
+      {
+        val tagged = target
+          .select(lit(null).cast("long").as("doc_id"), $"text",
+            lit(true).as("tgt"))
+          .unionByName(fresh.select($"doc_id", $"text", lit(false).as("tgt")))
+        val ex = Materialize.frame(TextAnalysis.qmFeatures(tagged)
+          .groupBy($"tgt", $"doc_id", $"b").agg(count(lit(1)).as("k")))
+        // ct / rdf are cheap derivations over the checkpointed grams
+        val ct = ex.filter($"tgt").groupBy($"b").agg(sum($"k").as("c"))
+        val rdfAll = ex.filter(!$"tgt").select($"doc_id", $"b", $"k")
+        Materialize.frame(dsirWeightsFromRdf(ct, rdfAll))
+      })
+    // post-drop: weights of dropped docs filter out (per-doc rows, so
+    // filtering weights after ≡ scoring kept docs); no broadcast hint —
+    // the drop list scales with the corpus, AQE broadcasts while small.
+    val wKept = wAll.join(drop, Seq("doc_id"), "left_anti")
+    val selected = dsirSelectFrom(wKept).select($"doc_id")
+    // redact ONLY the selected third, then the shared chunk tail. No
+    // repartition: the survivor set is selection-sized and the window
+    // exchange inside the tail spreads the chunk frame anyway.
+    val good = docs.join(selected, Seq("doc_id"), "left_semi")
+      .select($"doc_id", TextAnalysis.redactedCol($"text").as("text"))
+    samplesOfGood(good)
   }
 
   /** The SOURCE-AWARE samples pipeline — [[pipelineCurateSamples]]
@@ -686,6 +735,38 @@ object Curation {
   // of any query surface
   private[graft] def probeDsirSelect(target: DataFrame, raw: DataFrame): DataFrame =
     dsirSelectFrom(dsirWeightsOn(target, raw))
+  /** Sub-step timing of the r14 staged dsir pipeline (dev probe). */
+  private[graft] def probeDsirStaged(docs: DataFrame): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def t[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[probe]   dsir14 $name%-20s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+      r
+    }
+    val width = spark.sparkContext.defaultParallelism
+    val raw = docs.repartition(width, $"doc_id").select($"doc_id", $"text")
+    val target = docs
+      .filter(pmod($"doc_id", lit(Dedup.SnapshotMod)) < Dedup.SnapshotNewMin &&
+        $"lang" === "en")
+      .repartition(width, $"doc_id")
+      .select($"text")
+    val fresh = raw
+      .filter(pmod($"doc_id", lit(Dedup.SnapshotMod)) >= Dedup.SnapshotNewMin)
+    val (drop, wAll) = t("artifacts-all") { concurrently(
+      t("pair")(Materialize.frame(Dedup.dedupNgramJaccardOnDocs(raw)
+        .select($"doc_b".as("doc_id")).distinct())),
+      t("weightsAll")(Materialize.frame(
+        dsirWeightsFromCt(t("ct")(dsirTargetCounts(target)), fresh)))) }
+    val wKept = wAll.join(drop, Seq("doc_id"), "left_anti")
+    val selected = t("select")(dsirSelectFrom(wKept).select($"doc_id"))
+    t("tail")(samplesOfGood(docs.join(selected, Seq("doc_id"), "left_semi")
+      .repartition(width, $"doc_id")
+      .select($"doc_id", TextAnalysis.redactedCol($"text").as("text")))
+      .write.format("noop").mode("overwrite").save())
+  }
+
   private[graft] def probeSamplesOfGood(good: DataFrame): DataFrame =
     samplesOfGood(good)
 
@@ -721,9 +802,19 @@ object Curation {
     // 260k-row exploded frame) does not apply.
     // chunksUnordered, not chunksOf: the window exchange would discard
     // a trailing sort anyway (the streaming twin already takes this path)
+    samplesOfChunks(chunksUnordered(good))
+  }
+
+  /** The keep-first + ordered-output tail over an ALREADY-EXPANDED
+    * chunk frame — the seam the dsir pipeline uses to run the chunk
+    * fan-out concurrently with the pair search (expansion is doc-local,
+    * so expanding a superset and filtering after is identical). */
+  private def samplesOfChunks(chunks: DataFrame): DataFrame = {
+    val spark = chunks.sparkSession
+    import spark.implicits._
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(md5($"chunk_text")).orderBy($"doc_id", $"chunk_idx")
-    chunksUnordered(good)
+    chunks
       .withColumn("rn", row_number().over(w))
       .filter($"rn" === 1)
       .drop("rn")
@@ -1352,6 +1443,8 @@ object Curation {
       docs.filter(pmod($"doc_id", lit(Dedup.SnapshotMod)) < Dedup.SnapshotNewMin &&
         $"lang" === "en"),
       docs.filter(pmod($"doc_id", lit(Dedup.SnapshotMod)) >= Dedup.SnapshotNewMin))
+      .orderBy($"doc_id") // the public query's documented order (the
+      // weights core itself no longer sorts — see dsirWeightsFromRdf)
   }
 
   /** The DSIR transform over any (target, raw) pair of (doc_id, text)
@@ -1375,12 +1468,30 @@ object Curation {
     // per-(doc, bucket) raw counts: the ONE raw expansion, feeding both
     // the background model and the scoring join (algebraically equal to
     // per-occurrence scoring: Σ_occ (qp−qq) = Σ_b k_b·(qp_b−qq_b))
-    val rdf = Materialize.frame(TextAnalysis.qmFeatures(raw.select($"doc_id", $"text"))
-      .groupBy($"doc_id", $"b").agg(count(lit(1)).as("k")))
+    dsirWeightsFromRdf(ct, Materialize.frame(
+      TextAnalysis.qmFeatures(raw.select($"doc_id", $"text"))
+        .groupBy($"doc_id", $"b").agg(count(lit(1)).as("k"))))
+  }
+
+  /** The weight computation over an ALREADY-EXPANDED (doc_id, b, k)
+    * gram frame — the seam the dsir pipeline uses to overlap the
+    * expansion with the pair search. */
+  private[graft] def dsirWeightsFromRdf(ct: DataFrame, rdf: DataFrame): DataFrame = {
+    val spark = ct.sparkSession
+    import spark.implicits._
+    // rdf must be CHEAP TO RESCAN (checkpointed, or a filter over a
+    // checkpoint) — it is consumed by the background agg below and the
+    // scoring join; FromCt materializes the raw expansion before
+    // delegating, the dsir pipeline passes a checkpointed-frame filter
     val cq = Materialize.frame(rdf.groupBy($"b").agg(sum($"k").as("c")))
-    // totals off the ≤4096-row model tables — bounded driver scalars
-    val nt = ct.agg(coalesce(sum($"c"), lit(0L))).collect()(0).getLong(0)
-    val nq = cq.agg(coalesce(sum($"c"), lit(0L))).collect()(0).getLong(0)
+    // totals off the ≤4096-row model tables — bounded driver scalars,
+    // fetched in ONE job (a cross join of two 1-row aggs; two separate
+    // collects were two scheduling barriers on the weights critical
+    // path, measured as real wall in the dsir pipeline's chain)
+    val tot = ct.agg(coalesce(sum($"c"), lit(0L)).as("nt"))
+      .crossJoin(cq.agg(coalesce(sum($"c"), lit(0L)).as("nq")))
+      .collect()(0)
+    val (nt, nq) = (tot.getLong(0), tot.getLong(1))
     val qp = ct.select($"b", dsirQ($"c" + 1L, nt).as("qp"))
     val qq = cq.select($"b", dsirQ($"c" + 1L, nq).as("qq"))
     // unseen-in-target buckets smooth to the c=0 floor (a driver literal
@@ -1389,12 +1500,15 @@ object Curation {
     // inner — the streaming seam's left-join floor is dead weight only
     // in this self-scoring shape
     val qp0 = dsirQ0(nt)
+    // NO trailing sort: every consumer either re-sorts (the standalone
+    // weights query, dsirSelectFrom's weight rank) or is order-free
+    // (the pipeline's anti-join) — a sort here was a dead exchange on
+    // the pipeline's critical path
     rdf.join(broadcast(qp), Seq("b"), "left")
       .join(broadcast(qq), Seq("b"))
       .groupBy($"doc_id")
       .agg(sum($"k").as("n_feats"),
         sum($"k" * (coalesce($"qp", lit(qp0)) - $"qq")).as("weight"))
-      .orderBy($"doc_id")
   }
 
   /** The ONE quantizer of the DSIR model family: the single rounded
@@ -1742,31 +1856,24 @@ object Curation {
     // the redacted prior-en target and the near-dup-kept fresh slice,
     // rank keep = the cur_dsir_select formulation, samples tail shared
     "cur_pipeline_samples_dsir" ->
-      s"""WITH red AS (
-         |  SELECT doc_id, lang, ${TextAnalysis.redactedSqlExpr} AS text
-         |  FROM documents
-         |),
-         |pairs AS (${Dedup.cappedJaccardSqlFrom("red")}),
-         |kept AS (
-         |  SELECT doc_id, text FROM red
+      s"""WITH pairs AS (${Dedup.cappedJaccardSqlFrom("documents")}),
+         |${dsirWeightCtesFrom(
+             s"(SELECT text FROM documents WHERE doc_id % ${Dedup.SnapshotMod} < ${Dedup.SnapshotNewMin} AND lang = 'en')",
+             s"(SELECT doc_id, text FROM documents WHERE doc_id % ${Dedup.SnapshotMod} >= ${Dedup.SnapshotNewMin})")},
+         |wk AS (
+         |  SELECT doc_id, weight FROM dsir_w
          |  WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
          |),
-         |freshkept AS (
-         |  SELECT doc_id, text FROM kept
-         |  WHERE doc_id % ${Dedup.SnapshotMod} >= ${Dedup.SnapshotNewMin}
-         |),
-         |${dsirWeightCtesFrom(
-             s"(SELECT text FROM red WHERE doc_id % ${Dedup.SnapshotMod} < ${Dedup.SnapshotNewMin} AND lang = 'en')",
-             "freshkept")},
          |dsir_rk AS (
          |  SELECT doc_id,
          |    row_number() OVER (ORDER BY weight DESC, doc_id) AS rk
-         |  FROM dsir_w
+         |  FROM wk
          |),
-         |dsir_n AS (SELECT (count(*) + $DsirKeepDen - 1) // $DsirKeepDen AS keep FROM dsir_w),
+         |dsir_n AS (SELECT (count(*) + $DsirKeepDen - 1) // $DsirKeepDen AS keep FROM wk),
          |good AS (
-         |  SELECT f.doc_id, f.text FROM freshkept f
-         |  JOIN dsir_rk USING (doc_id), dsir_n WHERE rk <= keep
+         |  SELECT d.doc_id, ${TextAnalysis.redactedSqlExpr} AS text
+         |  FROM documents d JOIN dsir_rk USING (doc_id), dsir_n
+         |  WHERE rk <= keep
          |),
          |chunks AS (${chunksSqlFrom("good")}),
          |sel AS (

@@ -691,11 +691,25 @@ object TextAnalysis {
     val spark = docs.sparkSession
     import spark.implicits._
     val keep = docs.columns.filter(_ != "text").map(col).toSeq
+    // ONE generator over the FUSED unigram+bigram bucket walk
+    // (QmFeatureBuckets). The r1–r13 form composed transform() lambdas
+    // over a token array — ArrayTransform has no codegen, so every gram
+    // paid the per-element interpreter (~18 µs/gram vs the 0.5 µs
+    // hash; the dsir target fit measured 3.2 warm CPU-s for 176k
+    // grams). The fused expression is a static call inside whole-stage
+    // codegen; TextAnalysisSpec pins fused ≡ unfused per doc.
+    docs.select(keep :+ explode(graft.functions.QmFeatureBuckets(
+      $"text", (QmBuckets - 1).toLong)).as("b"): _*)
+  }
+
+  /** The r1–r13 unfused feature expansion, kept as the differential
+    * spec's reference implementation (fused ≡ this, per doc). */
+  private[graft] def qmFeaturesUnfused(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val keep = docs.columns.filter(_ != "text").map(col).toSeq
     val mask = lit((QmBuckets - 1).toLong)
     def bk(c: Column): Column = graft.functions.Md5Lower64(c).bitwiseAND(mask)
-    // ONE generator over the concatenated unigram+bigram bucket array —
-    // a union of two per-gram expansions would scan the corpus twice
-    // (ScanAudit caught exactly that in the first cut)
     val t = split($"text", " ")
     val feats = concat(
       transform(t, w => bk(w)),

@@ -64,6 +64,10 @@ object Probe {
           freshKept.join(weights.select($"doc_id"), Seq("doc_id"), "left_semi"))
           .write.format("noop").mode("overwrite").save()
       }
+      // the r14 restaged dsir pipeline: artifact phase vs post-drop tail
+      t("dsir r14 STAGED total") {
+        graft.operators.Curation.probeDsirStaged(docs)
+      }
     }
     spark.stop()
   }

@@ -324,6 +324,20 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(bad.count() === 0L)
   }
 
+  test("fused QmFeatureBuckets ≡ the unfused transform composition, per doc (incl. empty and 1-token)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "single"), (3L, ""), (4L, "a b"), (5L, "x  y") // double space → empty token
+    ).toDF("doc_id", "text")
+    def agg(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy($"doc_id", $"b").agg(count(lit(1)).as("k"))
+      .orderBy($"doc_id", $"b").collect().map(_.toSeq).toSeq
+    assert(agg(TextAnalysis.qmFeatures(docs)) ===
+      agg(TextAnalysis.qmFeaturesUnfused(docs)))
+  }
+
   test("BPE fit: hand-fit corpus (low x3, lower x2, newest), deterministic tie-break on equal counts") {
     import spark.implicits._
     val docs = Seq((1L, "low low low"), (2L, "lower lower"), (3L, "newest"))
