@@ -352,6 +352,28 @@ object Bench {
       }
     }
 
+    // ANN recall telemetry (r14, VERDICT #3): recall@TopK of the benched
+    // ANN defaults vs the exact brute-force answer — the quality number
+    // printed next to the speed number, so a fast-but-blind index can't
+    // look "done". One tiny extra job per ANN query, outside all timers.
+    val annRecall: Option[String] =
+      if (selected.exists(_.startsWith("sim_ann"))) try {
+        val brute = SparkEntry.queries("sim_topk_brute")(spark, sfDir)
+          .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+        val rs = Seq("sim_ann_lsh", "sim_ann_ivf", "sim_ann_ivfpq",
+          "sim_ann_ivfpq_rerank").filter(selected.contains).map { name =>
+          val got = SparkEntry.queries(name)(spark, sfDir)
+            .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+          name -> (brute & got).size.toDouble / brute.size
+        }
+        Some(rs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+          .mkString("{", ",", "}"))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] ann recall failed: ${e.getMessage}")
+        None
+      } else None
+    val annJson = annRecall.fold("")(j => s""","ann_recall":$j""")
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
     val cpuJson = cpu.map { case (k, v) => "\"" + k + "\":" + v }
@@ -367,10 +389,10 @@ object Bench {
     // wall) lives only in bench.json, which is written whole and can't
     // be truncated.
     val line =
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"cpu_ms":$cpuJson,"protocol":"median-of-3-escalate-5","sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"cpu_ms":$cpuJson$annJson,"protocol":"median-of-3-escalate-5","sf":"$sfDir"}"""
     println(line)
     val full =
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"cpu_ms":$cpuJson,"protocol":"median-of-3-escalate-5","breakdown":$bd,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"cpu_ms":$cpuJson$annJson,"protocol":"median-of-3-escalate-5","breakdown":$bd,"sf":"$sfDir"}"""
     // sbt prefixes stdout with "[info] "; the file copy is the version a
     // driver can always json.load directly.
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), full + "\n")

@@ -134,11 +134,12 @@ object Multimodal {
     val out = new java.io.ByteArrayOutputStream()
     val writer = pngWriterTL.get()
     val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
-    writer.setOutput(ios)
-    writer.write(img)
-    ios.close() // flushes the memory cache into `out`
-    writer.setOutput(null)
-    out.toByteArray
+    try {
+      writer.setOutput(ios)
+      writer.write(img)
+      ios.close() // flushes the memory cache into `out`
+      out.toByteArray
+    } finally writer.setOutput(null) // see encodeGif: always detach
   }
 
   /** REAL decode: parse the PNG container (ImageIO: signature check,
@@ -329,6 +330,7 @@ object Multimodal {
     val writer = gifWriterTL.get()
     val bos = new java.io.ByteArrayOutputStream()
     val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try {
     writer.setOutput(ios)
     writer.prepareWriteSequence(null)
     var f = 0
@@ -352,8 +354,10 @@ object Multimodal {
     }
     writer.endWriteSequence()
     ios.close() // flushes the memory cache into `bos`
-    writer.setOutput(null) // keep the thread-local writer reusable
     bos.toByteArray
+    } finally writer.setOutput(null) // ALWAYS detach: a codec throw must
+    // not leave the thread-local writer pointing at a dead stream (the
+    // ADVICE-flagged leak — the next task on this thread would reuse it)
   }
 
   private val framesSchema = StructType(

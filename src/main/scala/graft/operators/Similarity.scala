@@ -664,8 +664,32 @@ object Similarity {
   }
 
   /** ADC-pool size the refine stage re-scores exactly (FAISS's
-    * IndexRefineFlat `k_factor` convention: pool = k_factor · k). */
-  final val RerankPool: Int = 4 * TopK
+    * IndexRefineFlat `k_factor` convention: pool = k_factor · k).
+    * k_factor = 120 is deliberately large — the r14 recall sweep
+    * (SCALING.md) showed that on this corpus the refine tier's recall
+    * is QUANTIZATION-BOUND, not probe-bound: the embeddings are
+    * isotropic unit vectors (no cluster structure), so 32-bit PQ codes
+    * barely separate rank-5 from rank-200 and recall@5 saturates at
+    * 0.28 with a 40-pool EVEN AT FULL PROBE; the exact-rerank pool is
+    * the one knob that keeps climbing (0.44@100 → 0.60@200 → 0.78@400
+    * → 0.86@600), and it is cheap — a broadcast point-lookup join,
+    * wall-flat. 8-bit codebooks (the FAISS default) fix the codes but
+    * 10×'d the wall under the baked-literal encode, and real embedding
+    * corpora cluster, where small k_factor works — so the compressed
+    * tier pays pool, and the measured recall ships next to the speed
+    * in bench.json's ann_recall block. The ≥0.9-recall RAW-vector
+    * tiers are `sim_ann_lsh` (0.96) and IVF-Flat at high nprobe
+    * (0.96 at 14/16 — `simAnnIvfOn` exposes the knob). */
+  final val RerankPool: Int = 120 * TopK
+
+  /** Coarse cells the REFINE stage probes: all of them. On an
+    * isotropic corpus the coarse quantizer carries no structure — the
+    * sweep measured recall FLAT in nprobe beyond ~8 at any fixed pool
+    * — so the honest refine default stops pretending the routing
+    * helps and leans on the exact-rerank pool ([[RerankPool]]). On a
+    * clustered real corpus this drops back to nprobe ≪ nlist; the
+    * cheap-speed tiers keep [[NProbe]] = 4. */
+  final val RefineNProbe: Int = NumCentroids
 
   /** IVF-PQ with EXACT RE-RANK — the FAISS refine stage
     * (IndexRefineFlat over an IndexIVFPQ): the compressed ADC scan
@@ -684,13 +708,19 @@ object Similarity {
     * join against the vec_id-bucketed store, delta-free). Exact scores
     * quantize on the same 10¹² grid as every ANN score here, so the
     * oracle mirrors integer-for-integer. */
-  def simAnnIvfPqRerank(spark: SparkSession, sfDir: String): DataFrame = {
+  def simAnnIvfPqRerank(spark: SparkSession, sfDir: String): DataFrame =
+    simAnnIvfPqRerankAt(spark, sfDir, RefineNProbe, RerankPool)
+
+  /** The knob-parameterized refine stage (recall-sweep seam — the
+    * curve in SCALING.md is measured through this entry). */
+  private[graft] def simAnnIvfPqRerankAt(spark: SparkSession, sfDir: String,
+      nprobe: Int, rerankPool: Int): DataFrame = {
     import spark.implicits._
     val (e, cents, cb, codes) = ivfPqIndex(spark, sfDir)
     val wa = Window.partitionBy($"query_id").orderBy($"score_q".desc, $"vec_id".asc)
-    val pool = ivfPqAdcScored(e, cents, cb, codes, NProbe)
+    val pool = ivfPqAdcScored(e, cents, cb, codes, nprobe)
       .withColumn("rka", row_number().over(wa))
-      .filter($"rka" <= RerankPool)
+      .filter($"rka" <= rerankPool)
       .select($"query_id", $"vec_id")
     val q = e.filter($"vec_id" < NumQueries)
       .select($"vec_id".as("query_id"), $"v".as("qv"))
@@ -1181,7 +1211,8 @@ object Similarity {
     * per-(query, cell) coarse term joined through the candidate's
     * cell. Shared by the full and incremental variants, which differ
     * only in `fitCtes`. */
-  private def ivfPqSqlWith(fitCtes: String, tail: String = ""): String =
+  private def ivfPqSqlWith(fitCtes: String, tail: String = "",
+      nprobe: Int = NProbe): String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |c AS (
        |  SELECT vec_id - $NumQueries AS cid, embedding::DOUBLE[] AS cv FROM embeddings
@@ -1216,7 +1247,7 @@ object Similarity {
        |),
        |probes AS (
        |  SELECT vec_id AS query_id, cid AS cell FROM rk
-       |  WHERE rn <= $NProbe AND vec_id < $NumQueries
+       |  WHERE rn <= $nprobe AND vec_id < $NumQueries
        |),
        |coarse AS (
        |  SELECT p.query_id, p.cell,
@@ -1508,7 +1539,7 @@ object Similarity {
     // vector store — integer scores on the shared 10^12 grid
     "sim_ann_ivfpq_rerank" ->
       ivfPqSqlWith(pqFitCtes(KMeansIters, "resid", "r", IvfPqSeedBase),
-        ivfPqRerankSqlTail),
+        ivfPqRerankSqlTail, nprobe = RefineNProbe),
     // the incremental mirror differs ONLY in the fit chain: codebooks
     // (annEncodeOracleSql below reuses this exact chain for the
     // streaming ingest twin's flat encode rows)

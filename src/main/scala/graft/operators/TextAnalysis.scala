@@ -287,7 +287,14 @@ object TextAnalysis {
   final val GopherMaxWords = 100000L
 
   /** The repo's 10-word stopword vocabulary (the same literal the
-    * heuristic quality score and the stopword filter use inline). */
+    * heuristic quality score and the stopword filter use inline).
+    * DELIBERATE deviation from Rae et al.'s published 8-word list
+    * ("the, be, to, of, and, that, have, with"): the synthetic corpus
+    * never conjugates ("be"/"have" absent), so the published list
+    * would make r_stopwords vacuously false corpus-wide; this list
+    * keeps the rule live on the test tables while the rule SHAPE
+    * (≥ 2 distinct stopwords present) matches the paper. Swap the
+    * literal for the published one on a real English corpus. */
   final val StopwordList: Seq[String] =
     Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
 

@@ -1532,6 +1532,97 @@ object Streaming {
       runToMemory(flagged, "append").distinct(), W)
   }
 
+  /** [[streamSubstringIncremental]] through the BOUNDED-STATE tier the
+    * docstring above promises — the production deployment: one parquet
+    * file = one in-window micro-batch, so no eviction fires and the
+    * result equals batch `dedup_substring_incremental` exactly (same
+    * oracle); the eviction behavior itself is pinned by StreamingSpec's
+    * four-batch feed. */
+  def streamSubstringIncrementalTtl(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Dedup.{SnapshotMod, SnapshotNewMin}
+    val prior = graft.sources.Tables.documents(spark, sfDir)
+      .filter(pmod($"doc_id", lit(SnapshotMod)) < SnapshotNewMin)
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val delta = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+      .filter(pmod($"doc_id", lit(SnapshotMod)) >= SnapshotNewMin)
+      .withColumn("ts",
+        timestamp_seconds(lit(1700000000L) + pmod($"doc_id", lit(3600))))
+    runSubstringIncrementalStreamTTL(delta, prior, "1 hour")
+  }
+
+  /** [[runSubstringIncrementalStream]] with the EventTimeTimeout TTL
+    * tier — closing the one unbounded-state exception in the streaming
+    * family: gram-family state carries the max event time seen and
+    * evicts once the watermark passes newest-arrival + ttl, so the
+    * store holds O(gram families live in the TTL window) — cold index
+    * entries AND their buffered single-doc residents both leave.
+    * Eviction forgets a family a much-later arrival would have matched
+    * (no flush, no index hit) — the same documented recall trade every
+    * TTL tier here makes. Prior warm-start entries load emitted and
+    * UNARMED: an index entry only acquires an eviction deadline once a
+    * fresh gram probes it (an unprobed stored index never expires;
+    * deadlines are monotone from the key's newest arrival, the
+    * runDedupStreamTTL argument). */
+  private[graft] def runSubstringIncrementalStreamTTL(delta: DataFrame,
+      prior: DataFrame, ttl: String): DataFrame = {
+    val spark = delta.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val W = graft.operators.Dedup.ExactSubstrTokens
+    val initial = prior
+      .repartition(spark.sparkContext.defaultParallelism, $"doc_id")
+      .select($"doc_id", posexplode(
+        graft.functions.NGramXxh64Pos($"text", W)).as(Seq("pos", "h")))
+      .select($"h").as[Long]
+      .groupByKey(identity)
+      .mapGroups((h, _) => (h, (true, Seq.empty[(Long, Int)], Long.MinValue)))
+      .groupByKey(_._1).mapValues(_._2)
+    val grams = delta
+      .withWatermark("ts", ttl)
+      .select($"ts", $"doc_id", posexplode(
+        graft.functions.NGramXxh64Pos($"text", W)).as(Seq("pos", "h")))
+      .select($"h", $"doc_id", $"pos", $"ts")
+      .as[(Long, Long, Int, java.sql.Timestamp)]
+    val flagged = grams.groupByKey(_._1)
+      .flatMapGroupsWithState[(Boolean, Seq[(Long, Int)], Long), (Long, Int)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout, initial) {
+          (h, it, state) =>
+            if (state.hasTimedOut) {
+              state.remove() // cold family: index entry + residents evict
+              Iterator.empty
+            } else {
+              val rows = it.toSeq
+              val arrivals = rows.map(t => (t._2, t._3))
+              var (emitted, residents, maxTs) = state.getOption.getOrElse(
+                (false, Seq.empty[(Long, Int)], Long.MinValue))
+              rows.foreach { r =>
+                val t = r._4.getTime
+                if (t > maxTs) maxTs = t
+              }
+              val all = residents ++ arrivals
+              val out =
+                if (emitted || all.map(_._1).distinct.size >= 2) {
+                  state.update((true, Seq.empty, maxTs))
+                  if (emitted) arrivals.iterator else all.iterator
+                } else {
+                  state.update((false, all, maxTs))
+                  Iterator.empty
+                }
+              // warm-start entries are invoked once with NO rows to
+              // seat the initial state — maxTs is still the unarmed
+              // sentinel there, and an index entry only acquires its
+              // eviction deadline when a fresh gram actually probes it
+              if (maxTs != Long.MinValue) state.setTimeoutTimestamp(maxTs, ttl)
+              out
+            }
+        }
+      .toDF("doc_id", "pos")
+    graft.operators.Dedup.mergeSpanRuns(
+      runToMemory(flagged, "append").distinct(), W)
+  }
+
   /** STREAMING n-gram novelty — the crawl-freshness metric AT INGEST:
     * the prior snapshot's distinct gram index materializes ONCE (the
     * stored 8 B/gram artifact; without the checkpoint the stream-static
@@ -1783,6 +1874,7 @@ object Streaming {
     "stream_ann_encode" -> streamAnnEncode,
     "stream_gopher_rules" -> streamGopherRules,
     "stream_substring_incremental" -> streamSubstringIncremental,
+    "stream_substring_incremental_ttl" -> streamSubstringIncrementalTtl,
     "stream_dedup_ahash" -> streamDedupAhash,
     "stream_novelty" -> streamNovelty,
   )
@@ -1928,6 +2020,9 @@ object Streaming {
     "stream_ann_encode" -> graft.operators.Similarity.annEncodeOracleSql,
     "stream_gopher_rules" -> graft.operators.TextAnalysis.oracles("text_gopher_rules"),
     "stream_substring_incremental" ->
+      graft.operators.Dedup.oracles("dedup_substring_incremental"),
+    // the TTL tier: one in-window micro-batch => no eviction => batch-equal
+    "stream_substring_incremental_ttl" ->
       graft.operators.Dedup.oracles("dedup_substring_incremental"),
     "stream_dedup_ahash" -> graft.operators.Multimodal.oracles("mm_dedup_ahash"),
     "stream_novelty" -> graft.operators.Curation.oracles("cur_novelty"),

@@ -933,4 +933,43 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(streamed === batch)
   }
+
+  test("substring-incremental TTL: in-window pair flags; evicted residents AND evicted prior-index entries both forget") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{expr => fexpr}
+    val in = Files.createTempDirectory("graft_substr_ttl_").toString
+    val t0 = 1700000000L
+    def toks(p: String) = (0 until 30).map(i => s"$p$i").mkString(" ")
+    def docs(rows: Seq[(Long, String, Long)]) =
+      rows.toDF("doc_id", "text", "sec")
+        .select($"doc_id", $"text", fexpr("timestamp_seconds(sec)").as("ts"))
+    val base = System.currentTimeMillis()
+    // prior snapshot: family F lives in the stored gram index
+    val prior = Seq((1L, toks("f"))).toDF("doc_id", "text")
+    // b1: an in-window fresh pair (d), a single-doc family (a, buffers),
+    // and a probe of the prior index (f, flags immediately)
+    writeOneFile(docs(Seq(
+      (100L, toks("a"), t0), (110L, toks("d"), t0 + 1),
+      (111L, toks("d"), t0 + 2), (120L, toks("f"), t0 + 3))),
+      s"$in/b1.parquet", base)
+    // b2: far-future singleton advances the watermark past b1's
+    // deadlines (60 s ttl); b3: b1 keys absent → their timeouts fire
+    writeOneFile(docs(Seq((200L, toks("x"), t0 + 10000))),
+      s"$in/b2.parquet", base + 60000)
+    writeOneFile(docs(Seq((210L, toks("y"), t0 + 10010))),
+      s"$in/b3.parquet", base + 120000)
+    // b4: families a and f again — BOTH were evicted, so neither the
+    // buffered resident (100) nor the probed-then-evicted index entry
+    // fires; with unbounded state this batch would flag 100/300/310
+    writeOneFile(docs(Seq((300L, toks("a"), t0 + 10020),
+      (310L, toks("f"), t0 + 10030))), s"$in/b4.parquet", base + 180000)
+    val schema = spark.read.parquet(in).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val got = Streaming.runSubstringIncrementalStreamTTL(stream, prior, "60 seconds")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      .sortBy(_._1)
+    assert(got === Seq((110L, 0L, 30L), (111L, 0L, 30L), (120L, 0L, 30L)),
+      s"only the in-window pair and the warm prior probe may flag; got $got")
+  }
 }
