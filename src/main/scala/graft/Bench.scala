@@ -155,6 +155,12 @@ object Bench {
     "cur_pipeline_samples_dsir",
     // Gopher rules: pure per-row integer rule evaluation, zero shuffle
     "text_gopher_rules",
+    // r14 curation additions: per-source caps (histogram decomposition),
+    // the source-aware samples pipeline, C4 line dedup + line filters,
+    // within-doc repetition strip, distributed BPE merge fit
+    "cur_source_caps", "cur_source_caps_tokens", "cur_pipeline_samples_caps",
+    "dedup_lines", "cur_line_filter", "cur_strip_repetition",
+    "text_bpe_fit",
     // MOSS: winnowed-fingerprint inverted index + df-capped pair join
     "dedup_winnow_pairs",
     // its daily-crawl form: delta probes the stored fingerprint index

@@ -819,9 +819,13 @@ class StreamingSpec extends AnyFunSuite {
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(in)
     val got = Streaming.runDsirStream(stream, target, raw).collect().map(_.toSeq).toSeq
+    // sort both sides: the batch weights core no longer carries an
+    // incidental doc_id sort (r14 — every consumer re-sorts or is
+    // order-free), so equality is a row-SET claim here
     val batch = graft.operators.Curation.dsirWeightsOn(target, raw)
-      .collect().map(_.toSeq).toSeq
-    assert(got === batch, s"stream $got != batch $batch")
+      .orderBy($"doc_id").collect().map(_.toSeq).toSeq
+    assert(got.sortBy(_.head.toString.toLong) === batch,
+      s"stream $got != batch $batch")
     assert(got.size === 3)
   }
 
