@@ -465,9 +465,17 @@ object Curation {
     // stage-barrier-bound (~50 ms of hash CPU under 30+ serial
     // barriers), so halving the expansion job count is worth more than
     // any per-row optimization.
+    // A-side input is docs DIRECT, not `raw`: the pair search's own
+    // expansion repartitions by doc_id internally, so the upfront
+    // shuffle was a second full-text exchange on the critical chain
+    // (the qm/caps pipelines keep theirs — they must spread the redact
+    // regex BEFORE the search; dsir searches raw text). No .distinct()
+    // on the drop list either: left-anti is duplicate-tolerant and the
+    // dedup shuffle was one more serial stage for a bytes-sized frame.
     val (drop, wAll) = concurrently(
-      Materialize.frame(Dedup.dedupNgramJaccardOnDocs(raw)
-        .select($"doc_b".as("doc_id")).distinct()),
+      Materialize.frame(Dedup.dedupNgramJaccardOnDocs(
+          docs.select($"doc_id", $"text"))
+        .select($"doc_b".as("doc_id"))),
       {
         val tagged = target
           .select(lit(null).cast("long").as("doc_id"), $"text",
@@ -484,7 +492,10 @@ object Curation {
     // filtering weights after ≡ scoring kept docs); no broadcast hint —
     // the drop list scales with the corpus, AQE broadcasts while small.
     val wKept = wAll.join(drop, Seq("doc_id"), "left_anti")
-    val selected = dsirSelectFrom(wKept).select($"doc_id")
+    // materialize = false: wKept is a bytes-sized broadcast-anti-join
+    // over two checkpoints — rescanning it three times is cheaper than
+    // one more checkpoint-write barrier on the serial tail
+    val selected = dsirSelectFrom(wKept, materialize = false).select($"doc_id")
     // redact ONLY the selected third, then the shared chunk tail. No
     // repartition: the survivor set is selection-sized and the window
     // exchange inside the tail spreads the chunk frame anyway.
@@ -782,7 +793,7 @@ object Curation {
   /** The chunk-expansion + keep-first tail over an already
     * quality-gated frame — the seam the learned-gate pipeline variant
     * injects its gate through. */
-  private def samplesOfGood(good: DataFrame): DataFrame = {
+  private[graft] def samplesOfGood(good: DataFrame): DataFrame = {
     val spark = good.sparkSession
     import spark.implicits._
     // Keep-first in ONE pass: row_number over the content-hash partition
@@ -1482,18 +1493,27 @@ object Curation {
     // rdf must be CHEAP TO RESCAN (checkpointed, or a filter over a
     // checkpoint) — it is consumed by the background agg below and the
     // scoring join; FromCt materializes the raw expansion before
-    // delegating, the dsir pipeline passes a checkpointed-frame filter
-    val cq = Materialize.frame(rdf.groupBy($"b").agg(sum($"k").as("c")))
-    // totals off the ≤4096-row model tables — bounded driver scalars,
-    // fetched in ONE job (a cross join of two 1-row aggs; two separate
-    // collects were two scheduling barriers on the weights critical
-    // path, measured as real wall in the dsir pipeline's chain)
-    val tot = ct.agg(coalesce(sum($"c"), lit(0L)).as("nt"))
-      .crossJoin(cq.agg(coalesce(sum($"c"), lit(0L)).as("nq")))
-      .collect()(0)
-    val (nt, nq) = (tot.getLong(0), tot.getLong(1))
-    val qp = ct.select($"b", dsirQ($"c" + 1L, nt).as("qp"))
-    val qq = cq.select($"b", dsirQ($"c" + 1L, nq).as("qq"))
+    // delegating, the dsir pipeline passes a checkpointed-frame filter.
+    //
+    // BOTH ≤QmBuckets-row model tables come back in ONE side-tagged
+    // driver collect. The r14a form spent four scheduling barriers on
+    // the weights critical path — cq checkpoint, totals cross-join
+    // collect, and a broadcast-build job per model — for two tables
+    // whose combined size is bounded at 2·4096 rows. Quantizing on the
+    // driver (dsirQL, the operand-for-operand twin of dsirQ) and
+    // shipping the models as local relations makes the broadcast
+    // builds free; driver state stays bytes-bounded.
+    val both = ct.select(lit(true).as("t"), $"b", $"c")
+      .unionByName(rdf.groupBy($"b").agg(sum($"k").as("c"))
+        .select(lit(false).as("t"), $"b", $"c"))
+      .collect()
+    val (ctRows, cqRows) = both.partition(_.getBoolean(0))
+    val nt = ctRows.iterator.map(_.getLong(2)).sum
+    val nq = cqRows.iterator.map(_.getLong(2)).sum
+    val qp = ctRows.map(r => (r.getLong(1), dsirQL(r.getLong(2) + 1L, nt))).toSeq
+      .toDF("b", "qp")
+    val qq = cqRows.map(r => (r.getLong(1), dsirQL(r.getLong(2) + 1L, nq))).toSeq
+      .toDF("b", "qq")
     // unseen-in-target buckets smooth to the c=0 floor (a driver literal
     // off the bounded total); every scored bucket exists in qq by
     // construction HERE (cq is built from rdf itself), so that join is
@@ -1517,6 +1537,13 @@ object Curation {
   private def dsirQ(c: Column, n: Long): Column =
     floor(c.cast("double") / lit((n + TextAnalysis.QmBuckets.toLong).toDouble) *
       lit(TextAnalysis.QmQuantum.toDouble)).cast("long")
+
+  /** Driver-side twin of [[dsirQ]] — the SAME IEEE ops in the same
+    * order (divide, multiply, floor), so a model quantized on the
+    * driver is bit-identical to one quantized in the scan. */
+  private[graft] def dsirQL(c: Long, n: Long): Long =
+    math.floor(c.toDouble / (n + TextAnalysis.QmBuckets.toLong).toDouble *
+      TextAnalysis.QmQuantum.toDouble).toLong
 
   /** The c=0 smoothing floor of a model with total `n` — the quantized
     * probability every unseen bucket collapses to. */
@@ -1575,16 +1602,39 @@ object Curation {
     dsirSelectFrom(dsirWeights(spark, sfDir))
 
   /** The rank-and-keep step over any DSIR weights frame — the seam the
-    * DSIR-gated pipeline reuses. */
-  private[graft] def dsirSelectFrom(wIn: DataFrame): DataFrame = {
+    * DSIR-gated pipeline reuses.
+    *
+    * Job anatomy (this is a serial-barrier tail, so each job is wall):
+    * range-partitioner sample, then ONE per-partition-sizes pass that
+    * feeds BOTH the keep quota (total n — the r14a separate count()
+    * job) and the offsets (zipWithIndex's internal pass), then the
+    * emit job, which reuses the sort's shuffle map outputs (same RDD
+    * lineage). No trailing doc_id sort: the driver's oracle compare is
+    * order-normalized and both in-repo consumers re-shuffle anyway
+    * (the pipeline semi-joins, the spec sorts its own copy).
+    *
+    * `materialize` = false when wIn is already cheap to rescan (the
+    * pipeline's broadcast-anti-join over two checkpoints) — the three
+    * passes re-run a bytes-sized probe instead of paying a checkpoint
+    * write barrier. */
+  private[graft] def dsirSelectFrom(wIn: DataFrame,
+      materialize: Boolean = true): DataFrame = {
     val spark = wIn.sparkSession
     import spark.implicits._
-    val w = Materialize.frame(wIn)
-    val n = w.count()
-    val keep = (n + DsirKeepDen - 1) / DsirKeepDen
+    val w = if (materialize) Materialize.frame(wIn) else wIn
     val sorted = w.orderBy($"weight".desc, $"doc_id".asc)
-    val rdd = sorted.rdd.zipWithIndex().filter(_._2 < keep).map(_._1)
-    spark.createDataFrame(rdd, sorted.schema).orderBy($"doc_id")
+    val rdd = sorted.rdd
+    val sizes = rdd.mapPartitionsWithIndex((i, it) => Iterator((i, it.size)))
+      .collect().sortBy(_._1).map(_._2.toLong)
+    val n = sizes.sum
+    val keep = (n + DsirKeepDen - 1) / DsirKeepDen
+    val offsets = sizes.scanLeft(0L)(_ + _)
+    val out = rdd.mapPartitionsWithIndex { (i, it) =>
+      val quota = keep - offsets(i)
+      if (quota <= 0L) Iterator.empty
+      else it.take(math.min(quota, Int.MaxValue.toLong).toInt)
+    }
+    spark.createDataFrame(out, sorted.schema)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

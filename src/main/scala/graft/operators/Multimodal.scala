@@ -390,6 +390,7 @@ object Multimodal {
         val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
           new java.io.ByteArrayInputStream(gif))
         reader.setInput(iis)
+        try {
         val n = reader.getNumImages(true)
         val res = (0 until n by GifFrameStride).map { f =>
           val img = reader.read(f)
@@ -414,9 +415,11 @@ object Multimodal {
           Row.fromSeq(Seq[Any](r.getLong(0), f, n, sum) ++
             (0 until FeatureDim).map(hist(_).toDouble))
         }
-        reader.setInput(null) // keep the thread-local reader reusable
         iis.close()
         res
+        } finally reader.setInput(null) // ALWAYS detach (see encodeGif):
+        // a mid-frame codec throw must not leave the thread-local reader
+        // pointing at a dead stream for the next task on this thread
       }
     }
     spark.createDataFrame(out, framesSchema).orderBy("doc_id", "frame_idx")
