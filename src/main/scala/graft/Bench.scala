@@ -161,6 +161,9 @@ object Bench {
     "cur_source_caps", "cur_source_caps_tokens", "cur_pipeline_samples_caps",
     "dedup_lines", "cur_line_filter", "cur_strip_repetition",
     "text_bpe_fit",
+    // the C4-order composition: line filter + line dedup ahead of the
+    // document-level samples stages
+    "cur_pipeline_samples_lines",
     // MOSS: winnowed-fingerprint inverted index + df-capped pair join
     "dedup_winnow_pairs",
     // its daily-crawl form: delta probes the stored fingerprint index

@@ -537,6 +537,49 @@ object Curation {
       .join(roster, Seq("doc_id"), "left_semi"))
   }
 
+  /** The C4-ORDER composed pipeline — line-level cleaning FIRST
+    * (Raffel et al. 2020 §2.2's sequencing), the document-level
+    * samples pipeline after: the C4 line predicates ([[lineKeep]])
+    * drop boilerplate lines, the corpus-wide line dedup keeps each
+    * surviving distinct line at its lexicographic-min (doc_id,
+    * line_idx) occurrence, every document is rebuilt from its kept
+    * lines in ORIGINAL order (space-joined — the rebuilt corpus is
+    * re-tokenized downstream), and the rebuilt corpus flows through
+    * redact → near-dup pair drop → quality gate → chunk fan-out +
+    * keep-first, [[pipelineCurateSamples]] verbatim from redaction on.
+    * Line decisions ride ORIGINAL line indexes (the filter cannot
+    * shift the dedup keep order), and a document whose every line
+    * drops vanishes — it would contribute zero chunks either way.
+    *
+    * Scale shape: the line stage adds `dedup_lines`' exchanges ahead
+    * of the unchanged samples plan — the keep decision shuffles
+    * (md5, doc_id, line_idx), never line text; groups are one line's
+    * duplicate set; the rebuild is one doc-bounded agg. No drop-list
+    * distinct: the left-anti probe is duplicate-tolerant, and the
+    * whole dataflow is one lazy single-consumer DAG (no checkpoint —
+    * each frame has exactly one consumer). */
+  def pipelineCurateSamplesLines(spark: SparkSession, sfDir: String): DataFrame =
+    pipelineCurateSamplesLinesOn(Tables.documents(spark, sfDir))
+
+  private[graft] def pipelineCurateSamplesLinesOn(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val lr = lineRows(docs, reflowLinesArr($"text")).filter(lineKeep($"line"))
+    val winners = lr
+      .select(md5($"line").as("h"), struct($"doc_id", $"line_idx").as("k"))
+      .groupBy($"h").agg(min($"k").as("k"))
+      .select($"k.doc_id".as("doc_id"), $"k.line_idx".as("line_idx"))
+    val reb = lr.join(winners, Seq("doc_id", "line_idx"), "left_semi")
+      .groupBy($"doc_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct($"line_idx", $"line"))),
+        s => s.getField("line")), " ").as("text"))
+    val red = reb.select($"doc_id", TextAnalysis.redactedCol($"text").as("text"))
+    val drop = Dedup.dedupNgramJaccardOnDocs(red)
+      .select($"doc_b".as("doc_id"))
+    samplesOfKept(red.join(drop, Seq("doc_id"), "left_anti"))
+  }
+
   /** [[pipelineCurateSamples]] with the pair-based doc_b drop replaced
     * by the PRINCIPLED cluster-representative keep of
     * `dedup_kept_clusters`: connected components over the UNION pair
@@ -1663,6 +1706,7 @@ object Curation {
     "cur_source_caps" -> sourceCaps,
     "cur_source_caps_tokens" -> sourceCapsTokens,
     "cur_pipeline_samples_caps" -> pipelineCurateSamplesCaps,
+    "cur_pipeline_samples_lines" -> pipelineCurateSamplesLines,
     "cur_dsir_weights" -> dsirWeights,
     "cur_dsir_select" -> dsirSelect,
     "cur_pipeline_samples_dsir" -> pipelineCurateSamplesDsir,
@@ -2153,6 +2197,48 @@ object Curation {
       s"""WITH red AS (
          |  SELECT doc_id, ${TextAnalysis.redactedSqlExpr} AS text
          |  FROM documents
+         |),
+         |pairs AS (${Dedup.cappedJaccardSqlFrom("red")}),
+         |kept AS (
+         |  SELECT doc_id, text FROM red
+         |  WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
+         |),
+         |good AS (
+         |  SELECT doc_id, text FROM kept
+         |  WHERE ${TextAnalysis.qualitySqlExpr} >= $QualityCut
+         |),
+         |chunks AS (${chunksSqlFrom("good")}),
+         |sel AS (
+         |  SELECT doc_id, chunk_idx, chunk_text, n_tokens,
+         |    row_number() OVER (PARTITION BY md5(chunk_text)
+         |      ORDER BY doc_id, chunk_idx) AS rn
+         |  FROM chunks
+         |)
+         |SELECT doc_id, chunk_idx, chunk_text, n_tokens
+         |FROM sel WHERE rn = 1 ORDER BY doc_id, chunk_idx""".stripMargin,
+    // the C4-order composition: line filter + line dedup on ORIGINAL
+    // indexes, space-joined rebuild, then the samples CTEs verbatim
+    // over the rebuilt corpus
+    "cur_pipeline_samples_lines" ->
+      s"""WITH lines AS ($reflowLinesSql),
+         |lf AS (
+         |  SELECT doc_id, line_idx, line FROM lines
+         |  WHERE len(string_split(line, ' ')) >= 3
+         |    AND NOT contains(line, 'lorem ipsum')
+         |    AND NOT contains(line, '{')
+         |    AND NOT list_contains(string_split(line, ' '), 'javascript')
+         |),
+         |rk AS (
+         |  SELECT doc_id, line_idx, line,
+         |    row_number() OVER (PARTITION BY md5(line)
+         |      ORDER BY doc_id, line_idx) AS rn
+         |  FROM lf),
+         |reb AS (
+         |  SELECT doc_id, string_agg(line, ' ' ORDER BY line_idx) AS text
+         |  FROM rk WHERE rn = 1 GROUP BY doc_id),
+         |red AS (
+         |  SELECT doc_id, ${TextAnalysis.redactedSqlExpr} AS text
+         |  FROM reb
          |),
          |pairs AS (${Dedup.cappedJaccardSqlFrom("red")}),
          |kept AS (

@@ -559,6 +559,31 @@ class CurationSpec extends AnyFunSuite {
     assert(got(2) === ((3L, "only original content here", 1L, 0L)))
   }
 
+  test("lines-composed pipeline: C4 line filter + corpus-wide line dedup precede the samples stages") {
+    import spark.implicits._
+    // one stopword-dense 10-token boilerplate line shared by both docs
+    // (reflow-aligned: it is line 0 of each), one brace line in doc 2
+    // (the C4 filter must drop it BEFORE dedup), distinct content after.
+    // Expected: doc 1 keeps the boilerplate (lexicographic-min owner),
+    // doc 2's rebuild loses it to dedup and the brace line to the
+    // filter — its only chunk is exactly its own content.
+    val stop = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+    val bp = stop.mkString(" ")
+    def content(p: String, s: String) =
+      (0 until 30).map(i => if (i % 10 == 9) s else s"$p$i").mkString(" ")
+    val c1 = content("a", "the")
+    val c2 = content("b", "of")
+    val brace = "code { x } y z w v u t"
+    val docs = Seq(
+      (1L, bp + " " + c1),
+      (2L, bp + " " + brace + " " + c2)).toDF("doc_id", "text")
+    val got = Curation.pipelineCurateSamplesLinesOn(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    assert(got.map(g => (g._1, g._2)).toSeq === Seq((1L, 0), (2L, 0)), s"got ${got.toSeq}")
+    assert(got(0)._3 === bp + " " + c1)
+    assert(got(1)._3 === c2, s"doc 2 rebuilt to: ${got(1)._3}")
+  }
+
   test("line filter: C4 predicates drop short/lorem/brace/javascript lines; punct variant needs terminal punctuation") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
