@@ -1692,6 +1692,62 @@ object Streaming {
     graft.operators.Multimodal.ahashCollapse(folded)
   }
 
+  /** STREAMING C4 line dedup — the `dedup_lines` KEEP DECISION at
+    * ingest: each reflow line keys state by its content md5, every
+    * micro-batch emits the group's updated winner (the
+    * lexicographic-min (doc_id, line_idx) seen so far) plus the
+    * running occurrence count, and the memory-sink fold keeps the
+    * final winner per line hash — exactly the batch operator's keep
+    * table under ANY batch split of the source (min/max folds are
+    * split-invariant). The document REBUILD stays a batch-side join
+    * against this table: an ingest path only needs the decision
+    * stream, and a per-doc rebuild would be non-final under streaming
+    * by construction (a later smaller doc_id can steal a line).
+    * State: one (long, long, long) per distinct line — the
+    * [[runDedupStream]] shape at line granularity. */
+  def streamDedupLines(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val docs = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+    runDedupLinesStream(docs).orderBy($"h")
+  }
+
+  /** The transform of [[streamDedupLines]] on any streaming docs frame
+    * (spec entry point: multi-batch file feeds). */
+  private[graft] def runDedupLinesStream(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val lines = docs
+      .filter($"doc_id".isNotNull && $"text".isNotNull)
+      .select($"doc_id",
+        posexplode(graft.operators.Curation.reflowLinesArr($"text"))
+          .as(Seq("line_idx", "line")))
+      .select(md5($"line").as("h"), $"doc_id",
+        $"line_idx".cast("long").as("line_idx"))
+      .as[(String, Long, Long)]
+    val updated = lines.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long), (String, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { (h, rows, state) =>
+          var (kd, ki, n) =
+            state.getOption.getOrElse((Long.MaxValue, Long.MaxValue, 0L))
+          rows.foreach { r =>
+            if (r._2 < kd || (r._2 == kd && r._3 < ki)) { kd = r._2; ki = r._3 }
+            n += 1
+          }
+          state.update((kd, ki, n))
+          Iterator((h, kd, ki, n))
+        }
+      .toDF("h", "keep_doc", "keep_idx", "n_dups")
+    runToMemory(updated, "append")
+      .groupBy($"h")
+      .agg(min(struct($"keep_doc", $"keep_idx")).as("k"),
+        max($"n_dups").as("n_dups"))
+      .select($"h", $"k.keep_doc".as("keep_doc"),
+        $"k.keep_idx".as("keep_idx"), $"n_dups")
+  }
+
   /** STREAMING Gopher rules — the quality filter AT INGEST (the
     * production placement: documents are gated before they ever land
     * in the corpus store) and the stateless family's third member:
@@ -1877,6 +1933,7 @@ object Streaming {
     "stream_substring_incremental_ttl" -> streamSubstringIncrementalTtl,
     "stream_dedup_ahash" -> streamDedupAhash,
     "stream_novelty" -> streamNovelty,
+    "stream_dedup_lines" -> streamDedupLines,
   )
 
   /** Streaming results are checked against the same SQL as their batch
@@ -1932,6 +1989,22 @@ object Streaming {
     "stream_dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin,
+    // the batch dedup_lines keep table — winner per distinct line under
+    // the (doc_id, line_idx) lexicographic order plus total count; the
+    // stream's min/max folds equal this under any batch split
+    "stream_dedup_lines" ->
+      s"""WITH lines AS (${graft.operators.Curation.reflowLinesSql}),
+         |rk AS (
+         |  SELECT doc_id, line_idx, line,
+         |    row_number() OVER (PARTITION BY md5(line)
+         |      ORDER BY doc_id, line_idx) AS rn
+         |  FROM lines),
+         |c AS (SELECT md5(line) AS h, count(*) AS n_dups
+         |      FROM lines GROUP BY md5(line))
+         |SELECT c.h, rk.doc_id AS keep_doc,
+         |  CAST(rk.line_idx AS BIGINT) AS keep_idx, c.n_dups
+         |FROM rk JOIN c ON md5(rk.line) = c.h
+         |WHERE rk.rn = 1 ORDER BY h""".stripMargin,
     // single-batch feed, all ts within the TTL window ⇒ no eviction ⇒
     // identical to the batch result (eviction pinned in StreamingSpec)
     "stream_dedup_ttl" ->

@@ -33,6 +33,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("streaming line dedup: a shared line in a LATER batch with a smaller doc_id steals the win") {
+    import spark.implicits._
+    // reflow-aligned 10-token lines; the boilerplate line sits at
+    // line_idx 1 of batch-1's doc 10 and at line_idx 0 of batch-2's
+    // doc 5 — the final keep must move to (5, 0) (impossible without
+    // cross-batch state), and n_dups = 2 must survive the batch split.
+    val bp = (0 until 10).map(i => s"bp$i").mkString(" ")
+    def toks(p: String) = (0 until 10).map(i => s"$p$i").mkString(" ")
+    val in = Files.createTempDirectory("graft_lines_in_").toString
+    writeOneFile(Seq((10L, toks("u") + " " + bp), (11L, toks("w")))
+      .toDF("doc_id", "text"), s"$in/batch1.parquet")
+    writeOneFile(Seq((5L, bp + " " + toks("v"))).toDF("doc_id", "text"),
+      s"$in/batch2.parquet")
+    Files.setLastModifiedTime(Paths.get(s"$in/batch2.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        Files.getLastModifiedTime(Paths.get(s"$in/batch1.parquet"))
+          .toMillis + 60000))
+    val schema = spark.read.parquet(in).schema
+    val docs = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val got = Streaming.runDedupLinesStream(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length === 4, s"4 distinct lines expected: ${got.toSeq}")
+    val dup = got.filter(_._4 == 2L)
+    assert(dup.length === 1 && dup.head._2 === 5L && dup.head._3 === 0L,
+      s"cross-batch line win must move to (5, 0): ${got.toSeq}")
+  }
+
   test("ingestion dedup suppresses a duplicate arriving in a LATER batch") {
     import org.apache.spark.sql.DataFrame
     import spark.implicits._
