@@ -96,7 +96,19 @@ object PlanDump {
     "cur_novelty" ->
       "Freshness metric: prior distinct-gram index (one shuffle-dedup) joined by a plain hash exchange on the gram key against the fresh expansion — the corpus-sized reference is NEVER broadcast (decontamination's eval set is benchmark-sized; this one is not); one per-doc agg after the join.",
     "cur_pipeline_samples_dsir" ->
-      "DSIR-gated pipeline: the kept fresh slice localCheckpoints once and feeds the background model, the scoring expansion AND the chunk fan-out; both DSIR models re-enter as broadcasts; the rank step reads the checkpointed weights frame (doc-count rows) — no corpus-sized exchange beyond the samples tail's content-hash window.",
+      "DSIR-gated pipeline (r14 barrier-cut staging): the pair search reads the scan direct (its expansion repartitions internally — no upfront text exchange), the side-tagged gram frame localCheckpoints once and feeds one union-collect (BOTH <=4096-row models come back in a single job, quantized on the driver) plus the scoring join, where the models re-enter as LOCAL-RELATION broadcasts (no broadcast-build jobs); the rank is one sizes pass + an emit that replays the sort's map outputs; drop list checkpoints without distinct (left-anti is duplicate-tolerant).",
+    "dedup_lines" ->
+      "C4 line dedup: the keep decision shuffles (md5, doc_id, line_idx) — 48 B/line, line TEXT never moves for the decision; winners semi-join back on (doc_id, line_idx) and the rebuild is one doc-bounded sort_array agg — groups are one line's duplicate set, no corpus-wide window.",
+    "cur_line_filter" ->
+      "C4 line filters: every predicate is an array-lambda inside ONE projection over the scan — zero exchanges, zero aggregations; the plan is FileScan -> Project -> Sort and nothing else.",
+    "cur_source_caps" ->
+      "Per-source caps: ONE #sources x 64-bucket histogram agg (partial below its exchange), a histogram-sized window for the bucket cutoffs, and two histogram-sized broadcast joins back — the corpus is never globally sorted and never shuffles on anything wider than (source, bucket).",
+    "cur_strip_repetition" ->
+      "Within-doc repetition strip: positional-gram expansion + interval union are per-doc map work behind one doc_id exchange — no cross-doc term anywhere in the plan, the linear-at-any-scale shape.",
+    "text_bpe_fit" ->
+      "Distributed BPE merge fit: each iteration's pair-count agg collapses map-side onto the surviving-pair keyspace (vocabulary-sized), the argmax is a 1-row driver fetch, and the re-tokenize scan is the only corpus-sized pass per iteration.",
+    "cur_pipeline_samples_lines" ->
+      "C4-order composed pipeline: the line stage's keep-key shuffle + rebuild agg sit AHEAD of the unchanged samples stages; one lazy single-consumer DAG — no checkpoint, no drop-list distinct, and the chunk fan-out's content-hash window is still the only corpus-sized exchange in the tail.",
     "stream_dedup_chunks_ngram" ->
       "Streaming chunk near-dup (post-run fold shown): the stateful operator is the SAME banded-minhash flatMapGroupsWithState as stream_dedup_minhash_ttl, fed packed (doc_id, chunk_idx) keys through the chunk fan-out Generate — chunks are ordinary documents to the band state machine; per-resident TTL eviction bounds state to O(chunk residents per band cell in the TTL window).",
     "stream_sessions" ->
