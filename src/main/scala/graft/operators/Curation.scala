@@ -1298,49 +1298,59 @@ object Curation {
 
   /** The per-document gate ingredients (n_tokens + 53-bit hash
     * fraction bits) shared by the batch sampler and the streaming
-    * twin's per-row projection. */
-  private[graft] def mixGateCols(docs: DataFrame): DataFrame = {
+    * twin's per-row projection — keyed by any grouping column (`lang`
+    * for the language mixture, `source` for the domain mixture). */
+  private[graft] def mixGateColsBy(docs: DataFrame, key: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select($"doc_id", $"lang",
+    docs.select($"doc_id", col(key),
       size(split($"text", " ")).cast("long").as("n_tokens"),
       graft.functions.Md5Lower64($"doc_id".cast("string"))
         .bitwiseAND(lit(HashMask53)).as("hbits"))
   }
 
-  /** The L-row (lang, t, keep_p) probability table fitted on `docs` —
+  private[graft] def mixGateCols(docs: DataFrame): DataFrame =
+    mixGateColsBy(docs, "lang")
+
+  /** The K-row (key, t, keep_p) probability table fitted on `docs` —
     * the "model" of the mixture sampler; the batch query applies it to
     * the same frame, the streaming twin broadcasts it over an ingest
     * stream (probabilities are fitted once on a reference snapshot —
     * the production setup for a stationary sampling policy). */
-  private[graft] def mixProbsOn(d: DataFrame): DataFrame = {
+  private[graft] def mixProbsBy(d: DataFrame, key: String): DataFrame = {
     val spark = d.sparkSession
     import spark.implicits._
-    val ls = d.groupBy($"lang").agg(sum($"n_tokens").as("t"))
-      .select($"lang", $"t",
+    val ls = d.groupBy(col(key)).agg(sum($"n_tokens").as("t"))
+      .select(col(key), $"t",
         floor(sqrt($"t".cast("double")) * MixQuantum).cast("long").as("wq"))
     val tot = ls.agg(sum($"t").as("tt"), sum($"wq").as("sw"))
     // keep_p: a FIXED left-to-right op tree, mirrored verbatim in SQL —
     // ((B * wq) / sw) / t on integer-valued doubles, capped at 1
     ls.crossJoin(broadcast(tot))
-      .select($"lang", $"t",
+      .select(col(key), $"t",
         least(lit(1.0),
           expr("tt div 2").cast("double") * $"wq".cast("double") /
             $"sw".cast("double") / $"t".cast("double")).as("keep_p"))
   }
 
-  /** The deterministic keep gate + per-language summary over gated
-    * rows, shared verbatim by batch and stream (the stream folds the
+  private[graft] def mixProbsOn(d: DataFrame): DataFrame = mixProbsBy(d, "lang")
+
+  /** The deterministic keep gate + per-key summary over gated rows,
+    * shared verbatim by batch and stream (the stream folds the
     * monotone per-batch emissions of the same aggregation). */
-  private[graft] def mixGateAgg(d: DataFrame, p: DataFrame): DataFrame = {
+  private[graft] def mixGateAggBy(d: DataFrame, p: DataFrame,
+      key: String): DataFrame = {
     val spark = d.sparkSession
     import spark.implicits._
-    d.join(broadcast(p), Seq("lang"))
+    d.join(broadcast(p), Seq(key))
       .filter($"hbits".cast("double") / lit(9007199254740992.0) < $"keep_p")
-      .groupBy($"lang")
+      .groupBy(col(key))
       .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("n_tokens_kept"),
         floor(max($"keep_p") * MixQuantum).cast("long").as("q_keep"))
   }
+
+  private[graft] def mixGateAgg(d: DataFrame, p: DataFrame): DataFrame =
+    mixGateAggBy(d, p, "lang")
 
   private[graft] def mixSampleOn(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
@@ -1349,6 +1359,29 @@ object Curation {
       .filter($"lang".isNotNull) // exchange-reuse plumbing, see scaladoc
       .repartition(spark.sparkContext.defaultParallelism, $"doc_id"))
     mixGateAgg(d, mixProbsOn(d)).orderBy($"lang")
+  }
+
+  /** SOURCE-aware mixture sampling — [[mixSample]]'s √-temperature
+    * policy keyed by `source` instead of `lang`: the domain REBALANCE
+    * next to `cur_source_caps`' hard truncation. The cap drops a heavy
+    * domain's overflow outright (budget in docs/tokens); the mixture
+    * DOWN-SAMPLES heavy domains smoothly toward √-scaled target shares
+    * while keeping light domains whole (keep_p caps at 1) — the
+    * RefinedWeb/DoReMi-style sampling step, deterministic via the same
+    * 53-bit doc-hash gate (reproducible, oracle-exact, no RNG state).
+    * Scale shape identical to the language mixture: one #sources-row
+    * broadcast probability table, one gate projection, one summary
+    * agg. */
+  def mixSampleSource(spark: SparkSession, sfDir: String): DataFrame =
+    mixSampleSourceOn(Tables.documents(spark, sfDir))
+
+  private[graft] def mixSampleSourceOn(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val d = mixGateColsBy(docs
+      .filter($"source".isNotNull)
+      .repartition(spark.sparkContext.defaultParallelism, $"doc_id"), "source")
+    mixGateAggBy(d, mixProbsBy(d, "source"), "source").orderBy($"source")
   }
 
   /** Per-source document cap for `cur_source_caps` (RefinedWeb-style
@@ -1701,6 +1734,7 @@ object Curation {
     "cur_decontam" -> decontaminate,
     "cur_decontam_strip" -> decontamStrip,
     "cur_mix_sample" -> mixSample,
+    "cur_mix_sample_source" -> mixSampleSource,
     "dedup_lines" -> dedupLines,
     "cur_line_filter" -> lineFilter,
     "cur_source_caps" -> sourceCaps,
@@ -2007,6 +2041,31 @@ object Curation {
          |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens_kept,
          |  CAST(floor(max(keep_p) * $MixQuantum) AS BIGINT) AS q_keep
          |FROM kept GROUP BY lang ORDER BY lang""".stripMargin,
+    // the source-keyed twin: identical CTE chain over `source`
+    "cur_mix_sample_source" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens,
+         |    md5_number_lower(CAST(doc_id AS VARCHAR)) & $HashMask53 AS hbits
+         |  FROM documents WHERE source IS NOT NULL
+         |),
+         |ls AS (SELECT source, sum(n_tokens) AS t FROM d GROUP BY source),
+         |w AS (SELECT source, t,
+         |  CAST(floor(sqrt(CAST(t AS DOUBLE)) * $MixQuantum) AS BIGINT) AS wq
+         |  FROM ls),
+         |tot AS (SELECT sum(t) AS tt, sum(wq) AS sw FROM w),
+         |p AS (SELECT source, t,
+         |  least(CAST(1.0 AS DOUBLE),
+         |    CAST(tt // 2 AS DOUBLE) * CAST(wq AS DOUBLE)
+         |      / CAST(sw AS DOUBLE) / CAST(t AS DOUBLE)) AS keep_p
+         |  FROM w CROSS JOIN tot),
+         |kept AS (
+         |  SELECT d.source, d.n_tokens, p.keep_p
+         |  FROM d JOIN p USING (source)
+         |  WHERE CAST(d.hbits AS DOUBLE) / 9007199254740992.0 < p.keep_p)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens_kept,
+         |  CAST(floor(max(keep_p) * $MixQuantum) AS BIGINT) AS q_keep
+         |FROM kept GROUP BY source ORDER BY source""".stripMargin,
     // string-gram mirror of the fused 13-gram hash expansion: gram
     // COUNTS are hash-family-independent (distinct grams ↦ distinct
     // xxh64 up to ~n²/2⁶⁴ — the Jaccard families' argument)

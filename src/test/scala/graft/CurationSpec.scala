@@ -391,6 +391,38 @@ class CurationSpec extends AnyFunSuite {
     assert(keptA > 0 && keptA < 80, s"gate should be partial on aa, got $keptA")
   }
 
+  test("source mixture: over-represented source down-sampled, tail source kept whole") {
+    import spark.implicits._
+    import org.apache.spark.unsafe.types.UTF8String
+    // same policy as the language mixture, keyed by source: the heavy
+    // crawl domain is hash-gated toward its sqrt-scaled share, the tail
+    // domain's keep_p caps at 1 — the rebalance next to the hard cap
+    val docs = ((1 to 80).map(i =>
+        (i.toLong, "crawl-big", (1 to 50).map(k => s"a${i}x$k").mkString(" "))) ++
+      (81 to 86).map(i =>
+        (i.toLong, "forum-tail", (1 to 10).map(k => s"b${i}x$k").mkString(" "))))
+      .toDF("doc_id", "source", "text")
+    val out = Curation.mixSampleSourceOn(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val q = Curation.MixQuantum.toDouble
+    val wqA = math.floor(math.sqrt(4000.0) * q).toLong
+    val wqB = math.floor(math.sqrt(60.0) * q).toLong
+    val b = (4000L + 60L) / 2
+    val pA = math.min(1.0,
+      b.toDouble * wqA.toDouble / (wqA + wqB).toDouble / 4000.0)
+    val keptA = (1 to 80).count(i =>
+      (graft.functions.Md5Lower64Impl.md5Lower64(
+        UTF8String.fromString(i.toString)) & Curation.HashMask53)
+        .toDouble / 9007199254740992.0 < pA)
+    assert(out("forum-tail") === ((6L, 60L, Curation.MixQuantum)),
+      s"tail source must be kept whole at keep_p = 1, got ${out.get("forum-tail")}")
+    assert(out("crawl-big") === ((keptA.toLong, keptA * 50L,
+      math.floor(pA * q).toLong)),
+      s"hash gate must match the driver-side recompute, got ${out.get("crawl-big")}")
+    assert(keptA > 0 && keptA < 80, s"gate should be partial, got $keptA")
+  }
+
   test("decontamination flags the planted 13-gram overlap with exact counts") {
     import spark.implicits._
     // eval doc: tokens e0..e29. Train doc 3 embeds e5..e19 (15 eval
