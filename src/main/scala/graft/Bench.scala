@@ -102,7 +102,7 @@ object Bench {
     "cur_decontam_strip",
     // temperature-smoothed language mixture sampling: one corpus
     // exchange replayed by stats and gate, L-row probability broadcast
-    "cur_mix_sample",
+    "cur_mix_sample", "cur_mix_sample_source",
     // SemDeDup: Lloyd fit + cell-blocked pair search + farthest-from-
     // centroid keep
     "dedup_semantic",
