@@ -139,6 +139,22 @@ class PlanSpec extends AnyFunSuite {
       s"expected exactly 1 chunk fan-out Generate in cc, got $ccChunkGenerates\n${pcc.take(1200)}")
   }
 
+  test("lines pipeline: ONE documents scan — the line stage's rebuild exchange is reused by both branches") {
+    // red (line stage + redact) has two consumers — the pair search and
+    // the anti-join probe. The rebuild agg ends in a hash(doc_id)
+    // exchange whose two subtrees stay canonically identical, so the
+    // whole line stage (scan + line explode + keep semi-join + rebuild)
+    // runs ONCE and re-enters as ReusedExchange on the probe branch; a
+    // de-canonicalization regression would show up as a second FileScan
+    // re-running the full line dedup.
+    val p = finalPlan(Curation.pipelineCurateSamplesLines(spark, sf))
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans == 1,
+      s"expected 1 documents scan (line stage shared), got $scans\n${p.take(1200)}")
+    assert(p.contains("ReusedExchange"), p.take(1200))
+    assert(p.contains("row_number"), p.take(1200))
+  }
+
   test("events: ts range predicate pushes through the encoding normalization into the scan") {
     // the 100 TB contract of the events loader: a time-range filter must
     // reach the parquet scan (PushedFilters), or every event query scans
