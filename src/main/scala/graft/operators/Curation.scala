@@ -980,6 +980,16 @@ object Curation {
   private[graft] def lineFilterOn(docs: DataFrame, lines: Column): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    lineFilterUnordered(docs, lines).orderBy($"doc_id")
+  }
+
+  /** The sort-free projection core of [[lineFilterOn]] — the seam the
+    * STATELESS streaming twin consumes (streams cannot sort; verdicts
+    * are per-row and final on arrival). */
+  private[graft] def lineFilterUnordered(docs: DataFrame,
+      lines: Column): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     docs
       .filter($"doc_id".isNotNull && $"text".isNotNull)
       .select($"doc_id", lines.as("lines"))
@@ -989,7 +999,6 @@ object Curation {
         array_join($"kl", "\n").as("kept_text"),
         size($"kl").cast("long").as("n_kept"),
         ($"n" - size($"kl")).cast("long").as("n_dropped"))
-      .orderBy($"doc_id")
   }
 
   /** Chunk-level exact dedup: [[dedupExact]] semantics at SAMPLE

@@ -1748,6 +1748,35 @@ object Streaming {
         $"k.keep_idx".as("keep_idx"), $"n_dups")
   }
 
+  /** STREAMING C4 line filter — the line-level cleaning AT INGEST and
+    * the stateless family's next member: every predicate is a pure
+    * per-row array lambda, so there is no state store, no shuffle, and
+    * each document's filtered rebuild is final on arrival (append
+    * mode; fold = max-struct by doc_id, deduping source replays).
+    * Oracle: the batch `cur_line_filter` SQL verbatim. */
+  def streamLineFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val docs = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+    runLineFilterStream(docs)
+  }
+
+  /** The transform of [[streamLineFilter]] on any streaming docs frame
+    * (spec entry point). */
+  private[graft] def runLineFilterStream(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val filtered = graft.operators.Curation.lineFilterUnordered(
+      docs, graft.operators.Curation.reflowLinesArr($"text"))
+    runToMemory(filtered, "append")
+      .groupBy($"doc_id")
+      .agg(max(struct($"kept_text", $"n_kept", $"n_dropped")).as("s"))
+      .select($"doc_id", $"s.kept_text".as("kept_text"),
+        $"s.n_kept".as("n_kept"), $"s.n_dropped".as("n_dropped"))
+      .orderBy($"doc_id")
+  }
+
   /** STREAMING Gopher rules — the quality filter AT INGEST (the
     * production placement: documents are gated before they ever land
     * in the corpus store) and the stateless family's third member:
@@ -1934,6 +1963,7 @@ object Streaming {
     "stream_dedup_ahash" -> streamDedupAhash,
     "stream_novelty" -> streamNovelty,
     "stream_dedup_lines" -> streamDedupLines,
+    "stream_line_filter" -> streamLineFilter,
   )
 
   /** Streaming results are checked against the same SQL as their batch
@@ -2005,6 +2035,9 @@ object Streaming {
          |  CAST(rk.line_idx AS BIGINT) AS keep_idx, c.n_dups
          |FROM rk JOIN c ON md5(rk.line) = c.h
          |WHERE rk.rn = 1 ORDER BY h""".stripMargin,
+    // stateless per-row verdicts are final on arrival — the batch
+    // line-filter SQL verbatim
+    "stream_line_filter" -> graft.operators.Curation.oracles("cur_line_filter"),
     // single-batch feed, all ts within the TTL window ⇒ no eviction ⇒
     // identical to the batch result (eviction pinned in StreamingSpec)
     "stream_dedup_ttl" ->

@@ -111,6 +111,7 @@ object StreamScanAudit {
           stream(b).filter(freshPred), prior, 3600L * 1000)),
       "stream_dedup_chunks_ngram" ->
         (b => Streaming.runDedupChunksStreamTTL(stream(b), 3600L * 1000)),
+      "stream_dedup_lines" -> (b => Streaming.runDedupLinesStream(stream(b))),
       "stream_pipeline_samples" -> (b => Streaming.runPipelineSamplesStream(stream(b))),
       "stream_pipeline_samples_ttl" ->
         (b => Streaming.runPipelineSamplesStreamTTL(stream(b), "1 hour")),

@@ -748,6 +748,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.size === 3)
   }
 
+  test("streaming line filter equals the batch filter across batches") {
+    import spark.implicits._
+    // stateless per-row verdicts: the filtered rebuild of each doc must
+    // match the batch lineFilterOn over the union, whatever the split
+    val in = Files.createTempDirectory("graft_lf_in_").toString
+    val base = System.currentTimeMillis()
+    def toks(p: String, n: Int) = (0 until n).map(i => s"$p$i").mkString(" ")
+    writeOneFile(Seq(
+      (1L, toks("a", 10) + " has { brace " + toks("b", 6)),
+      (2L, toks("c", 20))).toDF("doc_id", "text"), s"$in/b1.parquet", base)
+    writeOneFile(Seq(
+      (3L, "enable javascript now please kindly " + toks("d", 14)))
+      .toDF("doc_id", "text"), s"$in/b2.parquet", base + 60000)
+    val schema = spark.read.parquet(in).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val got = Streaming.runLineFilterStream(stream).collect().map(_.toSeq).toSeq
+    val batch = graft.operators.Curation.lineFilterOn(spark.read.parquet(in),
+      graft.operators.Curation.reflowLinesArr(org.apache.spark.sql.functions.col("text")))
+      .collect().map(_.toSeq).toSeq
+    assert(got === batch, s"stream $got != batch $batch")
+    assert(got.size === 3)
+  }
+
   test("streaming ANN encode equals the frozen-model batch encode across batches") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{lit, pmod}
