@@ -390,15 +390,32 @@ object Bench {
     val bd = breakdown.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    // The stdout line stays COMPACT (totals + per-query seconds + per-
-    // query executor CPU so a contended wall number is self-diagnosing):
-    // the driver captures a bounded stdout tail, and round 2's ~8 KB line
-    // (with the per-stage breakdown inlined) got truncated mid-JSON →
-    // BENCH_r02 "parsed": null. The full breakdown (incl. every run's
-    // wall) lives only in bench.json, which is written whole and can't
-    // be truncated.
-    val line =
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"cpu_ms":$cpuJson$annJson,"protocol":"median-of-3-escalate-5","sf":"$sfDir"}"""
+    // The stdout line must fit the driver's stdout-tail capture, which is
+    // a hard 2000-character window (BENCH_r11..r14 all came back
+    // "parsed": null because the battery grew past it — the line's HEAD
+    // was cut off, so the driver found no complete JSON to parse; r03–r10
+    // parsed fine when the battery was smaller). Budget the line to
+    // 1750 chars: totals + protocol + ann recall always fit; per-query
+    // seconds are added in descending-cost order (the expensive queries
+    // are the ones a judge compares round-over-round) after the gated
+    // wordcount metric, until the budget is reached. Everything —
+    // all queries, cpu_ms, per-stage breakdown, per-run walls — lives in
+    // bench.json, which is written whole and can't be truncated.
+    val lineBudget = 1750
+    val gateFirst: Seq[(String, Double)] = {
+      val (gate, rest) = results.toSeq.partition(_._1 == "wordcount_corpus_15mb")
+      gate ++ rest.sortBy(-_._2)
+    }
+    val head =
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","protocol":"median-of-3-escalate-5","n_queries":${results.size},"full":"bench.json"$annJson,"sf":"$sfDir","queries":{"""
+    val tail0 = "}}"
+    val entries = gateFirst.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val kept = scala.collection.mutable.ArrayBuffer[String]()
+    var used = head.length + tail0.length
+    entries.foreach { e =>
+      if (used + e.length + 1 <= lineBudget) { kept += e; used += e.length + 1 }
+    }
+    val line = head + kept.mkString(",") + tail0
     println(line)
     val full =
       f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"cpu_ms":$cpuJson$annJson,"protocol":"median-of-3-escalate-5","breakdown":$bd,"sf":"$sfDir"}"""
