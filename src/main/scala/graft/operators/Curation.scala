@@ -19,7 +19,7 @@ object Curation {
     * the cluster overlaps with a model fit instead of serializing
     * behind it. Laziness everywhere else is untouched — this only
     * overlaps EAGER work that would otherwise run back-to-back. */
-  private def concurrently[A, B](fa: => A, fb: => B): (A, B) = {
+  private[graft] def concurrently[A, B](fa: => A, fb: => B): (A, B) = {
     import java.util.concurrent.Executors
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
@@ -32,20 +32,42 @@ object Curation {
     val sc = org.apache.spark.sql.SparkSession.getActiveSession
       .map(_.sparkContext)
     val tag = s"graft-concurrently-${System.nanoTime()}"
+    // the FIRST side to fail is the root cause; the sibling then dies of
+    // our own induced cancellation, and naive f1.zip(f2) surfaces
+    // whichever future the zip is chained on — which can be the
+    // cancellation SparkException, swallowing the real error (ADVICE r14)
+    val firstFailure = new java.util.concurrent.atomic.AtomicReference[Throwable](null)
+    // job TAGS, not setJobGroup: tags are a thread-local SET that child
+    // threads inherit and ADD to, so a nested concurrently() on a side's
+    // pool thread keeps the parent side's tag on its jobs — the parent's
+    // sibling-cancellation (cancelJobsWithTag) therefore reaches nested
+    // in-flight jobs too. setJobGroup is a single slot the nested call
+    // would overwrite, leaving exactly the zombie jobs the cancellation
+    // exists to prevent (ADVICE r14).
     def side[T](name: String, f: => T): Future[T] = Future {
-      // job-group per side (thread-local), so a failure can cancel
-      // EXACTLY the sibling's in-flight jobs — a dead pipeline never
-      // leaves a zombie job holding executors, and the zip below can't
-      // hang on a sibling that will never finish
-      sc.foreach(_.setJobGroup(s"$tag-$name", tag, interruptOnCancel = true))
-      try f finally sc.foreach(_.clearJobGroup())
+      sc.foreach(_.addJobTag(s"$tag-$name"))
+      try f
+      catch { case t: Throwable => firstFailure.compareAndSet(null, t); throw t }
+      finally sc.foreach(_.removeJobTag(s"$tag-$name"))
     }
     try {
+      import scala.util.{Success, Try}
       val f1 = side("a", fa)
       val f2 = side("b", fb)
-      f1.failed.foreach(_ => sc.foreach(_.cancelJobGroup(s"$tag-b")))
-      f2.failed.foreach(_ => sc.foreach(_.cancelJobGroup(s"$tag-a")))
-      Await.result(f1.zip(f2), Duration.Inf)
+      f1.failed.foreach(_ => sc.foreach(_.cancelJobsWithTag(s"$tag-b")))
+      f2.failed.foreach(_ => sc.foreach(_.cancelJobsWithTag(s"$tag-a")))
+      // lift to Try so the await NEVER propagates a side's exception
+      // directly — both sides always finish (the loser by cancellation),
+      // then the recorded first failure is rethrown as the root cause
+      val (r1, r2) = Await.result(
+        f1.transform(t => Success(t): Try[Try[A]])
+          .zip(f2.transform(t => Success(t): Try[Try[B]])), Duration.Inf)
+      (r1, r2) match {
+        case (Success(a), Success(b)) => (a, b)
+        case _ =>
+          throw Option(firstFailure.get)
+            .orElse(r1.failed.toOption).orElse(r2.failed.toOption).get
+      }
     } finally pool.shutdown()
   }
 
@@ -952,13 +974,20 @@ object Curation {
       .orderBy($"doc_id")
   }
 
-  /** The C4 LINE FILTERS as integer/substring predicates: a line
+  /** C4-STYLE line filters as integer/substring predicates: a line
     * survives when it has ≥ 3 words, does not contain "lorem ipsum",
-    * holds no curly brace, and none of its words is "javascript"
-    * (Raffel et al. 2020 §2.2 — the terminal-punctuation rule is
-    * deliberately omitted from the keyed query because the synthetic
-    * corpus carries no punctuation at all; [[lineKeepPunct]] adds it
-    * and CurationSpec pins it on planted text). Pure per-row lambda
+    * holds no curly brace, and none of its words is "javascript".
+    * Deviations from Raffel et al. 2020 §2.2 (deliberate, so engine and
+    * oracle stay integer-exact on the synthetic corpus — this is the
+    * repo's normative spec, not a claim of paper fidelity):
+    * the terminal-punctuation rule is omitted from the keyed query
+    * because the synthetic corpus carries no punctuation at all
+    * ([[lineKeepPunct]] adds it and CurationSpec pins it on planted
+    * text); the word threshold is 3 where C4 drops lines with < 5 words
+    * (synthetic lines are short); and the lorem-ipsum / curly-brace
+    * rules apply PER LINE where C4 drops the whole PAGE containing
+    * them (per-line keeps the op compositional with [[dedupLines]]'s
+    * line-granularity rebuild). Pure per-row lambda
     * work over the lines array — ZERO shuffle: filter/rebuild happen
     * inside one projection, no explode, no re-aggregation. */
   def lineFilter(spark: SparkSession, sfDir: String): DataFrame = {
@@ -1701,12 +1730,38 @@ object Curation {
     * `materialize` = false when wIn is already cheap to rescan (the
     * pipeline's broadcast-anti-join over two checkpoints) — the three
     * passes re-run a bytes-sized probe instead of paying a checkpoint
-    * write barrier. */
+    * write barrier.
+    *
+    * DETERMINISM PRECONDITION (materialize = false): the sizes pass and
+    * the emit pass are two independent jobs over `sorted.rdd`, and the
+    * offset arithmetic silently selects the WRONG rows if the two jobs
+    * see different partition contents. This holds for every in-repo
+    * caller because wIn derives purely from checkpointed frames through
+    * deterministic operators (and the shared sort shuffle is reused),
+    * but an input built on sampling, `first`/`any_value` aggregates, or
+    * a non-deterministic UDF would violate it — pass materialize = true
+    * for any such frame. Guarded below by rejecting inputs whose plan
+    * self-reports non-determinism. */
   private[graft] def dsirSelectFrom(wIn: DataFrame,
       materialize: Boolean = true): DataFrame = {
     val spark = wIn.sparkSession
     import spark.implicits._
-    val w = if (materialize) Materialize.frame(wIn) else wIn
+    val w = if (materialize) Materialize.frame(wIn) else {
+      // cheap plan scan at the unsafe seam: Expression.deterministic is
+      // already recursive over children, so one pass over each node's
+      // expressions finds rand()/non-deterministic UDFs. (Order-dependent
+      // aggregates like first/any_value self-report deterministic and
+      // cannot be caught here — that case stays on the scaladoc contract.)
+      val nondet = wIn.queryExecution.analyzed.collectFirst {
+        case p if p.expressions.exists(!_.deterministic) => p.nodeName
+      }
+      require(nondet.isEmpty,
+        s"dsirSelectFrom(materialize = false) requires a deterministic input " +
+          s"plan (two independent jobs must see identical partition contents); " +
+          s"non-deterministic expression under ${nondet.getOrElse("")} — pass " +
+          s"materialize = true for this input")
+      wIn
+    }
     val sorted = w.orderBy($"weight".desc, $"doc_id".asc)
     val rdd = sorted.rdd
     val sizes = rdd.mapPartitionsWithIndex((i, it) => Iterator((i, it.size)))

@@ -656,4 +656,37 @@ class CurationSpec extends AnyFunSuite {
       s"$boiler some unique middle content words", 10L, 5L)))
     assert(got(1) === ((2L, "all of these words appear exactly once", 7L, 0L)))
   }
+
+  test("concurrently: surfaces the ROOT-CAUSE failure, not the sibling's induced cancellation") {
+    // side b fails fast; side a is a slow Spark job the failure callback
+    // cancels. The old zip-based await surfaced side a's cancellation
+    // SparkException (masking b's root cause — ADVICE r14); the
+    // first-failure record must surface b's exception itself.
+    final class Boom extends RuntimeException("root cause")
+    val thrown = intercept[Throwable] {
+      Curation.concurrently(
+        { // a genuinely in-flight job so cancellation has something to hit
+          spark.range(1L << 33).selectExpr("sum(id * id)").collect(); 1 },
+        { Thread.sleep(50); throw new Boom })
+    }
+    assert(thrown.isInstanceOf[Boom], s"surfaced ${thrown.getClass} instead of root cause")
+    // both-succeed path still returns the pair
+    assert(Curation.concurrently(1 + 1, "x" * 2) === ((2, "xx")))
+  }
+
+  test("dsirSelectFrom(materialize = false) rejects a non-deterministic input plan") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val det = Seq((1L, 5L), (2L, 3L), (3L, 1L)).toDF("doc_id", "weight")
+    // deterministic plan: accepted, keeps ceil(n/den) top-weight rows
+    val kept = Curation.dsirSelectFrom(det, materialize = false).collect()
+    assert(kept.nonEmpty && kept.length < 3)
+    val nondet = det.withColumn("weight", ($"weight" + rand(7)).cast("long"))
+    val e = intercept[IllegalArgumentException] {
+      Curation.dsirSelectFrom(nondet, materialize = false).collect()
+    }
+    assert(e.getMessage.contains("deterministic"))
+    // the SAME frame is accepted through the materialize = true path
+    assert(Curation.dsirSelectFrom(nondet).collect().nonEmpty)
+  }
 }
