@@ -115,6 +115,9 @@ object Bench {
     // temperature-smoothed language mixture sampling: one corpus
     // exchange replayed by stats and gate, L-row probability broadcast
     "cur_mix_sample", "cur_mix_sample_source",
+    // r15 curation additions: the data-constrained epoch schedule, the
+    // C4 badwords page drop, embedding-space (paraphrase) decontam
+    "cur_mix_epochs", "cur_badwords", "cur_decontam_semantic",
     // SemDeDup: Lloyd fit + cell-blocked pair search + farthest-from-
     // centroid keep
     "dedup_semantic",

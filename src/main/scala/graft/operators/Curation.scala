@@ -1422,6 +1422,132 @@ object Curation {
     mixGateAggBy(d, mixProbsBy(d, "source"), "source").orderBy($"source")
   }
 
+  /** Epoch cap for the data-constrained repetition schedule: repeating
+    * data beyond ~4 epochs returns rapidly diminishing value
+    * (Muennighoff et al. 2023 "Scaling Data-Constrained Language
+    * Models", fig. 1 — up to 4 epochs is nearly as good as fresh
+    * data), so the planner never schedules more. */
+  final val MixMaxEpochs = 4L
+
+  /** DATA-CONSTRAINED EPOCH PLANNING — the repetition schedule of a
+    * token-budgeted training run: each language's √-temperature target
+    * share (the [[mixSample]] weights against a FULL-corpus token
+    * budget) is met by REPEATING that language's data for
+    * ⌈target/available⌉ epochs, capped at [[MixMaxEpochs]]; whatever
+    * the cap leaves unmet is reported as the deficit (the
+    * data-constrained shortfall the run must accept or fill from
+    * another source). High-resource languages run < 1 epoch's worth
+    * (downsampled, deficit 0); low-resource ones repeat. Output per
+    * language: available and target tokens, scheduled epochs, tokens
+    * actually used, deficit.
+    *
+    * Float discipline as [[mixSample]]: √-weights floor-quantized to
+    * the 2⁻²⁰ grid (sums = exact integer arithmetic), the target one
+    * fixed left-to-right IEEE tree on integer-valued doubles floored
+    * back to BIGINT, everything after pure integer min/ceil-div.
+    *
+    * Scale shape: one corpus scan → L-row aggregate; the totals are an
+    * L-row broadcast. The schedule itself is the bytes-sized planning
+    * artifact a trainer consumes — nothing per-document leaves the
+    * aggregation. */
+  def mixEpochs(spark: SparkSession, sfDir: String): DataFrame =
+    mixEpochsOn(Tables.documents(spark, sfDir))
+
+  private[graft] def mixEpochsOn(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val d = docs.filter($"lang".isNotNull)
+      .select($"lang", size(split($"text", " ")).cast("long").as("n_tokens"))
+    val ls = d.groupBy($"lang").agg(sum($"n_tokens").as("t"))
+      .select($"lang", $"t",
+        floor(sqrt($"t".cast("double")) * MixQuantum).cast("long").as("wq"))
+    val tot = ls.agg(sum($"t").as("tt"), sum($"wq").as("sw"))
+    ls.crossJoin(broadcast(tot))
+      .select($"lang", $"t".as("avail_tokens"),
+        // full-corpus budget (tt, not tt/2): the repetition schedule is
+        // interesting exactly when targets EXCEED low-resource
+        // availability — a half budget never repeats anything
+        floor($"tt".cast("double") * $"wq".cast("double") / $"sw".cast("double"))
+          .cast("long").as("target_tokens"))
+      .select($"lang", $"avail_tokens", $"target_tokens",
+        least(lit(MixMaxEpochs),
+          expr("(target_tokens + avail_tokens - 1) div avail_tokens")).as("epochs"))
+      .select($"lang", $"avail_tokens", $"target_tokens", $"epochs",
+        least($"target_tokens", $"epochs" * $"avail_tokens").as("used_tokens"))
+      .withColumn("deficit", $"target_tokens" - $"used_tokens")
+      .orderBy($"lang")
+  }
+
+  /** The C4 BADWORD page filter — the blocklist stage of the C4
+    * pipeline (Raffel et al. 2020 §2.2: any page containing a word
+    * from a published blocklist is dropped WHOLE — page scoping, unlike
+    * the per-line rules in [[lineKeep]]). The list here is a 3-word
+    * stand-in over the synthetic vocabulary (the published list is an
+    * external fixture; the operator takes any list) — one in-corpus
+    * token so the filter provably fires, two absent ones pinning the
+    * no-hit path. Output: every CONTAMINATED doc with its bad-token
+    * count — the drop list a pipeline anti-joins against.
+    *
+    * Scale shape: the blocklist is a broadcast-sized literal inside a
+    * codegen'd higher-order filter — pure per-row map work, ZERO
+    * shuffle (the ordering is the oracle tail). A production-sized
+    * blocklist (~2k words) swaps the IN-literal for an Aho-Corasick
+    * scan expression; token-exact IN semantics keep this oracle-exact. */
+  final val BadWords = Seq("dup", "obscenity", "profanity")
+
+  def badwordsFilter(spark: SparkSession, sfDir: String): DataFrame =
+    badwordsFilterOn(Tables.documents(spark, sfDir))
+
+  private[graft] def badwordsFilterOn(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select($"doc_id",
+        size(filter(split($"text", " "), w => w.isInCollection(BadWords)))
+          .cast("long").as("n_bad"))
+      .filter($"n_bad" > 0)
+      .orderBy($"doc_id")
+  }
+
+  /** SEMANTIC decontamination — the embedding-space complement of the
+    * 13-gram [[decontaminate]]: surface-form n-gram overlap misses
+    * PARAPHRASED eval leakage, so production pipelines additionally
+    * rank training items by embedding cosine against the eval set
+    * (contamination audits of the "rephrased benchmark" problem). Same
+    * deterministic eval slice as the gram decontam (vec_id ≡
+    * [[EvalSliceRem]] mod [[EvalSliceMod]]); output the top-20 most
+    * eval-similar training vectors (this corpus' max cosine is ~0.5,
+    * so a fixed "contaminated" threshold would be vacuous — the top-k
+    * formulation is the non-degenerate one, as with
+    * [[Dedup.dedupEmbedCosine]]).
+    *
+    * Scale shape: the eval side is benchmark-sized by contract →
+    * BROADCAST; the training side is one map-only scan (per-row cosine
+    * against the broadcast block, no shuffle) into a TakeOrdered
+    * top-k — the [[decontaminate]] plan with dot products in place of
+    * gram probes. */
+  def decontamSemantic(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sfDir)
+    decontamSemanticOn(
+      e.filter(pmod($"vec_id", lit(EvalSliceMod)) =!= EvalSliceRem),
+      e.filter(pmod($"vec_id", lit(EvalSliceMod)) === EvalSliceRem))
+  }
+
+  private[graft] def decontamSemanticOn(train: DataFrame, eval: DataFrame): DataFrame = {
+    val spark = train.sparkSession
+    import spark.implicits._
+    import graft.functions.VectorOps
+    val t = train.select($"vec_id".as("train_id"),
+      VectorOps.toDouble($"embedding").as("tv"))
+    val ev = eval.select($"vec_id".as("eval_id"),
+      VectorOps.toDouble($"embedding").as("ev"))
+    t.crossJoin(broadcast(ev))
+      .select($"train_id", $"eval_id", VectorOps.cosine($"tv", $"ev").as("cos"))
+      .orderBy($"cos".desc, $"train_id".asc, $"eval_id".asc)
+      .limit(20)
+      .select($"train_id", $"eval_id", round($"cos", 4).as("cosine"))
+  }
+
   /** Per-source document cap for `cur_source_caps` (RefinedWeb-style
     * domain capping: no single source may contribute more than N
     * documents). sf-independent by design — at sf0.1 it keeps 10 of
@@ -1799,6 +1925,9 @@ object Curation {
     "cur_decontam_strip" -> decontamStrip,
     "cur_mix_sample" -> mixSample,
     "cur_mix_sample_source" -> mixSampleSource,
+    "cur_mix_epochs" -> mixEpochs,
+    "cur_badwords" -> badwordsFilter,
+    "cur_decontam_semantic" -> decontamSemantic,
     "dedup_lines" -> dedupLines,
     "cur_line_filter" -> lineFilter,
     "cur_source_caps" -> sourceCaps,
@@ -2130,6 +2259,53 @@ object Curation {
          |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens_kept,
          |  CAST(floor(max(keep_p) * $MixQuantum) AS BIGINT) AS q_keep
          |FROM kept GROUP BY source ORDER BY source""".stripMargin,
+    // identical CTE chain to cur_mix_sample through the quantized
+    // weights, then the full-budget target + pure integer epoch plan
+    "cur_mix_epochs" ->
+      s"""WITH d AS (
+         |  SELECT lang, len(string_split(text, ' ')) AS n_tokens
+         |  FROM documents WHERE lang IS NOT NULL
+         |),
+         |ls AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS t FROM d GROUP BY lang),
+         |w AS (SELECT lang, t,
+         |  CAST(floor(sqrt(CAST(t AS DOUBLE)) * $MixQuantum) AS BIGINT) AS wq
+         |  FROM ls),
+         |tot AS (SELECT CAST(sum(t) AS BIGINT) AS tt, CAST(sum(wq) AS BIGINT) AS sw FROM w),
+         |tgt AS (SELECT lang, t AS avail_tokens,
+         |  CAST(floor(CAST(tt AS DOUBLE) * CAST(wq AS DOUBLE) / CAST(sw AS DOUBLE)) AS BIGINT)
+         |    AS target_tokens
+         |  FROM w CROSS JOIN tot),
+         |ep AS (SELECT lang, avail_tokens, target_tokens,
+         |  least(CAST($MixMaxEpochs AS BIGINT),
+         |    (target_tokens + avail_tokens - 1) // avail_tokens) AS epochs
+         |  FROM tgt)
+         |SELECT lang, avail_tokens, target_tokens, epochs,
+         |  least(target_tokens, epochs * avail_tokens) AS used_tokens,
+         |  target_tokens - least(target_tokens, epochs * avail_tokens) AS deficit
+         |FROM ep ORDER BY lang""".stripMargin,
+    // token-exact IN over the split tokens, page-scoped (C4 badwords)
+    "cur_badwords" ->
+      s"""WITH b AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter(string_split(text, ' '),
+         |      w -> w IN (${BadWords.map(w => s"'$w'").mkString(", ")}))) AS BIGINT) AS n_bad
+         |  FROM documents)
+         |SELECT doc_id, n_bad FROM b WHERE n_bad > 0 ORDER BY doc_id""".stripMargin,
+    // the dedup_embed_cosine float formulation (dot / (||a||·||b||),
+    // round-4 output, unrounded ORDER BY) over the train × eval slices
+    "cur_decontam_semantic" ->
+      s"""SELECT t.vec_id AS train_id, e.vec_id AS eval_id,
+         |  round(list_dot_product(t.embedding::DOUBLE[], e.embedding::DOUBLE[]) /
+         |    (sqrt(list_dot_product(t.embedding::DOUBLE[], t.embedding::DOUBLE[])) *
+         |     sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 4) AS cosine
+         |FROM embeddings t, embeddings e
+         |WHERE t.vec_id % $EvalSliceMod != $EvalSliceRem
+         |  AND e.vec_id % $EvalSliceMod = $EvalSliceRem
+         |ORDER BY list_dot_product(t.embedding::DOUBLE[], e.embedding::DOUBLE[]) /
+         |    (sqrt(list_dot_product(t.embedding::DOUBLE[], t.embedding::DOUBLE[])) *
+         |     sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) DESC,
+         |  t.vec_id, e.vec_id
+         |LIMIT 20""".stripMargin,
     // string-gram mirror of the fused 13-gram hash expansion: gram
     // COUNTS are hash-family-independent (distinct grams ↦ distinct
     // xxh64 up to ~n²/2⁶⁴ — the Jaccard families' argument)

@@ -109,6 +109,12 @@ object PlanDump {
       "Distributed BPE merge fit: each iteration's pair-count agg collapses map-side onto the surviving-pair keyspace (vocabulary-sized), the argmax is a 1-row driver fetch, and the re-tokenize scan is the only corpus-sized pass per iteration.",
     "cur_pipeline_samples_lines" ->
       "C4-order composed pipeline: the line stage's keep-key shuffle + rebuild agg sit AHEAD of the unchanged samples stages; one lazy single-consumer DAG — no checkpoint, no drop-list distinct, and the chunk fan-out's content-hash window is still the only corpus-sized exchange in the tail.",
+    "cur_mix_epochs" ->
+      "Data-constrained epoch plan: one corpus scan collapses map-side into the L-row language agg; totals are an L-row broadcast crossJoin; everything after is literal arithmetic on L rows — the schedule is a bytes-sized artifact.",
+    "cur_badwords" ->
+      "C4 badwords page filter: the blocklist is a literal IN inside a codegen'd higher-order filter over the scan projection — zero exchanges except the oracle-tail sort; a production list swaps in an Aho-Corasick scan expression, same plan shape.",
+    "cur_decontam_semantic" ->
+      "Semantic decontam: eval slice BROADCAST (benchmark-sized by contract), train side one map-only scan computing per-row cosines into TakeOrderedAndProject — no shuffle of anything corpus-sized, the decontaminate plan with dot products for gram probes.",
     "stream_dedup_chunks_ngram" ->
       "Streaming chunk near-dup (post-run fold shown): the stateful operator is the SAME banded-minhash flatMapGroupsWithState as stream_dedup_minhash_ttl, fed packed (doc_id, chunk_idx) keys through the chunk fan-out Generate — chunks are ordinary documents to the band state machine; per-resident TTL eviction bounds state to O(chunk residents per band cell in the TTL window).",
     "stream_sessions" ->

@@ -132,6 +132,8 @@ object ScanAudit {
         "cur_pipeline_samples_ccq" -> Map("documents" -> 2),
         // train + eval are two logical tables (the decontaminate split)
         "cur_decontam" -> Map("documents" -> 2),
+        // same split in embedding space (the semantic decontam slices)
+        "cur_decontam_semantic" -> Map("embeddings" -> 2),
         // the sort-free cap decomposition reads its narrow
         // (doc_id, source, weight) projection three times: histogram
         // agg, boundary-bucket rank, kept-side probe — each a pruned

@@ -657,6 +657,55 @@ class CurationSpec extends AnyFunSuite {
     assert(got(1) === ((2L, "all of these words appear exactly once", 7L, 0L)))
   }
 
+  test("mix epochs: low-resource lang repeats to the 4-epoch cap with a deficit; high-resource runs once whole") {
+    import spark.implicits._
+    // two langs with EXACT square token counts (sqrt exact ⇒ the whole
+    // schedule is hand-checkable integers): wq ratio 10:1, full budget
+    // tt = 10100 ⇒ targets floor(10100·10/11) = 9181 and
+    // floor(10100·1/11) = 918. Lang a fits in one epoch (9181 ≤ 10000,
+    // deficit 0); lang b needs ⌈918/100⌉ = 10 epochs → capped at 4,
+    // uses 400, deficit 518 — the data-constrained shortfall.
+    val docs = Seq(
+      (1L, Seq.fill(10000)("w").mkString(" "), "a"),
+      (2L, Seq.fill(100)("w").mkString(" "), "b")).toDF("doc_id", "text", "lang")
+    val got = Curation.mixEpochsOn(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got === Seq(
+      ("a", 10000L, 9181L, 1L, 9181L, 0L),
+      ("b", 100L, 918L, 4L, 400L, 518L)))
+  }
+
+  test("badwords filter: page-scoped drop list counts exact tokens only — substrings don't match") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "clean words only here"),
+      (2L, "a dup in the middle and dup again"), // 2 exact hits
+      (3L, "dups duplicate induped"), // substrings only — NOT matches
+      (4L, "obscenity")).toDF("doc_id", "text")
+    val got = Curation.badwordsFilterOn(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got === Seq((2L, 2L), (4L, 1L)))
+  }
+
+  test("semantic decontam: exact cosines against the eval side, most-contaminated first") {
+    import spark.implicits._
+    val train = Seq(
+      (10L, Array(3f, 4f)), // cos vs [3,4] = 1.0, vs [0,1] = 0.8
+      (11L, Array(1f, 0f)), // cos vs [3,4] = 0.6, vs [0,1] = 0.0
+      (12L, Array(0f, 2f))  // cos vs [3,4] = 0.8, vs [0,1] = 1.0
+    ).toDF("vec_id", "embedding")
+    val eval = Seq((90L, Array(3f, 4f)), (91L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val got = Curation.decontamSemanticOn(train, eval).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // ties at cos 1.0 and 0.8 break by (train_id, eval_id) ascending
+    assert(got === Seq(
+      (10L, 90L, 1.0), (12L, 91L, 1.0),
+      (10L, 91L, 0.8), (12L, 90L, 0.8),
+      (11L, 90L, 0.6), (11L, 91L, 0.0)))
+  }
+
   test("concurrently: surfaces the ROOT-CAUSE failure, not the sibling's induced cancellation") {
     // side b fails fast; side a is a slow Spark job the failure callback
     // cancels. The old zip-based await surfaced side a's cancellation
