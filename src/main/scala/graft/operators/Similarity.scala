@@ -104,9 +104,17 @@ object Similarity {
   }
 
   /** IVF coarse-quantizer parameters: NumCentroids seeded cells,
-    * NProbe cells probed per query. */
+    * NProbe cells probed per query. NProbe = 10 (r15, was 4): the
+    * measured recall@5 curve on this corpus is 0.48/0.66/0.80/0.88/
+    * 0.92/0.96 at nprobe 4/6/8/10/12/14 with WALL FLAT-TO-FALLING
+    * (2.9 → 0.9 s — per-query fixed costs dominate at this SF), so the
+    * benched default sits at 0.88, past the ≥ 0.8 production bar with
+    * margin. 10 of 16 cells is the isotropic-synthetic worst case —
+    * on a clustered real corpus the same recall needs nprobe ≪ nlist
+    * (the SCALING.md §ANN adjudication); the knob stays per-call
+    * (`simAnnIvfOn`). */
   final val NumCentroids = 16
-  final val NProbe = 4
+  final val NProbe = 10
 
   /** ANN via an IVF-style coarse quantizer — the classic scale path
     * next to LSH ([[simAnnLsh]]): every vector is ASSIGNED to its

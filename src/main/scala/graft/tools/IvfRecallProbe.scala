@@ -1,0 +1,26 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+
+/** Dev probe: recall@TopK of the seeded-IVF search vs brute force at
+  * each nprobe — the curve behind the benched default. */
+object IvfRecallProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .appName("ivf-recall-probe").config("spark.sql.shuffle.partitions","32")
+      .config("spark.sql.adaptive.enabled","true")
+      .config("spark.sql.session.timeZone","UTC")
+      .config("spark.ui.enabled","false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val brute = graft.operators.Similarity.simTopKBrute(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    Seq(4, 6, 8, 10, 12, 14).foreach { np =>
+      val t0 = System.nanoTime()
+      val got = graft.operators.Similarity.simAnnIvfOn(spark, sfDir, np)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      val wall = (System.nanoTime() - t0) / 1e9
+      println(f"[ivf] nprobe=$np%2d recall=${(brute & got).size.toDouble / brute.size}%.3f wall=$wall%.2f s")
+    }
+    spark.stop()
+  }
+}

@@ -46,10 +46,10 @@ class SimilaritySpec extends AnyFunSuite {
     }
     val mean = recalls.sum / recalls.size
     info(s"IVF mean recall@5 = $mean")
-    // seeded (unfitted) centroids over weakly-similar data probing 4 of
-    // 16 cells: a loose floor — the spec pins "works", the full-probe
-    // test above pins "correct"
-    assert(mean >= 0.3, s"IVF mean recall@5 = $mean below floor")
+    // seeded (unfitted) centroids over weakly-similar data probing the
+    // NProbe = 10 default (r15 — recall 0.88 at sf0.1): the floor pins
+    // the production ≥ 0.8 bar; the full-probe test above pins "correct"
+    assert(mean >= 0.8, s"IVF mean recall@5 = $mean below floor")
   }
 
   test("k-means IVF with nprobe = NumCentroids is exactly brute force (full probe)") {
@@ -79,7 +79,7 @@ class SimilaritySpec extends AnyFunSuite {
     // absolute floor the seeded recall spec pins, which fitted
     // centroids must also clear
     info(s"IVF recall@5: seeded = $seeded, k-means = $fitted")
-    assert(fitted >= 0.3, s"k-means IVF mean recall@5 = $fitted below floor")
+    assert(fitted >= 0.8, s"k-means IVF mean recall@5 = $fitted below floor")
   }
 
   test("IVF-PQ candidate pool ≡ seeded IVF's (same quantizer, same probes)") {
