@@ -1501,11 +1501,19 @@ object Curation {
   private[graft] def badwordsFilterOn(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    badwordsUnordered(docs).orderBy($"doc_id")
+  }
+
+  /** The per-row count + gate without the oracle-tail ordering — the
+    * ONE definition shared by the batch query and the streaming twin
+    * (streams cannot sort; the stream's fold adds the order). */
+  private[graft] def badwordsUnordered(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     docs.select($"doc_id",
         size(filter(split($"text", " "), w => w.isInCollection(BadWords)))
           .cast("long").as("n_bad"))
       .filter($"n_bad" > 0)
-      .orderBy($"doc_id")
   }
 
   /** SEMANTIC decontamination — the embedding-space complement of the
@@ -1533,7 +1541,15 @@ object Curation {
       e.filter(pmod($"vec_id", lit(EvalSliceMod)) === EvalSliceRem))
   }
 
-  private[graft] def decontamSemanticOn(train: DataFrame, eval: DataFrame): DataFrame = {
+  private[graft] def decontamSemanticOn(train: DataFrame, eval: DataFrame): DataFrame =
+    decontamSemanticTail(decontamSemanticPairs(train, eval))
+
+  /** The broadcast train × eval cosine expansion WITHOUT the top-k
+    * tail — the ONE definition shared by the batch query and the
+    * streaming twin (identical Column expressions ⇒ bit-identical IEEE
+    * cosines on both paths; streams cannot sort, so the stream's fold
+    * runs the tail). */
+  private[graft] def decontamSemanticPairs(train: DataFrame, eval: DataFrame): DataFrame = {
     val spark = train.sparkSession
     import spark.implicits._
     import graft.functions.VectorOps
@@ -1543,6 +1559,14 @@ object Curation {
       VectorOps.toDouble($"embedding").as("ev"))
     t.crossJoin(broadcast(ev))
       .select($"train_id", $"eval_id", VectorOps.cosine($"tv", $"ev").as("cos"))
+  }
+
+  /** The most-contaminated-first top-20 over a (train_id, eval_id,
+    * cos) pair frame — the batch query's tail and the stream's fold. */
+  private[graft] def decontamSemanticTail(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    pairs
       .orderBy($"cos".desc, $"train_id".asc, $"eval_id".asc)
       .limit(20)
       .select($"train_id", $"eval_id", round($"cos", 4).as("cosine"))

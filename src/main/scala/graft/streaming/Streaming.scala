@@ -1811,6 +1811,79 @@ object Streaming {
       .orderBy($"doc_id")
   }
 
+  /** STREAMING C4 badwords filter — the blocklist page drop AT INGEST
+    * (the production placement: a contaminated page never lands in the
+    * corpus store) and another stateless member: the blocklist is a
+    * literal inside a per-row higher-order filter, so there is no
+    * state store, no shuffle, and each document's verdict is final on
+    * arrival (append mode; fold = max-struct by doc_id, deduping
+    * source replays). Oracle: the batch `cur_badwords` SQL verbatim. */
+  def streamBadwords(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+    runBadwordsStream(stream)
+  }
+
+  /** The transform of [[streamBadwords]] on any streaming docs frame
+    * (spec entry point). */
+  private[graft] def runBadwordsStream(stream: DataFrame): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val flagged = graft.operators.Curation.badwordsUnordered(stream)
+    runToMemory(flagged, "append")
+      .groupBy($"doc_id")
+      .agg(max($"n_bad").as("n_bad"))
+      .orderBy($"doc_id")
+  }
+
+  /** STREAMING semantic decontamination — the embedding-space
+    * contamination rank AT INGEST: the eval slice is STATIC (the
+    * frozen benchmark artifact, broadcast — exactly the
+    * [[streamDecontamStrip]] setup one modality over), and every
+    * arriving training vector crosses it through the IDENTICAL cosine
+    * Column expressions as the batch query (stream-static broadcast
+    * join ⇒ bit-identical IEEE scores), emitting its pair scores final
+    * on arrival with no state store. The global most-contaminated
+    * top-20 is the post-run fold (top-k is not append-streamable);
+    * a production ingest would prune each row to its row-local top-20
+    * before the sink — a row can contribute at most 20 pairs to any
+    * global top-20 — keeping the emission bounded per vector. Oracle:
+    * the batch `cur_decontam_semantic` SQL verbatim. */
+  def streamDecontamSemantic(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Curation
+    val schema = spark.read.parquet(s"$sfDir/embeddings.parquet").schema
+    val train = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "embeddings.parquet").parquet(sfDir)
+      .filter(pmod($"vec_id", lit(Curation.EvalSliceMod)) =!= Curation.EvalSliceRem)
+    val eval = graft.sources.Tables.embeddings(spark, sfDir)
+      .filter(pmod($"vec_id", lit(Curation.EvalSliceMod)) === Curation.EvalSliceRem)
+    runDecontamSemanticStream(train, eval)
+  }
+
+  /** The transform of [[streamDecontamSemantic]] on any streaming
+    * train frame + static eval frame of (vec_id, embedding) (spec
+    * entry point: plantable known-cosine feeds). */
+  private[graft] def runDecontamSemanticStream(train: DataFrame, eval: DataFrame): DataFrame = {
+    val spark = train.sparkSession
+    import spark.implicits._
+    import graft.operators.Curation
+    // materialize the eval vectors ONCE (the runDecontamStream rule: a
+    // stream-static subplan re-executes EVERY micro-batch, so an
+    // un-checkpointed eval side would re-scan its source per trigger;
+    // checkpointed, per-batch cost is reading the benchmark-sized
+    // cached blocks)
+    val evalCk = graft.operators.Materialize.frame(
+      eval.select($"vec_id", $"embedding"))
+    val pairs = Curation.decontamSemanticPairs(train, evalCk)
+    Curation.decontamSemanticTail(
+      runToMemory(pairs, "append")
+        // dedup source replays before the top-k: one row per pair
+        .groupBy($"train_id", $"eval_id").agg(max($"cos").as("cos")))
+  }
+
   /** STREAMING ANN index ingestion — encode-at-ingest, the FAISS
     * add() path as a stream (the streaming family's second fully
     * STATELESS member after the decontamination strip): both frozen
@@ -1958,6 +2031,8 @@ object Streaming {
     "stream_heavy_hitters_cms" -> streamHeavyHittersCms,
     "stream_ann_encode" -> streamAnnEncode,
     "stream_gopher_rules" -> streamGopherRules,
+    "stream_badwords" -> streamBadwords,
+    "stream_decontam_semantic" -> streamDecontamSemantic,
     "stream_substring_incremental" -> streamSubstringIncremental,
     "stream_substring_incremental_ttl" -> streamSubstringIncrementalTtl,
     "stream_dedup_ahash" -> streamDedupAhash,
@@ -2125,6 +2200,9 @@ object Streaming {
     "stream_heavy_hitters_cms" -> graft.operators.WordCount.oracles("wc_heavy_hitters_cms"),
     "stream_ann_encode" -> graft.operators.Similarity.annEncodeOracleSql,
     "stream_gopher_rules" -> graft.operators.TextAnalysis.oracles("text_gopher_rules"),
+    "stream_badwords" -> graft.operators.Curation.oracles("cur_badwords"),
+    "stream_decontam_semantic" ->
+      graft.operators.Curation.oracles("cur_decontam_semantic"),
     "stream_substring_incremental" ->
       graft.operators.Dedup.oracles("dedup_substring_incremental"),
     // the TTL tier: one in-window micro-batch => no eviction => batch-equal

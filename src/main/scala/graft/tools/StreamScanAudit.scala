@@ -148,6 +148,19 @@ object StreamScanAudit {
       // per-batch bytes must be DELTA-ONLY with no static re-read at all
       "stream_decontam_strip" ->
         (b => Streaming.runDecontamStripStream(stream(b), evalSlice)),
+      // stateless per-row blocklist — no static side at all
+      "stream_badwords" -> (b => Streaming.runBadwordsStream(stream(b))),
+      // static eval VECTORS checkpoint once; per-batch bytes must be
+      // delta-only (the runDecontamStream rule one modality over).
+      // documents stand in for embeddings via a synthetic vector — the
+      // audit measures IO shape, not scores.
+      "stream_decontam_semantic" ->
+        (b => Streaming.runDecontamSemanticStream(
+          stream(b).select($"doc_id".as("vec_id"),
+            array(($"doc_id" % 7).cast("float"), lit(1f)).as("embedding")),
+          spark.read.parquet(split).limit(40)
+            .select($"doc_id".as("vec_id"),
+              array(($"doc_id" % 5).cast("float"), lit(1f)).as("embedding")))),
     )
 
     def measure(f: => DataFrame): (Long, Long) = {

@@ -772,6 +772,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.size === 3)
   }
 
+  test("streaming badwords filter equals the batch filter across batches") {
+    import spark.implicits._
+    // stateless per-row verdicts; doc 3 arrives in batch 2 with a
+    // substring-only line that must NOT match (token-exact semantics)
+    val in = Files.createTempDirectory("graft_bw_in_").toString
+    val base = System.currentTimeMillis()
+    writeOneFile(Seq(
+      (1L, "all clean words here"),
+      (2L, "a dup and another dup word")).toDF("doc_id", "text"),
+      s"$in/b1.parquet", base)
+    writeOneFile(Seq(
+      (3L, "dups induped only"),
+      (4L, "late obscenity arrival")).toDF("doc_id", "text"),
+      s"$in/b2.parquet", base + 60000)
+    val schema = spark.read.parquet(in).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val got = Streaming.runBadwordsStream(stream).collect().map(_.toSeq).toSeq
+    val batch = graft.operators.Curation.badwordsFilterOn(spark.read.parquet(in))
+      .collect().map(_.toSeq).toSeq
+    assert(got === batch, s"stream $got != batch $batch")
+    assert(got === Seq(Seq(2L, 2L), Seq(4L, 1L)))
+  }
+
+  test("streaming semantic decontam equals the batch top-20 across batches") {
+    import spark.implicits._
+    // stateless stream-static cosine: train vectors split across two
+    // batches must reproduce the batch crossJoin's exact scores + tie
+    // ordering over the union
+    val eval = Seq((90L, Array(3f, 4f)), (91L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val in = Files.createTempDirectory("graft_sd_in_").toString
+    val base = System.currentTimeMillis()
+    writeOneFile(Seq((10L, Array(3f, 4f)), (11L, Array(1f, 0f)))
+      .toDF("vec_id", "embedding"), s"$in/b1.parquet", base)
+    writeOneFile(Seq((12L, Array(0f, 2f)))
+      .toDF("vec_id", "embedding"), s"$in/b2.parquet", base + 60000)
+    val schema = spark.read.parquet(in).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val got = Streaming.runDecontamSemanticStream(stream, eval)
+      .collect().map(_.toSeq).toSeq
+    val batch = graft.operators.Curation.decontamSemanticOn(
+      spark.read.parquet(in), eval).collect().map(_.toSeq).toSeq
+    assert(got === batch, s"stream $got != batch $batch")
+    assert(got.size === 6)
+  }
+
   test("streaming ANN encode equals the frozen-model batch encode across batches") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{lit, pmod}
