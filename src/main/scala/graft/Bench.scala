@@ -118,6 +118,9 @@ object Bench {
     // r15 curation additions: the data-constrained epoch schedule, the
     // C4 badwords page drop, embedding-space (paraphrase) decontam
     "cur_mix_epochs", "cur_badwords", "cur_decontam_semantic",
+    // the complete C4 recipe in paper order: badwords page drop ahead
+    // of the lines-composed samples pipeline
+    "cur_pipeline_samples_c4",
     // SemDeDup: Lloyd fit + cell-blocked pair search + farthest-from-
     // centroid keep
     "dedup_semantic",

@@ -602,6 +602,27 @@ object Curation {
     samplesOfKept(red.join(drop, Seq("doc_id"), "left_anti"))
   }
 
+  /** The COMPLETE C4 cleaning recipe as one dataflow (Raffel et al.
+    * 2020 §2.2, every stage in paper order): the [[BadWords]] PAGE
+    * drop first (a blocklisted page never reaches line processing),
+    * then the line filters, corpus-wide line dedup and rebuild, then
+    * the samples stages (redact → near-dup pair-drop → quality gate →
+    * chunk keep-first) — [[pipelineCurateSamplesLines]] with the
+    * blocklist gate ahead of it. The page drop is a pure per-row
+    * filter FUSED into the same scan projection the line stage reads:
+    * zero new exchanges, zero new scans (the lines pipeline's
+    * one-documents-scan plan is preserved; PlanSpec's rebuild-exchange
+    * reuse pin applies unchanged). */
+  def pipelineCurateSamplesC4(spark: SparkSession, sfDir: String): DataFrame =
+    pipelineCurateSamplesC4On(Tables.documents(spark, sfDir))
+
+  private[graft] def pipelineCurateSamplesC4On(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    pipelineCurateSamplesLinesOn(docs.filter(
+      size(filter(split($"text", " "), w => w.isInCollection(BadWords))) === 0))
+  }
+
   /** [[pipelineCurateSamples]] with the pair-based doc_b drop replaced
     * by the PRINCIPLED cluster-representative keep of
     * `dedup_kept_clusters`: connected components over the UNION pair
@@ -1952,6 +1973,7 @@ object Curation {
     "cur_mix_epochs" -> mixEpochs,
     "cur_badwords" -> badwordsFilter,
     "cur_decontam_semantic" -> decontamSemantic,
+    "cur_pipeline_samples_c4" -> pipelineCurateSamplesC4,
     "dedup_lines" -> dedupLines,
     "cur_line_filter" -> lineFilter,
     "cur_source_caps" -> sourceCaps,
@@ -2067,7 +2089,7 @@ object Curation {
   /** The reflowed line expansion as a SQL body producing
     * (doc_id, line_idx, line) — the oracle mirror of
     * [[reflowLinesArr]] + [[lineRows]]. */
-  private[graft] val reflowLinesSql: String =
+  private[graft] def reflowLinesSqlFrom(src: String): String =
     s"""SELECT doc_id, line_idx,
        |  array_to_string(
        |    t[line_idx * $LineTokens + 1 : line_idx * $LineTokens + $LineTokens],
@@ -2076,7 +2098,53 @@ object Curation {
        |  SELECT doc_id,
        |    unnest(range(0, (len(t) + ${LineTokens - 1}) // $LineTokens)) AS line_idx,
        |    t
-       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))""".stripMargin
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM $src))""".stripMargin
+
+  private[graft] val reflowLinesSql: String = reflowLinesSqlFrom("documents")
+
+  /** The lines-pipeline oracle chain (line filters → line dedup →
+    * rebuild → redact → pair-drop → quality → chunk keep-first) with
+    * an optional CTE prefix ahead of the lines source — ONE definition
+    * shared by the lines pipeline and the full-C4 variant. */
+  private def linesSamplesSql(prefixCtes: String, linesSrc: String): String =
+    s"""WITH ${prefixCtes}lines AS (${reflowLinesSqlFrom(linesSrc)}),
+       |lf AS (
+       |  SELECT doc_id, line_idx, line FROM lines
+       |  WHERE len(string_split(line, ' ')) >= 3
+       |    AND NOT contains(line, 'lorem ipsum')
+       |    AND NOT contains(line, '{')
+       |    AND NOT list_contains(string_split(line, ' '), 'javascript')
+       |),
+       |rk AS (
+       |  SELECT doc_id, line_idx, line,
+       |    row_number() OVER (PARTITION BY md5(line)
+       |      ORDER BY doc_id, line_idx) AS rn
+       |  FROM lf),
+       |reb AS (
+       |  SELECT doc_id, string_agg(line, ' ' ORDER BY line_idx) AS text
+       |  FROM rk WHERE rn = 1 GROUP BY doc_id),
+       |red AS (
+       |  SELECT doc_id, ${TextAnalysis.redactedSqlExpr} AS text
+       |  FROM reb
+       |),
+       |pairs AS (${Dedup.cappedJaccardSqlFrom("red")}),
+       |kept AS (
+       |  SELECT doc_id, text FROM red
+       |  WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
+       |),
+       |good AS (
+       |  SELECT doc_id, text FROM kept
+       |  WHERE ${TextAnalysis.qualitySqlExpr} >= $QualityCut
+       |),
+       |chunks AS (${chunksSqlFrom("good")}),
+       |sel AS (
+       |  SELECT doc_id, chunk_idx, chunk_text, n_tokens,
+       |    row_number() OVER (PARTITION BY md5(chunk_text)
+       |      ORDER BY doc_id, chunk_idx) AS rn
+       |  FROM chunks
+       |)
+       |SELECT doc_id, chunk_idx, chunk_text, n_tokens
+       |FROM sel WHERE rn = 1 ORDER BY doc_id, chunk_idx""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // keep-first per distinct line content (md5 partition, the
@@ -2542,45 +2610,16 @@ object Curation {
     // the C4-order composition: line filter + line dedup on ORIGINAL
     // indexes, space-joined rebuild, then the samples CTEs verbatim
     // over the rebuilt corpus
-    "cur_pipeline_samples_lines" ->
-      s"""WITH lines AS ($reflowLinesSql),
-         |lf AS (
-         |  SELECT doc_id, line_idx, line FROM lines
-         |  WHERE len(string_split(line, ' ')) >= 3
-         |    AND NOT contains(line, 'lorem ipsum')
-         |    AND NOT contains(line, '{')
-         |    AND NOT list_contains(string_split(line, ' '), 'javascript')
+    "cur_pipeline_samples_lines" -> linesSamplesSql("", "documents"),
+    // the full-recipe variant: one badwords page-drop CTE ahead of the
+    // IDENTICAL lines + samples chain (single-source splice)
+    "cur_pipeline_samples_c4" -> linesSamplesSql(
+      s"""c4src AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE len(list_filter(string_split(text, ' '),
+         |    w -> w IN (${BadWords.map(w => s"'$w'").mkString(", ")}))) = 0
          |),
-         |rk AS (
-         |  SELECT doc_id, line_idx, line,
-         |    row_number() OVER (PARTITION BY md5(line)
-         |      ORDER BY doc_id, line_idx) AS rn
-         |  FROM lf),
-         |reb AS (
-         |  SELECT doc_id, string_agg(line, ' ' ORDER BY line_idx) AS text
-         |  FROM rk WHERE rn = 1 GROUP BY doc_id),
-         |red AS (
-         |  SELECT doc_id, ${TextAnalysis.redactedSqlExpr} AS text
-         |  FROM reb
-         |),
-         |pairs AS (${Dedup.cappedJaccardSqlFrom("red")}),
-         |kept AS (
-         |  SELECT doc_id, text FROM red
-         |  WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
-         |),
-         |good AS (
-         |  SELECT doc_id, text FROM kept
-         |  WHERE ${TextAnalysis.qualitySqlExpr} >= $QualityCut
-         |),
-         |chunks AS (${chunksSqlFrom("good")}),
-         |sel AS (
-         |  SELECT doc_id, chunk_idx, chunk_text, n_tokens,
-         |    row_number() OVER (PARTITION BY md5(chunk_text)
-         |      ORDER BY doc_id, chunk_idx) AS rn
-         |  FROM chunks
-         |)
-         |SELECT doc_id, chunk_idx, chunk_text, n_tokens
-         |FROM sel WHERE rn = 1 ORDER BY doc_id, chunk_idx""".stripMargin,
+         |""".stripMargin, "c4src"),
     // the incremental pipeline: every stage's SQL spliced from the same
     // single-source pieces — redaction, the uncapped exact-Jaccard pair
     // relation (the MinHash family's recall oracle, here restricted to

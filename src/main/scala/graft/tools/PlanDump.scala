@@ -115,6 +115,8 @@ object PlanDump {
       "C4 badwords page filter: the blocklist is a literal IN inside a codegen'd higher-order filter over the scan projection — zero exchanges except the oracle-tail sort; a production list swaps in an Aho-Corasick scan expression, same plan shape.",
     "cur_decontam_semantic" ->
       "Semantic decontam: eval slice BROADCAST (benchmark-sized by contract), train side one map-only scan computing per-row cosines into TakeOrderedAndProject — no shuffle of anything corpus-sized, the decontaminate plan with dot products for gram probes.",
+    "cur_pipeline_samples_c4" ->
+      "Full C4 recipe: the badwords page drop is a filter FUSED into the line stage's scan projection — the lines pipeline's one-documents-scan plan with one extra predicate, no new exchange, no new scan.",
     "stream_dedup_chunks_ngram" ->
       "Streaming chunk near-dup (post-run fold shown): the stateful operator is the SAME banded-minhash flatMapGroupsWithState as stream_dedup_minhash_ttl, fed packed (doc_id, chunk_idx) keys through the chunk fan-out Generate — chunks are ordinary documents to the band state machine; per-resident TTL eviction bounds state to O(chunk residents per band cell in the TTL window).",
     "stream_sessions" ->

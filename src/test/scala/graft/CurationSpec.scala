@@ -706,6 +706,25 @@ class CurationSpec extends AnyFunSuite {
       (11L, 90L, 0.6), (11L, 91L, 0.0)))
   }
 
+  test("C4 pipeline: a blocklisted page contributes zero samples; identical corpus otherwise") {
+    import spark.implicits._
+    def toks(p: String, n: Int) = (0 until n).map(i => s"$p$i").mkString(" ")
+    // stopword prefix keeps each page past the quality gate (ratio
+    // term: 6 stopwords / ~60 tokens → score ≈ 0.6 ≥ QualityCut)
+    val sw = "the and of in is it "
+    val docs = Seq(
+      (1L, sw + toks("a", 54)),                   // clean long doc → samples
+      (2L, sw + "one dup word " + toks("b", 51)), // blocklisted page
+      (3L, sw + toks("c", 54))).toDF("doc_id", "text")
+    val c4 = Curation.pipelineCurateSamplesC4On(docs).collect()
+    val lines = Curation.pipelineCurateSamplesLinesOn(docs).collect()
+    assert(c4.nonEmpty)
+    assert(!c4.exists(_.getLong(0) == 2L), "blocklisted page leaked samples")
+    assert(lines.exists(_.getLong(0) == 2L), "control: page survives without the blocklist gate")
+    // the gate touches ONLY the blocklisted page — other docs' samples equal
+    assert(c4.map(_.toSeq).toSeq === lines.filter(_.getLong(0) != 2L).map(_.toSeq).toSeq)
+  }
+
   test("concurrently: surfaces the ROOT-CAUSE failure, not the sibling's induced cancellation") {
     // side b fails fast; side a is a slow Spark job the failure callback
     // cancels. The old zip-based await surfaced side a's cancellation
