@@ -45,6 +45,17 @@ object Scratch {
     val t0 = System.nanoTime()
     df.write.format("noop").mode("overwrite").save()
     println(f"[scratch] $name run1 ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    if (args.contains("--final")) {
+      // the POST-AQE executed plan — what ScanAudit counts scans in.
+      // Must run collect() on THIS QueryExecution: a noop write spawns
+      // its own, leaving df's adaptive plan un-finalized.
+      val df2 = SparkEntry.queries(name)(spark, sfDir)
+      df2.collect()
+      val p = df2.queryExecution.executedPlan.toString
+      val cut = p.indexOf("Initial Plan")
+      println("=== final plan ===")
+      println(if (cut >= 0) p.substring(0, cut) else p)
+    }
     Thread.sleep(1000)
     println("=== run2 (warm — what Bench measures) ===")
     val t1 = System.nanoTime()

@@ -245,17 +245,27 @@ object Dedup {
   private[graft] def curStripRepetitionOn(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
     val grams = docs
       .filter($"doc_id".isNotNull && $"text".isNotNull)
       .repartition(spark.sparkContext.defaultParallelism, $"doc_id")
       .select($"doc_id", posexplode_outer(
         TextAnalysis.ngramArr(split($"text", " "), RepStripK)).as(Seq("pos", "g")))
       .filter($"g".isNotNull)
-    // first occurrence per (doc, gram) via one doc-bounded window;
-    // every later occurrence is a drop span
+    // non-first occurrences per (doc, gram) via ONE hash aggregate:
+    // collect each gram's position list, keep everything past the min.
+    // The round-13 shape was min(pos) OVER (PARTITION BY doc_id, g) —
+    // a WindowExec that SORTS the whole corpus-tokens-sized gram
+    // explosion on (doc_id, g) strings just to attach a per-group min,
+    // and whose sort buffers were the battery's noisiest allocation
+    // site (r15 bench: 0.98–11.2 s wall on identical stages/bytes).
+    // The agg groups the same frame hash-wise (most groups are
+    // singletons, dropped by the size guard before any explode), no
+    // global sort, no join — spans are identical by construction.
     val spans = grams
-      .withColumn("mn", min($"pos").over(Window.partitionBy($"doc_id", $"g")))
+      .groupBy($"doc_id", $"g")
+      .agg(min($"pos").as("mn"), collect_list($"pos").as("ps"))
+      .filter(size($"ps") > 1)
+      .select($"doc_id", explode($"ps").as("pos"), $"mn")
       .filter($"pos" > $"mn")
       .select($"doc_id", $"pos".cast("long").as("start_token"),
         lit(RepStripK.toLong).as("len_tokens"))
@@ -272,24 +282,54 @@ object Dedup {
       .select($"doc_id",
         explode(sequence($"start_token", $"start_token" + $"len_tokens" - 1)).as("idx"))
       .distinct()
-    val toks = docs
-      // same explicit predicates as the span branch so both land on
-      // ONE canonical scan+exchange subtree (ReusedExchange)
+    // docs owning at least one span — the only ones whose text needs
+    // surgery. Bytes-sized (ids only), so the gate joins below resolve
+    // as broadcasts under AQE.
+    val affIds = dropIdx.select($"doc_id").distinct()
+    val base = docs
+      // same explicit predicates + width as the span branch: the CLEAN
+      // branch rides the span branch's exchange as a ReusedExchange.
+      // The affected branch below deliberately does NOT — Catalyst
+      // pushes its semi-join gate under the repartition, so that branch
+      // re-scans the corpus but shuffles ONLY the span-owning slice
+      // (ScanAudit whitelists the second scan: a pruned columnar scan
+      // is the cheap side of that trade, a corpus-wide shuffle the
+      // expensive one).
       .filter($"doc_id".isNotNull && $"text".isNotNull)
       .repartition(spark.sparkContext.defaultParallelism, $"doc_id")
+      .select($"doc_id", $"text",
+        size(split($"text", " ")).cast("long").as("n_total"))
+    // SPAN-FREE docs pass through WHOLE — kept_text is the original
+    // text verbatim (the token round-trip array_join(split(s)) ≡ s,
+    // including repeated-delimiter empties), so no token explode, no
+    // rebuild agg, nothing but an anti-join gate. This is the 100 TB
+    // lever of the tail: duplication volume, not corpus size, pays for
+    // the positional rebuild (measured sf0.1: 287/5000 docs own a
+    // repetition span — the r13-shape tail shuffled and re-aggregated
+    // the token expansion of all 5000, and its per-doc
+    // collect_list(struct)+array_sort was the strip family's dominant
+    // allocation site).
+    val clean = base.join(affIds, Seq("doc_id"), "left_anti")
+      .select($"doc_id", $"text".as("kept_text"),
+        $"n_total".as("n_kept"), lit(0L).as("n_dropped"))
+    // affected docs: positional token expansion (partition-preserving
+    // off base's doc_id exchange), drop-index anti-join, in-order
+    // rebuild — the original tail, now over the span-owning slice only
+    val aff = base.join(affIds, Seq("doc_id"), "left_semi")
+    val toks = aff
       .select($"doc_id", posexplode(split($"text", " ")).as(Seq("idx", "w")))
-    val nAll = toks.groupBy($"doc_id").agg(count(lit(1)).as("n_total"))
     val kept = toks.join(dropIdx, Seq("doc_id", "idx"), "left_anti")
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_kept"),
         array_join(transform(array_sort(collect_list(struct($"idx", $"w"))),
           s => s.getField("w")), " ").as("kept_text"))
-    nAll.join(kept, Seq("doc_id"), "left")
+    val stripped = aff.select($"doc_id", $"n_total")
+      .join(kept, Seq("doc_id"), "left")
       .select($"doc_id",
         coalesce($"kept_text", lit("")).as("kept_text"),
         coalesce($"n_kept", lit(0L)).as("n_kept"),
         ($"n_total" - coalesce($"n_kept", lit(0L))).as("n_dropped"))
-      .orderBy($"doc_id")
+    clean.unionByName(stripped).orderBy($"doc_id")
   }
 
   /** The deterministic snapshot split for [[dedupIncremental]]:

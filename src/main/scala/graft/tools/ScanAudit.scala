@@ -106,10 +106,20 @@ object ScanAudit {
         // the model checkpoint and is not in the final plan
         "cur_pipeline_samples_qm" -> Map("documents" -> 2),
         // train + eval are two logical tables (the decontaminate split);
-        // the train side's gram and strip expansions share ONE
-        // scan+exchange (the curStripSubstrings canonicalization), the
-        // second scan is the broadcast eval gram-set build
-        "cur_decontam_strip" -> Map("documents" -> 2),
+        // the train side's span derivation and the clean pass-through
+        // branch share ONE scan+exchange, the second train scan is the
+        // stripSpans surgery branch (see below — its semi-join gate
+        // pushes under the repartition so only span-owning docs
+        // shuffle), the third scan the broadcast eval gram-set build
+        "cur_decontam_strip" -> Map("documents" -> 3),
+        // the stripSpans clean/affected split (r15): the span branch +
+        // clean pass-through share one scan+exchange; the surgery
+        // branch re-scans so its exchange carries ONLY span-owning docs
+        // — trading a second pruned columnar scan for not shuffling and
+        // re-aggregating the whole corpus's token expansion (287/5000
+        // docs own a repetition span at sf0.1)
+        "cur_strip_repetition" -> Map("documents" -> 2),
+        "cur_strip_substrings" -> Map("documents" -> 2),
         // fit-then-apply in one DAG: the broadcast keep-probability
         // table is an aggregate OVER the gated frame itself, so the
         // model-fit pass and the gate pass are two inherent corpus

@@ -153,6 +153,14 @@ class PlanSpec extends AnyFunSuite {
       s"expected 1 documents scan (line stage shared), got $scans\n${p.take(1200)}")
     assert(p.contains("ReusedExchange"), p.take(1200))
     assert(p.contains("row_number"), p.take(1200))
+    // the full-C4 composition adds the badwords page drop ahead of the
+    // line stage as a scan-fused filter — the one-scan / reused-exchange
+    // shape must survive (the scaladoc's "zero new scans" claim)
+    val pc4 = finalPlan(Curation.pipelineCurateSamplesC4(spark, sf))
+    val c4Scans = "FileScan parquet".r.findAllIn(pc4).size
+    assert(c4Scans == 1,
+      s"expected 1 documents scan in the c4 pipeline, got $c4Scans\n${pc4.take(1200)}")
+    assert(pc4.contains("ReusedExchange"), pc4.take(1200))
   }
 
   test("events: ts range predicate pushes through the encoding normalization into the scan") {
