@@ -248,8 +248,15 @@ object Dedup {
     val grams = docs
       .filter($"doc_id".isNotNull && $"text".isNotNull)
       .repartition(spark.sparkContext.defaultParallelism, $"doc_id")
+      // split ONCE into an attribute before the gram lambda: higher-
+      // order functions evaluate interpreted, so an inline
+      // split($"text") argument is re-split per element_at inside the
+      // transform — O(tokens²) per doc whenever subexpression
+      // elimination doesn't catch it (the r15 battery's 1.3–31 s
+      // run-to-run swing on identical stages)
+      .select($"doc_id", split($"text", " ").as("tk"))
       .select($"doc_id", posexplode_outer(
-        TextAnalysis.ngramArr(split($"text", " "), RepStripK)).as(Seq("pos", "g")))
+        TextAnalysis.ngramArr($"tk", RepStripK)).as(Seq("pos", "g")))
       .filter($"g".isNotNull)
     // non-first occurrences per (doc, gram) via ONE hash aggregate:
     // collect each gram's position list, keep everything past the min.
