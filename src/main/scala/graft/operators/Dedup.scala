@@ -233,12 +233,14 @@ object Dedup {
     * strips use. Repeated boilerplate collapses to its first
     * occurrence; a repeat-free document passes through whole.
     *
-    * Scale shape: the gram key is (doc_id, gram) — DOC-BOUNDED, so the
-    * one aggregation window partitions by keys never wider than a
+    * Scale shape: the gram key is (doc_id, gram-hash) — DOC-BOUNDED,
+    * so the one aggregation partitions by keys never wider than a
     * single document; no cross-document traffic exists anywhere in the
     * plan (contrast [[curStripSubstringsOn]], whose gram partition is
-    * corpus-wide by construction). Gram TEXT instead of hashes is safe
-    * for the same reason — a partition holds one document's grams. */
+    * corpus-wide by construction). Grams are the codegen'd
+    * [[graft.functions.NGramXxh64Pos]] hashes — doc-bounded grouping
+    * means only same-document collisions could perturb the result,
+    * the standard ~n²/2⁶⁴ hashed-gram argument. */
   def curStripRepetition(spark: SparkSession, sfDir: String): DataFrame =
     curStripRepetitionOn(Tables.documents(spark, sfDir))
 
@@ -248,31 +250,42 @@ object Dedup {
     val grams = docs
       .filter($"doc_id".isNotNull && $"text".isNotNull)
       .repartition(spark.sparkContext.defaultParallelism, $"doc_id")
-      // split ONCE into an attribute before the gram lambda: higher-
-      // order functions evaluate interpreted, so an inline
-      // split($"text") argument is re-split per element_at inside the
-      // transform — O(tokens²) per doc whenever subexpression
-      // elimination doesn't catch it (the r15 battery's 1.3–31 s
-      // run-to-run swing on identical stages)
-      .select($"doc_id", split($"text", " ").as("tk"))
+      // codegen'd positional gram HASHES, not the string-gram lambda:
+      // ngramArr is a higher-order transform, which Spark evaluates
+      // interpreted (HOFs have no codegen), and its eval path was this
+      // query's measured pathology twice over — an inline split(text)
+      // argument re-split per element_at (O(tokens²), the 1.3–31 s
+      // battery swing), and even pre-split the interpreted lambda paid
+      // a multi-second JIT warm-in staircase at ×10. NGramXxh64Pos
+      // hashes each k-token byte span in one codegen'd pass; span
+      // equality is byte-span equality (tokens joined by their own
+      // delimiters), identical to string-gram equality, and the
+      // within-doc hash-collision odds carry the same ~n²/2⁶⁴ argument
+      // as every hashed-gram search in this file (grouping is
+      // doc-bounded, so only same-doc collisions could matter).
       .select($"doc_id", posexplode_outer(
-        TextAnalysis.ngramArr($"tk", RepStripK)).as(Seq("pos", "g")))
+        graft.functions.NGramXxh64Pos($"text", RepStripK)).as(Seq("pos", "g")))
       .filter($"g".isNotNull)
-    // non-first occurrences per (doc, gram) via ONE hash aggregate:
-    // collect each gram's position list, keep everything past the min.
-    // The round-13 shape was min(pos) OVER (PARTITION BY doc_id, g) —
-    // a WindowExec that SORTS the whole corpus-tokens-sized gram
-    // explosion on (doc_id, g) strings just to attach a per-group min,
-    // and whose sort buffers were the battery's noisiest allocation
-    // site (r15 bench: 0.98–11.2 s wall on identical stages/bytes).
-    // The agg groups the same frame hash-wise (most groups are
-    // singletons, dropped by the size guard before any explode), no
-    // global sort, no join — spans are identical by construction.
-    val spans = grams
+    // non-first occurrences per (doc, gram): a codegen'd HashAggregate
+    // (min + count over the (doc_id, gram-hash) long keys) isolates the
+    // REPEATED grams — a rows-with-a-duplicate-sized frame (2.9 k rows
+    // on the ×10 corpus vs 9 M gram occurrences) — and the occurrence
+    // stream probes it with a broadcast join to emit every position
+    // past the min. Two earlier shapes both paid the corpus-gram-sized
+    // heavyweight operator this one avoids: min(pos) OVER (PARTITION
+    // BY doc_id, g) sorts the whole explosion (WindowExec), and
+    // min+collect_list aggregates it through ObjectHashAggregate,
+    // whose 128-key sort-based fallback re-sorts the same explosion
+    // with per-group array buffers (measured at ×10: 18–178 s CPU on
+    // identical input — the battery's noisiest stage). Both gram
+    // passes are map-side continuations of the ONE doc_id exchange
+    // (hash(doc_id) clusters every (doc_id, g) group), so the second
+    // Generate costs a codegen'd hash pass, not a shuffle.
+    val rep = grams
       .groupBy($"doc_id", $"g")
-      .agg(min($"pos").as("mn"), collect_list($"pos").as("ps"))
-      .filter(size($"ps") > 1)
-      .select($"doc_id", explode($"ps").as("pos"), $"mn")
+      .agg(min($"pos").as("mn"), count(lit(1)).as("c"))
+      .filter($"c" > 1)
+    val spans = grams.join(rep, Seq("doc_id", "g"))
       .filter($"pos" > $"mn")
       .select($"doc_id", $"pos".cast("long").as("start_token"),
         lit(RepStripK.toLong).as("len_tokens"))
