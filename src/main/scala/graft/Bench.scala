@@ -401,6 +401,29 @@ object Bench {
       } else None
     val annJson = annRecall.fold("")(j => s""","ann_recall":$j""")
 
+    // Canary normalization (VERDICT r15 #2): the host's documented ×2
+    // CPU / ±50% wall swings make raw round-over-round per-query deltas
+    // unfalsifiable. Publish, next to each raw wall, the query's wall as
+    // a RATIO to this same battery's canary composite — the geometric
+    // mean of the two plan-stable canaries (the gated wordcount run and
+    // q1_pricing_summary, both unchanged since r12). Host slowdowns move
+    // canary and query alike, so the ratio is the comparable statistic:
+    // a genuine plan regression moves a query's ratio while the canaries
+    // hold; a host drift moves raw walls while ratios hold. Consumers
+    // diff "queries_norm" across rounds; raw seconds stay in "queries".
+    val canaryKeys = Seq("wordcount_corpus_15mb", "q1_pricing_summary")
+    val canaryVals = canaryKeys.flatMap(results.get).filter(_ > 0)
+    val canary: Option[Double] =
+      if (canaryVals.size == canaryKeys.size)
+        Some(math.exp(canaryVals.map(math.log).sum / canaryVals.size))
+      else None
+    val normJson = canary.fold("") { c =>
+      val obj = results.collect { case (k, v) if v >= 0 =>
+        "\"" + k + "\":" + f"${v / c}%.3f"
+      }.mkString("{", ",", "}")
+      f""","canary_sec":$c%.4f,"canary_keys":["${canaryKeys.mkString("\",\"")}"],"queries_norm":$obj"""
+    }
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
     val cpuJson = cpu.map { case (k, v) => "\"" + k + "\":" + v }
@@ -430,13 +453,20 @@ object Bench {
     val entries = gateFirst.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
     val kept = scala.collection.mutable.ArrayBuffer[String]()
     var used = head.length + tail0.length
+    // BREAK at the first entry that does not fit (ADVICE r15): keeping a
+    // strict descending-cost prefix makes the stdout set a stable schema
+    // round-over-round — before, a long-named expensive query could be
+    // dropped while shorter cheaper ones later in the list were kept, so
+    // the compared set shifted as costs reordered.
+    var fits = true
     entries.foreach { e =>
-      if (used + e.length + 1 <= lineBudget) { kept += e; used += e.length + 1 }
+      if (fits && used + e.length + 1 <= lineBudget) { kept += e; used += e.length + 1 }
+      else fits = false
     }
     val line = head + kept.mkString(",") + tail0
     println(line)
     val full =
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"cpu_ms":$cpuJson$annJson,"protocol":"median-of-3-escalate-5","breakdown":$bd,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"cpu_ms":$cpuJson$annJson$normJson,"protocol":"median-of-3-escalate-5; queries_norm = wall / geomean(canary_keys walls), same battery","breakdown":$bd,"sf":"$sfDir"}"""
     // sbt prefixes stdout with "[info] "; the file copy is the version a
     // driver can always json.load directly.
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), full + "\n")

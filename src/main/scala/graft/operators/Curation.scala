@@ -45,7 +45,23 @@ object Curation {
     // would overwrite, leaving exactly the zombie jobs the cancellation
     // exists to prevent (ADVICE r14).
     def side[T](name: String, f: => T): Future[T] = Future {
-      sc.foreach(_.addJobTag(s"$tag-$name"))
+      // if the sibling already failed, don't start at all: the sweep in
+      // the failure callback is point-in-time, and a side that had not
+      // yet submitted any job when it fired would otherwise run to full
+      // completion under the wait-both await (ADVICE r15)
+      if (firstFailure.get != null)
+        throw new java.util.concurrent.CancellationException(
+          s"concurrently: sibling failed before side '$name' started")
+      sc.foreach { c =>
+        c.addJobTag(s"$tag-$name")
+        // cancelJobsWithTag alone cancels at job granularity; without
+        // this, a cancelled side's in-flight TASKS hold executors until
+        // they finish naturally — and the wait-both await blocks on
+        // that. Thread-local, so it scopes to this side's jobs only
+        // (ADVICE r15; restores the setJobGroup(interruptOnCancel=true)
+        // semantics the r14 tag rewrite dropped).
+        c.setInterruptOnCancel(interruptOnCancel = true)
+      }
       try f
       catch { case t: Throwable => firstFailure.compareAndSet(null, t); throw t }
       finally sc.foreach(_.removeJobTag(s"$tag-$name"))
@@ -59,9 +75,25 @@ object Curation {
       // lift to Try so the await NEVER propagates a side's exception
       // directly — both sides always finish (the loser by cancellation),
       // then the recorded first failure is rethrown as the root cause
-      val (r1, r2) = Await.result(
+      val zipped =
         f1.transform(t => Success(t): Try[Try[A]])
-          .zip(f2.transform(t => Success(t): Try[Try[B]])), Duration.Inf)
+          .zip(f2.transform(t => Success(t): Try[Try[B]]))
+      // await in short slices, re-sweeping both tags whenever a failure
+      // is on record: cancelJobsWithTag is point-in-time, so a job the
+      // loser submitted AFTER the callback's sweep would otherwise run
+      // to completion and the await would sit on it (ADVICE r15)
+      import scala.concurrent.duration._
+      var out: Option[(Try[A], Try[B])] = None
+      while (out.isEmpty) {
+        try out = Some(Await.result(zipped, 2.seconds))
+        catch {
+          case _: java.util.concurrent.TimeoutException =>
+            if (firstFailure.get != null) sc.foreach { c =>
+              c.cancelJobsWithTag(s"$tag-a"); c.cancelJobsWithTag(s"$tag-b")
+            }
+        }
+      }
+      val (r1, r2) = out.get
       (r1, r2) match {
         case (Success(a), Success(b)) => (a, b)
         case _ =>
@@ -1911,26 +1943,38 @@ object Curation {
     * deterministic operators (and the shared sort shuffle is reused),
     * but an input built on sampling, `first`/`any_value` aggregates, or
     * a non-deterministic UDF would violate it — pass materialize = true
-    * for any such frame. Guarded below by rejecting inputs whose plan
-    * self-reports non-determinism. */
+    * for any such frame. PARTIALLY guarded below: the plan scan rejects
+    * self-reporting non-deterministic expressions, Sample nodes, and
+    * round-robin Repartition, but order-dependent aggregates pass it
+    * silently — this scaladoc is the contract for those. */
   private[graft] def dsirSelectFrom(wIn: DataFrame,
       materialize: Boolean = true): DataFrame = {
     val spark = wIn.sparkSession
     import spark.implicits._
     val w = if (materialize) Materialize.frame(wIn) else {
-      // cheap plan scan at the unsafe seam: Expression.deterministic is
-      // already recursive over children, so one pass over each node's
-      // expressions finds rand()/non-deterministic UDFs. (Order-dependent
-      // aggregates like first/any_value self-report deterministic and
-      // cannot be caught here — that case stays on the scaladoc contract.)
+      // cheap plan scan at the unsafe seam — PARTIALLY guarded: one pass
+      // catches (a) self-reporting non-deterministic expressions
+      // (rand()/non-deterministic UDFs; Expression.deterministic is
+      // recursive over children), (b) Sample nodes (df.sample re-draws
+      // under task retry), (c) round-robin Repartition (no partitioning
+      // expression + shuffle ⇒ row placement varies under retry).
+      // Order-dependent aggregates like first/any_value self-report
+      // deterministic and CANNOT be caught here — that case stays on the
+      // scaladoc contract (ADVICE r15).
+      import org.apache.spark.sql.catalyst.plans.logical.{Repartition, Sample}
       val nondet = wIn.queryExecution.analyzed.collectFirst {
-        case p if p.expressions.exists(!_.deterministic) => p.nodeName
+        case p: Sample => s"${p.nodeName} (sample re-draws under task retry)"
+        case p: Repartition if p.shuffle =>
+          s"${p.nodeName} (round-robin placement varies under task retry)"
+        case p if p.expressions.exists(!_.deterministic) =>
+          s"non-deterministic expression under ${p.nodeName}"
       }
       require(nondet.isEmpty,
         s"dsirSelectFrom(materialize = false) requires a deterministic input " +
           s"plan (two independent jobs must see identical partition contents); " +
-          s"non-deterministic expression under ${nondet.getOrElse("")} — pass " +
-          s"materialize = true for this input")
+          s"found ${nondet.getOrElse("")} — pass materialize = true for this " +
+          s"input. NOTE this guard is partial: order-dependent aggregates " +
+          s"(first/any_value) pass it silently; the scaladoc contract governs.")
       wIn
     }
     val sorted = w.orderBy($"weight".desc, $"doc_id".asc)

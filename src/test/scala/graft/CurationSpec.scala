@@ -756,5 +756,25 @@ class CurationSpec extends AnyFunSuite {
     assert(e.getMessage.contains("deterministic"))
     // the SAME frame is accepted through the materialize = true path
     assert(Curation.dsirSelectFrom(nondet).collect().nonEmpty)
+    // ADVICE r15: Sample and round-robin Repartition don't carry
+    // self-reporting non-deterministic expressions but still violate the
+    // two-jobs-see-identical-partitions precondition under task retry
+    val sampled = det.sample(0.9, seed = 7)
+    val e2 = intercept[IllegalArgumentException] {
+      Curation.dsirSelectFrom(sampled, materialize = false).collect()
+    }
+    assert(e2.getMessage.contains("sample"))
+    val rr = det.repartition(4)
+    val e3 = intercept[IllegalArgumentException] {
+      Curation.dsirSelectFrom(rr, materialize = false).collect()
+    }
+    assert(e3.getMessage.contains("round-robin"))
+    // hash repartition (expression-keyed) stays accepted: placement is a
+    // pure function of the row, retry-stable
+    assert(Curation.dsirSelectFrom(det.repartition(4, $"doc_id"),
+      materialize = false).collect().nonEmpty)
+    // coalesce (no shuffle) stays accepted
+    assert(Curation.dsirSelectFrom(det.coalesce(1),
+      materialize = false).collect().nonEmpty)
   }
 }

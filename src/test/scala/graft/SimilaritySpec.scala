@@ -62,7 +62,7 @@ class SimilaritySpec extends AnyFunSuite {
     assert(full === brute)
   }
 
-  test("k-means IVF recall@5 clears the same absolute floor as the seeded variant") {
+  test("seeded and k-means IVF recall@5 each clear their measured floor") {
     val brute = topkMap(Similarity.simTopKBrute(spark, sf))
     def meanRecall(ann: Map[Long, Seq[Long]]): Double = {
       val rs = brute.map { case (q, trueTop) =>
@@ -75,11 +75,14 @@ class SimilaritySpec extends AnyFunSuite {
     val fitted = meanRecall(topkMap(Similarity.simAnnIvfKmeans(spark, sf)))
     // info-only comparison: "fitted >= seeded" is NOT a guaranteed
     // property of Lloyd iterations (it held on this data but any seed/
-    // data/iteration change could flake it) — the gate is the same
-    // absolute floor the seeded recall spec pins, which fitted
-    // centroids must also clear
+    // data/iteration change could flake it). The SEEDED floor (0.8) is
+    // pinned by the nprobe=10 measurement on deterministic centroids;
+    // fitted centroids can legitimately distribute cells differently,
+    // so the fitted variant gets a looser 0.6 floor rather than riding
+    // an 0.08 margin on someone else's measurement (ADVICE r15).
     info(s"IVF recall@5: seeded = $seeded, k-means = $fitted")
-    assert(fitted >= 0.8, s"k-means IVF mean recall@5 = $fitted below floor")
+    assert(seeded >= 0.8, s"seeded IVF mean recall@5 = $seeded below floor")
+    assert(fitted >= 0.6, s"k-means IVF mean recall@5 = $fitted below floor")
   }
 
   test("IVF-PQ candidate pool ≡ seeded IVF's (same quantizer, same probes)") {
