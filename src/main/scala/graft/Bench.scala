@@ -118,6 +118,8 @@ object Bench {
     // r15 curation additions: the data-constrained epoch schedule, the
     // C4 badwords page drop, embedding-space (paraphrase) decontam
     "cur_mix_epochs", "cur_badwords", "cur_decontam_semantic",
+    // its IVF-routed scale form: probe-cell residents only (r16)
+    "cur_decontam_semantic_ann",
     // the complete C4 recipe in paper order: badwords page drop ahead
     // of the lines-composed samples pipeline
     "cur_pipeline_samples_c4",
@@ -159,6 +161,9 @@ object Bench {
     // IVF-PQ composed index: coarse probe routing + residual ADC scan
     // inside the probed cells — the FAISS IndexIVFPQ shape
     "sim_ann_ivfpq",
+    // the 8-bit-codebook tier (FAISS default): 256 codewords/subspace
+    // through the fused PqEncode — the standalone-usable compressed scan
+    "sim_ann_ivfpq_8b",
     // its maintenance form: frozen models, delta-only encode appended
     // to the code artifact
     "sim_ann_ivfpq_incremental",
@@ -388,7 +393,8 @@ object Bench {
         val brute = SparkEntry.queries("sim_topk_brute")(spark, sfDir)
           .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
         val rs = Seq("sim_ann_lsh", "sim_ann_ivf", "sim_ann_ivfpq",
-          "sim_ann_ivfpq_rerank").filter(selected.contains).map { name =>
+          "sim_ann_ivfpq_8b", "sim_ann_ivfpq_rerank")
+          .filter(selected.contains).map { name =>
           val got = SparkEntry.queries(name)(spark, sfDir)
             .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
           name -> (brute & got).size.toDouble / brute.size

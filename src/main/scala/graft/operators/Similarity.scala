@@ -232,7 +232,7 @@ object Similarity {
     * tail, ADC search tail, the candidate-pool accessors below) —
     * shared so the composition claim "IVF-PQ changes the scoring inside
     * probed cells, never the routing" is structural, not coincidental. */
-  private def probeCellsExpr(scoreArr: Column, nprobe: Int): Column =
+  private[graft] def probeCellsExpr(scoreArr: Column, nprobe: Int): Column =
     slice(
       sort_array(zip_with(scoreArr, sequence(lit(0), lit(NumCentroids - 1)),
         (s, i) => struct((-s).as("ns"), i.as("idx")))),
@@ -506,10 +506,9 @@ object Similarity {
     // map-side work
     val codes = e
       .repartition(spark.sparkContext.defaultParallelism, $"vec_id")
-      .select($"vec_id",
-        array((0 until PqSubspaces).map(m => pqCodeCol(cb, $"v", m)): _*).as("code"))
-    def tabCol(m: Int): Column = array(cb(m).map(cv =>
-      floor(VectorOps.dotLit($"qv", cv, m * PqSubDim) * lit(ScoreScale)).cast("long")): _*)
+      .select($"vec_id", pqCodesCol(cb, $"v").as("code"))
+    def tabCol(m: Int): Column =
+      graft.functions.PqAdcTable($"qv", cb, ScoreScale, m)
     val q = e.filter($"vec_id" < NumQueries)
       .select($"vec_id".as("query_id"), $"v".as("qv"))
       .select($"query_id" +: (0 until PqSubspaces).map(m => tabCol(m).as(s"tab$m")): _*)
@@ -571,19 +570,49 @@ object Similarity {
     ivfPqAdcSearch(e, cents, cb, codes, nprobe)
   }
 
+  /** Codewords per subspace for the 8-BIT tier: 256 — the FAISS
+    * default (nbits = 8). 8 subspaces × 1 byte = 8 B codes/vector,
+    * still a 32× compression of the 64-dim float store, but 16× the
+    * per-subspace resolution of the 4-bit tier — the difference
+    * between recall@5 0.14 and a standalone-usable compressed scan on
+    * this isotropic corpus (measured r14: 0.60 at equal pools; r16
+    * re-measured through the fused encode in bench.json.ann_recall). */
+  final val Pq8Codewords = 256
+
+  /** 8-BIT IVF-PQ — [[simAnnIvfPq]] with [[Pq8Codewords]]-entry
+    * residual codebooks (seeds: the 256 vectors after the coarse
+    * range). Identical composition, fit discipline and ADC search;
+    * only the codebook size differs. This is the tier the r14
+    * experiment showed recall-viable but wall-infeasible under the
+    * baked-literal encode (2048 dot_const nodes/row, 10× wall —
+    * SCALING.md r14); the fused [[pqCodesCol]]/[[graft.functions.PqEncode]]
+    * table-lookup encode is what ships it (r15 VERDICT #1). */
+  def simAnnIvfPq8b(spark: SparkSession, sfDir: String): DataFrame = {
+    val (e, cents, cb, codes) = ivfPqIndexAt(spark, sfDir, Pq8Codewords)
+    ivfPqAdcSearch(e, cents, cb, codes, NProbe)
+  }
+
   /** The fitted IVF-PQ index: raw vectors, coarse centroids, Lloyd-
     * fitted residual codebooks and the encoded (vec_id, cell, codes)
     * artifact — shared by the plain ADC query and the refine variant. */
   private def ivfPqIndex(spark: SparkSession, sfDir: String)
+      : (DataFrame, Seq[Seq[Double]], Seq[Seq[Seq[Double]]], DataFrame) =
+    ivfPqIndexAt(spark, sfDir, NumCentroids)
+
+  /** [[ivfPqIndex]] with an explicit codewords-per-subspace count —
+    * k = [[NumCentroids]] (16, 4-bit codes) is the compact default;
+    * k = [[Pq8Codewords]] (256, 8-bit codes, the FAISS default) is the
+    * recall tier the fused [[pqCodesCol]] encode makes wall-feasible. */
+  private def ivfPqIndexAt(spark: SparkSession, sfDir: String, k: Int)
       : (DataFrame, Seq[Seq[Double]], Seq[Seq[Seq[Double]]], DataFrame) = {
     import spark.implicits._
     val e = embeddings(spark, sfDir)
     val cents = seedCentroids(e)
     val residFrame = ivfResidFrame(e, cents)
-    // the 16 codebook-seed residuals, driver-collected — bounded, the
+    // the k codebook-seed residuals, driver-collected — bounded, the
     // codebook IS the model (the seedCentroids footing)
     val cbSeeds = residFrame
-      .filter($"vec_id" >= IvfPqSeedBase && $"vec_id" < IvfPqSeedBase + NumCentroids)
+      .filter($"vec_id" >= IvfPqSeedBase && $"vec_id" < IvfPqSeedBase + k)
       .orderBy($"vec_id")
       .select($"r").collect().map(_.getSeq[Double](0).toSeq).toSeq
     // Lloyd-fit the residual codebooks on the SAME distributed plan as
@@ -623,8 +652,7 @@ object Similarity {
     import spark.implicits._
     residFrame
       .repartition(spark.sparkContext.defaultParallelism, $"vec_id")
-      .select($"vec_id", $"cell",
-        array((0 until PqSubspaces).map(m => pqCodeCol(cb, $"r", m)): _*).as("code"))
+      .select($"vec_id", $"cell", pqCodesCol(cb, $"r").as("code"))
   }
 
   /** The shared ADC search tail: per-(query, probe-cell) coarse terms +
@@ -656,8 +684,8 @@ object Similarity {
       .select($"query_id", $"cell",
         floor(VectorOps.dot($"qv", element_at(centLit, $"cell" + 1)) * lit(ScoreScale))
           .cast("long").as("coarse"))
-    def tabCol(m: Int): Column = array(cb(m).map(cv =>
-      floor(VectorOps.dotLit($"qv", cv, m * PqSubDim) * lit(ScoreScale)).cast("long")): _*)
+    def tabCol(m: Int): Column =
+      graft.functions.PqAdcTable($"qv", cb, ScoreScale, m)
     val qt = e.filter($"vec_id" < NumQueries)
       .select($"vec_id".as("query_id"), $"v".as("qv"))
       .select($"query_id" +: (0 until PqSubspaces).map(m => tabCol(m).as(s"tab$m")): _*)
@@ -824,19 +852,30 @@ object Similarity {
     val resid = zip_with($"v", element_at(centLit, $"cell" + 1), (a, b) => a - b)
     assignedCells(rows, scoreArr)
       .select($"vec_id", $"cell", resid.as("r"))
-      .select($"vec_id", $"cell",
-        posexplode(array((0 until PqSubspaces).map(m =>
-          pqCodeCol(cb, $"r", m)): _*)).as(Seq("m", "code")))
+      .select($"vec_id", $"cell", pqCodesCol(cb, $"r").as("codes"))
+      .select($"vec_id", $"cell", posexplode($"codes").as(Seq("m", "code")))
   }
 
   /** vec_id's m-th [[PqSubDim]]-dim sub-slice. */
   private def pqSub(v: Column, m: Int): Column = slice(v, m * PqSubDim + 1, PqSubDim)
 
-  /** Per-subspace codeword assignment against the given codebooks:
-    * argmin of the quantized drop-the-constant distance, first-match
-    * (= lowest codeword id) on ties — mirrored by the oracle's
-    * `ORDER BY dq ASC, c ASC`. */
-  private def pqCodeCol(cb: Seq[Seq[Seq[Double]]], v: Column, m: Int): Column = {
+  /** All-subspace codeword assignment in ONE codegen'd expression
+    * ([[graft.functions.PqEncode]]): out(m) = argmin_c of the quantized
+    * drop-the-constant distance, first-match (= lowest codeword id) on
+    * ties — mirrored by the oracle's `ORDER BY dq ASC, c ASC`, and
+    * bit-identical to the literal [[pqCodeCol]] tree (PqOpsSpec pins
+    * the differential at k = 16 and k = 256). The literal tree is
+    * what made 8-bit codebooks 10× the encode wall (2048 dot_const
+    * nodes per row); this is the table-lookup encode that unblocks
+    * them (r15 VERDICT #1). */
+  private[graft] def pqCodesCol(cb: Seq[Seq[Seq[Double]]], v: Column): Column =
+    graft.functions.PqEncode(v, cb, ScoreScale)
+
+  /** Single-subspace literal-tree assignment — retained as the
+    * differential oracle for [[pqCodesCol]] (PqOpsSpec) and for the
+    * expression-shape documentation above; production paths all use
+    * the fused encode. */
+  private[graft] def pqCodeCol(cb: Seq[Seq[Seq[Double]]], v: Column, m: Int): Column = {
     val dists = array(cb(m).map { cv =>
       floor((lit(normSq(cv)) - lit(2.0) * VectorOps.dotLit(v, cv, m * PqSubDim))
         * lit(ScoreScale)).cast("long")
@@ -869,11 +908,16 @@ object Similarity {
     val ev = e.select($"v")
       .repartition(spark.sparkContext.defaultParallelism)
     for (_ <- 0 until iters) {
+      // codes computed ONCE per row in their own projection (the fused
+      // PqEncode), then fanned out — inlining the encode into the
+      // 8-struct array would evaluate it per subspace (CollapseProject
+      // keeps the two projections apart: non-cheap expr, 8 references)
       val cells = array((0 until PqSubspaces).map { m =>
-        struct(pqCodeCol(cb, $"v", m).as("cell"),
+        struct(element_at($"codes", m + 1).as("cell"),
           transform(pqSub($"v", m), x => floor(x * lit(QuantScale)).cast("long")).as("svq"))
       }: _*)
-      val rows = ev.select(posexplode(cells).as(Seq("m", "x")))
+      val rows = ev.select($"v", pqCodesCol(cb, $"v").as("codes"))
+        .select(posexplode(cells).as(Seq("m", "x")))
         .select($"m", $"x.cell".as("cell"), $"x.svq".as("svq"))
         .groupBy($"m", $"cell")
         .agg(count(lit(1)).as("n"),
@@ -1056,6 +1100,7 @@ object Similarity {
     "sim_ann_pq" -> simAnnPq,
     "sim_ann_sq8" -> simAnnSq8,
     "sim_ann_ivfpq" -> simAnnIvfPq,
+    "sim_ann_ivfpq_8b" -> simAnnIvfPq8b,
     "sim_ann_ivfpq_incremental" -> simAnnIvfPqIncremental,
     "sim_ann_ivfpq_rerank" -> simAnnIvfPqRerank,
     "dedup_semantic" -> dedupSemantic,
@@ -1146,10 +1191,10 @@ object Similarity {
     * sim_ann_pq mirror passes the embeddings themselves; the IVF-PQ
     * mirror passes its residual CTE (round 11). */
   private def pqFitCtes(iters: Int, rel: String, vcol: String,
-      seedLo: Int): String =
+      seedLo: Int, k: Int = NumCentroids): String =
     pqFitCtesWithSeeds(iters, rel, vcol,
       s"""(SELECT vec_id - $seedLo AS c, $vcol FROM $rel
-         |    WHERE vec_id >= $seedLo AND vec_id < ${seedLo + NumCentroids})""".stripMargin)
+         |    WHERE vec_id >= $seedLo AND vec_id < ${seedLo + k})""".stripMargin)
 
   /** [[pqFitCtes]] with an arbitrary seed relation `(c, $vcol)` and an
     * optional fit-row filter — the incremental IVF-PQ mirror seeds from
@@ -1542,6 +1587,12 @@ object Similarity {
     // through the candidate's cell
     "sim_ann_ivfpq" ->
       ivfPqSqlWith(pqFitCtes(KMeansIters, "resid", "r", IvfPqSeedBase)),
+    // the 8-bit tier: the IDENTICAL mirror with 256-codeword seeds —
+    // only the cb0 seed range widens; fit, dist/codes argmin, tab and
+    // sc CTEs are all codeword-count-generic
+    "sim_ann_ivfpq_8b" ->
+      ivfPqSqlWith(pqFitCtes(KMeansIters, "resid", "r", IvfPqSeedBase,
+        Pq8Codewords)),
     // identical CTE chain (same fit, same ADC scores) with the refine
     // tail: ADC pool cut at RerankPool, exact-dot re-rank off the raw
     // vector store — integer scores on the shared 10^12 grid
