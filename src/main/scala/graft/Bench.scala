@@ -120,6 +120,8 @@ object Bench {
     "cur_mix_epochs", "cur_badwords", "cur_decontam_semantic",
     // its IVF-routed scale form: probe-cell residents only (r16)
     "cur_decontam_semantic_ann",
+    // production-sized blocklist: one Aho-Corasick pass, 2k entries (r16)
+    "cur_badwords_big",
     // the complete C4 recipe in paper order: badwords page drop ahead
     // of the lines-composed samples pipeline
     "cur_pipeline_samples_c4",
@@ -184,6 +186,8 @@ object Bench {
     "cur_source_caps", "cur_source_caps_tokens", "cur_pipeline_samples_caps",
     "dedup_lines", "cur_line_filter", "cur_strip_repetition",
     "text_bpe_fit",
+    // the fast-trainer form: top-B independent merges per corpus pass
+    "text_bpe_fit_batched",
     // the C4-order composition: line filter + line dedup ahead of the
     // document-level samples stages
     "cur_pipeline_samples_lines",

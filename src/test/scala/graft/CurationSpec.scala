@@ -777,4 +777,64 @@ class CurationSpec extends AnyFunSuite {
     assert(Curation.dsirSelectFrom(det.coalesce(1),
       materialize = false).collect().nonEmpty)
   }
+
+  test("ANN-routed semantic decontam: full probe ≡ brute; reduced-probe recall") {
+    import graft.operators.Similarity
+    // full probe makes the candidate set exactly all (train × eval)
+    // pairs, so the routed query must reproduce the brute top-20
+    // bit-for-bit — the simAnnIvf full-probe ≡ brute pattern
+    val brute = Curation.decontamSemantic(spark, sf).collect().map(_.toSeq).toSeq
+    val full = Curation.decontamSemanticAnnOn(spark, sf, Similarity.NumCentroids)
+      .collect().map(_.toSeq).toSeq
+    assert(full === brute)
+    // reduced probe: pair-level recall of the shipped default vs brute
+    def pairs(rows: Seq[Seq[Any]]): Set[(Long, Long)] =
+      rows.map(r => (r(0).asInstanceOf[Long], r(1).asInstanceOf[Long])).toSet
+    val reduced = Curation.decontamSemanticAnnOn(spark, sf, Similarity.NProbe)
+      .collect().map(_.toSeq).toSeq
+    val recall = (pairs(brute) & pairs(reduced)).size.toDouble / brute.size
+    info(s"decontam ANN recall@20 at nprobe=${Similarity.NProbe}: $recall")
+    // isotropic-corpus expectation ≈ nprobe/ncells (no cluster
+    // structure to exploit — the IVF-family caveat); floor well under
+    // the 10/16 expectation to absorb seed drift
+    assert(recall >= 0.4, s"decontam ANN recall@20 = $recall below floor")
+  }
+
+  test("badwords big list: automaton ≡ IN-filter on single-token lists") {
+    // the equality-with-IN differential (r15 VERDICT #5): PhraseCount
+    // over the 3-entry BadWords list must reproduce the shipped
+    // IN-literal count row-for-row on the real corpus
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val viaIn = Curation.badwordsFilterOn(docs).collect().map(_.toSeq).toSeq
+    val viaAc = Curation.badwordsBigFilterOn(docs,
+      Curation.BadWords).collect().map(_.toSeq).toSeq
+    assert(viaAc === viaIn)
+    assert(viaIn.nonEmpty, "control: the planted token must fire")
+  }
+
+  test("badwords big list: multi-word phrases, overlaps, and the fixture") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x table hash y"), // one bigram match
+      (2L, "table table hash hash"), // the phrase occurs once despite doubled tokens
+      (3L, "a b c"), // two overlapping phrases from the list below
+      (4L, "a a a"), // self-overlapping phrase "a a" matches twice
+      (5L, "table x hash") // split phrase must NOT match
+    ).toDF("doc_id", "text")
+    val out = Curation.badwordsBigFilterOn(docs,
+        Seq("table hash", "a b", "b c", "a a"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L))
+    // fixture sanity: 2k distinct entries, multi-word present, and the
+    // corpus-occurring bigram actually fires on real documents
+    assert(Curation.BadWordsBig.size === 2000)
+    assert(Curation.BadWordsBig.distinct.size === 2000)
+    assert(Curation.BadWordsBig.exists(_.count(_ == ' ') == 2), "no 3-word entries")
+    val real = Curation.badwordsBigFilterOn(
+      graft.sources.Tables.documents(spark, sf), Curation.BadWordsBig)
+    val inOnly = Curation.badwordsFilterOn(
+      graft.sources.Tables.documents(spark, sf))
+    assert(real.count() > inOnly.count(),
+      "the corpus bigrams in the big list must flag pages the 3-token list misses")
+  }
 }
