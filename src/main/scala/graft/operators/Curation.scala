@@ -259,6 +259,73 @@ object Curation {
       .orderBy($"bin")
   }
 
+  /** Shard token budget for the training-shard writer: sized to yield
+    * several shards at every driver SF (samples total ≈ 25k tokens at
+    * sf0.01 → ~5 shards) while staying a realistic "size-bounded file"
+    * stand-in. A production run sets this to the trainer's shard size
+    * (e.g. ~100 MB of tokens). */
+  final val ShardBudget = 5000L
+
+  /** TRAINING-SHARD ASSIGNMENT (r15 VERDICT #6): every sample of the
+    * materializing pipeline gets its deterministic shard id — the
+    * exclusive token prefix sum in (doc_id, chunk_idx) order, integer-
+    * divided by [[ShardBudget]] — so a trainer reads deterministic,
+    * size-bounded shard files. Same scale-safe two-pass prefix-sum
+    * machinery as [[packPrepared]] (per-partition sums collected, then
+    * a per-partition running offset — no global window funnel), here
+    * emitting the per-SAMPLE assignment the partitioned write consumes
+    * instead of the per-bin aggregate. A shard's token total can
+    * exceed the budget by at most one sample (bin = pre // budget, the
+    * packer's convention). */
+  def shardAssign(spark: SparkSession, sfDir: String): DataFrame =
+    shardAssignOn(pipelineCurateSamples(spark, sfDir))
+
+  private[graft] def shardAssignOn(samples: DataFrame,
+      budget: Long = ShardBudget): DataFrame = {
+    val spark = samples.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField}
+    // materialize once: the sizes pass and the emit pass are two jobs
+    // over the same RDD, and the upstream pipeline is both expensive
+    // and full of its own checkpoints — the dsirSelectFrom determinism
+    // discipline, settled by materializing here
+    val sorted = Materialize.frame(
+      samples.select($"doc_id", $"chunk_idx", $"chunk_text", $"n_tokens")
+        .orderBy($"doc_id", $"chunk_idx"))
+    val nIdx = sorted.schema.fieldIndex("n_tokens")
+    val rdd = sorted.rdd
+    val perPart = rdd.mapPartitionsWithIndex { (i, it) =>
+      var s = 0L; it.foreach(s += _.getLong(nIdx)); Iterator((i, s))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = perPart.scanLeft(0L)(_ + _)
+    val out = rdd.mapPartitionsWithIndex { (i, it) =>
+      var run = offsets(i)
+      it.map { r =>
+        val n = r.getLong(nIdx); val pre = run; run += n
+        Row.fromSeq(r.toSeq :+ (pre / budget))
+      }
+    }
+    spark.createDataFrame(out, org.apache.spark.sql.types.StructType(
+        sorted.schema.fields :+ StructField("shard", LongType, nullable = false)))
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
+  /** The WRITER half: materialize the samples as one parquet directory
+    * per shard (`dir/shard=N/`) via a partitioned write — the
+    * deterministic, size-budgeted shard files a trainer consumes.
+    * Returns the shard count. Scale shape: the assignment is the
+    * two-pass prefix sum above; the write is a standard partitioned
+    * parquet sink (each task writes only its rows' shard directories —
+    * no extra shuffle beyond the assignment's sort). Round-trip
+    * (read-back ≡ samples ∪ assignment) is pinned in CurationSpec. */
+  def writeShards(samples: DataFrame, dir: String,
+      budget: Long = ShardBudget): Long = {
+    val assigned = shardAssignOn(samples, budget)
+    assigned.write.mode("overwrite").partitionBy("shard").parquet(dir)
+    assigned.select("shard").distinct().count()
+  }
+
   /** The window formulation of packBins — the readable spec of the
     * semantics, kept (test-only) as the differential oracle for the
     * scale-safe two-pass implementation above. Its global
@@ -2124,6 +2191,7 @@ object Curation {
     "cur_decontam_semantic" -> decontamSemantic,
     "cur_decontam_semantic_ann" -> decontamSemanticAnn,
     "cur_badwords_big" -> badwordsBigFilter,
+    "cur_shard_assign" -> shardAssign,
     "cur_pipeline_samples_c4" -> pipelineCurateSamplesC4,
     "dedup_lines" -> dedupLines,
     "cur_line_filter" -> lineFilter,
@@ -2296,6 +2364,32 @@ object Curation {
        |)
        |SELECT doc_id, chunk_idx, chunk_text, n_tokens
        |FROM sel WHERE rn = 1 ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** The samples pipeline's WITH-body (red → pairs → kept → good →
+    * chunks → sel) — the ONE SQL definition shared by the
+    * `cur_pipeline_samples` oracle and the shard-assignment oracle
+    * built on its output, so the two cannot drift. */
+  private def samplesSqlCtes: String =
+    s"""red AS (
+       |  SELECT doc_id, ${TextAnalysis.redactedSqlExpr} AS text
+       |  FROM documents
+       |),
+       |pairs AS (${Dedup.cappedJaccardSqlFrom("red")}),
+       |kept AS (
+       |  SELECT doc_id, text FROM red
+       |  WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
+       |),
+       |good AS (
+       |  SELECT doc_id, text FROM kept
+       |  WHERE ${TextAnalysis.qualitySqlExpr} >= $QualityCut
+       |),
+       |chunks AS (${chunksSqlFrom("good")}),
+       |sel AS (
+       |  SELECT doc_id, chunk_idx, chunk_text, n_tokens,
+       |    row_number() OVER (PARTITION BY md5(chunk_text)
+       |      ORDER BY doc_id, chunk_idx) AS rn
+       |  FROM chunks
+       |)""".stripMargin
 
   /** Cosine over two DOUBLE[]-valued SQL expressions — the
     * Similarity.cosListSql shape (sequential dot / (√·√)), local copy
@@ -2783,28 +2877,24 @@ object Curation {
          |SELECT doc_id, chunk_idx, chunk_text, n_tokens
          |FROM sel WHERE rn = 1 ORDER BY doc_id, chunk_idx""".stripMargin,
     "cur_pipeline_samples" ->
-      s"""WITH red AS (
-         |  SELECT doc_id, ${TextAnalysis.redactedSqlExpr} AS text
-         |  FROM documents
-         |),
-         |pairs AS (${Dedup.cappedJaccardSqlFrom("red")}),
-         |kept AS (
-         |  SELECT doc_id, text FROM red
-         |  WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
-         |),
-         |good AS (
-         |  SELECT doc_id, text FROM kept
-         |  WHERE ${TextAnalysis.qualitySqlExpr} >= $QualityCut
-         |),
-         |chunks AS (${chunksSqlFrom("good")}),
-         |sel AS (
-         |  SELECT doc_id, chunk_idx, chunk_text, n_tokens,
-         |    row_number() OVER (PARTITION BY md5(chunk_text)
-         |      ORDER BY doc_id, chunk_idx) AS rn
-         |  FROM chunks
-         |)
+      s"""WITH $samplesSqlCtes
          |SELECT doc_id, chunk_idx, chunk_text, n_tokens
          |FROM sel WHERE rn = 1 ORDER BY doc_id, chunk_idx""".stripMargin,
+    // shard assignment over the samples pipeline's own output: the
+    // exclusive token prefix sum in (doc_id, chunk_idx) order, integer-
+    // divided by the shard budget — the window formulation IS the
+    // readable spec of the engine's two-pass implementation
+    "cur_shard_assign" ->
+      s"""WITH $samplesSqlCtes,
+         |samples AS (
+         |  SELECT doc_id, chunk_idx, chunk_text, n_tokens
+         |  FROM sel WHERE rn = 1
+         |)
+         |SELECT doc_id, chunk_idx, chunk_text, n_tokens,
+         |  CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id, chunk_idx
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    // $ShardBudget AS BIGINT) AS shard
+         |FROM samples ORDER BY doc_id, chunk_idx""".stripMargin,
     // the C4-order composition: line filter + line dedup on ORIGINAL
     // indexes, space-joined rebuild, then the samples CTEs verbatim
     // over the rebuilt corpus

@@ -1245,15 +1245,26 @@ object Dedup {
 
   /** 16-bit-band SimHash search parameters: 4 aligned chunks of 16 bits.
     * Pigeonhole at [[MaxPairHamming]] = 15: some chunk of any qualifying
-    * pair differs in ≤ ⌊15/4⌋ = 3 bits, so a radius-3 probe ball
-    * (C(16,0..3) = 697 masks) deterministically captures it — the same
-    * guarantee shape as the 8-bit search, one band-width step up. */
+    * pair differs in ≤ ⌊15/4⌋ = 3 bits, so the two-sided radius-1 ×
+    * radius-2 ball pair (see b16FlipsIdx/b16FlipsProbe) deterministically
+    * captures it — the same guarantee shape as the 8-bit search, one
+    * band-width step up. */
   final val SimHashB16Chunks = 4
   final val SimHashB16Bits = 16
 
-  /** All 16-bit masks of Hamming weight ≤ 3 — the radius-3 probe ball. */
-  private lazy val b16Flips: Array[Int] =
-    (0 until (1 << SimHashB16Bits)).filter(Integer.bitCount(_) <= 3).toArray
+  /** The TWO-SIDED probe-ball masks (r16 — was a one-sided radius-3
+    * ball of 697 masks on the probe side): index rows carry each
+    * chunk's radius-1 ball (17 masks), probes carry radius-2 (137).
+    * Any chunk pair differing in d ≤ 3 bits is captured: split diff =
+    * m1 ^ m2 with |m1| ≤ 1, |m2| ≤ 2 (d ≤ 1 → m1 = diff, m2 = 0; d ≥ 2
+    * → one bit on the index side, the rest on the probe side). Probe
+    * fan-out drops 2788 → 548 rows/doc (the row population whose
+    * allocation was the battery's 9.3 s GC flag, r15 VERDICT #8) for a
+    * 17× larger — still trivially broadcastable — index side. */
+  private lazy val b16FlipsIdx: Array[Int] =
+    (0 until (1 << SimHashB16Bits)).filter(Integer.bitCount(_) <= 1).toArray
+  private lazy val b16FlipsProbe: Array[Int] =
+    (0 until (1 << SimHashB16Bits)).filter(Integer.bitCount(_) <= 2).toArray
 
   /** [[dedupSimHashPairs]] with the band width grown from 8 to 16 bits —
     * the 100 TB scale knob for this search, DEMONSTRATED rather than
@@ -1268,11 +1279,15 @@ object Dedup {
     * DF is skewed, band-cell occupancy is flat). The scale lever is the
     * KEY SPACE: 16-bit chunks give 4·65536 cells, occupancy stays ~1
     * at these corpus sizes (max 4 at sf0.1, 9 at ×10), and measured
-    * candidate checks drop 6.3× / 6.5×. Cost shifts to probe fan-out
-    * (4 chunks × 697-mask radius-3 ball = 2788 keys/doc vs 72), which
-    * never crosses a shuffle: the index side is 4 rows/doc and
-    * broadcastable far beyond these scales, so probe rows are generated
-    * and consumed map-side. Rule of thumb the pair encodes: band bits
+    * candidate checks drop 6.3× / 6.5×. Cost shifts to probe fan-out —
+    * r16: a TWO-SIDED ball (radius-1 index × radius-2 probe, 68 + 548
+    * keys/doc) instead of the original one-sided radius-3 probe ball
+    * (4 + 2788): same deterministic capture by the mask-split argument
+    * at b16FlipsIdx, 5× fewer allocated probe rows (the r15 battery's
+    * 9.3 s GC flag). Fan-out never crosses a shuffle: the index side
+    * stays broadcastable far beyond these scales, so probe rows are
+    * generated and consumed map-side. Rule of thumb the pair encodes:
+    * band bits
     * must grow with log₂(n); at n where even 2^16-cell occupancy
     * saturates (billions of docs), the next step is 32-bit bands — or a
     * tighter Hamming window, which is a semantic change.
@@ -1287,16 +1302,24 @@ object Dedup {
     val mask = (1L << SimHashB16Bits) - 1
     def chunk(c: Int): Column =
       shiftrightunsigned($"f", c * SimHashB16Bits).bitwiseAND(lit(mask))
-    val chunkKeys = (0 until SimHashB16Chunks).map { c =>
-      struct(lit(c).as("c"), chunk(c).as("v"))
-    }
-    val index = fp.select($"doc_id", $"f", explode(array(chunkKeys: _*)).as("k"))
-      .select($"doc_id", $"f", $"k.c".as("c"), $"k.v".as("v"))
-    // probe side: two stacked generators (4 chunk values × the shared
-    // 697-mask ball) — the ball is ONE array literal in codegen, not
-    // 2788 inlined struct expressions (which would blow the generated
-    // method past Janino's limit and fall back to interpreted eval).
-    // Explicit-width repartition BEFORE the 2788× fan-out: fp is a
+    // posexplode of a plain value array (c = pos) — no per-row struct
+    // allocation; the ball masks are ONE array literal in codegen, not
+    // inlined expressions (which would blow the generated method past
+    // Janino's limit and fall back to interpreted eval).
+    val chunkVals = array((0 until SimHashB16Chunks).map(chunk): _*)
+    // TWO-SIDED ball (see the mask constants): the index side emits the
+    // radius-1 ball — 68 rows/doc, still trivially broadcastable — so
+    // the probe side only needs radius 2 (548 rows/doc, down from the
+    // one-sided radius-3 ball's 2788). The probe fan-out is the row
+    // population the whole query allocates; shrinking it 5× is the GC
+    // fix (r15: 9.3 s GC in the median battery run).
+    val index = fp.select($"doc_id", $"f",
+        posexplode(chunkVals).as(Seq("c", "v0")))
+      .select($"doc_id", $"f", $"c",
+        explode(lit(b16FlipsIdx)).as("flip"), $"v0")
+      .select($"doc_id", $"f", $"c",
+        $"v0".bitwiseXOR($"flip".cast("long")).as("v"))
+    // Explicit-width repartition BEFORE the 548× fan-out: fp is a
     // 1-row-per-doc aggregate output that AQE coalesces to ~1 partition
     // at this byte size, and without the exchange the whole probe
     // generation and join runs single-threaded (measured: 15 s wall ≈
@@ -1304,21 +1327,24 @@ object Dedup {
     // repartition below, on the input side
     val probe = fp
       .repartition(spark.sparkContext.defaultParallelism, $"doc_id")
-      .select($"doc_id", $"f", explode(array(chunkKeys: _*)).as("k"))
-      .select($"doc_id", $"f", $"k.c".as("c"), $"k.v".as("v0"),
-        explode(lit(b16Flips)).as("flip"))
+      .select($"doc_id", $"f", posexplode(chunkVals).as(Seq("c", "v0")))
+      .select($"doc_id", $"f", $"c",
+        explode(lit(b16FlipsProbe)).as("flip"), $"v0")
       .select($"doc_id", $"f", $"c",
         $"v0".bitwiseXOR($"flip".cast("long")).as("v"))
     // EXPLICIT broadcast of the index: Catalyst's size estimate for the
-    // probe side does not survive the 2788× generator fan-out, so left
+    // probe side does not survive the generator fan-out, so left
     // to stats it builds the hash table from the PROBE side — a
-    // single-threaded 2788n-row broadcast build (measured: 17 s wall ≈
-    // 17 s cpu at sf0.1). The index is 4 rows/doc (64 B/doc) — the side
-    // that stays broadcastable far past these scales; when n outgrows
-    // the broadcast threshold the hint comes off and both sides shuffle
-    // on (c, v), at which point the probe fan-out crosses the wire and
-    // the two-sided-ball geometry (radius 1 index × radius 2 probe)
-    // becomes the better trade — documented, not needed at ×10.
+    // single-threaded 548n-row broadcast build (measured at the old
+    // 2788× geometry: 17 s wall ≈ 17 s cpu at sf0.1). The index is 68
+    // rows/doc (~1 KB/doc) — still the side that stays broadcastable
+    // far past these scales; when n outgrows the broadcast threshold
+    // the hint comes off and both sides shuffle on (c, v), where the
+    // two-sided geometry's smaller total fan-out is exactly what
+    // crosses the wire. A two-sided match can capture one pair through
+    // several (m1, m2) splits — the existing distinct() below already
+    // collapses them (capture multiplicity ≤ 17 per equal chunk, pair
+    // count unchanged — DedupSpec pins b16 ≡ 8-bit output).
     val candidates = probe.as("a").join(broadcast(index.as("b")),
         $"a.c" === $"b.c" && $"a.v" === $"b.v" && $"a.doc_id" < $"b.doc_id" &&
           expr("bit_count(a.f ^ b.f)") <= MaxPairHamming)

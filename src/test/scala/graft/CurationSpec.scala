@@ -800,6 +800,40 @@ class CurationSpec extends AnyFunSuite {
     assert(recall >= 0.4, s"decontam ANN recall@20 = $recall below floor")
   }
 
+  test("training-shard writer: round-trip ≡ samples ∪ assignment, budget respected") {
+    import spark.implicits._
+    val samples = Curation.pipelineCurateSamplesOn(
+      graft.sources.Tables.documents(spark, sf))
+    val budget = 500L // small budget → several shards at sf0.001
+    val assigned = Curation.shardAssignOn(samples, budget)
+      .collect().map(_.toSeq).toSeq
+    assert(assigned.nonEmpty)
+    // shards are contiguous 0..K and sizes bounded by budget + one sample
+    val byShard = assigned.groupBy(_.apply(4).asInstanceOf[Long])
+    val shards = byShard.keys.toSeq.sorted
+    assert(shards === (0L until shards.size.toLong))
+    val maxSample = assigned.map(_.apply(3).asInstanceOf[Long]).max
+    byShard.foreach { case (sid, rows) =>
+      val tot = rows.map(_.apply(3).asInstanceOf[Long]).sum
+      assert(tot <= budget + maxSample, s"shard $sid over budget: $tot")
+    }
+    assert(shards.size > 1, "budget must actually split the corpus")
+    // the write round-trip: partitioned files read back ≡ the assignment
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    try {
+      val n = Curation.writeShards(samples, dir, budget)
+      assert(n === shards.size.toLong)
+      val back = spark.read.parquet(dir)
+        .select($"doc_id", $"chunk_idx", $"chunk_text", $"n_tokens", $"shard".cast("long"))
+        .orderBy($"doc_id", $"chunk_idx")
+        .collect().map(_.toSeq).toSeq
+      assert(back === assigned)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
   test("badwords big list: automaton ≡ IN-filter on single-token lists") {
     // the equality-with-IN differential (r15 VERDICT #5): PhraseCount
     // over the 3-entry BadWords list must reproduce the shipped

@@ -311,6 +311,13 @@ class DedupSpec extends AnyFunSuite {
     // deterministic bound for this geometry
     val balanced16x4 = diffOf((0 until 4).flatMap(k => Seq(16 * k, 16 * k + 1, 16 * k + 2, 16 * k + 3)))
     assert(!captured16(balanced16x4))
+    // the r16 TWO-SIDED engine geometry realizes the radius-3 capture:
+    // every 16-bit diff of weight <= 3 splits as m1 ^ m2 with
+    // |m1| <= 1 (index ball) and |m2| <= 2 (probe ball) — exhaustive
+    val m1s = (0 until (1 << 16)).filter(Integer.bitCount(_) <= 1)
+    for (d <- 0 until (1 << 16) if Integer.bitCount(d) <= 3)
+      assert(m1s.exists(m1 => Integer.bitCount(m1 ^ d) <= 2),
+        s"no (m1, m2) split for diff $d")
   }
 
   test("containment finds a planted excerpt that jaccard structurally misses") {

@@ -351,6 +351,32 @@ class TextAnalysisSpec extends AnyFunSuite {
       (1, "l", "o", 5L), (2, "lo", "w", 5L), (3, "low", "</w>", 3L)))
   }
 
+  test("batched BPE fit at batch = 1 ≡ the sequential fit (the no-conflict differential)") {
+    // a pool of one is trivially independent, so the batched path
+    // reduces structurally to the sequential fit — one differential
+    // covering pair counting, ranking, tie-breaks and the rewrite
+    val docs = graft.sources.Tables.documents(spark, SparkTestSession.sf0001)
+    val seqFit = TextAnalysis.textBpeFitOn(docs, 6).collect().map(_.toSeq).toSeq
+    val batched = TextAnalysis.textBpeFitBatchedOn(docs, iters = 6, batch = 1)
+      .collect().map(_.toSeq).toSeq
+    assert(batched === seqFit)
+  }
+
+  test("batched BPE fit: rank-prefix independence filter drops symbol-sharing candidates") {
+    import spark.implicits._
+    // word freqs: xy×3, yz×2, pq×1 → pool at B=4 ranked (count DESC,
+    // lhs, rhs): (x,y):3, (y,</w>):3, (y,z):2, (z,</w>):2.
+    // r1 (x,y) kept; r2 shares y with r1 → dropped; r3 shares y → dropped;
+    // r4 (z,</w>) shares </w> with the DROPPED r2 → dropped too (the
+    // rule filters against all earlier-RANKED candidates, kept or not —
+    // the SQL-expressible conservative form the scaladoc defines).
+    val docs = Seq((1L, "xy xy xy yz yz pq")).toDF("doc_id", "text")
+    val got = TextAnalysis.textBpeFitBatchedOn(docs, iters = 1, batch = 4)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    assert(got === Seq((1, "x", "y", 3L)))
+  }
+
   test("fitted merges feed the greedy counter: countWith over vocabFromMerges diverges from the committed fixture") {
     import graft.functions.BpeImpl
     val merges = Seq(("l", "o"), ("lo", "w"), ("low", "</w>"))
