@@ -163,9 +163,11 @@ object Bench {
     // IVF-PQ composed index: coarse probe routing + residual ADC scan
     // inside the probed cells — the FAISS IndexIVFPQ shape
     "sim_ann_ivfpq",
-    // the 8-bit-codebook tier (FAISS default): 256 codewords/subspace
-    // through the fused PqEncode — the standalone-usable compressed scan
+    // the 8-bit-codebook tier (FAISS default nbits=8): 256 codewords
+    // per subspace through the fused PqEncode
     "sim_ann_ivfpq_8b",
+    // the 32-byte-code STANDALONE tier: un-reranked recall 0.90 (r16)
+    "sim_ann_ivfpq_32x8",
     // its maintenance form: frozen models, delta-only encode appended
     // to the code artifact
     "sim_ann_ivfpq_incremental",
@@ -397,7 +399,7 @@ object Bench {
         val brute = SparkEntry.queries("sim_topk_brute")(spark, sfDir)
           .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
         val rs = Seq("sim_ann_lsh", "sim_ann_ivf", "sim_ann_ivfpq",
-          "sim_ann_ivfpq_8b", "sim_ann_ivfpq_rerank")
+          "sim_ann_ivfpq_8b", "sim_ann_ivfpq_32x8", "sim_ann_ivfpq_rerank")
           .filter(selected.contains).map { name =>
           val got = SparkEntry.queries(name)(spark, sfDir)
             .collect().map(r => (r.getLong(0), r.getLong(2))).toSet

@@ -570,13 +570,14 @@ object Similarity {
     ivfPqAdcSearch(e, cents, cb, codes, nprobe)
   }
 
-  /** Codewords per subspace for the 8-BIT tier: 256 — the FAISS
-    * default (nbits = 8). 8 subspaces × 1 byte = 8 B codes/vector,
-    * still a 32× compression of the 64-dim float store, but 16× the
-    * per-subspace resolution of the 4-bit tier — the difference
-    * between recall@5 0.14 and a standalone-usable compressed scan on
-    * this isotropic corpus (measured r14: 0.60 at equal pools; r16
-    * re-measured through the fused encode in bench.json.ann_recall). */
+  /** Codewords per subspace for the 8-BIT tiers: 256 — the FAISS
+    * default (nbits = 8). At 8 subspaces × 1 byte = 8 B codes/vector
+    * (32× compression), 16× the per-subspace resolution of the 4-bit
+    * tier: raw recall@5 doubles (0.14 → 0.30 at sf0.1, quantization-
+    * capped flat in nprobe on this isotropic corpus) and the exact-
+    * rerank pool needed for 0.82 drops 600 → 100. Standalone raw
+    * ranking needs more code BYTES, not more probe — see
+    * [[Pq32Subspaces]]'s measured curve. */
   final val Pq8Codewords = 256
 
   /** 8-BIT IVF-PQ — [[simAnnIvfPq]] with [[Pq8Codewords]]-entry
@@ -586,10 +587,43 @@ object Similarity {
     * experiment showed recall-viable but wall-infeasible under the
     * baked-literal encode (2048 dot_const nodes/row, 10× wall —
     * SCALING.md r14); the fused [[pqCodesCol]]/[[graft.functions.PqEncode]]
-    * table-lookup encode is what ships it (r15 VERDICT #1). */
-  def simAnnIvfPq8b(spark: SparkSession, sfDir: String): DataFrame = {
+    * table-lookup encode is what ships it (r15 VERDICT #1), at ~1.3×
+    * the 4-bit tier's wall. */
+  def simAnnIvfPq8b(spark: SparkSession, sfDir: String): DataFrame =
+    simAnnIvfPq8bOn(spark, sfDir, NProbe)
+
+  private[graft] def simAnnIvfPq8bOn(spark: SparkSession, sfDir: String,
+      nprobe: Int): DataFrame = {
     val (e, cents, cb, codes) = ivfPqIndexAt(spark, sfDir, Pq8Codewords)
-    ivfPqAdcSearch(e, cents, cb, codes, NProbe)
+    ivfPqAdcSearch(e, cents, cb, codes, nprobe)
+  }
+
+  /** Subspace count for the 32-BYTE-code tier: 32 subspaces of 2 dims
+    * each (× 8-bit codebooks = 256-bit codes, 8× compression of the
+    * raw store; half of SQ8's 64 B). The knob that buys STANDALONE
+    * recall on isotropic data, where fewer code bits are
+    * information-theoretically capped — the r16 full-probe un-reranked
+    * sweep at sf0.1 measured recall@5 by code size: 4 B → 0.14,
+    * 8 B → 0.30 (flat in nprobe), 16 B → 0.52, 32 B → **0.90**. */
+  final val Pq32Subspaces = 32
+
+  /** 32×8-BIT IVF-PQ — the STANDALONE compressed tier:
+    * [[Pq32Subspaces]] subspaces × [[Pq8Codewords]] codewords over the
+    * same composition. The first code geometry whose raw ADC ranking
+    * is usable WITHOUT an exact rerank on this corpus (0.90 measured,
+    * see [[Pq32Subspaces]]) — what a 100 TB deployment serves from
+    * when the rerank fetch is too expensive. Encode arithmetic is
+    * identical per row across the tiers (m·256·(64/m) multiply-adds
+    * through the same fused [[pqCodesCol]]). */
+  def simAnnIvfPq32x8(spark: SparkSession, sfDir: String): DataFrame =
+    simAnnIvfPqAtOn(spark, sfDir, NProbe, Pq8Codewords, Pq32Subspaces)
+
+  /** The fully-parameterized IVF-PQ search (recall-sweep seam:
+    * codewords k × subspaces m × nprobe). */
+  private[graft] def simAnnIvfPqAtOn(spark: SparkSession, sfDir: String,
+      nprobe: Int, k: Int, subspaces: Int): DataFrame = {
+    val (e, cents, cb, codes) = ivfPqIndexAt(spark, sfDir, k, subspaces)
+    ivfPqAdcSearch(e, cents, cb, codes, nprobe)
   }
 
   /** The fitted IVF-PQ index: raw vectors, coarse centroids, Lloyd-
@@ -603,7 +637,8 @@ object Similarity {
     * k = [[NumCentroids]] (16, 4-bit codes) is the compact default;
     * k = [[Pq8Codewords]] (256, 8-bit codes, the FAISS default) is the
     * recall tier the fused [[pqCodesCol]] encode makes wall-feasible. */
-  private def ivfPqIndexAt(spark: SparkSession, sfDir: String, k: Int)
+  private def ivfPqIndexAt(spark: SparkSession, sfDir: String, k: Int,
+      subspaces: Int = PqSubspaces)
       : (DataFrame, Seq[Seq[Double]], Seq[Seq[Seq[Double]]], DataFrame) = {
     import spark.implicits._
     val e = embeddings(spark, sfDir)
@@ -622,7 +657,8 @@ object Similarity {
     // residuals of 16 arbitrary vectors are no tighter than raw seeds;
     // the fitted codewords adapt to the within-cell spread — see
     // SimilaritySpec's recall comparison and its uniform-data caveat).
-    val cb = fitPqCodebooks(residFrame.select($"r".as("v")), cbSeeds, KMeansIters)
+    val cb = fitPqCodebooks(residFrame.select($"r".as("v")), cbSeeds,
+      KMeansIters, subspaces)
     (e, cents, cb, ivfPqEncode(residFrame, cb))
   }
 
@@ -688,8 +724,8 @@ object Similarity {
       graft.functions.PqAdcTable($"qv", cb, ScoreScale, m)
     val qt = e.filter($"vec_id" < NumQueries)
       .select($"vec_id".as("query_id"), $"v".as("qv"))
-      .select($"query_id" +: (0 until PqSubspaces).map(m => tabCol(m).as(s"tab$m")): _*)
-    val radc = (0 until PqSubspaces).map(m =>
+      .select($"query_id" +: cb.indices.map(m => tabCol(m).as(s"tab$m")): _*)
+    val radc = cb.indices.map(m =>
       element_at(col(s"tab$m"), element_at($"code", m + 1) + 1)).reduce(_ + _)
     // cells are disjoint, so each candidate matches exactly one probe
     // row per query — no distinct needed (the simAnnIvf argument)
@@ -709,10 +745,13 @@ object Similarity {
     * 0.28 with a 40-pool EVEN AT FULL PROBE; the exact-rerank pool is
     * the one knob that keeps climbing (0.44@100 → 0.60@200 → 0.78@400
     * → 0.86@600), and it is cheap — a broadcast point-lookup join,
-    * wall-flat. 8-bit codebooks (the FAISS default) fix the codes but
-    * 10×'d the wall under the baked-literal encode, and real embedding
-    * corpora cluster, where small k_factor works — so the compressed
-    * tier pays pool, and the measured recall ships next to the speed
+    * wall-flat. r16: the fused [[pqCodesCol]] encode made bigger codes
+    * wall-feasible — [[simAnnIvfPq8b]] (FAISS-default 8-bit, raw 0.30)
+    * reaches 0.82 with a pool of just 100, and the 32-byte
+    * [[simAnnIvfPq32x8]] tier is standalone-usable at 0.90 with NO
+    * rerank — so this 600-pool default is the 4-bit tier's own
+    * requirement, not the family's. Real embedding corpora cluster,
+    * where small k_factor works; measured recall ships next to speed
     * in bench.json's ann_recall block. The ≥0.9-recall RAW-vector
     * tiers are `sim_ann_lsh` (0.96) and IVF-Flat at high nprobe
     * (0.96 at 14/16 — `simAnnIvfOn` exposes the knob). */
@@ -750,9 +789,15 @@ object Similarity {
   /** The knob-parameterized refine stage (recall-sweep seam — the
     * curve in SCALING.md is measured through this entry). */
   private[graft] def simAnnIvfPqRerankAt(spark: SparkSession, sfDir: String,
-      nprobe: Int, rerankPool: Int): DataFrame = {
+      nprobe: Int, rerankPool: Int): DataFrame =
+    simAnnIvfPqRerankAtK(spark, sfDir, nprobe, rerankPool, NumCentroids)
+
+  /** [[simAnnIvfPqRerankAt]] with the codewords-per-subspace knob too
+    * (the 8-bit refine sweep's seam). */
+  private[graft] def simAnnIvfPqRerankAtK(spark: SparkSession, sfDir: String,
+      nprobe: Int, rerankPool: Int, k: Int): DataFrame = {
     import spark.implicits._
-    val (e, cents, cb, codes) = ivfPqIndex(spark, sfDir)
+    val (e, cents, cb, codes) = ivfPqIndexAt(spark, sfDir, k)
     val wa = Window.partitionBy($"query_id").orderBy($"score_q".desc, $"vec_id".asc)
     val pool = ivfPqAdcScored(e, cents, cb, codes, nprobe)
       .withColumn("rka", row_number().over(wa))
@@ -857,7 +902,8 @@ object Similarity {
   }
 
   /** vec_id's m-th [[PqSubDim]]-dim sub-slice. */
-  private def pqSub(v: Column, m: Int): Column = slice(v, m * PqSubDim + 1, PqSubDim)
+  private def pqSub(v: Column, m: Int, subDim: Int = PqSubDim): Column =
+    slice(v, m * subDim + 1, subDim)
 
   /** All-subspace codeword assignment in ONE codegen'd expression
     * ([[graft.functions.PqEncode]]): out(m) = argmin_c of the quantized
@@ -897,10 +943,11 @@ object Similarity {
     * driver-side only for the bounded 8×16×8 fold, exactly like the
     * IVF fit. */
   private[graft] def fitPqCodebooks(e: DataFrame, seeds: Seq[Seq[Double]],
-      iters: Int): Seq[Seq[Seq[Double]]] = {
+      iters: Int, subspaces: Int = PqSubspaces): Seq[Seq[Seq[Double]]] = {
     val spark = e.sparkSession
     import spark.implicits._
-    var cb = pqCodebooks(seeds)
+    val subDim = graft.functions.LshImpl.Dims / subspaces
+    var cb = pqCodebooks(seeds, subspaces)
     // same explicit-width discipline as fitCentroids: the 1-task bench
     // scan serialized the 8-subspace argmin + ×8 fan-out (measured:
     // tasks=1, 0.7–1.5 s single-thread per fit pass); the integer sums
@@ -910,25 +957,27 @@ object Similarity {
     for (_ <- 0 until iters) {
       // codes computed ONCE per row in their own projection (the fused
       // PqEncode), then fanned out — inlining the encode into the
-      // 8-struct array would evaluate it per subspace (CollapseProject
-      // keeps the two projections apart: non-cheap expr, 8 references)
-      val cells = array((0 until PqSubspaces).map { m =>
+      // per-subspace struct array would evaluate it per subspace
+      // (CollapseProject keeps the two projections apart: non-cheap
+      // expr, multiple references)
+      val cells = array((0 until subspaces).map { m =>
         struct(element_at($"codes", m + 1).as("cell"),
-          transform(pqSub($"v", m), x => floor(x * lit(QuantScale)).cast("long")).as("svq"))
+          transform(pqSub($"v", m, subDim),
+            x => floor(x * lit(QuantScale)).cast("long")).as("svq"))
       }: _*)
       val rows = ev.select($"v", pqCodesCol(cb, $"v").as("codes"))
         .select(posexplode(cells).as(Seq("m", "x")))
         .select($"m", $"x.cell".as("cell"), $"x.svq".as("svq"))
         .groupBy($"m", $"cell")
         .agg(count(lit(1)).as("n"),
-          (0 until PqSubDim).map(d => sum(element_at($"svq", d + 1)).as(s"s$d")): _*)
+          (0 until subDim).map(d => sum(element_at($"svq", d + 1)).as(s"s$d")): _*)
         .collect()
       val byKey = rows.map(r => (r.getInt(0), r.getInt(1)) -> r).toMap
       cb = cb.indices.map { m =>
         cb(m).indices.map { c =>
           byKey.get((m, c)).fold(cb(m)(c)) { r =>
             val n = r.getLong(2)
-            (0 until PqSubDim).map(d => r.getLong(3 + d).toDouble / (n * QuantScale.toDouble))
+            (0 until subDim).map(d => r.getLong(3 + d).toDouble / (n * QuantScale.toDouble))
           }
         }
       }
@@ -937,10 +986,13 @@ object Similarity {
   }
 
   /** cb(m)(c) = codeword c of subspace m: the c-th seed vector's m-th
-    * [[PqSubDim]]-dim slice. */
-  private def pqCodebooks(seeds: Seq[Seq[Double]]): Seq[Seq[Seq[Double]]] =
-    (0 until PqSubspaces).map(m =>
-      seeds.map(_.slice(m * PqSubDim, (m + 1) * PqSubDim)))
+    * subDim-dim slice. */
+  private def pqCodebooks(seeds: Seq[Seq[Double]],
+      subspaces: Int = PqSubspaces): Seq[Seq[Seq[Double]]] = {
+    val subDim = graft.functions.LshImpl.Dims / subspaces
+    (0 until subspaces).map(m =>
+      seeds.map(_.slice(m * subDim, (m + 1) * subDim)))
+  }
 
   /** ‖cv‖² as a Scala-computed double (left-to-right sum, the same
     * fold DuckDB's list_dot_product(cv, cv) runs) — baked as a literal
@@ -1101,6 +1153,7 @@ object Similarity {
     "sim_ann_sq8" -> simAnnSq8,
     "sim_ann_ivfpq" -> simAnnIvfPq,
     "sim_ann_ivfpq_8b" -> simAnnIvfPq8b,
+    "sim_ann_ivfpq_32x8" -> simAnnIvfPq32x8,
     "sim_ann_ivfpq_incremental" -> simAnnIvfPqIncremental,
     "sim_ann_ivfpq_rerank" -> simAnnIvfPqRerank,
     "dedup_semantic" -> dedupSemantic,
@@ -1191,10 +1244,12 @@ object Similarity {
     * sim_ann_pq mirror passes the embeddings themselves; the IVF-PQ
     * mirror passes its residual CTE (round 11). */
   private def pqFitCtes(iters: Int, rel: String, vcol: String,
-      seedLo: Int, k: Int = NumCentroids): String =
+      seedLo: Int, k: Int = NumCentroids,
+      subspaces: Int = PqSubspaces): String =
     pqFitCtesWithSeeds(iters, rel, vcol,
       s"""(SELECT vec_id - $seedLo AS c, $vcol FROM $rel
-         |    WHERE vec_id >= $seedLo AND vec_id < ${seedLo + k})""".stripMargin)
+         |    WHERE vec_id >= $seedLo AND vec_id < ${seedLo + k})""".stripMargin,
+      subspaces = subspaces)
 
   /** [[pqFitCtes]] with an arbitrary seed relation `(c, $vcol)` and an
     * optional fit-row filter — the incremental IVF-PQ mirror seeds from
@@ -1202,7 +1257,9 @@ object Similarity {
     * contiguous id window) and FITS on the prior slice only, while the
     * downstream encoding still reads the full `sv`. */
   private def pqFitCtesWithSeeds(iters: Int, rel: String, vcol: String,
-      seedsRel: String, fitWhere: String = "TRUE"): String = {
+      seedsRel: String, fitWhere: String = "TRUE",
+      subspaces: Int = PqSubspaces): String = {
+    val subDim = graft.functions.LshImpl.Dims / subspaces
     val iterCtes = (1 to iters).map { k =>
       s"""pa$k AS (
          |  SELECT vec_id, m, c AS cell FROM (
@@ -1229,11 +1286,11 @@ object Similarity {
          |  ) f USING (m, c)
          |)""".stripMargin
     }.mkString(",\n")
-    s"""ms AS (SELECT unnest(range(0, $PqSubspaces)) AS m),
-       |sd AS (SELECT unnest(range(1, ${PqSubDim + 1})) AS d),
+    s"""ms AS (SELECT unnest(range(0, $subspaces)) AS m),
+       |sd AS (SELECT unnest(range(1, ${subDim + 1})) AS d),
        |sv AS (
        |  SELECT t.vec_id, ms.m,
-       |    t.$vcol[ms.m*$PqSubDim+1 : ms.m*$PqSubDim+$PqSubDim] AS sv
+       |    t.$vcol[ms.m*$subDim+1 : ms.m*$subDim+$subDim] AS sv
        |  FROM $rel t CROSS JOIN ms
        |),
        |sq AS (
@@ -1243,10 +1300,10 @@ object Similarity {
        |),
        |cb0 AS (
        |  SELECT ms.m, s.c,
-       |    s.$vcol[ms.m*$PqSubDim+1 : ms.m*$PqSubDim+$PqSubDim] AS cv,
+       |    s.$vcol[ms.m*$subDim+1 : ms.m*$subDim+$subDim] AS cv,
        |    list_dot_product(
-       |      s.$vcol[ms.m*$PqSubDim+1 : ms.m*$PqSubDim+$PqSubDim],
-       |      s.$vcol[ms.m*$PqSubDim+1 : ms.m*$PqSubDim+$PqSubDim]) AS cc
+       |      s.$vcol[ms.m*$subDim+1 : ms.m*$subDim+$subDim],
+       |      s.$vcol[ms.m*$subDim+1 : ms.m*$subDim+$subDim]) AS cc
        |  FROM ms CROSS JOIN $seedsRel s
        |),
        |$iterCtes""".stripMargin
@@ -1265,7 +1322,8 @@ object Similarity {
     * cell. Shared by the full and incremental variants, which differ
     * only in `fitCtes`. */
   private def ivfPqSqlWith(fitCtes: String, tail: String = "",
-      nprobe: Int = NProbe): String =
+      nprobe: Int = NProbe, subspaces: Int = PqSubspaces): String = {
+    val subDim = graft.functions.LshImpl.Dims / subspaces
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |c AS (
        |  SELECT vec_id - $NumQueries AS cid, embedding::DOUBLE[] AS cv FROM embeddings
@@ -1310,7 +1368,7 @@ object Similarity {
        |tab AS (
        |  SELECT q.vec_id AS query_id, cb.m, cb.c,
        |    CAST(floor(
-       |      list_dot_product(q.v[cb.m*$PqSubDim+1 : cb.m*$PqSubDim+$PqSubDim], cb.cv)
+       |      list_dot_product(q.v[cb.m*$subDim+1 : cb.m*$subDim+$subDim], cb.cv)
        |      * ${ScoreScale.toLong}.0) AS BIGINT) AS t
        |  FROM e q CROSS JOIN cb WHERE q.vec_id < $NumQueries
        |),
@@ -1330,6 +1388,7 @@ object Similarity {
        |  GROUP BY cd.query_id, cd.vec_id, co.ct
        |)
        |${if (tail.isEmpty) ivfPqSqlTail else tail}""".stripMargin
+  }
 
   /** Plain ADC top-k tail over the `sc` CTE. */
   private def ivfPqSqlTail: String =
@@ -1593,6 +1652,12 @@ object Similarity {
     "sim_ann_ivfpq_8b" ->
       ivfPqSqlWith(pqFitCtes(KMeansIters, "resid", "r", IvfPqSeedBase,
         Pq8Codewords)),
+    // the 32-byte standalone tier: same mirror again with the subspace
+    // grid widened to 32 × 2-dim slices (the generators are
+    // (k, subspaces)-generic end to end)
+    "sim_ann_ivfpq_32x8" ->
+      ivfPqSqlWith(pqFitCtes(KMeansIters, "resid", "r", IvfPqSeedBase,
+        Pq8Codewords, Pq32Subspaces), subspaces = Pq32Subspaces),
     // identical CTE chain (same fit, same ADC scores) with the refine
     // tail: ADC pool cut at RerankPool, exact-dot re-rank off the raw
     // vector store — integer scores on the shared 10^12 grid

