@@ -122,6 +122,8 @@ object Bench {
     "cur_decontam_semantic_ann",
     // production-sized blocklist: one Aho-Corasick pass, 2k entries (r16)
     "cur_badwords_big",
+    // the samples pipeline's shard-assignment tail (r16)
+    "cur_shard_assign",
     // the complete C4 recipe in paper order: badwords page drop ahead
     // of the lines-composed samples pipeline
     "cur_pipeline_samples_c4",
