@@ -1667,11 +1667,20 @@ object Curation {
       list: Seq[String]): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    badwordsBigUnordered(docs, list).orderBy($"doc_id")
+  }
+
+  /** The automaton count + gate without the oracle-tail ordering — the
+    * ONE definition shared by the batch query and the streaming twin
+    * (the [[badwordsUnordered]] discipline at production list size). */
+  private[graft] def badwordsBigUnordered(docs: DataFrame,
+      list: Seq[String]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     docs.select($"doc_id",
         graft.functions.PhraseCount(split($"text", " "),
           list.map(_.split(" ").toSeq)).as("n_bad"))
       .filter($"n_bad" > 0)
-      .orderBy($"doc_id")
   }
 
   /** DuckDB mirror of [[badwordsBigFilter]]: per-length positional

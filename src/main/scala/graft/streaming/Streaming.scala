@@ -1838,6 +1838,34 @@ object Streaming {
       .orderBy($"doc_id")
   }
 
+  /** STREAMING badwords at PRODUCTION list size — [[streamBadwords]]
+    * with the 2k-entry Aho-Corasick automaton ([[graft.operators
+    * .Curation.badwordsBigUnordered]]): the automaton is a plan
+    * constant like the broadcast models, so the stage stays exactly as
+    * stateless as the 3-word form — no state store, no shuffle,
+    * verdicts final on arrival. Oracle: the batch `cur_badwords_big`
+    * SQL verbatim. */
+  def streamBadwordsBig(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+    runBadwordsBigStream(stream)
+  }
+
+  /** The transform of [[streamBadwordsBig]] on any streaming docs
+    * frame (spec entry point). */
+  private[graft] def runBadwordsBigStream(stream: DataFrame): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val flagged = graft.operators.Curation.badwordsBigUnordered(stream,
+      graft.operators.Curation.BadWordsBig)
+    runToMemory(flagged, "append")
+      .groupBy($"doc_id")
+      .agg(max($"n_bad").as("n_bad"))
+      .orderBy($"doc_id")
+  }
+
   /** STREAMING semantic decontamination — the embedding-space
     * contamination rank AT INGEST: the eval slice is STATIC (the
     * frozen benchmark artifact, broadcast — exactly the
@@ -2032,6 +2060,7 @@ object Streaming {
     "stream_ann_encode" -> streamAnnEncode,
     "stream_gopher_rules" -> streamGopherRules,
     "stream_badwords" -> streamBadwords,
+    "stream_badwords_big" -> streamBadwordsBig,
     "stream_decontam_semantic" -> streamDecontamSemantic,
     "stream_substring_incremental" -> streamSubstringIncremental,
     "stream_substring_incremental_ttl" -> streamSubstringIncrementalTtl,
@@ -2201,6 +2230,7 @@ object Streaming {
     "stream_ann_encode" -> graft.operators.Similarity.annEncodeOracleSql,
     "stream_gopher_rules" -> graft.operators.TextAnalysis.oracles("text_gopher_rules"),
     "stream_badwords" -> graft.operators.Curation.oracles("cur_badwords"),
+    "stream_badwords_big" -> graft.operators.Curation.oracles("cur_badwords_big"),
     "stream_decontam_semantic" ->
       graft.operators.Curation.oracles("cur_decontam_semantic"),
     "stream_substring_incremental" ->

@@ -796,6 +796,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === Seq(Seq(2L, 2L), Seq(4L, 1L)))
   }
 
+  test("streaming badwords at production list size equals the batch automaton across batches") {
+    import spark.implicits._
+    // multi-word phrase semantics survive the stream: "table hash"
+    // matches only as consecutive tokens; each doc's verdict is final
+    // on arrival (stateless, like the 3-word form)
+    val in = Files.createTempDirectory("graft_bwbig_in_").toString
+    val base = System.currentTimeMillis()
+    writeOneFile(Seq(
+      (1L, "all clean words here"),
+      (2L, "a table hash inside")).toDF("doc_id", "text"),
+      s"$in/b1.parquet", base)
+    writeOneFile(Seq(
+      (3L, "table only then hash split"),
+      (4L, "dup plus customer join late")).toDF("doc_id", "text"),
+      s"$in/b2.parquet", base + 60000)
+    val schema = spark.read.parquet(in).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val got = Streaming.runBadwordsBigStream(stream).collect().map(_.toSeq).toSeq
+    val batch = graft.operators.Curation.badwordsBigFilterOn(
+        spark.read.parquet(in), graft.operators.Curation.BadWordsBig)
+      .collect().map(_.toSeq).toSeq
+    assert(got === batch, s"stream $got != batch $batch")
+    assert(got === Seq(Seq(2L, 1L), Seq(4L, 2L)))
+  }
+
   test("streaming semantic decontam equals the batch top-20 across batches") {
     import spark.implicits._
     // stateless stream-static cosine: train vectors split across two
