@@ -88,7 +88,16 @@ object ScanAudit {
         // checkpoint); merging them would entangle two different
         // broadcast frames to save a 10-row read
         "sim_ann_ivfpq" -> Map("embeddings" -> 2),
+        // the 8-bit / 32-byte tiers ride the identical search tail —
+        // same two pruned query-side builds (r16)
+        "sim_ann_ivfpq_8b" -> Map("embeddings" -> 2),
+        "sim_ann_ivfpq_32x8" -> Map("embeddings" -> 2),
         "sim_ann_ivfpq_incremental" -> Map("embeddings" -> 2),
+        // train assignment scan + the eval probe build (pruned to the
+        // eval slice) — two logical tables, the decontaminate split;
+        // in production the train side is the stored cell-bucketed
+        // corpus and the eval side the frozen benchmark artifact (r16)
+        "cur_decontam_semantic_ann" -> Map("embeddings" -> 2),
         // + the refine stage's two legs: the pool's raw-vector fetch
         // (the point-lookup-shaped refine store read — the IndexRefine
         // design) and the query-vector fetch for exact scoring (10
