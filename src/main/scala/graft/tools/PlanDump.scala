@@ -117,6 +117,16 @@ object PlanDump {
       "Semantic decontam: eval slice BROADCAST (benchmark-sized by contract), train side one map-only scan computing per-row cosines into TakeOrderedAndProject — no shuffle of anything corpus-sized, the decontaminate plan with dot products for gram probes.",
     "cur_pipeline_samples_c4" ->
       "Full C4 recipe: the badwords page drop is a filter FUSED into the line stage's scan projection — the lines pipeline's one-documents-scan plan with one extra predicate, no new exchange, no new scan.",
+    "sim_ann_ivfpq_32x8" ->
+      "32-byte-code standalone IVF-PQ: the ADC scan is one broadcast(probes) join over the checkpointed (vec_id, cell, 32-code) artifact — codes come from ONE codegen'd pq_encode call per row (no per-codeword expression nodes), score = coarse term + 32 table lookups, top-k per query window; the raw store is never touched after the encode.",
+    "cur_decontam_semantic_ann" ->
+      "ANN-routed semantic decontam: the eval×nprobe probe list is BROADCAST into a cell equi-join against the train side's map-only assignment scan — the train side shuffles nothing and scores only probe-cell residents; the tail is the brute query's TakeOrderedAndProject.",
+    "cur_badwords_big" ->
+      "Production-sized badwords: the 2k-entry automaton is a plan-constant reference inside ONE codegen'd phrase_count projection over the scan — identical zero-exchange shape to the 3-word IN form at any list size.",
+    "text_bpe_fit_batched" ->
+      "Batched BPE fit (final emit plan shown; the per-iteration pair agg matches text_bpe_fit's): one corpus pass per BATCH of merges instead of per merge — the rewrite chains the kept merges' replaces in one projection.",
+    "cur_shard_assign" ->
+      "Training-shard assignment: the samples pipeline runs once into a checkpoint; the assignment is two lightweight jobs over it (per-partition sizes collect + offset map) — the final plan is a Scan ExistingRDD + sort, no second pipeline execution.",
     "stream_dedup_chunks_ngram" ->
       "Streaming chunk near-dup (post-run fold shown): the stateful operator is the SAME banded-minhash flatMapGroupsWithState as stream_dedup_minhash_ttl, fed packed (doc_id, chunk_idx) keys through the chunk fan-out Generate — chunks are ordinary documents to the band state machine; per-resident TTL eviction bounds state to O(chunk residents per band cell in the TTL window).",
     "stream_sessions" ->
