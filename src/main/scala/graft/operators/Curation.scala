@@ -1741,10 +1741,26 @@ object Curation {
     * streaming twin (identical Column expressions ⇒ bit-identical IEEE
     * cosines on both paths; streams cannot sort, so the stream's fold
     * runs the tail). */
+  /** Eval-side row bound for the BRUTE pair expansion: the eval frame
+    * is broadcast and crossed against every train row, so its size is
+    * a CONTRACT, not a suggestion — this is the one seam where a
+    * careless caller could hand the cross product a corpus
+    * (r15 VERDICT minor; the dsirSelectFrom guard's standard). */
+  final val DecontamMaxEvalRows = 100000L
+
   private[graft] def decontamSemanticPairs(train: DataFrame, eval: DataFrame): DataFrame = {
     val spark = train.sparkSession
     import spark.implicits._
     import graft.functions.VectorOps
+    // bounded probe: reads at most DecontamMaxEvalRows + 1 rows even
+    // off an accidentally-corpus-sized frame (limit pushes into the
+    // scan), so the guard itself cannot become the expensive thing
+    val n = eval.limit(DecontamMaxEvalRows.toInt + 1).count()
+    require(n <= DecontamMaxEvalRows,
+      s"decontamSemantic: eval side exceeds $DecontamMaxEvalRows rows — the " +
+        "brute expansion broadcasts eval against every training vector by " +
+        "contract (benchmark-sized eval). Route bigger eval sets through " +
+        "decontamSemanticAnn (IVF probe routing) or pre-slice the frame.")
     val t = train.select($"vec_id".as("train_id"),
       VectorOps.toDouble($"embedding").as("tv"))
     val ev = eval.select($"vec_id".as("eval_id"),

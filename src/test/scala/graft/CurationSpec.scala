@@ -834,6 +834,22 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("decontamSemanticPairs rejects a corpus-sized eval frame (broadcast contract)") {
+    // the one seam where a careless caller could hand the brute cross
+    // product a corpus — guarded like dsirSelectFrom's determinism seam
+    val big = spark.range(Curation.DecontamMaxEvalRows + 1)
+      .selectExpr("id AS vec_id", "array(cast(0.1 AS float)) AS embedding")
+    val ok = spark.range(3)
+      .selectExpr("id AS vec_id", "array(cast(0.1 AS float)) AS embedding")
+    val e = intercept[IllegalArgumentException] {
+      Curation.decontamSemanticPairs(ok, big)
+    }
+    assert(e.getMessage.contains("eval side exceeds"))
+    assert(e.getMessage.contains("decontamSemanticAnn"))
+    // benchmark-sized eval still accepted through the same seam
+    assert(Curation.decontamSemanticPairs(ok, ok).collect().length === 9)
+  }
+
   test("badwords big list: automaton ≡ IN-filter on single-token lists") {
     // the equality-with-IN differential (r15 VERDICT #5): PhraseCount
     // over the 3-entry BadWords list must reproduce the shipped
