@@ -377,6 +377,35 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got === Seq((1, "x", "y", 3L)))
   }
 
+  test("batched BPE fit issues fewer Spark jobs than the sequential fit at equal merge budget") {
+    // the batching's whole point is 1/B the driver round-trips — count
+    // actual job submissions for an 8-merge budget (sequential: a
+    // pair-count agg + a materialization per merge; batched at B=4:
+    // per ITERATION). Strict inequality keeps the assertion robust to
+    // AQE's per-query job-count variance.
+    val sc = spark.sparkContext
+    val counter = new java.util.concurrent.atomic.AtomicInteger
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          s: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        counter.incrementAndGet()
+    }
+    val docs = graft.sources.Tables.documents(spark, SparkTestSession.sf0001)
+    def jobsOf(f: => Unit): Int = {
+      sc.addSparkListener(l)
+      counter.set(0)
+      try { f; org.apache.spark.graftshim.ListenerShim.drain(sc) }
+      finally sc.removeSparkListener(l)
+      counter.get
+    }
+    val seqJobs = jobsOf(TextAnalysis.textBpeFitOn(docs, 8).collect())
+    val batchedJobs = jobsOf(
+      TextAnalysis.textBpeFitBatchedOn(docs, iters = 2, batch = 4).collect())
+    info(s"BPE fit jobs: sequential(8 merges) = $seqJobs, batched(2×4) = $batchedJobs")
+    assert(batchedJobs < seqJobs,
+      s"batched fit ($batchedJobs jobs) must undercut sequential ($seqJobs)")
+  }
+
   test("fitted merges feed the greedy counter: countWith over vocabFromMerges diverges from the committed fixture") {
     import graft.functions.BpeImpl
     val merges = Seq(("l", "o"), ("lo", "w"), ("low", "</w>"))
