@@ -955,17 +955,22 @@ object Similarity {
     val ev = e.select($"v")
       .repartition(spark.sparkContext.defaultParallelism)
     for (_ <- 0 until iters) {
-      // codes computed ONCE per row in their own projection (the fused
-      // PqEncode), then fanned out — inlining the encode into the
-      // per-subspace struct array would evaluate it per subspace
-      // (CollapseProject keeps the two projections apart: non-cheap
-      // expr, multiple references)
+      // codes AND the quantized vector computed ONCE per row in their
+      // own projection (the fused PqEncode + one full-width transform),
+      // then fanned out — the struct array only slices and indexes.
+      // Inlining either into the per-subspace array would re-evaluate
+      // them per subspace (CollapseProject keeps the projections apart:
+      // non-cheap exprs, multiple references), and the earlier
+      // per-subspace transform(slice) form paid `subspaces` interpreted
+      // lambda evaluations per row where one suffices — slice of the
+      // full quantization ≡ quantization of the slice, element-exact.
       val cells = array((0 until subspaces).map { m =>
         struct(element_at($"codes", m + 1).as("cell"),
-          transform(pqSub($"v", m, subDim),
-            x => floor(x * lit(QuantScale)).cast("long")).as("svq"))
+          slice($"vq", m * subDim + 1, subDim).as("svq"))
       }: _*)
-      val rows = ev.select($"v", pqCodesCol(cb, $"v").as("codes"))
+      val rows = ev
+        .select(pqCodesCol(cb, $"v").as("codes"),
+          transform($"v", x => floor(x * lit(QuantScale)).cast("long")).as("vq"))
         .select(posexplode(cells).as(Seq("m", "x")))
         .select($"m", $"x.cell".as("cell"), $"x.svq".as("svq"))
         .groupBy($"m", $"cell")
