@@ -1266,6 +1266,31 @@ object Dedup {
   private lazy val b16FlipsProbe: Array[Int] =
     (0 until (1 << SimHashB16Bits)).filter(Integer.bitCount(_) <= 2).toArray
 
+  /** Document-count ceiling below which the b16 radius-1 index ball is
+    * broadcast (68 rows/doc, ~5 KB/doc of hashed-relation memory → ~100 MB
+    * at the default). An EXPLICIT `broadcast()` hint is honored by Spark at
+    * ANY estimated size — it never "comes off" — so the gate must live in
+    * OUR code, keyed on a number Catalyst can't mis-estimate (the parquet
+    * row count, one metadata-cheap job). Above the ceiling both sides
+    * shuffle on (c, v) — pinned with a `shuffle_merge` hint because
+    * Catalyst's size estimate does not survive the generator fan-out and
+    * would otherwise build the hash table from the 548×-exploded PROBE
+    * side. Override: `spark.graft.dedup.b16.broadcastMaxDocs`. */
+  final val B16BroadcastMaxDocsKey = "spark.graft.dedup.b16.broadcastMaxDocs"
+  final val B16BroadcastMaxDocsDefault = 20000L
+
+  /** Optional per-(chunk, value) cell occupancy cap on the b16 index — the
+    * [[MaxShingleDF]]-style fan-in bound, OFF by default (`Int.MaxValue`).
+    * Off because, measured (scaladoc below), qualifying pairs can live in
+    * cells ABOVE any useful cap at the 8-bit geometry, and at the 16-bit
+    * geometry occupancy is ~1 so a cap is dead weight; it exists as the
+    * production safety valve against an adversarial duplicate flood (one
+    * cell holding a million byte-identical crawls would otherwise cost
+    * O(cell²) candidate checks). Enabling it DROPS the pairs whose only
+    * capturing cells are pruned — oracle parity holds only when off.
+    * Override: `spark.graft.dedup.b16.cellOccupancyCap`. */
+  final val B16CellCapKey = "spark.graft.dedup.b16.cellOccupancyCap"
+
   /** [[dedupSimHashPairs]] with the band width grown from 8 to 16 bits —
     * the 100 TB scale knob for this search, DEMONSTRATED rather than
     * argued. Measured (DuckDB fingerprint rebuild, sf0.1 → ×10 ScaleGen):
@@ -1284,10 +1309,13 @@ object Dedup {
     * keys/doc) instead of the original one-sided radius-3 probe ball
     * (4 + 2788): same deterministic capture by the mask-split argument
     * at b16FlipsIdx, 5× fewer allocated probe rows (the r15 battery's
-    * 9.3 s GC flag). Fan-out never crosses a shuffle: the index side
-    * stays broadcastable far beyond these scales, so probe rows are
-    * generated and consumed map-side. Rule of thumb the pair encodes:
-    * band bits
+    * 9.3 s GC flag). Join-side policy is SIZE-GATED in our code (see
+    * [[B16BroadcastMaxDocsKey]]): below the doc ceiling the radius-1
+    * index ball is broadcast and probe rows are generated and consumed
+    * map-side; above it both sides shuffle on (c, v) — an explicit
+    * broadcast hint would be honored by Spark at any size, so the
+    * fallback cannot be left to the planner. Rule of thumb the pair
+    * encodes: band bits
     * must grow with log₂(n); at n where even 2^16-cell occupancy
     * saturates (billions of docs), the next step is 32-bit bands — or a
     * tighter Hamming window, which is a semantic change.
@@ -1332,20 +1360,38 @@ object Dedup {
         explode(lit(b16FlipsProbe)).as("flip"), $"v0")
       .select($"doc_id", $"f", $"c",
         $"v0".bitwiseXOR($"flip".cast("long")).as("v"))
-    // EXPLICIT broadcast of the index: Catalyst's size estimate for the
-    // probe side does not survive the generator fan-out, so left
-    // to stats it builds the hash table from the PROBE side — a
-    // single-threaded 548n-row broadcast build (measured at the old
-    // 2788× geometry: 17 s wall ≈ 17 s cpu at sf0.1). The index is 68
-    // rows/doc (~1 KB/doc) — still the side that stays broadcastable
-    // far past these scales; when n outgrows the broadcast threshold
-    // the hint comes off and both sides shuffle on (c, v), where the
-    // two-sided geometry's smaller total fan-out is exactly what
-    // crosses the wire. A two-sided match can capture one pair through
-    // several (m1, m2) splits — the existing distinct() below already
-    // collapses them (capture multiplicity ≤ 17 per equal chunk, pair
-    // count unchanged — DedupSpec pins b16 ≡ 8-bit output).
-    val candidates = probe.as("a").join(broadcast(index.as("b")),
+    // Optional fan-in bound (see B16CellCapKey): drop index cells whose
+    // occupancy exceeds the cap before any pairing — the same left-semi
+    // discipline MaxShingleDF applies to the inverted shingle index. The
+    // default (MaxValue) leaves the plan untouched.
+    val cellCap = spark.conf.get(B16CellCapKey, Int.MaxValue.toString).toInt
+    val boundedIndex = if (cellCap == Int.MaxValue) index else {
+      val keep = index.groupBy($"c", $"v")
+        .agg(count(lit(1)).as("occ")).filter($"occ" <= cellCap)
+        .select($"c", $"v")
+      index.join(keep, Seq("c", "v"), "left_semi")
+    }
+    // SIZE-GATED broadcast of the index (see B16BroadcastMaxDocsKey): an
+    // explicit broadcast() hint is honored at ANY size, so the choice is
+    // made here from the parquet row count, not left to a hint Spark
+    // would never drop. Below the ceiling: broadcast — Catalyst's size
+    // estimate for the probe side does not survive the generator
+    // fan-out, so left to stats it builds the hash table from the PROBE
+    // side, a single-threaded 548n-row broadcast build (measured at the
+    // old 2788× geometry: 17 s wall ≈ 17 s cpu at sf0.1). Above it: both
+    // sides shuffle on (c, v) via shuffle_merge — the same mis-estimate
+    // would otherwise still pick a broadcast build — where the two-sided
+    // geometry's smaller total fan-out is exactly what crosses the wire.
+    // A two-sided match can capture one pair through several (m1, m2)
+    // splits — the existing distinct() below already collapses them
+    // (capture multiplicity ≤ 17 per equal chunk, pair count unchanged —
+    // DedupSpec pins b16 ≡ 8-bit output on both plan shapes).
+    val maxDocs = spark.conf
+      .get(B16BroadcastMaxDocsKey, B16BroadcastMaxDocsDefault.toString).toLong
+    val nDocs = Tables.documents(spark, sfDir).count()
+    val rhs = if (nDocs <= maxDocs) broadcast(boundedIndex.as("b"))
+              else boundedIndex.as("b").hint("shuffle_merge")
+    val candidates = probe.as("a").join(rhs,
         $"a.c" === $"b.c" && $"a.v" === $"b.v" && $"a.doc_id" < $"b.doc_id" &&
           expr("bit_count(a.f ^ b.f)") <= MaxPairHamming)
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))

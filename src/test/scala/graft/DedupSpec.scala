@@ -287,6 +287,52 @@ class DedupSpec extends AnyFunSuite {
     assert(b16 === narrow)
   }
 
+  test("b16 broadcast is size-gated: both plan shapes, identical output") {
+    // The r16 defect: an unconditional broadcast() hint on the 68-rows/doc
+    // index ball — honored by Spark at ANY size, i.e. a driver OOM at
+    // corpus scale, not a graceful fallback. The gate now lives in our
+    // code (B16BroadcastMaxDocsKey, parquet row count). Pin BOTH shapes:
+    // default ceiling (500 docs << 20k) → BroadcastHashJoin on the
+    // candidate join; ceiling 0 → shuffle on (c, v) (SortMergeJoin via
+    // the shuffle_merge pin — stats would otherwise still pick a
+    // broadcast build from the fan-out-blind probe-side estimate).
+    val key = Dedup.B16BroadcastMaxDocsKey
+    def planOf(df: org.apache.spark.sql.DataFrame): String = {
+      df.queryExecution.executedPlan.toString
+    }
+    val broadcastPath = Dedup.dedupSimHashPairsB16(spark, sf)
+    assert(planOf(broadcastPath).contains("BroadcastHashJoin"))
+    val prev = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, "0")
+      val shufflePath = Dedup.dedupSimHashPairsB16(spark, sf)
+      val p = planOf(shufflePath)
+      assert(p.contains("SortMergeJoin"), p.take(1200))
+      assert(pairSet(shufflePath) === pairSet(broadcastPath))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("b16 cell-occupancy cap bounds fan-in; capped output is a subset") {
+    // The MaxShingleDF-style safety valve: pruning overfull (c, v) cells
+    // can only remove capture opportunities, never invent pairs. Off by
+    // default (oracle parity requires it off); here cap=1 exercises the
+    // left-semi prune path end to end.
+    val key = Dedup.B16CellCapKey
+    val full = pairSet(Dedup.dedupSimHashPairsB16(spark, sf))
+    val prev = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, "1")
+      val capped = pairSet(Dedup.dedupSimHashPairsB16(spark, sf))
+      assert(capped.subsetOf(full))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("radius-3 probe capture over 16-bit chunks is deterministic for hamming <= 15") {
     // JVM mirror of dedupSimHashPairsB16's band keys: capture iff some
     // aligned 16-bit chunk differs in <= 3 bits (pigeonhole: 4 chunks
