@@ -138,6 +138,10 @@ object Bench {
     // corpus's band index — pair space |delta| × collisions, prior
     // never self-pairs
     "dedup_minhash_incremental",
+    // its STEADY-STATE form: the prior index read from the parquet
+    // artifact (built once on the cold run), delta-only hashing — the
+    // no-refit wall a daily ingest pays (r17)
+    "dedup_minhash_stored",
     // incremental NEAR-dup, SimHash flavor: delta's radius-1 probe balls
     // against the prior fingerprints' exact-chunk band index
     "dedup_simhash_incremental",
@@ -173,6 +177,10 @@ object Bench {
     // its maintenance form: frozen models, delta-only encode appended
     // to the code artifact
     "sim_ann_ivfpq_incremental",
+    // its STEADY-STATE form: frozen models + prior codes read from the
+    // parquet artifact (built once on the cold run), NO Lloyd fit —
+    // the no-refit wall, ~2/3 of the inline tier's time (r17)
+    "sim_ann_ivfpq_stored",
     // the refine stage: ADC pool cut + exact-dot re-rank against the
     // raw vector store (pool-sized broadcast point lookups)
     "sim_ann_ivfpq_rerank",

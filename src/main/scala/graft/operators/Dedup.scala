@@ -733,26 +733,62 @@ object Dedup {
     * cross-snapshot near-dup pair. */
   private[graft] def dedupMinHashIncrementalOn(
       prior: DataFrame, fresh: DataFrame): DataFrame = {
-    val spark = prior.sparkSession
-    import spark.implicits._
     val hp = minhashHashed(prior)
-    val hf = minhashHashed(fresh)
-    def bandedOf(hashed: DataFrame): DataFrame = minhashBanded(hashed)
+    minhashIncrementalTail(hp, minhashBanded(hp), minhashHashed(fresh))
+  }
+
+  /** The probe + verify tail every incremental MinHash form funnels
+    * through, over an ALREADY-MATERIAL prior index — (doc_id, hv)
+    * signatures and their (doc_id, band, bh) banding — so the inline
+    * query (which computes both from the prior slice) and the stored
+    * twin (which reads both back from the parquet artifact) cannot
+    * drift: same candidates join, same exact-Jaccard merge-walk. */
+  private def minhashIncrementalTail(priorSigs: DataFrame,
+      priorBands: DataFrame, hf: DataFrame): DataFrame = {
+    val spark = priorSigs.sparkSession
+    import spark.implicits._
     // cross-snapshot candidates ONLY: prior bands on the left, delta
     // bands on the right — no a.doc_id < b.doc_id self-pairing games,
     // the slices are disjoint by construction
-    val candidates = bandedOf(hp).as("a").join(bandedOf(hf).as("b"),
+    val candidates = priorBands.as("a").join(minhashBanded(hf).as("b"),
         $"a.band" === $"b.band" && $"a.bh" === $"b.bh")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .distinct()
     candidates.as("cd")
-      .join(hp.as("sa"), $"cd.doc_a" === $"sa.doc_id")
+      .join(priorSigs.as("sa"), $"cd.doc_a" === $"sa.doc_id")
       .join(hf.as("sb"), $"cd.doc_b" === $"sb.doc_id")
       .select($"cd.doc_a".as("doc_a"), $"cd.doc_b".as("doc_b"),
         graft.functions.SetJaccardSorted($"sa.hv", $"sb.hv").as("jacc"))
       .filter($"jacc" >= JaccardThreshold)
       .select($"doc_a", $"doc_b", round($"jacc", 3).as("jaccard"))
       .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** [[dedupMinHashIncremental]] in its STEADY-STATE form: the prior
+    * corpus's signature + band index read from the parquet artifact a
+    * previous run wrote ([[graft.sources.IndexStore]] — band index
+    * partitioned by band, the partition-local-append layout), only the
+    * DELTA hashed fresh at probe time. First run per corpus writes the
+    * artifact; every later run — the wall a daily ingest actually
+    * pays — is read + probe, no prior-side shingling at all. The bands
+    * are derived FROM THE READ-BACK signatures (not re-derived from
+    * text), so the artifact round-trip itself is under the oracle.
+    * Output contract and oracle are IDENTICAL to the inline
+    * incremental query. */
+  def dedupMinHashStored(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.IndexStore
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val sigs = IndexStore.readOrBuild(spark,
+      IndexStore.artifactPath(spark, sfDir, "minhash_sigs", "documents"),
+      minhashHashed(
+        docs.filter(pmod($"doc_id", lit(SnapshotMod)) < SnapshotNewMin)))
+    val bands = IndexStore.readOrBuild(spark,
+      IndexStore.artifactPath(spark, sfDir, "minhash_bands", "documents"),
+      minhashBanded(sigs), partitionCols = Seq("band"))
+    minhashIncrementalTail(sigs, bands,
+      minhashHashed(
+        docs.filter(pmod($"doc_id", lit(SnapshotMod)) >= SnapshotNewMin)))
   }
 
   /** INCREMENTAL embedding near-dup — the embedding-space member of
@@ -1920,6 +1956,7 @@ object Dedup {
     "dedup_containment" -> dedupContainment,
     "dedup_minhash_lsh" -> dedupMinHashLsh,
     "dedup_minhash_incremental" -> dedupMinHashIncremental,
+    "dedup_minhash_stored" -> dedupMinHashStored,
     "dedup_kept" -> dedupKept,
     "dedup_simhash" -> dedupSimHash,
     "dedup_simhash_pairs" -> dedupSimHashPairs,
@@ -2235,6 +2272,32 @@ object Dedup {
        |FROM alln a LEFT JOIN kept k USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  /** Uncapped exact cross-snapshot Jaccard — shared VERBATIM by the
+    * inline incremental query and its stored-artifact twin: the parquet
+    * round-trip must be semantically invisible. */
+  private val minhashIncrementalOracleSql: String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)])) s
+      |  FROM toks WHERE len(t) >= 3
+      |),
+      |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+      |common AS (
+      |  SELECT a.doc_id ai, b.doc_id bi, count(*) c
+      |  FROM sh a JOIN sh b ON a.s = b.s
+      |  WHERE a.doc_id % $SnapshotMod < $SnapshotNewMin
+      |    AND b.doc_id % $SnapshotMod >= $SnapshotNewMin
+      |  GROUP BY a.doc_id, b.doc_id
+      |)
+      |SELECT ai AS doc_a, bi AS doc_b,
+      |  round(c::DOUBLE / (na.n + nb.n - c), 3) AS jaccard
+      |FROM common
+      |JOIN sizes na ON ai = na.doc_id
+      |JOIN sizes nb ON bi = nb.doc_id
+      |WHERE c::DOUBLE / (na.n + nb.n - c) >= 0.8
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dups
@@ -2398,28 +2461,11 @@ object Dedup {
     // (prior slice on the left, delta on the right) — the band index
     // probe must recover every prior×fresh pair at the planted
     // similarity levels, same recall argument as the full variant.
-    "dedup_minhash_incremental" ->
-      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
-        |sh AS (
-        |  SELECT doc_id, unnest(list_distinct(
-        |    [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)])) s
-        |  FROM toks WHERE len(t) >= 3
-        |),
-        |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
-        |common AS (
-        |  SELECT a.doc_id ai, b.doc_id bi, count(*) c
-        |  FROM sh a JOIN sh b ON a.s = b.s
-        |  WHERE a.doc_id % $SnapshotMod < $SnapshotNewMin
-        |    AND b.doc_id % $SnapshotMod >= $SnapshotNewMin
-        |  GROUP BY a.doc_id, b.doc_id
-        |)
-        |SELECT ai AS doc_a, bi AS doc_b,
-        |  round(c::DOUBLE / (na.n + nb.n - c), 3) AS jaccard
-        |FROM common
-        |JOIN sizes na ON ai = na.doc_id
-        |JOIN sizes nb ON bi = nb.doc_id
-        |WHERE c::DOUBLE / (na.n + nb.n - c) >= 0.8
-        |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_minhash_incremental" -> minhashIncrementalOracleSql,
+    // the stored twin reads the prior index from the parquet artifact
+    // instead of recomputing it — the round-trip must be semantically
+    // invisible, so it shares the inline query's oracle VERBATIM
+    "dedup_minhash_stored" -> minhashIncrementalOracleSql,
     "dedup_kept" ->
       s"""WITH pairs AS ($cappedJaccardSql)
          |SELECT doc_id, lang, source FROM documents

@@ -287,6 +287,31 @@ class DedupSpec extends AnyFunSuite {
     assert(b16 === narrow)
   }
 
+  test("stored minhash index round-trips: build run ≡ read-back run ≡ inline") {
+    // the steady-state path: first call fits + writes the (sigs, bands)
+    // artifact, second call must touch no document text on the prior
+    // side — both must equal the inline incremental query exactly
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_").toString
+    val prev = spark.conf.getOption(graft.sources.IndexStore.DirKey)
+    try {
+      spark.conf.set(graft.sources.IndexStore.DirKey, dir)
+      val inline = Dedup.dedupMinHashIncremental(spark, sf)
+        .collect().map(_.toSeq).toSeq
+      val buildRun = Dedup.dedupMinHashStored(spark, sf)
+        .collect().map(_.toSeq).toSeq
+      assert(new java.io.File(graft.sources.IndexStore.artifactPath(
+        spark, sf, "minhash_bands", "documents") + "/_SUCCESS").exists())
+      val readRun = Dedup.dedupMinHashStored(spark, sf)
+        .collect().map(_.toSeq).toSeq
+      assert(inline.nonEmpty)
+      assert(buildRun === inline)
+      assert(readRun === inline)
+    } finally prev match {
+      case Some(v) => spark.conf.set(graft.sources.IndexStore.DirKey, v)
+      case None => spark.conf.unset(graft.sources.IndexStore.DirKey)
+    }
+  }
+
   test("b16 broadcast is size-gated: both plan shapes, identical output") {
     // The r16 defect: an unconditional broadcast() hint on the 68-rows/doc
     // index ball — honored by Spark at ANY size, i.e. a driver OOM at

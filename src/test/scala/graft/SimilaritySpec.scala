@@ -247,6 +247,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got === full)
   }
 
+  test("stored IVF-PQ index round-trips: build run ≡ read-back run ≡ inline") {
+    // the FAISS-add() steady state: first call fits the frozen models +
+    // writes (models, prior codes) artifacts, second call runs NO Lloyd
+    // fit — both must equal the inline incremental query exactly, and
+    // the codes artifact is cell-partitioned on disk
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_").toString
+    val prev = spark.conf.getOption(graft.sources.IndexStore.DirKey)
+    try {
+      spark.conf.set(graft.sources.IndexStore.DirKey, dir)
+      val inline = Similarity.simAnnIvfPqIncremental(spark, sf)
+        .collect().map(_.toSeq).toSeq
+      val buildRun = Similarity.simAnnIvfPqStored(spark, sf)
+        .collect().map(_.toSeq).toSeq
+      val codesDir = new java.io.File(graft.sources.IndexStore.artifactPath(
+        spark, sf, "ivfpq_codes", "embeddings"))
+      assert(new java.io.File(codesDir, "_SUCCESS").exists())
+      assert(codesDir.listFiles().exists(_.getName.startsWith("cell=")))
+      val readRun = Similarity.simAnnIvfPqStored(spark, sf)
+        .collect().map(_.toSeq).toSeq
+      assert(inline.nonEmpty)
+      assert(buildRun === inline)
+      assert(readRun === inline)
+    } finally prev match {
+      case Some(v) => spark.conf.set(graft.sources.IndexStore.DirKey, v)
+      case None => spark.conf.unset(graft.sources.IndexStore.DirKey)
+    }
+  }
+
   test("hyperplanes are deterministic across invocations") {
     assert(Similarity.hyperplane(3, 2) === Similarity.hyperplane(3, 2))
     assert(Similarity.hyperplane(3, 2) !== Similarity.hyperplane(3, 3))
