@@ -55,6 +55,21 @@ object PqOpsImpl {
     val totalDim: Int = subspaces * subDim
   }
 
+  /** True iff any element of v in [from, until) is NULL. Embeddings
+    * never carry null elements today, but the input type is
+    * ARRAY<DOUBLE> with containsNull from whatever plan produced it
+    * (a parquet round-trip flips it true): reading a null slot through
+    * getDouble would silently yield 0.0 (UnsafeArrayData) or NPE
+    * (GenericArrayData), so a null in the read span nulls the whole
+    * result instead — the conservative whole-expression form of the
+    * literal tree's null propagation. */
+  def anyNullIn(v: ArrayData, from: Int, until: Int): Boolean = {
+    var i = from
+    var found = false
+    while (!found && i < until) { found = v.isNullAt(i); i += 1 }
+    found
+  }
+
   def model(codebooks: Seq[Seq[Seq[Double]]], scale: Double): Model = {
     require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty))
     val subDim = codebooks.head.head.length
@@ -134,12 +149,14 @@ case class PqEncode(child: Expression, codebooks: Seq[Seq[Seq[Double]]],
   override def prettyName: String = "pq_encode"
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
-    if (v.numElements() < m.totalDim) null else PqOpsImpl.encode(v, m)
+    if (v.numElements() < m.totalDim ||
+      PqOpsImpl.anyNullIn(v, 0, m.totalDim)) null
+    else PqOpsImpl.encode(v, m)
   }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val mRef = ctx.addReferenceObj("pqModel", m, classOf[PqOpsImpl.Model].getName)
     nullSafeCodeGen(ctx, ev, c =>
-      s"""if ($c.numElements() < $mRef.totalDim()) {
+      s"""if ($c.numElements() < $mRef.totalDim() || graft.functions.PqOpsImpl.anyNullIn($c, 0, $mRef.totalDim())) {
          |  ${ev.isNull} = true;
          |} else {
          |  ${ev.value} = graft.functions.PqOpsImpl.encode($c, $mRef);
@@ -171,12 +188,14 @@ case class PqAdcTable(child: Expression, codebooks: Seq[Seq[Seq[Double]]],
   override def prettyName: String = "pq_adc_table"
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
-    if (v.numElements() < m.totalDim) null else PqOpsImpl.table(v, m, sub)
+    if (v.numElements() < m.totalDim ||
+      PqOpsImpl.anyNullIn(v, sub * m.subDim, (sub + 1) * m.subDim)) null
+    else PqOpsImpl.table(v, m, sub)
   }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val mRef = ctx.addReferenceObj("pqModel", m, classOf[PqOpsImpl.Model].getName)
     nullSafeCodeGen(ctx, ev, c =>
-      s"""if ($c.numElements() < $mRef.totalDim()) {
+      s"""if ($c.numElements() < $mRef.totalDim() || graft.functions.PqOpsImpl.anyNullIn($c, $sub * $mRef.subDim(), ($sub + 1) * $mRef.subDim())) {
          |  ${ev.isNull} = true;
          |} else {
          |  ${ev.value} = graft.functions.PqOpsImpl.table($c, $mRef, $sub);

@@ -1690,7 +1690,10 @@ object Curation {
     * token counts can never collide (space counts differ), so one
     * equality join covers all lengths. */
   private def badwordsBigSql: String = {
-    val vals = BadWordsBig.map(w => s"('$w')").mkString(", ")
+    // SQL-escape each entry (ANSI '' doubling): the committed fixture is
+    // quote-free, but a list entry with an apostrophe must not silently
+    // break the generated VALUES clause
+    val vals = BadWordsBig.map(w => s"('${w.replace("'", "''")}')").mkString(", ")
     val lens = BadWordsBig.map(_.count(_ == ' ') + 1).distinct.sorted
     val gramSelects = lens.map { l =>
       s"""  SELECT doc_id, array_to_string(t[i : i + ${l - 1}], ' ') AS g
@@ -1745,7 +1748,17 @@ object Curation {
     * is broadcast and crossed against every train row, so its size is
     * a CONTRACT, not a suggestion — this is the one seam where a
     * careless caller could hand the cross product a corpus
-    * (r15 VERDICT minor; the dsirSelectFrom guard's standard). */
+    * (r15 VERDICT minor; the dsirSelectFrom guard's standard).
+    *
+    * COST NOTE: enforcing it runs one EAGER `limit(n+1).count()` Spark
+    * action at DataFrame-construction time on every
+    * [[decontamSemanticPairs]] call (and once at streaming setup via
+    * the stream twin) — an eval pipeline with expensive upstream
+    * stages is partially executed twice (guard probe + real run), and
+    * construction is no longer lazy. Deliberate: a contract violation
+    * must fail BEFORE the cross product is planned, not after it
+    * detonates; callers with a costly eval pipeline should
+    * materialize/cache eval first. */
   final val DecontamMaxEvalRows = 100000L
 
   private[graft] def decontamSemanticPairs(train: DataFrame, eval: DataFrame): DataFrame = {

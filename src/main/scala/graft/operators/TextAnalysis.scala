@@ -238,14 +238,19 @@ object TextAnalysis {
     *
     * Independence rule (defined identically in engine and oracle — it
     * must be SQL-expressible for the mirror): candidate i is kept iff
-    * it shares NO symbol with any EARLIER-RANKED candidate j < i of
-    * the same pool, kept or not. Symbol-disjoint merges cannot overlap
-    * in any sequence, so the kept merges' own occurrence counts are
-    * exactly their pool counts and the batch rewrite equals applying
-    * them one-by-one (order-free); dropping against non-kept earlier
-    * candidates too is deliberately conservative — it makes the rule a
-    * rank-prefix predicate (NOT EXISTS j < i) instead of a recursive
-    * greedy closure, which SQL cannot unroll data-dependently.
+    * (a) it shares NO symbol with any EARLIER-RANKED candidate j < i
+    * of the same pool, kept or not, AND (b) neither of its symbols
+    * equals an earlier-ranked candidate's concatenated OUTPUT token
+    * lhs+rhs — without (b), ('x','y') then ('xy','z') would both pass,
+    * and the chained rewrite would let the later merge fire on tokens
+    * the earlier one just created (r16 ADVICE). With both clauses,
+    * kept merges can neither consume each other's inputs nor each
+    * other's outputs, so the batch rewrite equals applying them
+    * one-by-one (order-free) and the kept counts are exactly their
+    * pool counts. Dropping against non-kept earlier candidates too is
+    * deliberately conservative — it keeps the rule a rank-prefix
+    * predicate (NOT EXISTS j < i) instead of a recursive greedy
+    * closure, which SQL cannot unroll data-dependently.
     *
     * vs the sequential fit: stale-count selection — the batch ranks by
     * the counts BEFORE any of its merges applied, where the sequential
@@ -259,6 +264,22 @@ object TextAnalysis {
     * count and 1/B the materialization barriers. */
   def textBpeFitBatched(spark: SparkSession, sfDir: String): DataFrame =
     textBpeFitBatchedOn(Tables.documents(spark, sfDir), BpeBatchIters, BpeBatchSize)
+
+  /** The rank-prefix independence filter over a ranked candidate pool
+    * (see [[textBpeFitBatched]]'s rule): candidate i survives iff no
+    * earlier-ranked candidate j < i shares a symbol with it OR has a
+    * concatenated output token equal to one of its symbols. Extracted
+    * so the output-token clause is directly unit-testable — the
+    * ('x','y') → ('xy','z') cascade it closes needs a pool shape the
+    * char-initialized corpus fits don't readily produce. */
+  private[graft] def bpeIndependentPrefix(
+      pool: Seq[(String, String, Long)]): Seq[(String, String, Long)] =
+    pool.zipWithIndex.filter { case ((l, r, _), i) =>
+      pool.take(i).forall { case (pl, pr, _) =>
+        pl != l && pl != r && pr != l && pr != r &&
+          (pl + pr) != l && (pl + pr) != r
+      }
+    }.map(_._1)
 
   private[graft] def textBpeFitBatchedOn(docs: DataFrame, iters: Int,
       batch: Int): DataFrame = {
@@ -285,13 +306,7 @@ object TextAnalysis {
         .orderBy($"c".desc, $"lhs".asc, $"rhs".asc)
         .limit(batch).collect()
         .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-      // the rank-prefix independence filter (see scaladoc): shares no
-      // symbol with ANY earlier-ranked pool candidate
-      val kept = pool.zipWithIndex.filter { case ((l, r, _), i) =>
-        pool.take(i).forall { case (pl, pr, _) =>
-          pl != l && pl != r && pr != l && pr != r
-        }
-      }.map(_._1)
+      val kept = bpeIndependentPrefix(pool)
       if (kept.nonEmpty) {
         var fused = concat(lit(" "), $"seq", lit(" "))
         kept.foreach { case (l, r, c) =>
@@ -1085,7 +1100,8 @@ object TextAnalysis {
   /** `text_bpe_fit_batched` unrolled: per iteration i, p_i (pair
     * counts) → c_i (the ranked top-B pool) → k_i (the rank-prefix
     * independence filter — NOT EXISTS an earlier-ranked candidate
-    * sharing a symbol; see textBpeFitBatchedOn's rule) → a chain of B
+    * sharing a symbol or whose concatenated output token equals one;
+    * see textBpeFitBatchedOn's rule) → a chain of B
     * conditional rewrites w_i_1..w_i_B, each applying rank r's
     * double-replace only when rank r was kept (LEFT JOIN ON TRUE
     * against the 0-or-1-row kept slice). Steps number kept merges in
@@ -1121,7 +1137,8 @@ object TextAnalysis {
          |  SELECT a.lhs, a.rhs, a.c, a.rn FROM c$i a
          |  WHERE NOT EXISTS (SELECT 1 FROM c$i b WHERE b.rn < a.rn
          |    AND (b.lhs = a.lhs OR b.lhs = a.rhs
-         |         OR b.rhs = a.lhs OR b.rhs = a.rhs))),
+         |         OR b.rhs = a.lhs OR b.rhs = a.rhs
+         |         OR (b.lhs || b.rhs) = a.lhs OR (b.lhs || b.rhs) = a.rhs))),
          |w${i}_0 AS (SELECT seq, cnt FROM w${i - 1}),
          |$chain,
          |w$i AS (SELECT seq, cnt FROM w${i}_$batch)""".stripMargin

@@ -49,6 +49,35 @@ class PqOpsSpec extends AnyFunSuite {
     encodeParityAt(16)
   }
 
+  test("null array elements null the result instead of reading 0.0") {
+    // a parquet round-trip flips containsNull=true; a null slot read
+    // through getDouble would silently contribute 0.0 — the expression
+    // must null out instead (whole vector for encode, the subspace
+    // span for the table)
+    import spark.implicits._
+    val cb = codebooksOf(4)
+    val dims = graft.functions.LshImpl.Dims
+    val subDim = Similarity.PqSubDim
+    val whole: Seq[Option[Double]] = Seq.fill(dims)(Some(0.5))
+    val lastSubNull = whole.updated(dims - 1, Option.empty[Double])
+    val df = Seq((0L, whole), (1L, lastSubNull)).toDF("id", "v")
+    val enc = df.select($"id", PqEncode($"v", cb, ScoreScale).as("c"))
+      .orderBy($"id").collect()
+    assert(enc(0).getSeq[Int](1) != null)
+    assert(enc(1).isNullAt(1), "null element must null pq_encode")
+    // table: only the subspace containing the null slot nulls out
+    val lastSub = Similarity.PqSubspaces - 1
+    val tabs = df.select($"id",
+        PqAdcTable($"v", cb, ScoreScale, 0).as("t0"),
+        PqAdcTable($"v", cb, ScoreScale, lastSub).as("tl"))
+      .orderBy($"id").collect()
+    assert(!tabs(0).isNullAt(1) && !tabs(0).isNullAt(2))
+    assert(!tabs(1).isNullAt(1),
+      "null outside the read span must not null the table")
+    assert(tabs(1).isNullAt(2), "null inside the span must null the table")
+    assert(subDim * Similarity.PqSubspaces === dims)
+  }
+
   test("PqEncode ≡ literal per-subspace argmin tree (k = 256)") {
     encodeParityAt(256)
   }

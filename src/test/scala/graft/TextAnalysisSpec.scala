@@ -377,6 +377,23 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got === Seq((1, "x", "y", 3L)))
   }
 
+  test("independence filter also rejects candidates consuming an earlier merge's OUTPUT token") {
+    // the r16 ADVICE cascade: ('x','y') creates token 'xy'; a
+    // later-ranked ('xy','z') shares no SYMBOL with it, but within one
+    // batch the chained rewrite would fire it on tokens the earlier
+    // merge just created — so clause (b) must drop it. ('p','q') is
+    // fully disjoint and must survive.
+    val pool = Seq(("x", "y", 9L), ("xy", "z", 5L), ("p", "q", 3L))
+    assert(TextAnalysis.bpeIndependentPrefix(pool) ===
+      Seq(("x", "y", 9L), ("p", "q", 3L)))
+    // symmetric orientation: later candidate's rhs equals the output
+    val pool2 = Seq(("x", "y", 9L), ("z", "xy", 5L))
+    assert(TextAnalysis.bpeIndependentPrefix(pool2) === Seq(("x", "y", 9L)))
+    // plain symbol-sharing clause still active
+    val pool3 = Seq(("a", "b", 9L), ("b", "c", 5L))
+    assert(TextAnalysis.bpeIndependentPrefix(pool3) === Seq(("a", "b", 9L)))
+  }
+
   test("batched BPE fit issues fewer Spark jobs than the sequential fit at equal merge budget") {
     // the batching's whole point is 1/B the driver round-trips — count
     // actual job submissions for an 8-merge budget (sequential: a
