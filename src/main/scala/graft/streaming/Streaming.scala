@@ -747,6 +747,74 @@ object Streaming {
       .orderBy($"doc_id", $"chunk_idx")
   }
 
+  /** STREAMING training-shard assignment — the trainer hand-off AT
+    * INGEST (r16 VERDICT #7), hop 2 of the lambda: the sample sink
+    * stream (fed here by [[streamPipelineSamples]]'s completed output
+    * replayed as a single-batch feed) flows through ONE stateful fold
+    * whose state is the RUNNING TOKEN OFFSET; each arriving sample
+    * gets shard = offset / budget, offset += n_tokens — per-sample
+    * MONOTONE, size-bounded shard ids with no prefix-sum pass and no
+    * global sort. Within a batch the fold orders arrivals by
+    * (doc_id, chunk_idx), so a single-batch feed reproduces the batch
+    * assignment EXACTLY (the oracle: the shard window over the
+    * streamed stages' sample set); across batches ids follow arrival
+    * order — still monotone, still budget-bounded — and the batch
+    * rebuild (`cur_shard_assign`) stays authoritative for the
+    * deterministic global order, the same lambda split that keeps
+    * near-dup removal in the batch tier.
+    *
+    * Scale: the fold is a SINGLE state group because a running offset
+    * is inherently sequential (every id depends on the total before
+    * it) — but it folds sample metadata (two ids + a count), never
+    * text (pruned before the fold, rejoined after by key), and a
+    * production ingest splits it per input partition exactly like the
+    * batch two-pass. */
+  def streamShardAssign(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    // hop 1: the (separately oracle-checked) streaming samples pipeline
+    val samples = streamPipelineSamples(spark, sfDir)
+      .select($"doc_id", $"chunk_idx", $"chunk_text", $"n_tokens")
+      .as[(Long, Int, String, Long)].collect()
+    // hop 2: replay the sample sink as a single-batch feed; the fold
+    // sees METADATA only — the chunk text stays out of the state store
+    implicit val sqlCtx = spark.sqlContext
+    val feed = MemoryStream[(Long, Int, Long)]
+    feed.addData(samples.map(s => (s._1, s._2, s._4)).toSeq)
+    val folded = runToMemory(shardFoldStream(feed.toDS()), "append")
+    // rejoin the text by (doc_id, chunk_idx) — the sink-side hydration
+    val texts = samples.toSeq.toDF("doc_id", "chunk_idx", "chunk_text", "n_tokens")
+      .select($"doc_id", $"chunk_idx", $"chunk_text")
+    folded.join(texts, Seq("doc_id", "chunk_idx"))
+      .select($"doc_id", $"chunk_idx", $"chunk_text", $"n_tokens", $"shard")
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
+  /** The running-token-offset shard fold over any streaming
+    * (doc_id, chunk_idx, n_tokens) feed (spec entry point: multi-batch
+    * monotonicity). In-batch order is (doc_id, chunk_idx); the offset
+    * carries across batches in the single state group. */
+  private[graft] def shardFoldStream(
+      feed: org.apache.spark.sql.Dataset[(Long, Int, Long)]): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val spark = feed.sparkSession
+    import spark.implicits._
+    feed.groupByKey(_ => 0)
+      .flatMapGroupsWithState[Long, (Long, Int, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { (_, rows, state) =>
+          var off = state.getOption.getOrElse(0L)
+          val out = rows.toSeq.sortBy(r => (r._1, r._2)).map { r =>
+            val shard = off / graft.operators.Curation.ShardBudget
+            off += r._3
+            (r._1, r._2, r._3, shard)
+          }
+          state.update(off)
+          out.iterator
+        }
+      .toDF("doc_id", "chunk_idx", "n_tokens", "shard")
+  }
+
   /** [[runPipelineSamplesStream]] over the documents table. */
   def streamPipelineSamples(spark: SparkSession, sfDir: String): DataFrame = {
     val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
@@ -2048,6 +2116,7 @@ object Streaming {
     "stream_dedup_minhash_warmstart_ttl" -> streamDedupMinhashWarmstartTTL,
     "stream_dedup_chunks_ngram" -> streamDedupChunksNgram,
     "stream_pipeline_samples" -> streamPipelineSamples,
+    "stream_shard_assign" -> streamShardAssign,
     "stream_pipeline_samples_ttl" -> streamPipelineSamplesTTL,
     "stream_pipeline_samples_warmstart" -> streamPipelineSamplesWarmstart,
     "stream_decontam" -> streamDecontam,
@@ -2170,6 +2239,9 @@ object Streaming {
     // engine constants — the monotone-emission design makes the stream
     // equal it under ANY batch split
     "stream_pipeline_samples" -> pipelineSamplesOracleSql,
+    // shard ids folded at ingest: single-batch feed ⇒ the fold's
+    // in-batch (doc_id, chunk_idx) order ⇒ exactly the batch window
+    "stream_shard_assign" -> streamShardAssignOracleSql,
     // single-batch in-window feed ⇒ no eviction ⇒ identical to the
     // unbounded form and the same batch composition (eviction and
     // epoch restart pinned in StreamingSpec)
@@ -2267,8 +2339,11 @@ object Streaming {
         |WHERE c::DOUBLE / (na.n + nb.n - c) >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin
 
-  private lazy val pipelineSamplesOracleSql: String =
-    s"""WITH red AS (
+  /** The streamed stages (redact → quality → chunk → chunk-level
+    * keep-first) as oracle CTEs — shared by the samples oracle and the
+    * shard-assign twin so the stage splices cannot drift. */
+  private lazy val pipelineSamplesCtes: String =
+    s"""red AS (
        |  SELECT doc_id, ${graft.operators.TextAnalysis.redactedSqlExpr} AS text
        |  FROM documents
        |),
@@ -2282,7 +2357,26 @@ object Streaming {
        |    row_number() OVER (PARTITION BY md5(chunk_text)
        |      ORDER BY doc_id, chunk_idx) AS rn
        |  FROM chunks
-       |)
+       |)""".stripMargin
+
+  private lazy val pipelineSamplesOracleSql: String =
+    s"""WITH $pipelineSamplesCtes
        |SELECT doc_id, chunk_idx, chunk_text, n_tokens
        |FROM sel WHERE rn = 1 ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** The shard window over the STREAMED stages' sample set — the exact
+    * batch `cur_shard_assign` tail, applied to the stream pipeline's
+    * own (near-dup-free, lambda-split) sample set: on a single-batch
+    * feed the ingest fold must reproduce it row for row. */
+  private lazy val streamShardAssignOracleSql: String =
+    s"""WITH $pipelineSamplesCtes,
+       |samples AS (
+       |  SELECT doc_id, chunk_idx, chunk_text, n_tokens
+       |  FROM sel WHERE rn = 1
+       |)
+       |SELECT doc_id, chunk_idx, chunk_text, n_tokens,
+       |  CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id, chunk_idx
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |    // ${graft.operators.Curation.ShardBudget} AS BIGINT) AS shard
+       |FROM samples ORDER BY doc_id, chunk_idx""".stripMargin
 }

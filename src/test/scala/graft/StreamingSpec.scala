@@ -1054,6 +1054,30 @@ class StreamingSpec extends AnyFunSuite {
         s"singleton for user 2, got $got")
   }
 
+  test("shard fold: offset carries across micro-batches, ids monotone and budget-bounded") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val budget = graft.operators.Curation.ShardBudget // 5000
+    val feed = MemoryStream[(Long, Int, Long)]
+    // batch 1 arrives out of order — in-batch order must be (doc, idx):
+    // tokens 3000+3000 ⇒ doc 1 in shard 0, doc 2 starts shard 1 (offset
+    // 3000 ⇒ still 0? no: 3000/5000=0 — then doc2 pre=3000 → shard 0,
+    // post 6000). Sizes chosen so batch 2's first sample lands in a
+    // LATER shard purely from batch 1's carried offset.
+    feed.addData((2L, 0, 3000L), (1L, 0, 3000L))
+    feed.addData((3L, 0, 4500L), (4L, 0, 100L))
+    val q = Streaming.shardFoldStream(feed.toDS()).writeStream
+      .outputMode("append").format("memory").queryName("graft_shard_fold").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("graft_shard_fold").collect()
+      .map(r => (r.getLong(0), r.getLong(3))).sortBy(_._1).toSeq
+    // exclusive prefix sums: doc1 pre=0→shard0, doc2 pre=3000→shard0,
+    // doc3 pre=6000→shard1 (the cross-batch carry), doc4 pre=10500→shard2
+    assert(got === Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 2L)))
+    assert(got.map(_._2) === got.map(_._2).sorted, "ids must be monotone")
+  }
+
   test("stateful user totals equal the batch aggregation") {
     import org.apache.spark.sql.functions._
     val streamed = Streaming.streamUserTotals(spark, sf).collect()

@@ -362,36 +362,45 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(batched === seqFit)
   }
 
-  test("batched BPE fit: rank-prefix independence filter drops symbol-sharing candidates") {
+  test("batched BPE fit: greedy keep drops kept-conflicts, recovers dropped-conflicts") {
     import spark.implicits._
     // word freqs: xy×3, yz×2, pq×1 → pool at B=4 ranked (count DESC,
     // lhs, rhs): (x,y):3, (y,</w>):3, (y,z):2, (z,</w>):2.
-    // r1 (x,y) kept; r2 shares y with r1 → dropped; r3 shares y → dropped;
-    // r4 (z,</w>) shares </w> with the DROPPED r2 → dropped too (the
-    // rule filters against all earlier-RANKED candidates, kept or not —
-    // the SQL-expressible conservative form the scaladoc defines).
+    // r1 (x,y) kept; r2 shares y with KEPT r1 → dropped; r3 shares y →
+    // dropped; r4 (z,</w>) conflicts only with DROPPED candidates, so
+    // the greedy rule KEEPS it (the rank-prefix form this replaced
+    // dropped it too — one dropped candidate poisoned every later one).
     val docs = Seq((1L, "xy xy xy yz yz pq")).toDF("doc_id", "text")
     val got = TextAnalysis.textBpeFitBatchedOn(docs, iters = 1, batch = 4)
       .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
       .toSeq
-    assert(got === Seq((1, "x", "y", 3L)))
+    assert(got === Seq((1, "x", "y", 3L), (2, "z", "</w>", 2L)))
   }
 
-  test("independence filter also rejects candidates consuming an earlier merge's OUTPUT token") {
+  test("greedy keep rejects output-token cascades, both orientations, kept-only conflicts") {
     // the r16 ADVICE cascade: ('x','y') creates token 'xy'; a
     // later-ranked ('xy','z') shares no SYMBOL with it, but within one
     // batch the chained rewrite would fire it on tokens the earlier
-    // merge just created — so clause (b) must drop it. ('p','q') is
-    // fully disjoint and must survive.
+    // merge just created — the output-token clause must drop it.
+    // ('p','q') is fully disjoint and must survive.
     val pool = Seq(("x", "y", 9L), ("xy", "z", 5L), ("p", "q", 3L))
-    assert(TextAnalysis.bpeIndependentPrefix(pool) ===
+    assert(TextAnalysis.bpeGreedyKeep(pool) ===
       Seq(("x", "y", 9L), ("p", "q", 3L)))
     // symmetric orientation: later candidate's rhs equals the output
-    val pool2 = Seq(("x", "y", 9L), ("z", "xy", 5L))
-    assert(TextAnalysis.bpeIndependentPrefix(pool2) === Seq(("x", "y", 9L)))
+    assert(TextAnalysis.bpeGreedyKeep(Seq(("x", "y", 9L), ("z", "xy", 5L))) ===
+      Seq(("x", "y", 9L)))
+    // REVERSE orientation: the later candidate's OUTPUT equals a kept
+    // candidate's symbol — order-freedom needs this side too
+    assert(TextAnalysis.bpeGreedyKeep(Seq(("ab", "c", 9L), ("a", "b", 5L))) ===
+      Seq(("ab", "c", 9L)))
     // plain symbol-sharing clause still active
-    val pool3 = Seq(("a", "b", 9L), ("b", "c", 5L))
-    assert(TextAnalysis.bpeIndependentPrefix(pool3) === Seq(("a", "b", 9L)))
+    assert(TextAnalysis.bpeGreedyKeep(Seq(("a", "b", 9L), ("b", "c", 5L))) ===
+      Seq(("a", "b", 9L)))
+    // greedy vs rank-prefix: conflict with a DROPPED candidate does not
+    // poison a later one
+    assert(TextAnalysis.bpeGreedyKeep(
+      Seq(("x", "y", 9L), ("y", "z", 5L), ("p", "z", 3L))) ===
+      Seq(("x", "y", 9L), ("p", "z", 3L)))
   }
 
   test("batched BPE fit issues fewer Spark jobs than the sequential fit at equal merge budget") {
