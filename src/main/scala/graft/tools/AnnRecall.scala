@@ -35,8 +35,12 @@ object AnnRecall {
       "ivf" -> graft.operators.Similarity.simAnnIvf(spark, sfDir),
       "ivf_np14" -> graft.operators.Similarity.simAnnIvfOn(spark, sfDir, 14),
       "ivfpq" -> graft.operators.Similarity.simAnnIvfPq(spark, sfDir),
+      "ivfpq_8b" -> graft.operators.Similarity.simAnnIvfPq8b(spark, sfDir),
+      "ivfpq_32x8" -> graft.operators.Similarity.simAnnIvfPq32x8(spark, sfDir),
+      "pq" -> graft.operators.Similarity.simAnnPq(spark, sfDir),
+      "sq8" -> graft.operators.Similarity.simAnnSq8(spark, sfDir),
       "lsh" -> graft.operators.Similarity.simAnnLsh(spark, sfDir))) {
-      println(f"[recall] $name%-6s default recall@5=${recallOf(df, brute)}%.3f")
+      println(f"[recall] $name%-10s default recall@5=${recallOf(df, brute)}%.3f")
     }
     spark.stop()
   }
