@@ -24,7 +24,21 @@ import org.apache.spark.sql.functions._
   * so their pair space scales ×R² by construction (see SCALING.md).
   *
   * Queries (`vec_id < NumQueries`) exist only in replica 0 — the
-  * query count is a constant of the workload, not a scale axis. */
+  * query count is a constant of the workload, not a scale axis.
+  *
+  * Relational tables (r17, for the FULL-battery ×R run): facts and
+  * per-entity dimensions replicate with ALL their keys offset by the
+  * same replica stride — customer/supplier/part/orders/lineitem move
+  * (c_custkey, s_suppkey, p_partkey, o_orderkey ∪ o_custkey,
+  * l_orderkey ∪ l_partkey ∪ l_suppkey) together so every join's
+  * fan-out is exactly the original's, R times over ("R× more
+  * customers with the same shape"), and events offsets
+  * (event_id, user_id) with ts untouched (same time span, R× the
+  * concurrent users — windows get R× rows, sessions stay
+  * per-replica). region/nation are CONSTANT dimensions (25 rows is
+  * the world's nation count, not a scale axis) and copy verbatim;
+  * fact FKs to them are unchanged, so nation/region joins fan out R×
+  * per dimension row exactly as a grown corpus would. */
 object ScaleGen {
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -34,6 +48,7 @@ object ScaleGen {
       .master("local[32]")
       .appName("graft-scale-gen")
       .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -69,6 +84,34 @@ object ScaleGen {
     }.reduce(_ unionByName _)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    // constant dimensions: copied verbatim (see scaladoc)
+    for (t <- Seq("region", "nation"))
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+
+    // keyed tables: every id column offset by the replica stride so
+    // join fan-outs replicate instead of cross-multiplying
+    val keyed: Seq[(String, Seq[String])] = Seq(
+      "customer" -> Seq("c_custkey"),
+      "supplier" -> Seq("s_suppkey"),
+      "part" -> Seq("p_partkey"),
+      "orders" -> Seq("o_orderkey", "o_custkey"),
+      "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+      "events" -> Seq("event_id", "user_id"))
+    for ((t, keys) <- keyed) {
+      // events goes through the encoding-sniffing loader (the ts footer
+      // encoding has drifted between rounds); the written artifact is
+      // then plain TIMESTAMP, which the loader also handles
+      val df = if (t == "events") graft.sources.Tables.events(spark, src)
+               else spark.read.parquet(s"$src/$t.parquet")
+      (0 until replicas).map { k =>
+        keys.foldLeft(df)((d, c) =>
+          d.withColumn(c, col(c) + lit(k * idStride)))
+      }.reduce(_ unionByName _)
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
 
     println(s"SCALEGEN_DONE out=$out replicas=$replicas")
     spark.stop()
