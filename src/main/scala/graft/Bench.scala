@@ -77,6 +77,9 @@ object Bench {
     "dedup_exact_substring", "cur_strip_substrings",
     // its daily-crawl form: fresh delta probes the prior 8 B/gram index
     "dedup_substring_incremental",
+    // its STEADY-STATE form: the gram index read from the parquet
+    // artifact, delta-only expansion (r17)
+    "dedup_substring_stored",
     "dedup_simhash_pairs", "dedup_containment",
     // the 16-bit-band scale variant next to the 8-bit search it mirrors
     "dedup_simhash_pairs_b16",
@@ -134,6 +137,9 @@ object Bench {
     // the prior hash index; the bloom variant gates the anti-join behind
     // a scalar-subquery sketch probe (the 100 TB shape)
     "dedup_incremental", "dedup_incremental_bloom",
+    // its STEADY-STATE form: the 16 B/doc md5 index read from the
+    // parquet artifact, delta-only hashing (r17)
+    "dedup_incremental_stored",
     // incremental NEAR-dup: the delta's band signatures probe the prior
     // corpus's band index — pair space |delta| × collisions, prior
     // never self-pairs
@@ -145,6 +151,12 @@ object Bench {
     // incremental NEAR-dup, SimHash flavor: delta's radius-1 probe balls
     // against the prior fingerprints' exact-chunk band index
     "dedup_simhash_incremental",
+    // its STEADY-STATE form: signatures + chunk index read back from
+    // the parquet artifact, no prior-side shingling or voting (r17)
+    "dedup_simhash_stored",
+    // the embedding member's STEADY-STATE form: prior vector store +
+    // sign-bit band index read back, delta-only banding (r17)
+    "dedup_embed_cosine_stored",
     // tf-idf top-k: tf shuffle-agg + term-window df + per-doc rank
     "text_tfidf_topk",
     // subword counting + the packer budgeted in subword tokens: pure
@@ -200,6 +212,10 @@ object Bench {
     "text_bpe_fit",
     // the fast-trainer form: top-B independent merges per corpus pass
     "text_bpe_fit_batched",
+    // the apply half in merge-rank order: vocab rewritten k times
+    // (vocab-sized frames), corpus joined once against the encoded
+    // vocab (r17)
+    "text_bpe_encode",
     // the C4-order composition: line filter + line dedup ahead of the
     // document-level samples stages
     "cur_pipeline_samples_lines",
@@ -207,6 +223,9 @@ object Bench {
     "dedup_winnow_pairs",
     // its daily-crawl form: delta probes the stored fingerprint index
     "dedup_winnow_incremental",
+    // its STEADY-STATE form: fingerprint rows + df counter read from
+    // the parquet artifact, delta-only Karp–Rabin work (r17)
+    "dedup_winnow_stored",
     // perceptual image dedup: real codec decode + 32-bit aHash groupBy
     "mm_dedup_ahash",
     // crawl freshness: fresh grams shuffle-joined vs the prior index

@@ -178,20 +178,34 @@ object Dedup {
   /** The transform over any (prior, fresh) pair of (doc_id, text)
     * frames (spec entry point). */
   private[graft] def dedupSubstringIncrementalOn(prior: DataFrame,
+      fresh: DataFrame): DataFrame =
+    substringIncrementalTail(
+      substringGrams(prior).select(col("h")).distinct(), fresh)
+
+  /** The ONE positional gram expansion of the incremental ExactSubstr
+    * family — shared by the inline query and the stored twin. */
+  private def substringGrams(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.repartition(spark.sparkContext.defaultParallelism, $"doc_id")
+      .select($"doc_id", posexplode(
+        graft.functions.NGramXxh64Pos($"text", ExactSubstrTokens)).as(Seq("pos", "h")))
+  }
+
+  /** The probe + run-merge tail both incremental ExactSubstr forms
+    * funnel through, over an ALREADY-MATERIAL prior index — the
+    * DISTINCT gram-hash rows (8 B/gram, positions not needed on the
+    * index side) — so the inline query (which computes it from the
+    * prior slice) and the stored twin (which reads it back from the
+    * parquet artifact) cannot drift: same within-fresh window, same
+    * index probe, same span merge. */
+  private def substringIncrementalTail(priorIdx: DataFrame,
       fresh: DataFrame): DataFrame = {
-    val spark = prior.sparkSession
+    val spark = priorIdx.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     val W = ExactSubstrTokens
-    def grams(df: DataFrame): DataFrame = df
-      .repartition(spark.sparkContext.defaultParallelism, $"doc_id")
-      .select($"doc_id", posexplode(
-        graft.functions.NGramXxh64Pos($"text", W)).as(Seq("pos", "h")))
-    // the prior-side index: DISTINCT gram hashes only (the stored
-    // artifact); distinct keeps the probe join from fanning out on
-    // grams the prior repeats
-    val priorIdx = grams(prior).select($"h").distinct()
-    val freshG = grams(fresh)
+    val freshG = substringGrams(fresh)
     val byHash = Window.partitionBy($"h")
     val withinFresh = freshG
       .withColumn("mn", min($"doc_id").over(byHash))
@@ -201,6 +215,28 @@ object Dedup {
     val inPrior = freshG.join(priorIdx, Seq("h"), "left_semi")
       .select($"doc_id", $"pos")
     mergeSpanRuns(withinFresh.unionByName(inPrior).distinct(), W)
+  }
+
+  /** [[dedupSubstringIncremental]] in its STEADY-STATE form — the
+    * ExactSubstr member of the stored-artifact family: the prior
+    * corpus's DISTINCT gram-hash index (the 8 B/gram write-once
+    * artifact; at cluster scale hash-bucketed by `h`, the probe join
+    * key) read from the parquet artifact a previous run wrote
+    * ([[graft.sources.IndexStore]]), only the DELTA gram-expanded at
+    * probe time. First run per corpus writes; every later run is
+    * read + probe, no prior-side tokenization at all. Output contract
+    * and oracle are IDENTICAL to the inline incremental query. */
+  def dedupSubstringStored(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.IndexStore
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val priorIdx = IndexStore.readOrBuild(spark,
+      IndexStore.artifactPath(spark, sfDir, "substr_grams", "documents"),
+      substringGrams(
+        docs.filter(pmod($"doc_id", lit(SnapshotMod)) < SnapshotNewMin))
+        .select($"h").distinct())
+    substringIncrementalTail(priorIdx,
+      docs.filter(pmod($"doc_id", lit(SnapshotMod)) >= SnapshotNewMin))
   }
 
   /** The ExactSubstr DROP applied — the deduplicated corpus the span
@@ -379,15 +415,45 @@ object Dedup {
 
   /** The transform of [[dedupIncremental]] over any (prior, fresh)
     * pair of (doc_id, text) frames (spec entry point). */
-  private[graft] def dedupIncrementalOn(prior: DataFrame, fresh: DataFrame): DataFrame = {
-    val spark = prior.sparkSession
+  private[graft] def dedupIncrementalOn(prior: DataFrame, fresh: DataFrame): DataFrame =
+    dedupIncrementalTail(
+      prior.select(md5(col("text")).as("h")).distinct(), fresh)
+
+  /** The delta-agg + anti-join tail both incremental exact-dedup forms
+    * funnel through, over an ALREADY-MATERIAL prior hash index — so the
+    * inline query (which hashes the prior slice per run) and the stored
+    * twin (which reads the 16 B/doc index back from the parquet
+    * artifact) cannot drift. */
+  private def dedupIncrementalTail(priorIdx: DataFrame,
+      fresh: DataFrame): DataFrame = {
+    val spark = priorIdx.sparkSession
     import spark.implicits._
-    val index = prior.select(md5($"text").as("h")).distinct()
     fresh.select(md5($"text").as("h"), $"doc_id")
       .groupBy($"h")
       .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_new"))
-      .join(index, Seq("h"), "left_anti")
+      .join(priorIdx, Seq("h"), "left_anti")
       .orderBy($"h")
+  }
+
+  /** [[dedupIncremental]] in its STEADY-STATE form — the exact-hash
+    * member of the stored-artifact family: the prior corpus's DISTINCT
+    * md5 index (16 B/doc, the write-once artifact; at cluster scale
+    * hash-bucketed by `h`, the anti-join key) read from the parquet
+    * artifact a previous run wrote ([[graft.sources.IndexStore]]),
+    * only the DELTA hashed at probe time. First run per corpus writes;
+    * every later run is read + anti-join, no prior-side text scan at
+    * all. Output contract and oracle are IDENTICAL to the inline
+    * incremental query. */
+  def dedupIncrementalStored(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.IndexStore
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val priorIdx = IndexStore.readOrBuild(spark,
+      IndexStore.artifactPath(spark, sfDir, "exact_hash_idx", "documents"),
+      docs.filter(pmod($"doc_id", lit(SnapshotMod)) < SnapshotNewMin)
+        .select(md5($"text").as("h")).distinct())
+    dedupIncrementalTail(priorIdx,
+      docs.filter(pmod($"doc_id", lit(SnapshotMod)) >= SnapshotNewMin))
   }
 
   /** Bloom sizing for [[dedupIncrementalBloom]]: 2²⁰ expected items over
@@ -813,22 +879,39 @@ object Dedup {
     * fresh) pair of embeddings frames (spec entry point). */
   private[graft] def dedupEmbedCosineIncrementalOn(
       prior: DataFrame, fresh: DataFrame): DataFrame = {
-    val spark = prior.sparkSession
+    val p = embedSideOf(prior)
+    embedIncrementalTail(embedBanded(p), p, fresh)
+  }
+
+  /** Each snapshot side ends in ONE explicit vec_id exchange that both
+    * its banding and its verify-pool leg replay (the minhashHashed
+    * discipline — without the shared materialized subtree the two
+    * banded frames and the four pool-union legs each re-scanned the
+    * table: ScanAudit measured embeddings=6). Shared by the inline
+    * query and the stored twin. */
+  private[graft] def embedSideOf(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
     import spark.implicits._
     import graft.functions.VectorOps
-    // each snapshot side ends in ONE explicit vec_id exchange that both
-    // its banding and its verify-pool leg replay (the minhashHashed
-    // discipline — without the shared materialized subtree the two
-    // banded frames and the four pool-union legs each re-scanned the
-    // table: ScanAudit measured embeddings=6)
-    def sideOf(df: DataFrame): DataFrame = df
-      .filter($"vec_id".isNotNull)
+    df.filter($"vec_id".isNotNull)
       .select($"vec_id", $"label", $"embedding",
         VectorOps.toDouble($"embedding").as("v"))
       .repartition(spark.sparkContext.defaultParallelism, $"vec_id")
-    val p = sideOf(prior)
-    val f = sideOf(fresh)
-    val candidates = embedBanded(p).as("a").join(embedBanded(f).as("b"),
+  }
+
+  /** The probe + verify tail both incremental embedding forms funnel
+    * through, over an ALREADY-MATERIAL prior index — the (vec_id,
+    * label, c, cell) band rows and the (vec_id, …, v) vector store —
+    * so the inline query (which computes both from the prior slice)
+    * and the stored twin (which reads both back from the parquet
+    * artifact; doubles round-trip bit-exactly) cannot drift. */
+  private def embedIncrementalTail(priorBands: DataFrame,
+      priorVecs: DataFrame, fresh: DataFrame): DataFrame = {
+    val spark = priorVecs.sparkSession
+    import spark.implicits._
+    import graft.functions.VectorOps
+    val f = embedSideOf(fresh)
+    val candidates = priorBands.as("a").join(embedBanded(f).as("b"),
         $"a.label" === $"b.label" && $"a.c" === $"b.c" && $"a.cell" === $"b.cell")
       .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
         $"a.label".as("label"))
@@ -836,7 +919,8 @@ object Dedup {
     // both verify sides read the same aliased pool frame (the
     // dedupMinHashLsh broadcast-reuse note); vec_a only matches prior
     // ids, vec_b only fresh
-    val pool = p.select($"vec_id", $"v").unionByName(f.select($"vec_id", $"v"))
+    val pool = priorVecs.select($"vec_id", $"v")
+      .unionByName(f.select($"vec_id", $"v"))
     candidates.as("cd")
       .join(pool.as("sa"), $"cd.vec_a" === $"sa.vec_id")
       .join(pool.as("sb"), $"cd.vec_b" === $"sb.vec_id")
@@ -845,6 +929,31 @@ object Dedup {
       .orderBy($"cos".desc, $"vec_a".asc, $"vec_b".asc)
       .limit(20)
       .select($"vec_a", $"vec_b", $"label", round($"cos", 4).as("cosine"))
+  }
+
+  /** [[dedupEmbedCosineIncremental]] in its STEADY-STATE form — the
+    * embedding member of the stored-artifact family: the prior
+    * corpus's vector store AND its sign-bit band index (partitioned by
+    * band `c` for partition-local appends) read from the parquet
+    * artifact a previous run wrote ([[graft.sources.IndexStore]]),
+    * only the DELTA banded at probe time. The band index is derived
+    * FROM THE READ-BACK vector store, so the round-trip itself is
+    * under the oracle; the verify cosines run on the read-back doubles,
+    * which round-trip parquet bit-exactly. Output contract and oracle
+    * are IDENTICAL to the inline incremental query. */
+  def dedupEmbedCosineStored(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.IndexStore
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    val vecs = IndexStore.readOrBuild(spark,
+      IndexStore.artifactPath(spark, sfDir, "embed_vecs", "embeddings"),
+      embedSideOf(
+        emb.filter(pmod($"vec_id", lit(SnapshotMod)) < SnapshotNewMin)))
+    val bands = IndexStore.readOrBuild(spark,
+      IndexStore.artifactPath(spark, sfDir, "embed_bands", "embeddings"),
+      embedBanded(vecs), partitionCols = Seq("c"))
+    embedIncrementalTail(bands, vecs,
+      emb.filter(pmod($"vec_id", lit(SnapshotMod)) >= SnapshotNewMin))
   }
 
   /** The dedup *result*: documents kept after dropping the higher doc_id
@@ -1489,55 +1598,92 @@ object Dedup {
     * cross-snapshot near-dup pair. */
   private[graft] def dedupSimHashIncrementalOn(
       prior: DataFrame, fresh: DataFrame): DataFrame = {
-    val spark = prior.sparkSession
+    val hp = simhashHashed(prior)
+    simhashIncrementalTail(hp, simhashChunkIndex(hp), simhashHashed(fresh))
+  }
+
+  /** The ONE (doc_id, sorted shingle-hash array) projection of the
+    * incremental SimHash family — shared by the inline query and the
+    * stored twin so the signature derivation cannot drift.
+    *
+    * The shared per-side subtree stops at (doc_id, shc): ShingleMd5Low64
+    * emits the sorted-distinct hash set straight from the text bytes
+    * (no explode, no shuffle before the band join), and the fingerprint
+    * is voted from that same array ABOVE the shared exchange, on the
+    * band branch only. Computing f in here instead costs 2×
+    * the scans (measured: documents=4): the verify branch prunes to
+    * (doc_id, shc) and the band branch to (doc_id, f), the specialized
+    * projections de-canonicalize the subtree under the repartition, and
+    * each side's scan + shingle hashing runs twice. Same discipline as
+    * dedupMinHashIncrementalOn (band hashes derived above the shared
+    * (doc_id, hv) exchange), including the explicit isnotnull: the
+    * verify joins infer isnotnull(doc_id) on their branches, the band
+    * join (keyed on c/v/f) does not, and the constraint must live in
+    * the SHARED subtree for the branches to stay canonically equal.
+    * The second trick-filter is this query's OWN instance of the
+    * hazard: the band join also infers isnotnull(f) =
+    * isnotnull(simhash(shc)), which pushes below the repartition on
+    * the band branches only — without mirroring it here the two
+    * exchanges per side differ by exactly that predicate and the scan
+    * + shingle hashing run twice per side (measured: documents=4).
+    * Semantically a no-op (the fingerprint of a non-null array is
+    * never null); it exists purely to keep the exchange children
+    * byte-identical. */
+  private[graft] def simhashHashed(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
     import spark.implicits._
-    // The shared per-side subtree stops at (doc_id, shc): ShingleMd5Low64
-    // emits the sorted-distinct hash set straight from the text bytes
-    // (no explode, no shuffle before the band join), and the fingerprint
-    // is voted from that same array ABOVE the shared exchange, on the
-    // band branch only. Computing f inside hashedOf instead costs 2×
-    // the scans (measured: documents=4): the verify branch prunes to
-    // (doc_id, shc) and the band branch to (doc_id, f), the specialized
-    // projections de-canonicalize the subtree under the repartition, and
-    // each side's scan + shingle hashing runs twice. Same discipline as
-    // dedupMinHashIncrementalOn (band hashes derived above the shared
-    // (doc_id, hv) exchange), including the explicit isnotnull: the
-    // verify joins infer isnotnull(doc_id) on their branches, the band
-    // join (keyed on c/v/f) does not, and the constraint must live in
-    // the SHARED subtree for the branches to stay canonically equal.
-    // The second trick-filter below is this query's OWN instance of the
-    // hazard: the band join also infers isnotnull(f) =
-    // isnotnull(simhash(shc)), which pushes below the repartition on
-    // the band branches only — without mirroring it here the two
-    // exchanges per side differ by exactly that predicate and the scan
-    // + shingle hashing run twice per side (measured: documents=4).
-    // Semantically a no-op (the fingerprint of a non-null array is
-    // never null); it exists purely to keep the exchange children
-    // byte-identical.
-    def hashedOf(df: DataFrame): DataFrame = df
-      .filter($"doc_id".isNotNull)
+    df.filter($"doc_id".isNotNull)
       .repartition(spark.sparkContext.defaultParallelism, $"doc_id")
       .select($"doc_id", graft.functions.ShingleMd5Low64($"text").as("shc"))
       .filter(size($"shc") > 0)
       .filter(graft.functions.SimHash64FromHashes($"shc").isNotNull)
-    val hp = hashedOf(prior)
-    val hf = hashedOf(fresh)
-    def fpOf(hashed: DataFrame): DataFrame = hashed
-      .select($"doc_id", graft.functions.SimHash64FromHashes($"shc").as("f"))
+  }
+
+  /** (doc_id, f) fingerprints voted from a [[simhashHashed]] frame. */
+  private def simhashFpOf(hashed: DataFrame): DataFrame =
+    hashed.select(col("doc_id"),
+      graft.functions.SimHash64FromHashes(col("shc")).as("f"))
+
+  /** The prior side's EXACT-chunk band index over a [[simhashHashed]]
+    * frame — 8 longs/doc, the write-once artifact a production pipeline
+    * buckets by (chunk, value) exactly like the MinHash (band, bh)
+    * index. */
+  private[graft] def simhashChunkIndex(hashed: DataFrame): DataFrame = {
+    val spark = hashed.sparkSession
+    import spark.implicits._
     val mask = (1L << SimHashChunkBits) - 1
     def chunk(c: Int): Column =
       shiftrightunsigned($"f", c * SimHashChunkBits).bitwiseAND(lit(mask))
     val indexKeys = (0 until SimHashChunks).map { c =>
       struct(lit(c).as("c"), chunk(c).as("v"))
     }
+    simhashFpOf(hashed)
+      .select($"doc_id", $"f", explode(array(indexKeys: _*)).as("k"))
+      .select($"doc_id", $"f", $"k.c".as("c"), $"k.v".as("v"))
+  }
+
+  /** The probe + verify tail both incremental SimHash forms funnel
+    * through, over an ALREADY-MATERIAL prior index — (doc_id, shc)
+    * signatures and their (doc_id, f, c, v) exact-chunk banding — so
+    * the inline query (which computes both from the prior slice) and
+    * the stored twin (which reads both back from the parquet artifact)
+    * cannot drift: same radius-1 delta ball, same Hamming cut, same
+    * exact-Jaccard merge-walk. */
+  private def simhashIncrementalTail(priorSigs: DataFrame,
+      priorIndex: DataFrame, hf: DataFrame): DataFrame = {
+    val spark = priorSigs.sparkSession
+    import spark.implicits._
+    val mask = (1L << SimHashChunkBits) - 1
+    def chunk(c: Int): Column =
+      shiftrightunsigned($"f", c * SimHashChunkBits).bitwiseAND(lit(mask))
     val probeKeys = (0 until SimHashChunks).flatMap { c =>
       (Seq(0L) ++ (0 until SimHashChunkBits).map(1L << _)).map { flip =>
         struct(lit(c).as("c"), chunk(c).bitwiseXOR(lit(flip)).as("v"))
       }
     }
-    val index = fpOf(hp).select($"doc_id", $"f", explode(array(indexKeys: _*)).as("k"))
-      .select($"doc_id", $"f", $"k.c".as("c"), $"k.v".as("v"))
-    val probe = fpOf(hf).select($"doc_id", $"f", explode(array(probeKeys: _*)).as("k"))
+    val index = priorIndex
+    val probe = simhashFpOf(hf)
+      .select($"doc_id", $"f", explode(array(probeKeys: _*)).as("k"))
       .select($"doc_id", $"f", $"k.c".as("c"), $"k.v".as("v"))
     // cross-snapshot candidates ONLY — prior index left, delta probe
     // right; the slices are disjoint, so no a < b self-pairing games.
@@ -1553,13 +1699,44 @@ object Dedup {
       // row — same verify-parallelism pin as every pair search
       .repartition(spark.sparkContext.defaultParallelism, $"doc_a")
     candidates.as("cd")
-      .join(hp.as("sa"), $"cd.doc_a" === $"sa.doc_id")
+      .join(priorSigs.select($"doc_id", $"shc").as("sa"),
+        $"cd.doc_a" === $"sa.doc_id")
       .join(hf.as("sb"), $"cd.doc_b" === $"sb.doc_id")
       .select($"cd.doc_a".as("doc_a"), $"cd.doc_b".as("doc_b"),
         graft.functions.SetJaccardSorted($"sa.shc", $"sb.shc").as("jacc"))
       .filter($"jacc" >= JaccardThreshold)
       .select($"doc_a", $"doc_b", round($"jacc", 3).as("jaccard"))
       .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** [[dedupSimHashIncremental]] in its STEADY-STATE form — the SimHash
+    * member of the stored-artifact family ([[dedupMinHashStored]] is
+    * the MinHash one): the prior corpus's shingle signatures and their
+    * exact-chunk band index read from the parquet artifact a previous
+    * run wrote ([[graft.sources.IndexStore]] — the chunk index
+    * partitioned by `c`, so a production append is partition-local),
+    * only the DELTA shingled + fingerprinted at probe time. First run
+    * per corpus writes the artifact; every later run — the wall a
+    * daily ingest actually pays — is read + probe, no prior-side
+    * shingling or fingerprint voting at all. The chunk index is
+    * derived FROM THE READ-BACK signatures (not re-derived from text),
+    * so the artifact round-trip itself is under the oracle. Output
+    * contract and oracle are IDENTICAL to the inline incremental
+    * query. */
+  def dedupSimHashStored(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.IndexStore
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val sigs = IndexStore.readOrBuild(spark,
+      IndexStore.artifactPath(spark, sfDir, "simhash_sigs", "documents"),
+      simhashHashed(
+        docs.filter(pmod($"doc_id", lit(SnapshotMod)) < SnapshotNewMin)))
+    val index = IndexStore.readOrBuild(spark,
+      IndexStore.artifactPath(spark, sfDir, "simhash_chunks", "documents"),
+      simhashChunkIndex(sigs), partitionCols = Seq("c"))
+    simhashIncrementalTail(sigs, index,
+      simhashHashed(
+        docs.filter(pmod($"doc_id", lit(SnapshotMod)) >= SnapshotNewMin)))
   }
 
   /** Embedding-space near-dup/similarity pairs: same-label blocked
@@ -1913,17 +2090,43 @@ object Dedup {
   /** The transform over any (prior, fresh) pair of (doc_id, text)
     * frames (spec entry point). */
   private[graft] def winnowIncrementalOn(prior: DataFrame, fresh: DataFrame): DataFrame = {
-    val spark = prior.sparkSession
+    val fpsP = winnowFps(prior)
+    winnowIncrementalTail(fpsP,
+      fpsP.groupBy(col("g")).agg(count(lit(1)).as("df")), fresh)
+  }
+
+  /** The ONE (doc_id, winnowed gram hash) fingerprint expansion of the
+    * incremental winnow family — each caller's expansion has two
+    * consumers (df agg + keep join), so it materializes once (the
+    * winnowPairsOn note). Shared by the inline query and the stored
+    * twin so the Karp–Rabin window-min arithmetic cannot drift. */
+  private[graft] def winnowFps(df: DataFrame): DataFrame =
+    Materialize.frame(df.select(col("doc_id"),
+      explode(array_distinct(graft.functions.GramWindowMins(col("text")))).as("g")))
+
+  /** The probe + pair tail both incremental winnow forms funnel
+    * through, over an ALREADY-MATERIAL prior index — the (doc_id, g)
+    * fingerprint rows and the (g, df) per-gram document-frequency
+    * counter a production MOSS index maintains — so the inline query
+    * (which computes both from the prior slice) and the stored twin
+    * (which reads both back from the parquet artifact) cannot drift.
+    * The DF cap applies to the COMBINED frequency (stored counter +
+    * delta counts, a full-outer sum — what an index increment does),
+    * so cap semantics match the whole-corpus batch query exactly. */
+  private def winnowIncrementalTail(fpsP: DataFrame, dfP: DataFrame,
+      fresh: DataFrame): DataFrame = {
+    val spark = fpsP.sparkSession
     import spark.implicits._
-    // each side's expansion has two consumers (combined-df agg + its
-    // keep join) — materialize both once (the winnowPairsOn note)
-    def fps(df: DataFrame): DataFrame = Materialize.frame(df.select($"doc_id",
-      explode(array_distinct(graft.functions.GramWindowMins($"text"))).as("g")))
-    val fpsP = fps(prior)
-    val fpsF = fps(fresh)
-    // combined df = the maintained per-gram counter of the stored index
-    val df = fpsP.unionByName(fpsF).groupBy($"g").agg(count(lit(1)).as("df"))
+    val fpsF = winnowFps(fresh)
+    val dfF = fpsF.groupBy($"g").agg(count(lit(1)).as("df_f"))
+    // combined df = the maintained per-gram counter incremented by the
+    // delta; the cap cut happens on the combined count, never on either
+    // side alone
+    val df = dfP.select($"g", $"df".as("df_p")).join(dfF, Seq("g"), "full_outer")
+      .select($"g",
+        (coalesce($"df_p", lit(0L)) + coalesce($"df_f", lit(0L))).as("df"))
       .filter($"df" <= WinnowDfCap)
+      .select($"g")
     val keepP = Materialize.frame(fpsP.join(df, "g").select($"doc_id", $"g"))
     val keepF = Materialize.frame(fpsF.join(df, "g").select($"doc_id", $"g"))
     val sizes = keepP.unionByName(keepF).groupBy($"doc_id").agg(count(lit(1)).as("n"))
@@ -1943,15 +2146,47 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** [[dedupWinnowIncremental]] in its STEADY-STATE form — the MOSS
+    * member of the stored-artifact family: the prior corpus's
+    * (doc_id, g) fingerprint rows AND the (g, df) per-gram frequency
+    * counter read from the parquet artifact a previous run wrote
+    * ([[graft.sources.IndexStore]]; at cluster scale both are
+    * hash-bucketed by `g`, the probe join key), only the DELTA
+    * winnowed at probe time. The df counter is stored UNCAPPED — the
+    * cap cut happens on the combined (stored + delta) count at probe
+    * time, which is what an index increment does and why the artifact
+    * stays append-only. First run per corpus writes; every later run
+    * is read + probe, no prior-side Karp–Rabin work at all. The
+    * counter artifact is derived FROM THE READ-BACK fingerprint rows,
+    * so the round-trip itself is under the oracle. Output contract and
+    * oracle are IDENTICAL to the inline incremental query. */
+  def dedupWinnowStored(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.IndexStore
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+      .repartition(spark.sparkContext.defaultParallelism)
+    val fpsP = IndexStore.readOrBuild(spark,
+      IndexStore.artifactPath(spark, sfDir, "winnow_fps", "documents"),
+      winnowFps(
+        docs.filter(pmod($"doc_id", lit(SnapshotMod)) < SnapshotNewMin)))
+    val dfP = IndexStore.readOrBuild(spark,
+      IndexStore.artifactPath(spark, sfDir, "winnow_df", "documents"),
+      fpsP.groupBy($"g").agg(count(lit(1)).as("df")))
+    winnowIncrementalTail(fpsP, dfP,
+      docs.filter(pmod($"doc_id", lit(SnapshotMod)) >= SnapshotNewMin))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> dedupExact,
     "dedup_exact_bow" -> dedupExactBow,
     "dedup_exact_substring" -> dedupExactSubstring,
     "dedup_substring_incremental" -> dedupSubstringIncremental,
+    "dedup_substring_stored" -> dedupSubstringStored,
     "cur_strip_substrings" -> curStripSubstrings,
     "cur_strip_repetition" -> curStripRepetition,
     "dedup_incremental" -> dedupIncremental,
     "dedup_incremental_bloom" -> dedupIncrementalBloom,
+    "dedup_incremental_stored" -> dedupIncrementalStored,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_containment" -> dedupContainment,
     "dedup_minhash_lsh" -> dedupMinHashLsh,
@@ -1962,12 +2197,15 @@ object Dedup {
     "dedup_simhash_pairs" -> dedupSimHashPairs,
     "dedup_winnow_pairs" -> dedupWinnowPairs,
     "dedup_winnow_incremental" -> dedupWinnowIncremental,
+    "dedup_winnow_stored" -> dedupWinnowStored,
     "dedup_simhash_pairs_wide" -> dedupSimHashPairsWide,
     "dedup_simhash_pairs_b16" -> dedupSimHashPairsB16,
     "dedup_simhash_incremental" -> dedupSimHashIncremental,
+    "dedup_simhash_stored" -> dedupSimHashStored,
     "dedup_embed_cosine" -> dedupEmbedCosine,
     "dedup_embed_cosine_blocked" -> dedupEmbedCosineBlocked,
     "dedup_embed_cosine_incremental" -> dedupEmbedCosineIncremental,
+    "dedup_embed_cosine_stored" -> dedupEmbedCosineStored,
     "dedup_clusters" -> dedupClusters,
     "dedup_clusters_incremental" -> dedupClustersIncremental,
     "dedup_clusters_all" -> dedupClustersAll,
@@ -2298,6 +2536,80 @@ object Dedup {
       |WHERE c::DOUBLE / (na.n + nb.n - c) >= 0.8
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Fresh-delta shared-span flagging vs the prior DISTINCT gram index —
+    * shared VERBATIM by the inline incremental query and its
+    * stored-artifact twin: the parquet round-trip must be semantically
+    * invisible. */
+  private val substringIncrementalOracleSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |),
+       |fg AS (
+       |  SELECT doc_id, i - 1 AS pos,
+       |    array_to_string(t[i : i + $ExactSubstrTokens - 1], ' ') AS g
+       |  FROM (SELECT doc_id, unnest(range(1, len(t) - $ExactSubstrTokens + 2)) AS i, t
+       |        FROM toks
+       |        WHERE doc_id % $SnapshotMod >= $SnapshotNewMin
+       |          AND len(t) >= $ExactSubstrTokens)
+       |),
+       |pg AS (
+       |  SELECT DISTINCT array_to_string(t[i : i + $ExactSubstrTokens - 1], ' ') AS g
+       |  FROM (SELECT unnest(range(1, len(t) - $ExactSubstrTokens + 2)) AS i, t
+       |        FROM toks
+       |        WHERE doc_id % $SnapshotMod < $SnapshotNewMin
+       |          AND len(t) >= $ExactSubstrTokens)
+       |),
+       |wf AS (
+       |  SELECT doc_id, pos FROM (
+       |    SELECT doc_id, pos,
+       |      min(doc_id) OVER (PARTITION BY g) AS mn,
+       |      max(doc_id) OVER (PARTITION BY g) AS mx
+       |    FROM fg) s
+       |  WHERE mn <> mx
+       |),
+       |ip AS (SELECT fg.doc_id, fg.pos FROM fg JOIN pg USING (g)),
+       |shared AS (SELECT DISTINCT doc_id, pos FROM
+       |  (SELECT * FROM wf UNION ALL SELECT * FROM ip)),
+       |runs AS (
+       |  SELECT doc_id, pos,
+       |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rid
+       |  FROM shared
+       |)
+       |SELECT doc_id, min(pos) AS start_token,
+       |  count(*) + ${ExactSubstrTokens - 1} AS len_tokens
+       |FROM runs GROUP BY doc_id, rid
+       |ORDER BY doc_id, start_token""".stripMargin
+
+  /** Incremental winnow mirror (combined-df cap, fresh×fresh ∪
+    * fresh×prior candidates) — shared VERBATIM by the inline query and
+    * its stored-artifact twin. */
+  private val winnowIncrementalOracleSql: String =
+    s"""WITH ${TextAnalysis.winnowFpsCtes},
+       |wf AS (SELECT doc_id, unnest(fp) AS g FROM wfp),
+       |wdf AS (SELECT g, count(*) AS df FROM wf GROUP BY g),
+       |wk AS (SELECT wf.doc_id, wf.g FROM wf JOIN wdf USING (g)
+       |       WHERE df <= $WinnowDfCap),
+       |wkf AS (SELECT * FROM wk WHERE doc_id % $SnapshotMod >= $SnapshotNewMin),
+       |wkp AS (SELECT * FROM wk WHERE doc_id % $SnapshotMod < $SnapshotNewMin),
+       |wsz AS (SELECT doc_id, count(*) AS n FROM wk GROUP BY doc_id),
+       |wcand AS (
+       |  SELECT a.doc_id AS fa, b.doc_id AS fb
+       |  FROM wkf a JOIN wkf b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  UNION ALL
+       |  SELECT f.doc_id, p.doc_id FROM wkf f JOIN wkp p ON f.g = p.g
+       |),
+       |wpairs AS (
+       |  SELECT least(fa, fb) AS doc_a, greatest(fa, fb) AS doc_b,
+       |    count(*) AS n_shared
+       |  FROM wcand GROUP BY 1, 2
+       |  HAVING count(*) >= $WinnowMinShared
+       |)
+       |SELECT doc_a, doc_b, n_shared, sa.n AS n_a, sb.n AS n_b
+       |FROM wpairs
+       |JOIN wsz sa ON sa.doc_id = doc_a
+       |JOIN wsz sb ON sb.doc_id = doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dups
@@ -2315,45 +2627,11 @@ object Dedup {
     "dedup_exact_substring" -> substringSpansSql,
     // the prior side collapses to DISTINCT gram text (the 8 B/gram
     // index); shared = within-fresh window ∪ prior probe, same merge
-    "dedup_substring_incremental" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
-         |),
-         |fg AS (
-         |  SELECT doc_id, i - 1 AS pos,
-         |    array_to_string(t[i : i + $ExactSubstrTokens - 1], ' ') AS g
-         |  FROM (SELECT doc_id, unnest(range(1, len(t) - $ExactSubstrTokens + 2)) AS i, t
-         |        FROM toks
-         |        WHERE doc_id % $SnapshotMod >= $SnapshotNewMin
-         |          AND len(t) >= $ExactSubstrTokens)
-         |),
-         |pg AS (
-         |  SELECT DISTINCT array_to_string(t[i : i + $ExactSubstrTokens - 1], ' ') AS g
-         |  FROM (SELECT unnest(range(1, len(t) - $ExactSubstrTokens + 2)) AS i, t
-         |        FROM toks
-         |        WHERE doc_id % $SnapshotMod < $SnapshotNewMin
-         |          AND len(t) >= $ExactSubstrTokens)
-         |),
-         |wf AS (
-         |  SELECT doc_id, pos FROM (
-         |    SELECT doc_id, pos,
-         |      min(doc_id) OVER (PARTITION BY g) AS mn,
-         |      max(doc_id) OVER (PARTITION BY g) AS mx
-         |    FROM fg) s
-         |  WHERE mn <> mx
-         |),
-         |ip AS (SELECT fg.doc_id, fg.pos FROM fg JOIN pg USING (g)),
-         |shared AS (SELECT DISTINCT doc_id, pos FROM
-         |  (SELECT * FROM wf UNION ALL SELECT * FROM ip)),
-         |runs AS (
-         |  SELECT doc_id, pos,
-         |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rid
-         |  FROM shared
-         |)
-         |SELECT doc_id, min(pos) AS start_token,
-         |  count(*) + ${ExactSubstrTokens - 1} AS len_tokens
-         |FROM runs GROUP BY doc_id, rid
-         |ORDER BY doc_id, start_token""".stripMargin,
+    "dedup_substring_incremental" -> substringIncrementalOracleSql,
+    // the stored twin reads the prior gram index from the parquet
+    // artifact instead of recomputing it — the round-trip must be
+    // semantically invisible, so it shares the inline oracle VERBATIM
+    "dedup_substring_stored" -> substringIncrementalOracleSql,
     // the span CTE verbatim + interval-union drop via NOT EXISTS on the
     // exploded span positions, survivors re-joined in token order
     "cur_strip_substrings" ->
@@ -2386,6 +2664,9 @@ object Dedup {
     // plain incremental one — sharing the oracle IS the correctness
     // claim (the sketch is invisible to the output)
     "dedup_incremental_bloom" -> incrementalSql,
+    // the stored twin reads the prior md5 index from the parquet
+    // artifact — round-trip semantically invisible, shared VERBATIM
+    "dedup_incremental_stored" -> incrementalSql,
     "dedup_ngram_jaccard" -> cappedJaccardSql,
     "dedup_containment" -> containmentSql,
     "dedup_simhash_pairs" -> simhashPairsSqlAt(MaxPairHamming),
@@ -2413,37 +2694,20 @@ object Dedup {
     // = full-corpus df since corpus = prior ∪ fresh), candidate space
     // restricted to fresh×fresh (a<b) ∪ fresh×prior — prior never
     // self-pairs
-    "dedup_winnow_incremental" ->
-      s"""WITH ${TextAnalysis.winnowFpsCtes},
-         |wf AS (SELECT doc_id, unnest(fp) AS g FROM wfp),
-         |wdf AS (SELECT g, count(*) AS df FROM wf GROUP BY g),
-         |wk AS (SELECT wf.doc_id, wf.g FROM wf JOIN wdf USING (g)
-         |       WHERE df <= $WinnowDfCap),
-         |wkf AS (SELECT * FROM wk WHERE doc_id % $SnapshotMod >= $SnapshotNewMin),
-         |wkp AS (SELECT * FROM wk WHERE doc_id % $SnapshotMod < $SnapshotNewMin),
-         |wsz AS (SELECT doc_id, count(*) AS n FROM wk GROUP BY doc_id),
-         |wcand AS (
-         |  SELECT a.doc_id AS fa, b.doc_id AS fb
-         |  FROM wkf a JOIN wkf b ON a.g = b.g AND a.doc_id < b.doc_id
-         |  UNION ALL
-         |  SELECT f.doc_id, p.doc_id FROM wkf f JOIN wkp p ON f.g = p.g
-         |),
-         |wpairs AS (
-         |  SELECT least(fa, fb) AS doc_a, greatest(fa, fb) AS doc_b,
-         |    count(*) AS n_shared
-         |  FROM wcand GROUP BY 1, 2
-         |  HAVING count(*) >= $WinnowMinShared
-         |)
-         |SELECT doc_a, doc_b, n_shared, sa.n AS n_a, sb.n AS n_b
-         |FROM wpairs
-         |JOIN wsz sa ON sa.doc_id = doc_a
-         |JOIN wsz sb ON sb.doc_id = doc_b
-         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_winnow_incremental" -> winnowIncrementalOracleSql,
+    // the stored twin reads the prior fingerprint rows + df counter
+    // from the parquet artifact — round-trip semantically invisible,
+    // so it shares the inline oracle VERBATIM
+    "dedup_winnow_stored" -> winnowIncrementalOracleSql,
     "dedup_simhash_pairs_wide" -> simhashPairsSqlAt(MaxPairHammingWide),
     // same window, same predicate, different band geometry — sharing the
     // ≤15 oracle IS the claim that the 16-bit banding loses nothing
     "dedup_simhash_pairs_b16" -> simhashPairsSqlAt(MaxPairHamming),
     "dedup_simhash_incremental" -> simhashIncrementalSql,
+    // the stored twin reads the prior signatures + chunk index from
+    // the parquet artifact — round-trip semantically invisible, so it
+    // shares the inline oracle VERBATIM
+    "dedup_simhash_stored" -> simhashIncrementalSql,
     "dedup_simhash" ->
       s"""WITH tok AS (
         |  SELECT doc_id, md5_number_lower(t) h
@@ -2520,21 +2784,29 @@ object Dedup {
     // the banding mirrored bit-for-bit, restricted to prior x fresh
     // pairs (the a < b self-pairing rule replaced by the snapshot
     // split) - the blocked search as an index probe
-    "dedup_embed_cosine_incremental" ->
-      s"""WITH v AS (SELECT vec_id, label, embedding, $embedBandSelect
-        |  FROM embeddings),
-        |cand AS (
-        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
-        |    list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
-        |      (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
-        |       sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS cos
-        |  FROM v a JOIN v b ON a.label = b.label
-        |    AND a.vec_id % $SnapshotMod < $SnapshotNewMin
-        |    AND b.vec_id % $SnapshotMod >= $SnapshotNewMin
-        |    AND ($embedBandMatch)
-        |)
-        |SELECT vec_a, vec_b, label, round(cos, 4) AS cosine
-        |FROM cand ORDER BY cos DESC, vec_a ASC, vec_b ASC
-        |LIMIT 20""".stripMargin,
+    "dedup_embed_cosine_incremental" -> embedIncrementalOracleSql,
+    // the stored twin reads the prior vector store + band index from
+    // the parquet artifact — round-trip semantically invisible (doubles
+    // are bit-exact through parquet), shared VERBATIM
+    "dedup_embed_cosine_stored" -> embedIncrementalOracleSql,
   )
+
+  /** Cross-snapshot banded embedding near-dup — shared VERBATIM by the
+    * inline incremental query and its stored-artifact twin. */
+  private lazy val embedIncrementalOracleSql: String =
+    s"""WITH v AS (SELECT vec_id, label, embedding, $embedBandSelect
+      |  FROM embeddings),
+      |cand AS (
+      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+      |    list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+      |      (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+      |       sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS cos
+      |  FROM v a JOIN v b ON a.label = b.label
+      |    AND a.vec_id % $SnapshotMod < $SnapshotNewMin
+      |    AND b.vec_id % $SnapshotMod >= $SnapshotNewMin
+      |    AND ($embedBandMatch)
+      |)
+      |SELECT vec_a, vec_b, label, round(cos, 4) AS cosine
+      |FROM cand ORDER BY cos DESC, vec_a ASC, vec_b ASC
+      |LIMIT 20""".stripMargin
 }

@@ -180,13 +180,41 @@ object TextAnalysis {
   private[graft] def textBpeFitOn(docs: DataFrame, k: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val words = docs
-      .filter($"text".isNotNull)
+    val words = bpeWordSeqs(docs).select($"seq", $"cnt")
+    val (_, merges) = bpeFitLoop(words, k)
+    merges.toDF("step", "lhs", "rhs", "pair_count").orderBy($"step")
+  }
+
+  /** The (w, seq, cnt) word-frequency vocab frame every BPE form starts
+    * from: each distinct word as its space-joined character sequence
+    * plus the `</w>` end-of-word symbol, weighted by corpus frequency.
+    * ONE corpus-sized shuffle — every fit iteration and the encode
+    * rewrite run over this vocabulary-sized result, never the corpus
+    * again. */
+  private def bpeWordSeqs(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.filter($"text".isNotNull)
       .select(explode(split($"text", " ")).as("w"))
       .filter(length($"w") > 0)
       .groupBy($"w").agg(count(lit(1)).as("cnt"))
-      .select(concat(array_join(split($"w", ""), " "), lit(" </w>")).as("seq"),
-        $"cnt")
+      .select($"w",
+        concat(array_join(split($"w", ""), " "), lit(" </w>")).as("seq"), $"cnt")
+  }
+
+  /** The sequential fit loop shared by [[textBpeFitOn]] (which keeps
+    * the merges) and [[textBpeEncodeOn]] (which keeps the REWRITTEN
+    * vocab frame): up to k argmax + double-replace rewrite steps over a
+    * (seq, cnt, carry…) frame — any column that is not `seq`/`cnt`
+    * (the encode's raw `w`) rides along untouched, and since `seq` is
+    * injective in `w` the extra column cannot perturb the pair counts.
+    * Returns (final frame, merges in application order). */
+  private def bpeFitLoop(words: DataFrame,
+      k: Int): (DataFrame, Seq[(Int, String, String, Long)]) = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    val carry = words.columns.filterNot(c => c == "seq" || c == "cnt")
+      .map(col).toSeq
     var cur = Materialize.frame(words)
     val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
     var step = 1
@@ -211,12 +239,54 @@ object TextAnalysis {
         val wrapped = concat(lit(" "), $"seq", lit(" "))
         def fuse(col: Column): Column =
           replace(col, lit(s" $l $r "), lit(s" $l$r "))
-        cur = Materialize.frame(
-          cur.select(trim(fuse(fuse(wrapped))).as("seq"), $"cnt"))
+        cur = Materialize.frame(cur.select(
+          carry ++ Seq(trim(fuse(fuse(wrapped))).as("seq"), $"cnt"): _*))
         step += 1
       }
     }
-    out.toSeq.toDF("step", "lhs", "rhs", "pair_count").orderBy($"step")
+    (cur, out.toSeq)
+  }
+
+  /** MERGE-ORDER BPE ENCODE — the apply half of [[textBpeFitOn]]'s
+    * fit (the committed-fixture greedy longest-match in
+    * [[textTokenCountBpe]] is the OTHER apply discipline; this one
+    * replays the learned merges in rank order, the reference BPE
+    * semantics of Sennrich et al. 2016): fit [[BpeFitMerges]] merges
+    * on the corpus, rewrite the VOCABULARY once per merge (the same
+    * double-replace the fit itself applies — encode and fit share one
+    * loop, so they cannot drift), then join each document's word
+    * stream back against the encoded vocab. Emits per document the
+    * subword token count and the full space-joined token sequence in
+    * word order.
+    *
+    * Scale shape: all k rewrites run over the VOCAB-sized frame
+    * (executor-sized at web scale), never the corpus; the corpus is
+    * touched exactly twice — once to build the word-frequency table,
+    * once for the final word→encoding hash join (key `w`, both sides
+    * pre-aggregated/pre-encoded). A production tokenizer service is
+    * exactly this artifact: the encoded vocab written once, every
+    * ingest batch joining against it. The per-doc reassembly is the
+    * stripSpans collect_list(struct)+array_sort idiom — doc-bounded
+    * keys, never corpus-wide state. */
+  def textBpeEncode(spark: SparkSession, sfDir: String): DataFrame =
+    textBpeEncodeOn(Tables.documents(spark, sfDir), BpeFitMerges)
+
+  private[graft] def textBpeEncodeOn(docs: DataFrame, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val d = docs.filter($"doc_id".isNotNull && $"text".isNotNull)
+    val (encoded, _) = bpeFitLoop(bpeWordSeqs(d), k)
+    val enc = encoded.select($"w", $"seq",
+      size(split($"seq", " ")).cast("long").as("n_sub"))
+    d.select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "w")))
+      .filter(length($"w") > 0)
+      .join(enc, "w")
+      .groupBy($"doc_id")
+      .agg(sum($"n_sub").as("bpe_tokens"),
+        array_join(transform(array_sort(collect_list(struct($"pos", $"seq"))),
+          s => s.getField("seq")), " ").as("token_seq"))
+      .select($"doc_id", $"bpe_tokens", $"token_seq")
+      .orderBy($"doc_id")
   }
 
   /** Batch size / iterations for `text_bpe_fit_batched`: up to
@@ -961,6 +1031,7 @@ object TextAnalysis {
     "text_tokencount_bpe" -> textTokenCountBpe,
     "text_bpe_fit" -> ((s, dir) => textBpeFit(s, dir)),
     "text_bpe_fit_batched" -> ((s, dir) => textBpeFitBatched(s, dir)),
+    "text_bpe_encode" -> ((s, dir) => textBpeEncode(s, dir)),
     "text_fingerprint" -> textFingerprint,
     "text_fingerprint_winnow" -> textFingerprintWinnow,
     "text_stats_by_lang" -> textStatsByGroup,
@@ -1121,6 +1192,45 @@ object TextAnalysis {
       .map(i => s"SELECT $i AS step, lhs, rhs, c AS pair_count FROM t$i")
       .mkString("\nUNION ALL ")
     s"WITH ${(w0 +: steps).mkString(",\n")}\n$sel\nORDER BY step"
+  }
+
+  /** `text_bpe_encode` unrolled: the [[bpeFitSql]] chain with the raw
+    * word `w` carried through every rewrite CTE (seq is injective in w,
+    * so the extra column cannot perturb the pair counts), then each
+    * document's word stream joined back against the final encoded
+    * vocab w$k — per-doc subword count + the in-order token sequence. */
+  private[graft] def bpeEncodeSql(k: Int): String = {
+    val w0 =
+      s"""w0 AS (
+         |  SELECT w, array_to_string(string_split(w, ''), ' ') || ' </w>' AS seq, cnt
+         |  FROM (SELECT w, count(*) AS cnt
+         |        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |        WHERE len(w) > 0 GROUP BY w))""".stripMargin
+    val steps = (1 to k).map { i =>
+      s"""p$i AS (
+         |  SELECT s[j] AS lhs, s[j + 1] AS rhs, CAST(sum(cnt) AS BIGINT) AS c
+         |  FROM (SELECT s, cnt, unnest(range(1, len(s))) AS j
+         |        FROM (SELECT string_split(seq, ' ') AS s, cnt FROM w${i - 1}))
+         |  GROUP BY 1, 2),
+         |t$i AS (SELECT lhs, rhs, c FROM p$i ORDER BY c DESC, lhs, rhs LIMIT 1),
+         |w$i AS (
+         |  SELECT w, trim(replace(replace(' ' || seq || ' ',
+         |    ' ' || lhs || ' ' || rhs || ' ', ' ' || lhs || rhs || ' '),
+         |    ' ' || lhs || ' ' || rhs || ' ', ' ' || lhs || rhs || ' ')) AS seq, cnt
+         |  FROM w${i - 1}, t$i)""".stripMargin
+    }
+    s"""WITH ${(w0 +: steps).mkString(",\n")},
+       |tok AS (
+       |  SELECT doc_id, j AS pos, t[j] AS w
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS t,
+       |               unnest(range(1, len(string_split(text, ' ')) + 1)) AS j
+       |        FROM documents)
+       |  WHERE len(t[j]) > 0)
+       |SELECT doc_id,
+       |  CAST(sum(len(string_split(seq, ' '))) AS BIGINT) AS bpe_tokens,
+       |  string_agg(seq, ' ' ORDER BY pos) AS token_seq
+       |FROM tok JOIN w$k USING (w)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   /** `text_bpe_fit_batched` unrolled: per iteration i, p_i (pair
@@ -1337,6 +1447,10 @@ object TextAnalysis {
     // constants as the engine loop so the arithmetic cannot drift
     "text_bpe_fit" -> bpeFitSql(BpeFitMerges),
     "text_bpe_fit_batched" -> bpeFitBatchedSql(BpeBatchIters, BpeBatchSize),
+    // the encode mirror replays the fit chain with w carried through,
+    // then joins the document word stream against the encoded vocab —
+    // fit and apply under ONE oracle
+    "text_bpe_encode" -> bpeEncodeSql(BpeFitMerges),
     // the learned scorer's mirror: heuristic labels via the SAME spliced
     // quality expression, md5-low64 & mask bucketing (bit pattern — the
     // signed/unsigned representations agree), integer-only smoothed

@@ -287,22 +287,25 @@ class DedupSpec extends AnyFunSuite {
     assert(b16 === narrow)
   }
 
-  test("stored minhash index round-trips: build run ≡ read-back run ≡ inline") {
-    // the steady-state path: first call fits + writes the (sigs, bands)
-    // artifact, second call must touch no document text on the prior
-    // side — both must equal the inline incremental query exactly
+  /** The steady-state contract every stored twin must honor: first call
+    * fits + writes the artifact(s), second call must touch no document
+    * text on the prior side — and both must equal the inline incremental
+    * query exactly. */
+  private def storedRoundTrip(
+      inlineQ: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
+      storedQ: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
+      artifacts: Seq[String], table: String = "documents"): Unit = {
     val dir = java.nio.file.Files.createTempDirectory("graft_idx_").toString
     val prev = spark.conf.getOption(graft.sources.IndexStore.DirKey)
     try {
       spark.conf.set(graft.sources.IndexStore.DirKey, dir)
-      val inline = Dedup.dedupMinHashIncremental(spark, sf)
-        .collect().map(_.toSeq).toSeq
-      val buildRun = Dedup.dedupMinHashStored(spark, sf)
-        .collect().map(_.toSeq).toSeq
-      assert(new java.io.File(graft.sources.IndexStore.artifactPath(
-        spark, sf, "minhash_bands", "documents") + "/_SUCCESS").exists())
-      val readRun = Dedup.dedupMinHashStored(spark, sf)
-        .collect().map(_.toSeq).toSeq
+      val inline = inlineQ(spark, sf).collect().map(_.toSeq).toSeq
+      val buildRun = storedQ(spark, sf).collect().map(_.toSeq).toSeq
+      artifacts.foreach { a =>
+        assert(new java.io.File(graft.sources.IndexStore.artifactPath(
+          spark, sf, a, table) + "/_SUCCESS").exists(), a)
+      }
+      val readRun = storedQ(spark, sf).collect().map(_.toSeq).toSeq
       assert(inline.nonEmpty)
       assert(buildRun === inline)
       assert(readRun === inline)
@@ -310,6 +313,36 @@ class DedupSpec extends AnyFunSuite {
       case Some(v) => spark.conf.set(graft.sources.IndexStore.DirKey, v)
       case None => spark.conf.unset(graft.sources.IndexStore.DirKey)
     }
+  }
+
+  test("stored minhash index round-trips: build run ≡ read-back run ≡ inline") {
+    storedRoundTrip(Dedup.dedupMinHashIncremental, Dedup.dedupMinHashStored,
+      Seq("minhash_sigs", "minhash_bands"))
+  }
+
+  test("stored exact-hash index round-trips: build ≡ read-back ≡ inline") {
+    storedRoundTrip(Dedup.dedupIncremental, Dedup.dedupIncrementalStored,
+      Seq("exact_hash_idx"))
+  }
+
+  test("stored substring gram index round-trips: build ≡ read-back ≡ inline") {
+    storedRoundTrip(Dedup.dedupSubstringIncremental, Dedup.dedupSubstringStored,
+      Seq("substr_grams"))
+  }
+
+  test("stored simhash sig + chunk index round-trips: build ≡ read-back ≡ inline") {
+    storedRoundTrip(Dedup.dedupSimHashIncremental, Dedup.dedupSimHashStored,
+      Seq("simhash_sigs", "simhash_chunks"))
+  }
+
+  test("stored winnow fps + df counter round-trips: build ≡ read-back ≡ inline") {
+    storedRoundTrip(Dedup.dedupWinnowIncremental, Dedup.dedupWinnowStored,
+      Seq("winnow_fps", "winnow_df"))
+  }
+
+  test("stored embed vec store + band index round-trips: build ≡ read-back ≡ inline") {
+    storedRoundTrip(Dedup.dedupEmbedCosineIncremental, Dedup.dedupEmbedCosineStored,
+      Seq("embed_vecs", "embed_bands"), table = "embeddings")
   }
 
   test("b16 broadcast is size-gated: both plan shapes, identical output") {

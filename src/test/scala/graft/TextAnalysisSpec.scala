@@ -351,6 +351,30 @@ class TextAnalysisSpec extends AnyFunSuite {
       (1, "l", "o", 5L), (2, "lo", "w", 5L), (3, "low", "</w>", 3L)))
   }
 
+  test("BPE encode: hand-fit corpus — merge-order apply, counts ≡ sequence lengths") {
+    import spark.implicits._
+    val docs = Seq((1L, "low low low"), (2L, "lower lower"), (3L, "newest"))
+      .toDF("doc_id", "text")
+    // merges after 3 fit steps (the hand-fit test above): (l,o), (lo,w),
+    // (low,</w>) — so low → "low</w>", lower → "low e r </w>",
+    // newest → fully un-merged characters + </w>
+    val got = TextAnalysis.textBpeEncodeOn(docs, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(got === Seq(
+      (1L, 3L, "low</w> low</w> low</w>"),
+      (2L, 8L, "low e r </w> low e r </w>"),
+      (3L, 7L, "n e w e s t </w>")))
+  }
+
+  test("BPE encode: token count equals the token_seq length on real data") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.documents(spark, SparkTestSession.sf0001)
+    val bad = TextAnalysis.textBpeEncodeOn(docs, 4)
+      .filter(size(split($"token_seq", " ")) =!= $"bpe_tokens")
+    assert(bad.count() === 0L)
+  }
+
   test("batched BPE fit at batch = 1 ≡ the sequential fit (the no-conflict differential)") {
     // a pool of one is trivially independent, so the batched path
     // reduces structurally to the sequential fit — one differential
