@@ -154,9 +154,10 @@ object Bench {
     // its STEADY-STATE form: signatures + chunk index read back from
     // the parquet artifact, no prior-side shingling or voting (r17)
     "dedup_simhash_stored",
-    // the embedding member's STEADY-STATE form: prior vector store +
-    // sign-bit band index read back, delta-only banding (r17)
-    "dedup_embed_cosine_stored",
+    // the embedding member of the incremental family and its
+    // STEADY-STATE form: prior vector store + sign-bit band index read
+    // back, delta-only banding (r17)
+    "dedup_embed_cosine_incremental", "dedup_embed_cosine_stored",
     // tf-idf top-k: tf shuffle-agg + term-window df + per-doc rank
     "text_tfidf_topk",
     // subword counting + the packer budgeted in subword tokens: pure

@@ -82,6 +82,11 @@ object ScanAudit {
         // on different projections (carrying all columns through one
         // exchange would move the full vectors twice to save a scan)
         "dedup_embed_cosine_incremental" -> Map("embeddings" -> 4),
+        // the stored twin's prior side is the parquet artifact, so only
+        // the FRESH side touches embeddings — same two by-design logical
+        // passes per side as the inline form above (band build + verify
+        // vector fetch on different pruned projections), halved
+        "dedup_embed_cosine_stored" -> Map("embeddings" -> 2),
         // the 2 scans are the probe-routing and lookup-table builds,
         // BOTH pruned to the 10 query vectors (PushedFilters vec_id<10
         // — never the corpus side, which reads once via the residual
