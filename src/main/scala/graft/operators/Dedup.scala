@@ -809,7 +809,7 @@ object Dedup {
     * query (which computes both from the prior slice) and the stored
     * twin (which reads both back from the parquet artifact) cannot
     * drift: same candidates join, same exact-Jaccard merge-walk. */
-  private def minhashIncrementalTail(priorSigs: DataFrame,
+  private[graft] def minhashIncrementalTail(priorSigs: DataFrame,
       priorBands: DataFrame, hf: DataFrame): DataFrame = {
     val spark = priorSigs.sparkSession
     import spark.implicits._

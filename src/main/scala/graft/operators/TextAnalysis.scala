@@ -271,13 +271,22 @@ object TextAnalysis {
   def textBpeEncode(spark: SparkSession, sfDir: String): DataFrame =
     textBpeEncodeOn(Tables.documents(spark, sfDir), BpeFitMerges)
 
+  /** The (w, seq, n_sub) ENCODED VOCABULARY after k fitted merges — the
+    * frozen tokenizer artifact [[textBpeEncodeOn]] joins the corpus
+    * against, and the model the streaming encode fits once at setup. */
+  private[graft] def bpeEncodedVocab(docs: DataFrame, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (encoded, _) = bpeFitLoop(bpeWordSeqs(docs), k)
+    encoded.select($"w", $"seq",
+      size(split($"seq", " ")).cast("long").as("n_sub"))
+  }
+
   private[graft] def textBpeEncodeOn(docs: DataFrame, k: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val d = docs.filter($"doc_id".isNotNull && $"text".isNotNull)
-    val (encoded, _) = bpeFitLoop(bpeWordSeqs(d), k)
-    val enc = encoded.select($"w", $"seq",
-      size(split($"seq", " ")).cast("long").as("n_sub"))
+    val enc = bpeEncodedVocab(d, k)
     d.select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "w")))
       .filter(length($"w") > 0)
       .join(enc, "w")

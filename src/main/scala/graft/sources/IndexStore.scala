@@ -73,4 +73,22 @@ object IndexStore {
     }
     spark.read.parquet(path)
   }
+
+  /** Append a delta's index rows to an EXISTING artifact — the day-2
+    * maintenance write of the daily loop the `*_stored` twins read
+    * from: probe the delta against the current artifact FIRST, then
+    * append its rows, so tomorrow's delta sees prior ∪ today and a
+    * delta never pairs against itself through the index (the
+    * incremental contract). `partitionBy` the same coarse probe-key
+    * component as the original write keeps the append partition-local:
+    * only the touched band/cell partitions gain files, untouched ones
+    * are not rewritten. DedupSpec's day-2 spec pins the loop:
+    * build → probe → append → next-day probe ≡ the inline incremental
+    * over the grown prior. */
+  def append(spark: SparkSession, path: String, delta: DataFrame,
+      partitionCols: Seq[String] = Nil): Unit = {
+    val w = delta.write.mode("append")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(path)
+  }
 }

@@ -1934,6 +1934,52 @@ object Streaming {
       .orderBy($"doc_id")
   }
 
+  /** STREAMING merge-order BPE encode — the tokenizer service at
+    * ingest, the other half of the [[streamBadwordsBig]] lambda split:
+    * the encoded vocabulary ([[graft.operators.TextAnalysis
+    * .bpeEncodedVocab]]) is fit ONCE on the static corpus at stream
+    * setup — the frozen artifact a production tokenizer ships — and
+    * every arriving document encodes through a stream-static hash join
+    * against it. No state store: the only streaming aggregation is the
+    * per-document reassembly (doc-bounded keys), and a document's
+    * verdict is final the batch it arrives. Batch re-fit stays
+    * authoritative for vocab updates, exactly the near-dup lambda
+    * argument. Single-batch feed ≡ the batch `text_bpe_encode` query;
+    * oracle shared VERBATIM. */
+  def streamBpeEncode(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+    runBpeEncodeStream(stream, graft.sources.Tables.documents(spark, sfDir))
+  }
+
+  /** The transform of [[streamBpeEncode]] on any streaming docs frame +
+    * static fit corpus (spec entry point). */
+  private[graft] def runBpeEncodeStream(stream: DataFrame,
+      corpus: DataFrame): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    import graft.operators.{Materialize, TextAnalysis}
+    val enc = Materialize.frame(TextAnalysis.bpeEncodedVocab(
+      corpus.filter($"text".isNotNull), TextAnalysis.BpeFitMerges))
+    val perDoc = stream
+      .filter($"doc_id".isNotNull && $"text".isNotNull)
+      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "w")))
+      .filter(length($"w") > 0)
+      .join(enc, "w")
+      .groupBy($"doc_id")
+      .agg(sum($"n_sub").as("bpe_tokens"),
+        array_join(transform(array_sort(collect_list(struct($"pos", $"seq"))),
+          s => s.getField("seq")), " ").as("token_seq"))
+    runToMemory(perDoc, "update")
+      .groupBy($"doc_id")
+      .agg(max(struct($"bpe_tokens", $"token_seq")).as("s"))
+      .select($"doc_id", $"s.bpe_tokens".as("bpe_tokens"),
+        $"s.token_seq".as("token_seq"))
+      .orderBy($"doc_id")
+  }
+
   /** STREAMING semantic decontamination — the embedding-space
     * contamination rank AT INGEST: the eval slice is STATIC (the
     * frozen benchmark artifact, broadcast — exactly the
@@ -2130,6 +2176,7 @@ object Streaming {
     "stream_gopher_rules" -> streamGopherRules,
     "stream_badwords" -> streamBadwords,
     "stream_badwords_big" -> streamBadwordsBig,
+    "stream_bpe_encode" -> streamBpeEncode,
     "stream_decontam_semantic" -> streamDecontamSemantic,
     "stream_substring_incremental" -> streamSubstringIncremental,
     "stream_substring_incremental_ttl" -> streamSubstringIncrementalTtl,
@@ -2303,6 +2350,9 @@ object Streaming {
     "stream_gopher_rules" -> graft.operators.TextAnalysis.oracles("text_gopher_rules"),
     "stream_badwords" -> graft.operators.Curation.oracles("cur_badwords"),
     "stream_badwords_big" -> graft.operators.Curation.oracles("cur_badwords_big"),
+    // frozen-vocab encode at ingest ≡ the batch encode on a
+    // single-batch feed — the batch oracle VERBATIM
+    "stream_bpe_encode" -> graft.operators.TextAnalysis.oracles("text_bpe_encode"),
     "stream_decontam_semantic" ->
       graft.operators.Curation.oracles("cur_decontam_semantic"),
     "stream_substring_incremental" ->

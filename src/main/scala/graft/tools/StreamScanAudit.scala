@@ -121,6 +121,10 @@ object StreamScanAudit {
       "stream_decontam" ->
         (b => Streaming.runDecontamStream(stream(b), evalSlice)),
       "stream_mix_sample" -> (b => Streaming.runMixSampleStream(stream(b), snapshot)),
+      // encoded vocab fits once off static reads before the stream
+      // starts (checkpointed); per-batch bytes must be delta-only
+      "stream_bpe_encode" ->
+        (b => Streaming.runBpeEncodeStream(stream(b), snapshot)),
       "stream_lm_score" ->
         (b => Streaming.runLmScoreStream(stream(b).filter(freshPred), prior)),
       "stream_quality_model" ->

@@ -345,6 +345,46 @@ class DedupSpec extends AnyFunSuite {
       Seq("embed_vecs", "embed_bands"), table = "embeddings")
   }
 
+  test("stored index append: day-2 delta appended, day-3 probe sees the grown prior") {
+    // the full daily loop the *_stored twins read from: build day-1's
+    // artifact, probe day-2 against it (must equal the inline
+    // incremental over day-1), APPEND day-2's rows partition-locally,
+    // then probe day-3 — which must equal the inline incremental over
+    // the GROWN prior (day-1 ∪ day-2), i.e. the append is a real index
+    // increment, not a rebuild
+    import org.apache.spark.sql.functions._
+    import graft.sources.IndexStore
+    import graft.operators.Materialize
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val day1 = docs.filter(pmod($"doc_id", lit(3)) === 0)
+    val day2 = docs.filter(pmod($"doc_id", lit(3)) === 1)
+    val day3 = docs.filter(pmod($"doc_id", lit(3)) === 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_append_").toString
+    val sigsPath = s"$dir/minhash_sigs"
+    val bandsPath = s"$dir/minhash_bands"
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSeq
+    // day 1: build + write
+    val sigs1 = IndexStore.readOrBuild(spark, sigsPath, Dedup.minhashHashed(day1))
+    val bands1 = IndexStore.readOrBuild(spark, bandsPath,
+      Dedup.minhashBanded(sigs1), Seq("band"))
+    // day 2: probe the artifact, then append the delta's rows
+    val got2 = rows(Dedup.minhashIncrementalTail(sigs1, bands1,
+      Dedup.minhashHashed(day2)))
+    assert(got2 === rows(Dedup.dedupMinHashIncrementalOn(day1, day2)))
+    val d2sigs = Materialize.frame(Dedup.minhashHashed(day2))
+    IndexStore.append(spark, sigsPath, d2sigs)
+    IndexStore.append(spark, bandsPath, Dedup.minhashBanded(d2sigs), Seq("band"))
+    // day 3: the read-back artifact must now BE the grown prior
+    val sigs12 = spark.read.parquet(sigsPath)
+    val bands12 = spark.read.parquet(bandsPath)
+    val got3 = rows(Dedup.minhashIncrementalTail(sigs12, bands12,
+      Dedup.minhashHashed(day3)))
+    val want3 = rows(Dedup.dedupMinHashIncrementalOn(day1.unionByName(day2), day3))
+    assert(got3 === want3)
+    assert(got2.nonEmpty || got3.nonEmpty)
+  }
+
   test("b16 broadcast is size-gated: both plan shapes, identical output") {
     // The r16 defect: an unconditional broadcast() hint on the 68-rows/doc
     // index ball — honored by Spark at ANY size, i.e. a driver OOM at

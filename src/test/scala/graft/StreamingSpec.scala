@@ -822,6 +822,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === Seq(Seq(2L, 1L), Seq(4L, 2L)))
   }
 
+  test("streaming BPE encode equals the batch encode across batches (frozen vocab)") {
+    import spark.implicits._
+    // the tokenizer-service split: vocab fit ONCE on the full static
+    // corpus, documents arriving across two batches must encode exactly
+    // as the batch query over the same corpus (per-doc reassembly is the
+    // only streaming agg; verdicts final on arrival)
+    val in = Files.createTempDirectory("graft_bpe_in_").toString
+    val base = System.currentTimeMillis()
+    writeOneFile(Seq(
+      (1L, "low low low"),
+      (2L, "lower lower")).toDF("doc_id", "text"),
+      s"$in/b1.parquet", base)
+    writeOneFile(Seq(
+      (3L, "newest"),
+      (4L, "low lower newest")).toDF("doc_id", "text"),
+      s"$in/b2.parquet", base + 60000)
+    val corpus = spark.read.parquet(in)
+    val schema = corpus.schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val got = Streaming.runBpeEncodeStream(stream, corpus)
+      .collect().map(_.toSeq).toSeq
+    val batch = graft.operators.TextAnalysis.textBpeEncodeOn(
+        corpus, graft.operators.TextAnalysis.BpeFitMerges)
+      .collect().map(_.toSeq).toSeq
+    assert(got === batch, s"stream $got != batch $batch")
+    assert(got.nonEmpty)
+  }
+
   test("streaming semantic decontam equals the batch top-20 across batches") {
     import spark.implicits._
     // stateless stream-static cosine: train vectors split across two
