@@ -298,6 +298,37 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** BPE DECODE — the lossless inverse of [[textBpeEncode]], closing
+    * the tokenizer round trip (encode ∘ decode = the space-normalized
+    * original, for every document, as a hash-checked RESULT rather
+    * than a spec-only claim): intra-word subword boundaries are the
+    * spaces of `token_seq`, word boundaries its `</w>` markers, so
+    * decode is two string rewrites — drop all spaces, then turn each
+    * end-of-word marker into one space. `roundtrip_ok` compares the
+    * decode against the original text with empty tokens dropped (the
+    * encoder's own normalization — multi-space runs collapse, which
+    * is the only information BPE discards). Standard end-of-word
+    * caveat: a corpus word containing the literal marker string would
+    * alias it; real tokenizers escape it, this corpus cannot produce
+    * it. Pure map work over the encode output — no new shuffle. */
+  def textBpeDecode(spark: SparkSession, sfDir: String): DataFrame =
+    textBpeDecodeOn(Tables.documents(spark, sfDir), BpeFitMerges)
+
+  private[graft] def textBpeDecodeOn(docs: DataFrame, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val normalized = docs.select($"doc_id",
+      array_join(filter(split($"text", " "), w => length(w) > 0), " ").as("norm"))
+    textBpeEncodeOn(docs, k)
+      .select($"doc_id",
+        trim(replace(replace($"token_seq", lit(" "), lit("")),
+          lit("</w>"), lit(" "))).as("decoded_text"))
+      .join(normalized, "doc_id")
+      .select($"doc_id", $"decoded_text",
+        ($"decoded_text" === $"norm").as("roundtrip_ok"))
+      .orderBy($"doc_id")
+  }
+
   /** Batch size / iterations for `text_bpe_fit_batched`: up to
     * [[BpeBatchSize]] merges applied per corpus-pass, [[BpeBatchIters]]
     * passes — ≤ 8 total merges, the sequential fit's budget reached in
@@ -1041,6 +1072,7 @@ object TextAnalysis {
     "text_bpe_fit" -> ((s, dir) => textBpeFit(s, dir)),
     "text_bpe_fit_batched" -> ((s, dir) => textBpeFitBatched(s, dir)),
     "text_bpe_encode" -> ((s, dir) => textBpeEncode(s, dir)),
+    "text_bpe_decode" -> ((s, dir) => textBpeDecode(s, dir)),
     "text_fingerprint" -> textFingerprint,
     "text_fingerprint_winnow" -> textFingerprintWinnow,
     "text_stats_by_lang" -> textStatsByGroup,
@@ -1241,6 +1273,22 @@ object TextAnalysis {
        |FROM tok JOIN w$k USING (w)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
+
+  /** `text_bpe_decode` mirror: the encode query as a CTE, the two
+    * decode rewrites, and the round-trip comparison against the
+    * empty-token-dropped original. */
+  private[graft] def bpeDecodeSql(k: Int): String =
+    s"""WITH enc AS (${bpeEncodeSql(k)}),
+       |norm AS (
+       |  SELECT doc_id, array_to_string(
+       |    list_filter(string_split(text, ' '), w -> len(w) > 0), ' ') AS norm
+       |  FROM documents)
+       |SELECT doc_id,
+       |  trim(replace(replace(token_seq, ' ', ''), '</w>', ' ')) AS decoded_text,
+       |  (trim(replace(replace(token_seq, ' ', ''), '</w>', ' ')) = norm)
+       |    AS roundtrip_ok
+       |FROM enc JOIN norm USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
 
   /** `text_bpe_fit_batched` unrolled: per iteration i, p_i (pair
     * counts) → c_i (the ranked top-B pool) → the GREEDY keep recursion
@@ -1460,6 +1508,9 @@ object TextAnalysis {
     // then joins the document word stream against the encoded vocab —
     // fit and apply under ONE oracle
     "text_bpe_encode" -> bpeEncodeSql(BpeFitMerges),
+    // decode inverts the encode inside the same oracle — the
+    // round-trip flag is hash-checked per document
+    "text_bpe_decode" -> bpeDecodeSql(BpeFitMerges),
     // the learned scorer's mirror: heuristic labels via the SAME spliced
     // quality expression, md5-low64 & mask bucketing (bit pattern — the
     // signed/unsigned representations agree), integer-only smoothed

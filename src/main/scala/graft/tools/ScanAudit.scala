@@ -82,6 +82,12 @@ object ScanAudit {
         // on different projections (carrying all columns through one
         // exchange would move the full vectors twice to save a scan)
         "dedup_embed_cosine_incremental" -> Map("embeddings" -> 4),
+        // the round-trip comparison's norm branch is a SEPARATE pruned
+        // scan on purpose: carrying the doc-sized normalized text
+        // through the token-exploded encode shuffle (the alternative
+        // single-scan shape) would widen every token row by the whole
+        // document — two column-pruned scans are the cheap side at scale
+        "text_bpe_decode" -> Map("documents" -> 2),
         // the stored twin's prior side is the parquet artifact, so only
         // the FRESH side touches embeddings — same two by-design logical
         // passes per side as the inline form above (band build + verify

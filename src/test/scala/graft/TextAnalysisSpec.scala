@@ -366,6 +366,22 @@ class TextAnalysisSpec extends AnyFunSuite {
       (3L, 7L, "n e w e s t </w>")))
   }
 
+  test("BPE decode inverts the encode: roundtrip_ok on every real document") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, SparkTestSession.sf0001)
+    val out = TextAnalysis.textBpeDecodeOn(docs, 4)
+    assert(out.filter(!$"roundtrip_ok").count() === 0L)
+    assert(out.count() > 0L)
+  }
+
+  test("BPE decode normalizes multi-space runs (the one lossy case), flag stays true") {
+    import spark.implicits._
+    val docs = Seq((1L, "low  low"), (2L, " lower ")).toDF("doc_id", "text")
+    val got = TextAnalysis.textBpeDecodeOn(docs, 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2))).toSeq
+    assert(got === Seq((1L, "low low", true), (2L, "lower", true)))
+  }
+
   test("BPE encode: token count equals the token_seq length on real data") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
