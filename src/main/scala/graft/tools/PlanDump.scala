@@ -127,6 +127,12 @@ object PlanDump {
       "Batched BPE fit (final emit plan shown; the per-iteration pair agg matches text_bpe_fit's): one corpus pass per BATCH of merges instead of per merge — the rewrite chains the kept merges' replaces in one projection.",
     "cur_shard_assign" ->
       "Training-shard assignment: the samples pipeline runs once into a checkpoint; the assignment is two lightweight jobs over it (per-partition sizes collect + offset map) — the final plan is a Scan ExistingRDD + sort, no second pipeline execution.",
+    "dedup_simhash_stored" ->
+      "The r17 steady-state shape: the prior side is TWO parquet artifact scans (signatures + the c-partitioned chunk index) — no document text, no shingling, no fingerprint voting on the prior side; only the delta runs the text pipeline.",
+    "dedup_winnow_stored" ->
+      "Stored MOSS index: the (doc_id, g) fingerprint artifact and the UNCAPPED (g, df) counter read back; the df cap applies to the full-outer combined stored + delta count — the plan's only corpus-text work is the delta's Karp–Rabin expansion.",
+    "text_bpe_encode" ->
+      "Merge-order apply: k vocab-sized rewrite stages (localCheckpoint scans, NOT corpus re-reads), then ONE documents scan exploded to words and hash-joined against the encoded vocab; the per-doc reassembly shuffles token rows keyed by doc_id only.",
     "stream_dedup_chunks_ngram" ->
       "Streaming chunk near-dup (post-run fold shown): the stateful operator is the SAME banded-minhash flatMapGroupsWithState as stream_dedup_minhash_ttl, fed packed (doc_id, chunk_idx) keys through the chunk fan-out Generate — chunks are ordinary documents to the band state machine; per-resident TTL eviction bounds state to O(chunk residents per band cell in the TTL window).",
     "stream_sessions" ->
