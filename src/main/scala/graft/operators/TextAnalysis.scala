@@ -348,17 +348,18 @@ object TextAnalysis {
     * DIVERSITY of the top-B pool (each symbol can appear in at most
     * one kept merge), NOT by B — measured at production scale
     * (r17, BpeScaleProbe on the 114k-word golden corpus, B = 256):
-    * 1,944 merges in 80 passes / 245 jobs / 51.9 ms/merge, keep-rate
+    * 11,532 merges in 320 passes / 965 jobs / 31.6 ms/merge, keep-rate
     * RISING with vocab diversity (19/pass over the first 10 → 24/pass
-    * by 80) and wall/merge FALLING (113 → 52 ms) — ~29× fewer driver
-    * round-trips than sequential (0.13 vs ~3.6 jobs/merge), so a 32k
-    * vocab lands around ~1.3k passes / ~4k jobs, not the sequential
-    * ~100k. (An earlier r16 note claimed "32k merges at B=256 is 128
-    * jobs" — that assumed full batches kept; the measured keep-rate
-    * above replaces it.) Per-iteration frame materialization does NOT
-    * compound: each pass re-materializes the vocab-sized frame
-    * (localCheckpoint), so lineage stays one pass deep at any merge
-    * count.
+    * by 80 → 36/pass averaged over 320) and wall/merge FALLING
+    * (113 → 52 → 31.6 ms) — ~43× fewer driver round-trips than
+    * sequential (0.084 vs ~3.6 jobs/merge), so a 32k vocab lands
+    * around ~890 passes / ~2.7k jobs (a ~3× extension of the measured
+    * 11.5k-merge run), not the sequential ~100k. (An earlier r16 note
+    * claimed "32k merges at B=256 is 128 jobs" — that assumed full
+    * batches kept; the measured keep-rate above replaces it.)
+    * Per-iteration frame materialization does NOT compound: each pass
+    * re-materializes the vocab-sized frame (localCheckpoint), so
+    * lineage stays one pass deep at any merge count.
     *
     * Independence rule (defined identically in engine and oracle):
     * GREEDY in rank order — candidate i is kept iff, against every
