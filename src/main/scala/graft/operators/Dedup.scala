@@ -231,7 +231,8 @@ object Dedup {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir)
     val priorIdx = IndexStore.readOrBuild(spark,
-      IndexStore.artifactPath(spark, sfDir, "substr_grams", "documents"),
+      IndexStore.artifactPath(spark, sfDir, "substr_grams", "documents",
+        Seq(ExactSubstrTokens, SnapshotMod, SnapshotNewMin)),
       substringGrams(
         docs.filter(pmod($"doc_id", lit(SnapshotMod)) < SnapshotNewMin))
         .select($"h").distinct())
@@ -449,7 +450,8 @@ object Dedup {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir)
     val priorIdx = IndexStore.readOrBuild(spark,
-      IndexStore.artifactPath(spark, sfDir, "exact_hash_idx", "documents"),
+      IndexStore.artifactPath(spark, sfDir, "exact_hash_idx", "documents",
+        Seq(SnapshotMod, SnapshotNewMin)),
       docs.filter(pmod($"doc_id", lit(SnapshotMod)) < SnapshotNewMin)
         .select(md5($"text").as("h")).distinct())
     dedupIncrementalTail(priorIdx,
@@ -846,11 +848,13 @@ object Dedup {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir)
     val sigs = IndexStore.readOrBuild(spark,
-      IndexStore.artifactPath(spark, sfDir, "minhash_sigs", "documents"),
+      IndexStore.artifactPath(spark, sfDir, "minhash_sigs", "documents",
+        Seq(NumHashes, SnapshotMod, SnapshotNewMin)),
       minhashHashed(
         docs.filter(pmod($"doc_id", lit(SnapshotMod)) < SnapshotNewMin)))
     val bands = IndexStore.readOrBuild(spark,
-      IndexStore.artifactPath(spark, sfDir, "minhash_bands", "documents"),
+      IndexStore.artifactPath(spark, sfDir, "minhash_bands", "documents",
+        Seq(NumHashes, NumBands, SnapshotMod, SnapshotNewMin)),
       minhashBanded(sigs), partitionCols = Seq("band"))
     minhashIncrementalTail(sigs, bands,
       minhashHashed(
@@ -946,11 +950,13 @@ object Dedup {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sfDir)
     val vecs = IndexStore.readOrBuild(spark,
-      IndexStore.artifactPath(spark, sfDir, "embed_vecs", "embeddings"),
+      IndexStore.artifactPath(spark, sfDir, "embed_vecs", "embeddings",
+        Seq(SnapshotMod, SnapshotNewMin)),
       embedSideOf(
         emb.filter(pmod($"vec_id", lit(SnapshotMod)) < SnapshotNewMin)))
     val bands = IndexStore.readOrBuild(spark,
-      IndexStore.artifactPath(spark, sfDir, "embed_bands", "embeddings"),
+      IndexStore.artifactPath(spark, sfDir, "embed_bands", "embeddings",
+        Seq(EmbedBands, EmbedBandBits, SnapshotMod, SnapshotNewMin)),
       embedBanded(vecs), partitionCols = Seq("c"))
     embedIncrementalTail(bands, vecs,
       emb.filter(pmod($"vec_id", lit(SnapshotMod)) >= SnapshotNewMin))
@@ -1728,11 +1734,13 @@ object Dedup {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir)
     val sigs = IndexStore.readOrBuild(spark,
-      IndexStore.artifactPath(spark, sfDir, "simhash_sigs", "documents"),
+      IndexStore.artifactPath(spark, sfDir, "simhash_sigs", "documents",
+        Seq(SnapshotMod, SnapshotNewMin)),
       simhashHashed(
         docs.filter(pmod($"doc_id", lit(SnapshotMod)) < SnapshotNewMin)))
     val index = IndexStore.readOrBuild(spark,
-      IndexStore.artifactPath(spark, sfDir, "simhash_chunks", "documents"),
+      IndexStore.artifactPath(spark, sfDir, "simhash_chunks", "documents",
+        Seq(SimHashChunks, SimHashChunkBits, SnapshotMod, SnapshotNewMin)),
       simhashChunkIndex(sigs), partitionCols = Seq("c"))
     simhashIncrementalTail(sigs, index,
       simhashHashed(
@@ -2166,11 +2174,17 @@ object Dedup {
     val docs = Tables.documents(spark, sfDir)
       .repartition(spark.sparkContext.defaultParallelism)
     val fpsP = IndexStore.readOrBuild(spark,
-      IndexStore.artifactPath(spark, sfDir, "winnow_fps", "documents"),
+      IndexStore.artifactPath(spark, sfDir, "winnow_fps", "documents",
+        Seq(graft.functions.WinnowImpl.GramLen, graft.functions.WinnowImpl.Window,
+          graft.functions.WinnowImpl.Base, graft.functions.WinnowImpl.Mod,
+          SnapshotMod, SnapshotNewMin)),
       winnowFps(
         docs.filter(pmod($"doc_id", lit(SnapshotMod)) < SnapshotNewMin)))
     val dfP = IndexStore.readOrBuild(spark,
-      IndexStore.artifactPath(spark, sfDir, "winnow_df", "documents"),
+      IndexStore.artifactPath(spark, sfDir, "winnow_df", "documents",
+        Seq(graft.functions.WinnowImpl.GramLen, graft.functions.WinnowImpl.Window,
+          graft.functions.WinnowImpl.Base, graft.functions.WinnowImpl.Mod,
+          SnapshotMod, SnapshotNewMin)),
       fpsP.groupBy($"g").agg(count(lit(1)).as("df")))
     winnowIncrementalTail(fpsP, dfP,
       docs.filter(pmod($"doc_id", lit(SnapshotMod)) >= SnapshotNewMin))

@@ -875,12 +875,16 @@ object Similarity {
     val e = embeddings(spark, sfDir)
     val isPrior = pmod($"vec_id", lit(Dedup.SnapshotMod)) < Dedup.SnapshotNewMin
     val modelFrame = IndexStore.readOrBuild(spark,
-      IndexStore.artifactPath(spark, sfDir, "ivfpq_models", "embeddings"),
+      IndexStore.artifactPath(spark, sfDir, "ivfpq_models", "embeddings",
+        Seq(NumCentroids, KMeansIters, PqSubspaces, Pq8Codewords,
+          Dedup.SnapshotMod, Dedup.SnapshotNewMin)),
       { val (cents, cb) = ivfPqFrozenModels(spark, sfDir)
         ivfPqModelsToFrame(spark, cents, cb) })
     val (cents, cb) = ivfPqModelsFromFrame(modelFrame)
     val codes = IndexStore.readOrBuild(spark,
-      IndexStore.artifactPath(spark, sfDir, "ivfpq_codes", "embeddings"),
+      IndexStore.artifactPath(spark, sfDir, "ivfpq_codes", "embeddings",
+        Seq(NumCentroids, KMeansIters, PqSubspaces, Pq8Codewords,
+          Dedup.SnapshotMod, Dedup.SnapshotNewMin)),
       ivfPqEncode(ivfResidFrame(e.filter(isPrior), cents), cb),
       partitionCols = Seq("cell"))
       .select($"vec_id", $"cell", $"code")

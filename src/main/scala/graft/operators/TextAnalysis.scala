@@ -419,7 +419,8 @@ object TextAnalysis {
   }
 
   private[graft] def textBpeFitBatchedOn(docs: DataFrame, iters: Int,
-      batch: Int): DataFrame = {
+      batch: Int, stopAtMerges: Int = Int.MaxValue,
+      progress: (Int, Int, Int) => Unit = (_, _, _) => ()): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val words = docs
@@ -432,7 +433,9 @@ object TextAnalysis {
     var cur = Materialize.frame(words)
     val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
     var step = 1
-    for (_ <- 1 to iters) {
+    var pass = 0
+    while (pass < iters && out.size < stopAtMerges) {
+      pass += 1
       val s = split($"seq", " ")
       val pairArr = zip_with(
         slice(s, lit(1), size(s) - 1), slice(s, lit(2), size(s) - 1),
@@ -455,6 +458,7 @@ object TextAnalysis {
         }
         cur = Materialize.frame(cur.select(trim(fused).as("seq"), $"cnt"))
       }
+      progress(pass, kept.size, out.size)
     }
     out.toSeq.toDF("step", "lhs", "rhs", "pair_count").orderBy($"step")
   }

@@ -1,6 +1,7 @@
 package graft.sources
 
 import java.io.File
+import java.nio.file.{Files, Paths, StandardCopyOption}
 import java.security.MessageDigest
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -17,11 +18,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * artifact, every later run is pure read + probe, which is the wall a
   * steady-state ingest actually pays.
   *
-  * Layout: `<root>/<name>/<corpus-fingerprint>/` — the fingerprint is a
-  * digest of the source table's parquet file names/lengths/mtimes
-  * (filesystem metadata only, no Spark job), so a regenerated corpus
-  * can NEVER be served a stale index: new bytes → new path → rebuild.
-  * Root defaults to a tmpdir and is overridable via
+  * Layout: `<root>/<name>/<corpus-fingerprint>[-<params-fingerprint>]/`
+  * — the corpus fingerprint is a digest of the source table's parquet
+  * file names/lengths/mtimes (filesystem metadata only, no Spark job),
+  * so a regenerated corpus can NEVER be served a stale index: new bytes
+  * → new path → rebuild. The params fingerprint (r17 ADVICE) digests
+  * the ALGORITHM CONSTANTS the artifact was built under — shingle
+  * width, band geometry, token counts, DF caps — so changing a constant
+  * also forces a rebuild instead of silently serving an index computed
+  * under the old value; every `*_stored` call site passes the constants
+  * its build reads. Root defaults to a tmpdir and is overridable via
   * `spark.graft.index.dir`; at cluster scale it is the object-store
   * prefix the ingest pipeline owns.
   *
@@ -33,7 +39,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * kept out of this path only because bucketed tables need a metastore
   * entry, and a plain directory is what survives across driver runs
   * everywhere.
-  */
+  *
+  * Concurrency contract: ONE writer per artifact path (the daily-ingest
+  * owner); readers are unrestricted. [[append]] is crash-safe under
+  * that contract — see its staged-commit protocol — but two concurrent
+  * appenders can still interleave their staging, exactly like two
+  * concurrent jobs appending to the same parquet directory. */
 object IndexStore {
   /** Artifact root override (default: `<java.io.tmpdir>/graft-index`). */
   final val DirKey = "spark.graft.index.dir"
@@ -55,17 +66,35 @@ object IndexStore {
     md.digest().map("%02x".format(_)).mkString.take(16)
   }
 
-  /** The artifact directory for (index name, source corpus). */
+  /** Digest of the algorithm constants an artifact is built under —
+    * the cache key's second half (see the layout scaladoc). Values
+    * render via toString; order matters (callers pass a fixed
+    * sequence). */
+  private[graft] def paramsFingerprint(params: Seq[Any]): String = {
+    val md = MessageDigest.getInstance("MD5")
+    params.foreach(p => md.update(s"$p;".getBytes("UTF-8")))
+    md.digest().map("%02x".format(_)).mkString.take(8)
+  }
+
+  /** The artifact directory for (index name, source corpus, build
+    * constants). `params` carries every constant the build reads —
+    * omitted only for artifacts whose derivation has no tunable (a
+    * plain column projection). */
   def artifactPath(spark: SparkSession, sfDir: String, name: String,
-      table: String): String =
-    s"${root(spark)}/$name/${corpusFingerprint(sfDir, table)}"
+      table: String, params: Seq[Any] = Nil): String = {
+    val suffix = if (params.isEmpty) "" else s"-${paramsFingerprint(params)}"
+    s"${root(spark)}/$name/${corpusFingerprint(sfDir, table)}$suffix"
+  }
 
   /** Read the artifact at `path`, building and writing it first if no
     * completed write (`_SUCCESS`) is present. `build` runs AT MOST on
     * the first call per corpus; every later call is a plain parquet
-    * scan — the steady-state read path. */
+    * scan — the steady-state read path. A pending crashed append is
+    * rolled forward first (see [[append]]) so a reader never sees a
+    * half-committed delta alongside `_SUCCESS`. */
   def readOrBuild(spark: SparkSession, path: String, build: => DataFrame,
       partitionCols: Seq[String] = Nil): DataFrame = {
+    recoverPendingAppend(path)
     if (!new File(s"$path/_SUCCESS").exists()) {
       val w = build.write.mode("overwrite")
       (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
@@ -84,11 +113,71 @@ object IndexStore {
     * only the touched band/cell partitions gain files, untouched ones
     * are not rewritten. DedupSpec's day-2 spec pins the loop:
     * build → probe → append → next-day probe ≡ the inline incremental
-    * over the grown prior. */
+    * over the grown prior.
+    *
+    * Staged commit (r17 ADVICE — a bare `mode("append")` that died
+    * mid-write left partial rows served under the original `_SUCCESS`,
+    * and a retry then duplicated them): the delta is written whole to
+    * `<path>/_staging` (underscore-prefixed — invisible to every
+    * parquet reader), a `_COMMIT` marker is dropped once the write
+    * completed, and only then are the part files moved into the live
+    * partition directories (per-file atomic rename on a real
+    * filesystem). Crash windows: before `_COMMIT` → the staging dir is
+    * discarded on the next call and the caller's retry rewrites the
+    * delta (no partial rows ever served); after `_COMMIT` → the next
+    * [[append]]/[[readOrBuild]] on this path rolls the move FORWARD
+    * (file-level moves are idempotent — each file is either still
+    * staged or already live), so the retrying writer must NOT re-append
+    * the same delta. Exactly-once under the single-writer contract
+    * above. */
   def append(spark: SparkSession, path: String, delta: DataFrame,
       partitionCols: Seq[String] = Nil): Unit = {
-    val w = delta.write.mode("append")
+    recoverPendingAppend(path)
+    val stage = stagingDir(path)
+    val w = delta.write.mode("overwrite")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
-      .parquet(path)
+      .parquet(stage)
+    Files.createFile(Paths.get(stage, CommitMarker))
+    promoteStaging(path)
+  }
+
+  private final val CommitMarker = "_COMMIT"
+  private def stagingDir(path: String): String = s"$path/_staging"
+
+  /** Roll a committed-but-unmoved staging dir forward, or discard an
+    * uncommitted one (crashed mid-write — its delta was never fully
+    * staged and will be rewritten by the caller's retry). */
+  private def recoverPendingAppend(path: String): Unit = {
+    val stage = new File(stagingDir(path))
+    if (stage.isDirectory) {
+      if (new File(stage, CommitMarker).exists()) promoteStaging(path)
+      else deleteRecursively(stage)
+    }
+  }
+
+  /** Move every staged part file into its live partition directory
+    * (creating partition dirs a delta touches first), then drop the
+    * staging dir. Only data files move; `_SUCCESS`/`_COMMIT` markers
+    * are staging-local. Idempotent: interrupted and re-run, it moves
+    * whatever is still staged. */
+  private def promoteStaging(path: String): Unit = {
+    val stageRoot = new File(stagingDir(path))
+    def walk(dir: File, rel: String): Unit =
+      dir.listFiles().toSeq.sortBy(_.getName).foreach { f =>
+        if (f.isDirectory) walk(f, s"$rel${f.getName}/")
+        else if (!f.getName.startsWith("_") && !f.getName.startsWith(".")) {
+          val targetDir = new File(path, rel)
+          targetDir.mkdirs()
+          Files.move(f.toPath, Paths.get(targetDir.getPath, f.getName),
+            StandardCopyOption.ATOMIC_MOVE)
+        }
+      }
+    walk(stageRoot, "")
+    deleteRecursively(stageRoot)
+  }
+
+  private def deleteRecursively(f: File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    f.delete()
   }
 }

@@ -10,7 +10,13 @@ import graft.sources.Tables
   * (r16 VERDICT: the claim rested on an 8-merge run). Prints ONE JSON
   * line: merges actually kept, Spark jobs submitted, wall, wall/merge.
   *
-  *   runMain graft.tools.BpeScaleProbe <sfDir|corpus.txt> <iters> <batch>
+  *   runMain graft.tools.BpeScaleProbe <sfDir|corpus.txt> <iters> <batch> \
+  *     [maxMerges] [curveEvery]
+  *
+  * `maxMerges` (default unbounded) stops the fit the first pass the
+  * kept-merge total reaches it — the "run to 32k" form; `curveEvery`
+  * (default 40) prints a keep-rate curve row every N passes
+  * (pass, merges, wall so far), the plateau evidence SCALING.md cites.
   *
   * A `.txt` source is read line-per-doc — needed because the synthetic
   * documents tables have a ~31-word vocabulary (max ~138 possible
@@ -21,6 +27,8 @@ object BpeScaleProbe {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, itersS, batchS) = args.take(3)
     val (iters, batch) = (itersS.toInt, batchS.toInt)
+    val maxMerges = args.lift(3).map(_.toInt).getOrElse(Int.MaxValue)
+    val curveEvery = args.lift(4).map(_.toInt).getOrElse(40)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .appName("graft-bpe-scale-probe")
@@ -43,7 +51,13 @@ object BpeScaleProbe {
           .map { case (t, i) => (i, t) }.toDF("doc_id", "text")
       } else Tables.documents(spark, sfDir)
     val t0 = System.nanoTime()
-    val merges = TextAnalysis.textBpeFitBatchedOn(docs, iters, batch).collect()
+    val merges = TextAnalysis.textBpeFitBatchedOn(docs, iters, batch,
+      stopAtMerges = maxMerges,
+      progress = (pass, keptNow, total) =>
+        if (pass % curveEvery == 0 || total >= maxMerges)
+          println(f"""{"curve_pass":$pass,"kept_this_pass":$keptNow,""" +
+            f""""merges":$total,"wall_sec":${(System.nanoTime() - t0) / 1e9}%.1f}""")
+    ).collect()
     org.apache.spark.graftshim.ListenerShim.drain(spark.sparkContext)
     val wall = (System.nanoTime() - t0) / 1e9
     val n = merges.length
