@@ -1940,12 +1940,34 @@ object Streaming {
     * .bpeEncodedVocab]]) is fit ONCE on the static corpus at stream
     * setup — the frozen artifact a production tokenizer ships — and
     * every arriving document encodes through a stream-static hash join
-    * against it. No state store: the only streaming aggregation is the
-    * per-document reassembly (doc-bounded keys), and a document's
-    * verdict is final the batch it arrives. Batch re-fit stays
+    * against it.
+    *
+    * Out-of-vocabulary words (r17 ADVICE — the inner join silently
+    * DROPPED them, and a doc of only unseen words vanished): the vocab
+    * join is a LEFT join with a character-decomposition fallback —
+    * an unmatched word encodes as its base character sequence +
+    * `</w>`, the Sennrich base decomposition. The fallback does NOT
+    * replay the learned merges over the unseen word (that needs the
+    * merge list per row, not the frozen word→encoding artifact), so an
+    * OOV word costs its character count in tokens — an upper bound on
+    * the merge-applied count, never a dropped document; the spec pins
+    * the behavior. Vocab-covered streams are unaffected (the fallback
+    * branch never fires), which is why the single-batch feed still
+    * equals the batch `text_bpe_encode` query and the oracle is shared
+    * VERBATIM.
+    *
+    * State: a document's verdict is final the batch it arrives, and
+    * per-key state is doc-bounded (the per-document reassembly agg) —
+    * but the update-mode groupBy(doc_id) KEEPS a state-store entry per
+    * doc_id ever seen, with no watermark to expire it (corrected r17
+    * scaladoc: "no state store" was wrong). Unbounded KEY count is the
+    * same hazard the windowed queries' `_ttl` twins bound; a
+    * production tokenizer service adds an event-time watermark on
+    * arrival time exactly like [[streamDedupExactTTL]]'s discipline —
+    * kept out of this query only because the driver feed carries no
+    * event-time column to watermark on. Batch re-fit stays
     * authoritative for vocab updates, exactly the near-dup lambda
-    * argument. Single-batch feed ≡ the batch `text_bpe_encode` query;
-    * oracle shared VERBATIM. */
+    * argument. */
   def streamBpeEncode(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
@@ -1967,7 +1989,13 @@ object Streaming {
       .filter($"doc_id".isNotNull && $"text".isNotNull)
       .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "w")))
       .filter(length($"w") > 0)
-      .join(enc, "w")
+      .join(enc, Seq("w"), "left")
+      // OOV fallback (see the scaladoc): unmatched words encode as their
+      // base character decomposition instead of silently dropping
+      .select($"doc_id", $"pos",
+        coalesce($"seq",
+          concat(array_join(split($"w", ""), " "), lit(" </w>"))).as("seq"),
+        coalesce($"n_sub", (length($"w") + 1).cast("long")).as("n_sub"))
       .groupBy($"doc_id")
       .agg(sum($"n_sub").as("bpe_tokens"),
         array_join(transform(array_sort(collect_list(struct($"pos", $"seq"))),

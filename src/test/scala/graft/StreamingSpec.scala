@@ -851,6 +851,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("streaming BPE encode: OOV words char-decompose instead of dropping") {
+    import spark.implicits._
+    // the r17 ADVICE defect: vocab frozen from the FIT corpus, a word
+    // unseen at fit time was inner-joined away — a doc of only OOV words
+    // vanished entirely. Fit on corpus A, stream words NOT in A.
+    val in = Files.createTempDirectory("graft_bpe_oov_").toString
+    val base = System.currentTimeMillis()
+    writeOneFile(Seq(
+      (1L, "low low lower"),
+      (2L, "zq low")).toDF("doc_id", "text"), // zq: OOV, all-OOV doc below
+      s"$in/b1.parquet", base)
+    writeOneFile(Seq((3L, "zq xv")).toDF("doc_id", "text"),
+      s"$in/b2.parquet", base + 60000)
+    // frozen vocab fit ONLY on "low low low lower" — zq/xv are unseen
+    val fitCorpus = Seq((0L, "low low low lower")).toDF("doc_id", "text")
+    val schema = spark.read.parquet(in).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val got = Streaming.runBpeEncodeStream(stream, fitCorpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    // every doc survives — including doc 3, which is ALL OOV words
+    assert(got.map(_._1) === Seq(1L, 2L, 3L))
+    val byDoc = got.map(r => r._1 -> r).toMap
+    // OOV words appear as their base char decomposition, in word order
+    assert(byDoc(3L)._3 === "z q </w> x v </w>")
+    assert(byDoc(3L)._2 === 6L) // 2 chars + </w>, twice
+    // mixed doc: in-vocab word keeps its fitted encoding, OOV falls back
+    assert(byDoc(2L)._3.endsWith("</w>") && byDoc(2L)._3.startsWith("z q </w>"))
+    // vocab-covered docs are untouched by the fallback branch: doc 1's
+    // encoding is exactly the frozen vocab's per-word sequences in order
+    val vocab = graft.operators.TextAnalysis.bpeEncodedVocab(
+        fitCorpus, graft.operators.TextAnalysis.BpeFitMerges)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(byDoc(1L)._3 === Seq("low", "low", "lower").map(vocab).mkString(" "))
+  }
+
   test("streaming semantic decontam equals the batch top-20 across batches") {
     import spark.implicits._
     // stateless stream-static cosine: train vectors split across two
