@@ -1006,6 +1006,23 @@ object Dedup {
     * unit spec instead of the driver gate. */
   final val MaxPairHamming = 15
 
+  /** Optional per-(chunk, value) cell occupancy cap on the 8-bit band
+    * index — [[B16CellCapKey]]'s machinery applied one tier down, OFF
+    * by default (`Int.MaxValue`) because at the 8-bit geometry a
+    * meaningful cap DROPS real pairs: measured (b16 scaladoc below),
+    * the worst qualifying pair's best capturing cell has occupancy 289
+    * at ×10, above the cell distribution's p90 — band-cell occupancy
+    * is near-uniform, so there is no skew for a cap to cut. The knob
+    * exists as the adversarial-flood safety valve (one cell of a
+    * million byte-identical crawls = O(cell²) checks) with CAPPED-
+    * SUBSET semantics, spec-pinned: every emitted pair is a pair of
+    * the uncapped search (no false pairs, ever), and a pair survives
+    * iff at least one of its capturing cells is under the cap. Oracle
+    * parity holds only when off. The SCALE answer for this search is
+    * NOT a cap — it is the b16 tier's larger key space (see the
+    * tiering note on [[dedupSimHashPairsB16]]). */
+  final val SimHash8CellCapKey = "spark.graft.dedup.simhash8.cellOccupancyCap"
+
   /** SimHash near-dup SEARCH: pigeonhole chunk banding over the 64-bit
     * fingerprint generates candidates, then candidates are verified with
     * exact 3-gram Jaccard over the DF-capped shingle space. The banding
@@ -1017,7 +1034,16 @@ object Dedup {
     * md5-low-64 (Md5Lower64 ≡ DuckDB md5_number_lower) so the oracle can
     * rebuild the exact fingerprints; no shingle string survives past the
     * map side of the first exchange (round 2 shuffled 42.8 MB of strings
-    * here). */
+    * here).
+    *
+    * TIERING (r17 VERDICT): this 8-bit form is the EXACTNESS BASELINE,
+    * not the scale path — its 2048-cell key space is fixed, so cell
+    * occupancy grows ∝ n and the candidate space Σ n_c² grows ∝ n²
+    * (measured ×98 checks / ×6.7 wall at ×10; no occupancy cap can fix
+    * it, see [[SimHash8CellCapKey]]). Past n ≈ 1.5×10⁵ docs run
+    * [[dedupSimHashPairsB16]] — identical output contract, 4·65536
+    * cells, occupancy ~1 at these corpus sizes — and grow band bits
+    * with log₂(n) from there. */
   def dedupSimHashPairs(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val (cappedSets, fp) = simHashCappedBase(spark, sfDir)
@@ -1041,12 +1067,24 @@ object Dedup {
       .select($"doc_id", $"f", $"k.c".as("c"), $"k.v".as("v"))
     val probe = fp.select($"doc_id", $"f", explode(array(probeKeys: _*)).as("k"))
       .select($"doc_id", $"f", $"k.c".as("c"), $"k.v".as("v"))
+    // Optional fan-in bound (see SimHash8CellCapKey): drop index cells
+    // whose occupancy exceeds the cap BEFORE any pairing — the b16
+    // tier's left-semi discipline one geometry down. Default (MaxValue)
+    // leaves the plan untouched; enabled, output is the spec-pinned
+    // capped SUBSET (a pair survives iff some under-cap cell captures it).
+    val cellCap = spark.conf.get(SimHash8CellCapKey, Int.MaxValue.toString).toInt
+    val boundedIndex = if (cellCap == Int.MaxValue) index else {
+      val keep = index.groupBy($"c", $"v")
+        .agg(count(lit(1)).as("occ")).filter($"occ" <= cellCap)
+        .select($"c", $"v")
+      index.join(keep, Seq("c", "v"), "left_semi")
+    }
     // carry the full fingerprint through the band join: the exact-Hamming
     // cut (long XOR + popcount) runs INSIDE the join, so the distinct
     // dedupes only the surviving pairs, not every chunk collision. The
     // probe is the smaller-doc_id side; the ball is symmetric, so every
     // qualifying pair is seen in this orientation.
-    val candidates = probe.as("a").join(index.as("b"),
+    val candidates = probe.as("a").join(boundedIndex.as("b"),
         $"a.c" === $"b.c" && $"a.v" === $"b.v" && $"a.doc_id" < $"b.doc_id" &&
           expr("bit_count(a.f ^ b.f)") <= MaxPairHamming)
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))

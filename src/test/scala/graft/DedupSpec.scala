@@ -431,6 +431,27 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("8-bit cell-occupancy cap: capped subset, ineffective cap exact") {
+    // SimHash8CellCapKey (r17 VERDICT #1): the flood valve applied one
+    // geometry down. Two pins: (a) a biting cap can only REMOVE pairs
+    // (left-semi prune of index cells — no false pairs, ever); (b) an
+    // enabled-but-ineffective cap (no cell above it) leaves the output
+    // EXACTLY the default's — the prune path itself is semantics-free.
+    val key = Dedup.SimHash8CellCapKey
+    val full = pairSet(Dedup.dedupSimHashPairs(spark, sf))
+    val prev = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, "1")
+      val capped = pairSet(Dedup.dedupSimHashPairs(spark, sf))
+      assert(capped.subsetOf(full))
+      spark.conf.set(key, "1000000")
+      assert(pairSet(Dedup.dedupSimHashPairs(spark, sf)) === full)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("radius-3 probe capture over 16-bit chunks is deterministic for hamming <= 15") {
     // JVM mirror of dedupSimHashPairsB16's band keys: capture iff some
     // aligned 16-bit chunk differs in <= 3 bits (pigeonhole: 4 chunks
