@@ -463,6 +463,135 @@ object TextAnalysis {
     out.toSeq.toDF("step", "lhs", "rhs", "pair_count").orderBy($"step")
   }
 
+  // ──────────────────── byte-level / pretokenizer BPE ────────────────────
+
+  /** GPT-2-family pretokenizer (r17 VERDICT #3), RE2-safe so the SAME
+    * pattern string runs in Spark (java.util.regex) and the DuckDB
+    * oracle (RE2): contractions, optionally-space-prefixed letter /
+    * digit / punctuation runs, whitespace runs. Two deliberate
+    * deviations from GPT-2's exact pattern, both forced by RE2's lack
+    * of lookahead: the `\s+(?!\S)` trailing-whitespace branch is
+    * dropped, so a run of 2+ whitespace chars is ONE token and the
+    * following word carries no leading space (single spaces attach to
+    * the next word exactly as in GPT-2), and `\s` is spelled as an
+    * explicit class because Java's `\s` includes `\x0B` where RE2's
+    * does not. Both engines are leftmost-first with ordered
+    * alternation, so the pretoken streams agree byte-for-byte — the
+    * hash gate pins it at every SF. Every character lands in exactly
+    * one branch, so the concatenation of a text's pretokens IS the
+    * text: byte-level decode is EXACT (no whitespace-normalization
+    * loss, unlike the space-split word tokenizer). */
+  final val BytePretokenPattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\p{L}\\p{N} \\t\\n\\r\\f]+|[ \\t\\n\\r\\f]+"
+
+  /** A pretoken as its UTF-8 byte sequence, one lowercase hex pair per
+    * byte, space-joined — the byte-level base alphabet (≤256 symbols,
+    * the GPT-2 byte fallback: NO unknown-token case can exist). Merged
+    * symbols concatenate whole pairs, so every symbol is an
+    * even-length hex string, concatenations stay pair-aligned, and
+    * decode is replace(' ','') + unhex — no end-of-word marker needed
+    * (pretokens carry their own spaces, and merges cannot cross
+    * pretoken boundaries because the vocab frame is one row per
+    * pretoken). */
+  private def byteSeq(w: Column): Column =
+    trim(regexp_replace(lower(hex(encode(w, "UTF-8"))), "(..)", "$1 "))
+
+  /** The (w, cnt) pretoken-frequency frame — byte mode's analogue of
+    * the space-split word table: ONE corpus-sized shuffle, everything
+    * downstream is vocabulary-sized. */
+  private def bytePretokens(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.filter($"text".isNotNull)
+      .select(explode(regexp_extract_all($"text",
+        lit(BytePretokenPattern), lit(0))).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** BYTE-LEVEL BPE fit: [[textBpeFit]]'s merge learner over the
+    * [[BytePretokenPattern]] pretoken stream with UTF-8-byte base
+    * symbols — the production-tokenizer shape (GPT-2 family: regex
+    * pretokenize, byte fallback, no unknown token). Reuses
+    * [[bpeFitLoop]] verbatim (the fit is alphabet-agnostic); the merge
+    * table's lhs/rhs are hex-pair strings. Scale shape identical to
+    * the word fit: every rewrite runs over the vocabulary-sized frame,
+    * the corpus is touched once. */
+  def textBpeFitBytes(spark: SparkSession, sfDir: String): DataFrame =
+    textBpeFitBytesOn(Tables.documents(spark, sfDir), BpeFitMerges)
+
+  private[graft] def textBpeFitBytesOn(docs: DataFrame, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = bytePretokens(docs).select(byteSeq($"w").as("seq"), $"cnt")
+    val (_, merges) = bpeFitLoop(words, k)
+    merges.toDF("step", "lhs", "rhs", "pair_count").orderBy($"step")
+  }
+
+  /** The byte-mode encoded vocabulary after k fitted merges — the
+    * frozen artifact the byte encode joins the pretoken stream
+    * against (same shape as [[bpeEncodedVocab]], keyed by pretoken). */
+  private[graft] def bpeEncodedVocabBytes(docs: DataFrame, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (encoded, _) = bpeFitLoop(
+      bytePretokens(docs).select($"w", byteSeq($"w").as("seq"), $"cnt"), k)
+    encoded.select($"w", $"seq",
+      size(split($"seq", " ")).cast("long").as("n_sub"))
+  }
+
+  /** BYTE-LEVEL BPE token counting — [[textTokenCountBpe]]'s variant
+    * key at production-tokenizer semantics (r17 VERDICT #3): fit
+    * [[BpeFitMerges]] byte merges, rewrite the pretoken VOCABULARY
+    * once per merge, join each document's pretoken stream back against
+    * the encoded vocab. Emits per document the subword token count and
+    * the in-order token sequence (hex-pair symbols). Corpus touched
+    * exactly twice (pretoken frequency table, final stream→vocab hash
+    * join); the per-doc reassembly is the doc-bounded
+    * collect_list+array_sort idiom — same exchanges as the word-mode
+    * encode, nothing new at 100 TB. */
+  def textTokenCountBpeBytes(spark: SparkSession, sfDir: String): DataFrame =
+    textBpeEncodeBytesOn(Tables.documents(spark, sfDir), BpeFitMerges)
+
+  private[graft] def textBpeEncodeBytesOn(docs: DataFrame, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val d = docs.filter($"doc_id".isNotNull && $"text".isNotNull)
+    val enc = bpeEncodedVocabBytes(d, k)
+    d.select($"doc_id", posexplode(regexp_extract_all($"text",
+        lit(BytePretokenPattern), lit(0))).as(Seq("pos", "w")))
+      .join(enc, "w")
+      .groupBy($"doc_id")
+      .agg(sum($"n_sub").as("bpe_tokens"),
+        array_join(transform(array_sort(collect_list(struct($"pos", $"seq"))),
+          s => s.getField("seq")), " ").as("token_seq"))
+      .select($"doc_id", $"bpe_tokens", $"token_seq")
+      .orderBy($"doc_id")
+  }
+
+  /** BYTE-LEVEL BPE decode — the EXACT inverse of
+    * [[textTokenCountBpeBytes]] (byte mode round-trips the original
+    * text verbatim, whitespace included, where the word tokenizer
+    * could only round-trip its space-normalized form — the reason a
+    * production tokenizer is byte-level): strip the symbol-boundary
+    * spaces, unhex, UTF-8 decode. `roundtrip_ok` compares against the
+    * untouched original as a hash-checked RESULT. Pure map work over
+    * the encode output — no new shuffle. */
+  def textBpeDecodeBytes(spark: SparkSession, sfDir: String): DataFrame =
+    textBpeDecodeBytesOn(Tables.documents(spark, sfDir), BpeFitMerges)
+
+  private[graft] def textBpeDecodeBytesOn(docs: DataFrame, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    textBpeEncodeBytesOn(docs, k)
+      .select($"doc_id",
+        decode(unhex(replace($"token_seq", lit(" "), lit(""))), "UTF-8")
+          .as("decoded_text"))
+      .join(docs.select($"doc_id", $"text"), "doc_id")
+      .select($"doc_id", $"decoded_text",
+        ($"decoded_text" === $"text").as("roundtrip_ok"))
+      .orderBy($"doc_id")
+  }
+
   /** Content fingerprint: minimum md5 over all character 8-grams —
     * winnowing-style document fingerprinting with an exactly mirrorable
     * SQL form (the rolling-FNV fast path at scale is SimHash64; this
@@ -1078,6 +1207,9 @@ object TextAnalysis {
     "text_bpe_fit_batched" -> ((s, dir) => textBpeFitBatched(s, dir)),
     "text_bpe_encode" -> ((s, dir) => textBpeEncode(s, dir)),
     "text_bpe_decode" -> ((s, dir) => textBpeDecode(s, dir)),
+    "text_bpe_fit_bytes" -> ((s, dir) => textBpeFitBytes(s, dir)),
+    "text_tokencount_bpe_bytes" -> ((s, dir) => textTokenCountBpeBytes(s, dir)),
+    "text_bpe_decode_bytes" -> ((s, dir) => textBpeDecodeBytes(s, dir)),
     "text_fingerprint" -> textFingerprint,
     "text_fingerprint_winnow" -> textFingerprintWinnow,
     "text_stats_by_lang" -> textStatsByGroup,
@@ -1209,19 +1341,16 @@ object TextAnalysis {
          |  CAST(sum(qf) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS score
          |FROM scored GROUP BY doc_id""".stripMargin
 
-  /** `text_bpe_fit` unrolled: w0 = the word-frequency sequences, then
-    * per step i: p_i (pair counts) → t_i (argmax, count DESC / lhs /
-    * rhs) → w_i (the double-replace rewrite — identical leftmost
-    * non-overlapping semantics in both engines; textBpeFitOn scaladoc
-    * defines the behavior). */
-  private[graft] def bpeFitSql(k: Int): String = {
-    val w0 =
-      s"""w0 AS (
-         |  SELECT array_to_string(string_split(w, ''), ' ') || ' </w>' AS seq, cnt
-         |  FROM (SELECT w, count(*) AS cnt
-         |        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-         |        WHERE len(w) > 0 GROUP BY w))""".stripMargin
-    val steps = (1 to k).map { i =>
+  /** The per-step CTE chain shared by every sequential-fit oracle
+    * (word AND byte mode — the fit is alphabet-agnostic): per step i,
+    * p_i (pair counts) → t_i (argmax, count DESC / lhs / rhs) → w_i
+    * (the double-replace rewrite — identical leftmost non-overlapping
+    * semantics in both engines). `carryW` threads the raw pretoken `w`
+    * through every rewrite for the encode oracles (seq is injective in
+    * w, so the extra column cannot perturb the pair counts). */
+  private def bpeStepCtes(k: Int, carryW: Boolean): String = {
+    val wSel = if (carryW) "w, " else ""
+    (1 to k).map { i =>
       s"""p$i AS (
          |  SELECT s[j] AS lhs, s[j + 1] AS rhs, CAST(sum(cnt) AS BIGINT) AS c
          |  FROM (SELECT s, cnt, unnest(range(1, len(s))) AS j
@@ -1229,16 +1358,80 @@ object TextAnalysis {
          |  GROUP BY 1, 2),
          |t$i AS (SELECT lhs, rhs, c FROM p$i ORDER BY c DESC, lhs, rhs LIMIT 1),
          |w$i AS (
-         |  SELECT trim(replace(replace(' ' || seq || ' ',
+         |  SELECT ${wSel}trim(replace(replace(' ' || seq || ' ',
          |    ' ' || lhs || ' ' || rhs || ' ', ' ' || lhs || rhs || ' '),
          |    ' ' || lhs || ' ' || rhs || ' ', ' ' || lhs || rhs || ' ')) AS seq, cnt
          |  FROM w${i - 1}, t$i)""".stripMargin
-    }
-    val sel = (1 to k)
-      .map(i => s"SELECT $i AS step, lhs, rhs, c AS pair_count FROM t$i")
-      .mkString("\nUNION ALL ")
-    s"WITH ${(w0 +: steps).mkString(",\n")}\n$sel\nORDER BY step"
+    }.mkString(",\n")
   }
+
+  private def bpeMergeSelect(k: Int): String = (1 to k)
+    .map(i => s"SELECT $i AS step, lhs, rhs, c AS pair_count FROM t$i")
+    .mkString("\nUNION ALL ") + "\nORDER BY step"
+
+  /** `text_bpe_fit` unrolled: w0 = the word-frequency sequences, then
+    * the shared [[bpeStepCtes]] chain (textBpeFitOn scaladoc defines
+    * the behavior). */
+  private[graft] def bpeFitSql(k: Int): String = {
+    val w0 =
+      s"""w0 AS (
+         |  SELECT array_to_string(string_split(w, ''), ' ') || ' </w>' AS seq, cnt
+         |  FROM (SELECT w, count(*) AS cnt
+         |        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |        WHERE len(w) > 0 GROUP BY w))""".stripMargin
+    s"WITH $w0,\n${bpeStepCtes(k, carryW = false)}\n${bpeMergeSelect(k)}"
+  }
+
+  /** [[BytePretokenPattern]] escaped for a single-quoted SQL literal
+    * (DuckDB standard strings pass backslashes through to RE2
+    * untouched — the pattern string is byte-identical on both
+    * engines). */
+  private def bytePatSql: String = BytePretokenPattern.replace("'", "''")
+
+  /** Byte mode's w0: the pretoken-frequency table with hex-pair byte
+    * sequences — `regexp_extract_all` + `hex(encode(...))` mirror the
+    * engine's [[bytePretokens]]/[[byteSeq]] bit-for-bit. */
+  private def byteW0(carryW: Boolean): String = {
+    val wSel = if (carryW) "w, " else ""
+    s"""w0 AS (
+       |  SELECT ${wSel}trim(regexp_replace(lower(hex(encode(w))), '(..)', '\\1 ', 'g')) AS seq, cnt
+       |  FROM (SELECT w, count(*) AS cnt
+       |        FROM (SELECT unnest(regexp_extract_all(text, '$bytePatSql', 0)) AS w
+       |              FROM documents)
+       |        GROUP BY w))""".stripMargin
+  }
+
+  /** `text_bpe_fit_bytes`: the [[bpeStepCtes]] chain over [[byteW0]]. */
+  private[graft] def bpeFitBytesSql(k: Int): String =
+    s"WITH ${byteW0(carryW = false)},\n${bpeStepCtes(k, carryW = false)}\n${bpeMergeSelect(k)}"
+
+  /** `text_tokencount_bpe_bytes` unrolled: byte w0 with the pretoken
+    * carried through every rewrite, then each document's pretoken
+    * stream joined back against the final encoded vocab w$k. */
+  private[graft] def bpeEncodeBytesSql(k: Int): String =
+    s"""WITH ${byteW0(carryW = true)},
+       |${bpeStepCtes(k, carryW = true)},
+       |tok AS (
+       |  SELECT doc_id, j AS pos, t[j] AS w
+       |  FROM (SELECT doc_id, regexp_extract_all(text, '$bytePatSql', 0) AS t,
+       |               unnest(range(1, len(regexp_extract_all(text, '$bytePatSql', 0)) + 1)) AS j
+       |        FROM documents))
+       |SELECT doc_id,
+       |  CAST(sum(len(string_split(seq, ' '))) AS BIGINT) AS bpe_tokens,
+       |  string_agg(seq, ' ' ORDER BY pos) AS token_seq
+       |FROM tok JOIN w$k USING (w)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** `text_bpe_decode_bytes` mirror: the byte encode as a CTE, then
+    * strip + unhex + UTF-8 decode and the EXACT round-trip comparison
+    * against the untouched original text. */
+  private[graft] def bpeDecodeBytesSql(k: Int): String =
+    s"""WITH enc AS (${bpeEncodeBytesSql(k)})
+       |SELECT doc_id,
+       |  decode(from_hex(replace(token_seq, ' ', ''))) AS decoded_text,
+       |  (decode(from_hex(replace(token_seq, ' ', ''))) = text) AS roundtrip_ok
+       |FROM enc JOIN documents USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
 
   /** `text_bpe_encode` unrolled: the [[bpeFitSql]] chain with the raw
     * word `w` carried through every rewrite CTE (seq is injective in w,
@@ -1252,20 +1445,7 @@ object TextAnalysis {
          |  FROM (SELECT w, count(*) AS cnt
          |        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
          |        WHERE len(w) > 0 GROUP BY w))""".stripMargin
-    val steps = (1 to k).map { i =>
-      s"""p$i AS (
-         |  SELECT s[j] AS lhs, s[j + 1] AS rhs, CAST(sum(cnt) AS BIGINT) AS c
-         |  FROM (SELECT s, cnt, unnest(range(1, len(s))) AS j
-         |        FROM (SELECT string_split(seq, ' ') AS s, cnt FROM w${i - 1}))
-         |  GROUP BY 1, 2),
-         |t$i AS (SELECT lhs, rhs, c FROM p$i ORDER BY c DESC, lhs, rhs LIMIT 1),
-         |w$i AS (
-         |  SELECT w, trim(replace(replace(' ' || seq || ' ',
-         |    ' ' || lhs || ' ' || rhs || ' ', ' ' || lhs || rhs || ' '),
-         |    ' ' || lhs || ' ' || rhs || ' ', ' ' || lhs || rhs || ' ')) AS seq, cnt
-         |  FROM w${i - 1}, t$i)""".stripMargin
-    }
-    s"""WITH ${(w0 +: steps).mkString(",\n")},
+    s"""WITH ${Seq(w0, bpeStepCtes(k, carryW = true)).mkString(",\n")},
        |tok AS (
        |  SELECT doc_id, j AS pos, t[j] AS w
        |  FROM (SELECT doc_id, string_split(text, ' ') AS t,
@@ -1516,6 +1696,12 @@ object TextAnalysis {
     // decode inverts the encode inside the same oracle — the
     // round-trip flag is hash-checked per document
     "text_bpe_decode" -> bpeDecodeSql(BpeFitMerges),
+    // byte mode: the SAME fit/encode/decode chain over the GPT-2-family
+    // pretokenizer with hex-pair byte symbols; the decode round-trip is
+    // EXACT (whitespace included), hash-checked per document
+    "text_bpe_fit_bytes" -> bpeFitBytesSql(BpeFitMerges),
+    "text_tokencount_bpe_bytes" -> bpeEncodeBytesSql(BpeFitMerges),
+    "text_bpe_decode_bytes" -> bpeDecodeBytesSql(BpeFitMerges),
     // the learned scorer's mirror: heuristic labels via the SAME spliced
     // quality expression, md5-low64 & mask bucketing (bit pattern — the
     // signed/unsigned representations agree), integer-only smoothed

@@ -483,4 +483,68 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(BpeImpl.count(
       org.apache.spark.unsafe.types.UTF8String.fromString("low lower")) === 7L)
   }
+
+  test("byte BPE: pretokenizer covers every char; concatenation is the text") {
+    import spark.implicits._
+    // the exact-roundtrip precondition: every character of any text
+    // lands in exactly one pretoken (letters/digits/punct branches plus
+    // the whitespace fallback), so joining the pretokens rebuilds the
+    // text verbatim — including tabs, newlines and multi-space runs the
+    // word tokenizer normalizes away
+    val nasty = Seq(
+      "The cat's  hat, 42 times!  über-naïve\ttab",
+      "  leading and trailing  ",
+      "a\n\nb\r\nc", "100,000.5%", "'' ''s x''ll", "", "no-break space",
+      "emoji 😀 and CJK 漢字 mix")
+    val docs = nasty.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = docs.select($"text",
+        org.apache.spark.sql.functions.array_join(
+          org.apache.spark.sql.functions.regexp_extract_all($"text",
+            org.apache.spark.sql.functions.lit(TextAnalysis.BytePretokenPattern),
+            org.apache.spark.sql.functions.lit(0)), "").as("joined"))
+      .collect()
+    got.foreach(r => assert(r.getString(1) === r.getString(0)))
+  }
+
+  test("byte BPE roundtrip is EXACT over bytes: unicode, tabs, space runs") {
+    import spark.implicits._
+    // the word-mode decode round-trips only the space-normalized text;
+    // byte mode must round-trip VERBATIM — that is the reason the mode
+    // exists (r17 VERDICT #3). Adversarial inputs: multi-byte UTF-8
+    // (2/3/4-byte sequences), contractions, digit/punct runs, tabs,
+    // newlines, double spaces, leading/trailing whitespace.
+    val nasty = Seq(
+      "The cat's  hat, 42 times!  über-naïve\ttab",
+      "  leading and trailing  ",
+      "a\n\nb\r\nc", "100,000.5%", "don't we'll they're i've",
+      "emoji 😀 and CJK 漢字 mix")
+    val docs = nasty.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.textBpeDecodeBytesOn(docs, 8).collect()
+    assert(got.length === nasty.length)
+    got.foreach { r =>
+      assert(r.getBoolean(2), s"roundtrip broke: ${r.getString(1)}")
+    }
+    // and on the real corpus, where fitted merges actually fire
+    val real = graft.sources.Tables.documents(spark, SparkTestSession.sf0001)
+    val rr = TextAnalysis.textBpeDecodeBytesOn(real, 8).collect()
+    assert(rr.nonEmpty && rr.forall(_.getBoolean(2)))
+  }
+
+  test("byte BPE encode: merged symbols stay hex-pair-aligned; counts add up") {
+    import spark.implicits._
+    val docs = Seq((1L, "low low low lower lows"), (2L, "low club")).toDF("doc_id", "text")
+    val got = TextAnalysis.textBpeEncodeBytesOn(docs, 4).collect()
+    got.foreach { r =>
+      val syms = r.getString(2).split(" ")
+      // every symbol is whole bytes (even-length lowercase hex) — the
+      // alignment that makes strip-spaces + unhex decode unambiguous
+      syms.foreach(s => assert(s.length % 2 === 0 && s.matches("[0-9a-f]+"), s))
+      assert(r.getLong(1) === syms.length.toLong)
+    }
+    // merges fired: doc 1 has fewer tokens than its byte count
+    val d1 = got.find(_.getLong(0) == 1L).get
+    assert(d1.getLong(1) < "low low low lower lows".getBytes("UTF-8").length)
+  }
 }
