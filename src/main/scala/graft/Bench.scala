@@ -154,9 +154,11 @@ object Bench {
     // its STEADY-STATE form: signatures + chunk index read back from
     // the parquet artifact, no prior-side shingling or voting (r17)
     "dedup_simhash_stored",
-    // the embedding member of the incremental family and its
-    // STEADY-STATE form: prior vector store + sign-bit band index read
-    // back, delta-only banding (r17)
+    // the embedding near-dup family flagship (sign-band blocked
+    // self-join), its incremental member, and the STEADY-STATE form:
+    // prior vector store + sign-bit band index read back, delta-only
+    // banding (r17; blocked added r18 with the vecmode ×10 rows)
+    "dedup_embed_cosine_blocked",
     "dedup_embed_cosine_incremental", "dedup_embed_cosine_stored",
     // tf-idf top-k: tf shuffle-agg + term-window df + per-doc rank
     "text_tfidf_topk",
@@ -330,10 +332,16 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val selected = only.fold(headline)(s => headline.filter(s.contains))
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val minWall = scala.collection.mutable.LinkedHashMap[String, Double]()
     val cpu = scala.collection.mutable.LinkedHashMap[String, Long]()
     val breakdown = scala.collection.mutable.LinkedHashMap[String, String]()
     def record(name: String, m: Measured): Unit = {
       results(name) = m.sec
+      // min(wall_runs) published as a TOP-LEVEL object (r17 VERDICT #6):
+      // on a contended host the median inflates while the minimum stays
+      // the uncontended capability — a round-over-round comparison that
+      // needs no breakdown dig (norm_diff flags median/min spread)
+      minWall(name) = m.runs.min
       cpu(name) = m.cpuMs
       // splice the per-run walls into the breakdown object so outliers
       // are visible next to the per-stage metrics they explain
@@ -468,6 +476,8 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
+    val qsMin = minWall.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
+      .mkString("{", ",", "}")
     val cpuJson = cpu.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val bd = breakdown.map { case (k, v) => "\"" + k + "\":" + v }
@@ -508,7 +518,7 @@ object Bench {
     val line = head + kept.mkString(",") + tail0
     println(line)
     val full =
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"cpu_ms":$cpuJson$annJson$normJson,"protocol":"median-of-3-escalate-5; queries_norm = wall / geomean(canary_keys walls), same battery","breakdown":$bd,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"queries_min":$qsMin,"cpu_ms":$cpuJson$annJson$normJson,"protocol":"median-of-3-escalate-5; queries_norm = wall / geomean(canary_keys walls), same battery; queries_min = min(wall_runs)","breakdown":$bd,"sf":"$sfDir"}"""
     // sbt prefixes stdout with "[info] "; the file copy is the version a
     // driver can always json.load directly.
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), full + "\n")

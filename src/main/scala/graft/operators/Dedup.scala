@@ -1713,7 +1713,7 @@ object Dedup {
     * the stored twin (which reads both back from the parquet artifact)
     * cannot drift: same radius-1 delta ball, same Hamming cut, same
     * exact-Jaccard merge-walk. */
-  private def simhashIncrementalTail(priorSigs: DataFrame,
+  private[graft] def simhashIncrementalTail(priorSigs: DataFrame,
       priorIndex: DataFrame, hf: DataFrame): DataFrame = {
     val spark = priorSigs.sparkSession
     import spark.implicits._

@@ -141,6 +141,36 @@ object IndexStore {
     promoteStaging(path)
   }
 
+  /** Rewrite an artifact into freshly-packed part files — the
+    * maintenance move for an append-heavy index whose partitions have
+    * accumulated one small file per appended day (K appends → K + 1
+    * files per touched partition; probe wall creeps with per-file scan
+    * overhead — IndexSoakProbe measures the curve). Rewrites through a
+    * sibling temp dir, then swaps directories: the artifact is either
+    * the old tree or the new one, never a mix. The swap window (old
+    * moved aside, new not yet in place) is NOT reader-transparent —
+    * run compaction from the single writer in its maintenance slot,
+    * same ownership contract as [[append]]; a reader racing the swap
+    * sees a missing dir and rebuilds, which is wasteful but never
+    * wrong. A crash mid-compact leaves `<path>_compact`/`<path>_old`
+    * siblings that the next compact call clears. */
+  def compact(spark: SparkSession, path: String,
+      partitionCols: Seq[String] = Nil): Unit = {
+    recoverPendingAppend(path)
+    val tmp = new File(s"${path}_compact")
+    val old = new File(s"${path}_old")
+    deleteRecursively(tmp)
+    deleteRecursively(old)
+    val w = spark.read.parquet(path)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(tmp.getPath)
+    Files.move(Paths.get(path), old.toPath, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(tmp.toPath, Paths.get(path), StandardCopyOption.ATOMIC_MOVE)
+    deleteRecursively(old)
+  }
+
   private final val CommitMarker = "_COMMIT"
   private def stagingDir(path: String): String = s"$path/_staging"
 

@@ -23,6 +23,25 @@ import org.apache.spark.sql.functions._
   * instead: identical cross-replica vectors are true exact duplicates,
   * so their pair space scales ×R² by construction (see SCALING.md).
   *
+  * VECTOR MODE (`vecmode` as the 4th arg, r17 VERDICT #4) fixes that
+  * for the embed DEDUP family by writing ONLY an embeddings table
+  * shaped like a corpus that GREW ×R: replica k > 0 offsets vec_id
+  * AND label by the stride (cross-replica candidate pairs are
+  * structurally EMPTY — the blocked/incremental joins all key on
+  * label first, and no label spans replicas) and ε-perturbs each
+  * vector MULTIPLICATIVELY, x·(1 + εu) with deterministic
+  * u ∈ [−1, 1] from xxhash64(vec_id, coord) and ε = 0.01: vectors are
+  * no longer byte-identical exact duplicates, every pairwise cosine
+  * moves by O(ε) so the planted intra-replica near-dup structure
+  * survives exactly, and — because 1 + εu > 0 — every coordinate KEEPS
+  * its sign, so each replica's sign-band cell structure is exactly
+  * replica 0's: per-cell occupancy constant, candidate space ×R
+  * linear. dedup_semantic still sizes k-means cells to the corpus for
+  * its linearity (the SemDeDup k ∝ n argument, SemanticScaleProbe);
+  * vecmode gives it a non-degenerate pair space to do that over. The
+  * id stride is ≡ 0 mod SnapshotMod, so every replica carries the
+  * same 80/20 prior/delta split as replica 0.
+  *
   * Queries (`vec_id < NumQueries`) exist only in replica 0 — the
   * query count is a constant of the workload, not a scale axis.
   *
@@ -44,6 +63,7 @@ object ScaleGen {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("/tmp/graft_sf1")
     val replicas = args.lift(2).map(_.toInt).getOrElse(10)
+    val vecMode = args.lift(3).contains("vecmode")
     val spark = SparkSession.builder()
       .master("local[32]")
       .appName("graft-scale-gen")
@@ -66,6 +86,28 @@ object ScaleGen {
     }
     assertIdsUnderStride("documents", "doc_id")
     assertIdsUnderStride("embeddings", "vec_id")
+
+    if (vecMode) {
+      // grown-corpus embeddings for the embed dedup family (scaladoc):
+      // ids + labels offset, vectors sign-preservingly ε-perturbed
+      val eps = 0.01
+      val emb = spark.read.parquet(s"$src/embeddings.parquet")
+      (0 until replicas).map { k =>
+        val d = emb
+          .withColumn("vec_id", col("vec_id") + lit(k * idStride))
+          .withColumn("label", col("label") + lit(k * 1000))
+        if (k == 0) d
+        else d.withColumn("embedding",
+          transform(col("embedding"), (x, i) => (x * (lit(1.0) + lit(eps) *
+            ((pmod(xxhash64(col("vec_id"), i), lit(2001L)) - lit(1000L))
+              .cast("double") / lit(1000.0)))).cast("float")))
+      }.reduce(_ unionByName _)
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+      println(s"SCALEGEN_DONE out=$out replicas=$replicas mode=vec")
+      spark.stop()
+      return
+    }
 
     val docs = spark.read.parquet(s"$src/documents.parquet")
     (0 until replicas).map { k =>

@@ -85,6 +85,30 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(spark.read.parquet(path).count() === 2)
   }
 
+  test("compact collapses append-accumulated files, content identical") {
+    val path = s"${tmp()}/idx"
+    IndexStore.readOrBuild(spark, path,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "band"), Seq("band"))
+    // a week of daily appends: each adds one file per touched partition
+    (3L to 9L).foreach { d =>
+      IndexStore.append(spark, path, Seq((d, "a")).toDF("id", "band"), Seq("band"))
+    }
+    def partFiles = {
+      def walk(d: File): Seq[File] = d.listFiles().toSeq
+        .flatMap(f => if (f.isDirectory) walk(f) else Seq(f))
+      walk(new File(path)).count(_.getName.endsWith(".parquet"))
+    }
+    val before = spark.read.parquet(path).as[(Long, String)].collect().sorted.toSeq
+    val filesBefore = partFiles
+    assert(filesBefore >= 9) // 2 initial + 7 appended
+    IndexStore.compact(spark, path, Seq("band"))
+    assert(spark.read.parquet(path).as[(Long, String)].collect().sorted.toSeq
+      === before)
+    assert(partFiles < filesBefore)
+    assert(!new File(s"${path}_compact").exists())
+    assert(!new File(s"${path}_old").exists())
+  }
+
   test("partitioned append promotes into live partition dirs") {
     val path = s"${tmp()}/idx"
     IndexStore.readOrBuild(spark, path,

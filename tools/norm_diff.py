@@ -20,6 +20,16 @@ def load(path):
     return d
 
 
+def host_noise(d):
+    """Queries whose median wall is >3x their min(wall_runs): the median
+    was contention-inflated, so a SLOWER verdict on them is host noise
+    until the breakdown (byte-identical stages/shuffle) says otherwise
+    (r17 VERDICT #6 — adjudicable from the JSON alone)."""
+    med, mn = d.get("queries", {}), d.get("queries_min", {})
+    return {q for q in set(med) & set(mn)
+            if mn[q] > 0 and med[q] / mn[q] > 3.0}
+
+
 def main():
     old, new = load(sys.argv[1]), load(sys.argv[2])
     thr = float(sys.argv[3]) if len(sys.argv) > 3 else 1.2
@@ -28,6 +38,7 @@ def main():
     if key == "queries":
         print("WARNING: queries_norm missing in one side; diffing RAW seconds "
               "(host-load sensitive)")
+    noisy = host_noise(old) | host_noise(new)
     a, b = old.get(key, {}), new.get(key, {})
     movers = []
     for q in sorted(set(a) & set(b)):
@@ -41,12 +52,16 @@ def main():
           f"{len(set(b) - set(a))} new, {len(set(a) - set(b))} removed; "
           f"movers beyond {thr}x:")
     for r, q, va, vb in movers:
+        flag = "  [HOST NOISE? median>3x min]" if q in noisy else ""
         print(f"  {'SLOWER' if r > 1 else 'faster'} {r:6.2f}x  {q}: "
-              f"{va:.3f} -> {vb:.3f}")
+              f"{va:.3f} -> {vb:.3f}{flag}")
     if not movers:
         print("  (none)")
     for q in sorted(set(b) - set(a)):
         print(f"  NEW              {q}: {b[q]:.3f}")
+    if noisy:
+        print(f"{len(noisy)} queries with median>3x min in one side "
+              f"(contended medians): {', '.join(sorted(noisy))}")
 
 
 if __name__ == "__main__":
