@@ -165,6 +165,9 @@ object Bench {
     // subword counting + the packer budgeted in subword tokens: pure
     // map work through the greedy longest-match expression
     "text_tokencount_bpe", "cur_pack_bins_bpe", "cur_pack_chunks_bpe",
+    // byte-level tokenizer throughput: pretokenize + fit + vocab join
+    // + per-doc reassembly (r18)
+    "text_tokencount_bpe_bytes",
     // LM scoring: two model-count aggs on the fit slice + the fresh
     // bigram fan-out hash-joined against them
     "text_lm_score",

@@ -493,7 +493,7 @@ object TextAnalysis {
     * (pretokens carry their own spaces, and merges cannot cross
     * pretoken boundaries because the vocab frame is one row per
     * pretoken). */
-  private def byteSeq(w: Column): Column =
+  private[graft] def byteSeq(w: Column): Column =
     trim(regexp_replace(lower(hex(encode(w, "UTF-8"))), "(..)", "$1 "))
 
   /** The (w, cnt) pretoken-frequency frame — byte mode's analogue of

@@ -134,7 +134,20 @@ object IndexStore {
       partitionCols: Seq[String] = Nil): Unit = {
     recoverPendingAppend(path)
     val stage = stagingDir(path)
-    val w = delta.write.mode("overwrite")
+    // One file per TOUCHED PARTITION per append, not one per shuffle
+    // task per partition: unclustered, a 32-task delta adds 32 files to
+    // every touched band dir per day (soak-measured: 512 files/day on
+    // the 16-band index, probe wall ×1.9 by day 8). Clustering the
+    // delta on the partition key bounds file growth to
+    // appends × touched-partitions at the cost of append parallelism =
+    // partition-value count — the right side of the trade for a daily
+    // maintenance write (compaction cadence drops ~30×); a delta too
+    // big for that width should compact right after instead.
+    val clustered =
+      if (partitionCols.isEmpty) delta
+      else delta.repartition(spark.sparkContext.defaultParallelism,
+        partitionCols.map(org.apache.spark.sql.functions.col): _*)
+    val w = clustered.write.mode("overwrite")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(stage)
     Files.createFile(Paths.get(stage, CommitMarker))

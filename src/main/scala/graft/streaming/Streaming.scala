@@ -2008,6 +2008,59 @@ object Streaming {
       .orderBy($"doc_id")
   }
 
+  /** STREAMING BYTE-LEVEL BPE encode — [[streamBpeEncode]] at
+    * production-tokenizer semantics (the GPT-2-family pretokenizer +
+    * byte-symbol vocabulary of `text_tokencount_bpe_bytes`): the byte
+    * vocab is fit once on the static corpus, every arriving document
+    * pretokenizes and LEFT-joins against it with the byte
+    * decomposition as the OOV fallback. At byte level the fallback is
+    * the mode's whole point: an unseen pretoken decomposes into hex
+    * pairs that are ALL base-alphabet symbols — no unknown-token case
+    * CAN exist, the property a production byte tokenizer is chosen
+    * for (learned merges are still not replayed over unseen
+    * pretokens, so their counts upper-bound the merge-applied count —
+    * same caveat as the word twin, spec-pinned there). Same state
+    * caveat as [[streamBpeEncode]]: per-key state is doc-bounded, key
+    * count grows with docs seen. Single-batch vocab-covered feed ≡
+    * the batch byte encode; oracle shared VERBATIM. */
+  def streamBpeEncodeBytes(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+    runBpeEncodeBytesStream(stream, graft.sources.Tables.documents(spark, sfDir))
+  }
+
+  /** The transform of [[streamBpeEncodeBytes]] on any streaming docs
+    * frame + static fit corpus (spec entry point). */
+  private[graft] def runBpeEncodeBytesStream(stream: DataFrame,
+      corpus: DataFrame): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    import graft.operators.{Materialize, TextAnalysis}
+    val enc = Materialize.frame(TextAnalysis.bpeEncodedVocabBytes(
+      corpus.filter($"text".isNotNull), TextAnalysis.BpeFitMerges))
+    val perDoc = stream
+      .filter($"doc_id".isNotNull && $"text".isNotNull)
+      .select($"doc_id", posexplode(regexp_extract_all($"text",
+        lit(TextAnalysis.BytePretokenPattern), lit(0))).as(Seq("pos", "w")))
+      .join(enc, Seq("w"), "left")
+      // OOV fallback: the base byte decomposition — always in-alphabet
+      .select($"doc_id", $"pos",
+        coalesce($"seq", TextAnalysis.byteSeq($"w")).as("seq"),
+        coalesce($"n_sub", octet_length($"w").cast("long")).as("n_sub"))
+      .groupBy($"doc_id")
+      .agg(sum($"n_sub").as("bpe_tokens"),
+        array_join(transform(array_sort(collect_list(struct($"pos", $"seq"))),
+          s => s.getField("seq")), " ").as("token_seq"))
+    runToMemory(perDoc, "update")
+      .groupBy($"doc_id")
+      .agg(max(struct($"bpe_tokens", $"token_seq")).as("s"))
+      .select($"doc_id", $"s.bpe_tokens".as("bpe_tokens"),
+        $"s.token_seq".as("token_seq"))
+      .orderBy($"doc_id")
+  }
+
   /** STREAMING semantic decontamination — the embedding-space
     * contamination rank AT INGEST: the eval slice is STATIC (the
     * frozen benchmark artifact, broadcast — exactly the
@@ -2205,6 +2258,7 @@ object Streaming {
     "stream_badwords" -> streamBadwords,
     "stream_badwords_big" -> streamBadwordsBig,
     "stream_bpe_encode" -> streamBpeEncode,
+    "stream_bpe_encode_bytes" -> streamBpeEncodeBytes,
     "stream_decontam_semantic" -> streamDecontamSemantic,
     "stream_substring_incremental" -> streamSubstringIncremental,
     "stream_substring_incremental_ttl" -> streamSubstringIncrementalTtl,
@@ -2381,6 +2435,8 @@ object Streaming {
     // frozen-vocab encode at ingest ≡ the batch encode on a
     // single-batch feed — the batch oracle VERBATIM
     "stream_bpe_encode" -> graft.operators.TextAnalysis.oracles("text_bpe_encode"),
+    "stream_bpe_encode_bytes" ->
+      graft.operators.TextAnalysis.oracles("text_tokencount_bpe_bytes"),
     "stream_decontam_semantic" ->
       graft.operators.Curation.oracles("cur_decontam_semantic"),
     "stream_substring_incremental" ->

@@ -133,6 +133,8 @@ object PlanDump {
       "Stored MOSS index: the (doc_id, g) fingerprint artifact and the UNCAPPED (g, df) counter read back; the df cap applies to the full-outer combined stored + delta count — the plan's only corpus-text work is the delta's Karp–Rabin expansion.",
     "text_bpe_encode" ->
       "Merge-order apply: k vocab-sized rewrite stages (localCheckpoint scans, NOT corpus re-reads), then ONE documents scan exploded to words and hash-joined against the encoded vocab; the per-doc reassembly shuffles token rows keyed by doc_id only.",
+    "text_tokencount_bpe_bytes" ->
+      "Byte-level tokenizer (r18): the identical two-corpus-touch shape as the word encode — pretokenizer Generate over one documents scan builds the pretoken-frequency vocab, k rewrites run vocab-sized, one more scan joins the pretoken stream; the regex pretokenize and hex byte-render are per-row map work inside the Generate stage, nothing new crosses an exchange.",
     "stream_dedup_chunks_ngram" ->
       "Streaming chunk near-dup (post-run fold shown): the stateful operator is the SAME banded-minhash flatMapGroupsWithState as stream_dedup_minhash_ttl, fed packed (doc_id, chunk_idx) keys through the chunk fan-out Generate — chunks are ordinary documents to the band state machine; per-resident TTL eviction bounds state to O(chunk residents per band cell in the TTL window).",
     "stream_sessions" ->

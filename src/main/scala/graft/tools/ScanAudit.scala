@@ -88,6 +88,11 @@ object ScanAudit {
         // single-scan shape) would widen every token row by the whole
         // document — two column-pruned scans are the cheap side at scale
         "text_bpe_decode" -> Map("documents" -> 2),
+        // byte mode, same shape: the round-trip compare joins the
+        // ORIGINAL text back against the token-exploded encode output —
+        // a separate pruned scan beats carrying doc-sized text through
+        // the token shuffle (r18)
+        "text_bpe_decode_bytes" -> Map("documents" -> 2),
         // the stored twin's prior side is the parquet artifact, so only
         // the FRESH side touches embeddings — same two by-design logical
         // passes per side as the inline form above (band build + verify

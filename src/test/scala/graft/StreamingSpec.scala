@@ -851,6 +851,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("streaming byte BPE encode: two-batch ≡ batch; OOV pretokens stay in-alphabet") {
+    import spark.implicits._
+    // the byte tokenizer service: vocab fit ONCE on the static corpus,
+    // two arriving batches must encode exactly as the batch byte query;
+    // then an OOV feed — at byte level the fallback IS the mode's point
+    // (hex pairs are always base symbols, no unknown-token case exists)
+    val in = Files.createTempDirectory("graft_bpeb_in_").toString
+    val base = System.currentTimeMillis()
+    writeOneFile(Seq(
+      (1L, "low low low"),
+      (2L, "lower lower")).toDF("doc_id", "text"),
+      s"$in/b1.parquet", base)
+    writeOneFile(Seq(
+      (3L, "newest"),
+      (4L, "low lower newest")).toDF("doc_id", "text"),
+      s"$in/b2.parquet", base + 60000)
+    val corpus = spark.read.parquet(in)
+    val stream = spark.readStream.schema(corpus.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val got = Streaming.runBpeEncodeBytesStream(stream, corpus)
+      .collect().map(_.toSeq).toSeq
+    val batch = graft.operators.TextAnalysis.textBpeEncodeBytesOn(
+        corpus, graft.operators.TextAnalysis.BpeFitMerges)
+      .collect().map(_.toSeq).toSeq
+    assert(got === batch, s"stream $got != batch $batch")
+    // OOV feed: fit on corpus A, stream a doc of only unseen pretokens —
+    // it survives as raw byte symbols ("zq" = 7a 71, " xv" = 20 78 76)
+    val in2 = Files.createTempDirectory("graft_bpeb_oov_").toString
+    writeOneFile(Seq((9L, "zq xv")).toDF("doc_id", "text"),
+      s"$in2/b1.parquet", base)
+    val stream2 = spark.readStream.schema(corpus.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in2)
+    val oov = Streaming.runBpeEncodeBytesStream(stream2,
+      Seq((0L, "low low low lower")).toDF("doc_id", "text")).collect()
+    assert(oov.map(_.getLong(0)).toSeq === Seq(9L))
+    assert(oov.head.getString(2) === "7a 71 20 78 76")
+    assert(oov.head.getLong(1) === 5L)
+  }
+
   test("streaming BPE encode: OOV words char-decompose instead of dropping") {
     import spark.implicits._
     // the r17 ADVICE defect: vocab frozen from the FIT corpus, a word
