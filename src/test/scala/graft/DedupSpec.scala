@@ -301,9 +301,13 @@ class DedupSpec extends AnyFunSuite {
       spark.conf.set(graft.sources.IndexStore.DirKey, dir)
       val inline = inlineQ(spark, sf).collect().map(_.toSeq).toSeq
       val buildRun = storedQ(spark, sf).collect().map(_.toSeq).toSeq
+      // the artifact landed under <root>/<name>/<corpus-fp>[-<params-fp>]
+      // (the params half is IndexStoreSpec's contract; here we pin that
+      // the build run WROTE and the next run will read)
       artifacts.foreach { a =>
-        assert(new java.io.File(graft.sources.IndexStore.artifactPath(
-          spark, sf, a, table) + "/_SUCCESS").exists(), a)
+        val versions = new java.io.File(s"$dir/$a").listFiles()
+        assert(versions != null && versions.exists(v =>
+          new java.io.File(v, "_SUCCESS").exists()), a)
       }
       val readRun = storedQ(spark, sf).collect().map(_.toSeq).toSeq
       assert(inline.nonEmpty)

@@ -260,9 +260,11 @@ class SimilaritySpec extends AnyFunSuite {
         .collect().map(_.toSeq).toSeq
       val buildRun = Similarity.simAnnIvfPqStored(spark, sf)
         .collect().map(_.toSeq).toSeq
-      val codesDir = new java.io.File(graft.sources.IndexStore.artifactPath(
-        spark, sf, "ivfpq_codes", "embeddings"))
-      assert(new java.io.File(codesDir, "_SUCCESS").exists())
+      // the artifact landed under <root>/ivfpq_codes/<corpus-fp>-<params-fp>
+      // (params-keying itself is IndexStoreSpec's contract)
+      val codesDir = new java.io.File(s"$dir/ivfpq_codes").listFiles()
+        .find(v => new java.io.File(v, "_SUCCESS").exists())
+        .getOrElse(fail("no completed ivfpq_codes artifact"))
       assert(codesDir.listFiles().exists(_.getName.startsWith("cell=")))
       val readRun = Similarity.simAnnIvfPqStored(spark, sf)
         .collect().map(_.toSeq).toSeq
