@@ -154,6 +154,10 @@ object Bench {
     // its STEADY-STATE form: signatures + chunk index read back from
     // the parquet artifact, no prior-side shingling or voting (r17)
     "dedup_simhash_stored",
+    // the 16-bit-geometry incremental + its stored form: radius-1 ball
+    // index (68 rows/doc) probed by the delta's radius-2 ball — the
+    // key-space answer to the 8-bit incremental's occupancy growth (r18)
+    "dedup_simhash_incremental_b16", "dedup_simhash_stored_b16",
     // the embedding near-dup family flagship (sign-band blocked
     // self-join), its incremental member, and the STEADY-STATE form:
     // prior vector store + sign-bit band index read back, delta-only

@@ -1785,6 +1785,130 @@ object Dedup {
         docs.filter(pmod($"doc_id", lit(SnapshotMod)) >= SnapshotNewMin)))
   }
 
+  /** The prior side's 16-BIT-geometry band index over a
+    * [[simhashHashed]] frame: each fingerprint's 4 aligned 16-bit
+    * chunks, each emitting its radius-1 Hamming ball — 68 (c, v) rows
+    * per doc (~0.6 KB/doc), the write-once artifact the b16 tier
+    * buckets by (chunk, value). Storing the radius-1 ball on the INDEX
+    * side is the same two-sided split as [[dedupSimHashPairsB16]]:
+    * the delta then only needs radius 2, and any chunk pair at diff
+    * d ≤ 3 splits as m1 ^ m2 with |m1| ≤ 1, |m2| ≤ 2. */
+  private[graft] def simhashChunkIndexB16(hashed: DataFrame): DataFrame = {
+    val spark = hashed.sparkSession
+    import spark.implicits._
+    val mask = (1L << SimHashB16Bits) - 1
+    def chunk(c: Int): Column =
+      shiftrightunsigned($"f", c * SimHashB16Bits).bitwiseAND(lit(mask))
+    val chunkVals = array((0 until SimHashB16Chunks).map(chunk): _*)
+    simhashFpOf(hashed)
+      .select($"doc_id", $"f", posexplode(chunkVals).as(Seq("c", "v0")))
+      .select($"doc_id", $"f", $"c", explode(lit(b16FlipsIdx)).as("flip"), $"v0")
+      .select($"doc_id", $"f", $"c",
+        $"v0".bitwiseXOR($"flip".cast("long")).as("v"))
+  }
+
+  /** The b16 probe + verify tail (the 16-bit twin of
+    * [[simhashIncrementalTail]], both incremental b16 forms funnel
+    * through it): the delta emits each 16-bit chunk's radius-2 ball
+    * (548 keys/doc, generated and consumed map-side) against the
+    * prior's radius-1 ball index. Capture is deterministic by the
+    * pigeonhole one tier up — 4 chunks, Hamming ≤ 15 ⇒ some chunk
+    * diff ≤ 3 ⇒ an (|m1| ≤ 1, |m2| ≤ 2) split exists (DedupSpec's
+    * exhaustive mask-split proof) — so the output contract and oracle
+    * are IDENTICAL to the 8-bit incremental. */
+  private[graft] def simhashIncrementalB16Tail(priorSigs: DataFrame,
+      priorIndexB16: DataFrame, hf: DataFrame): DataFrame = {
+    val spark = priorSigs.sparkSession
+    import spark.implicits._
+    val mask = (1L << SimHashB16Bits) - 1
+    def chunk(c: Int): Column =
+      shiftrightunsigned($"f", c * SimHashB16Bits).bitwiseAND(lit(mask))
+    val chunkVals = array((0 until SimHashB16Chunks).map(chunk): _*)
+    val probe = simhashFpOf(hf)
+      .repartition(spark.sparkContext.defaultParallelism, $"doc_id")
+      .select($"doc_id", $"f", posexplode(chunkVals).as(Seq("c", "v0")))
+      .select($"doc_id", $"f", $"c", explode(lit(b16FlipsProbe)).as("flip"), $"v0")
+      .select($"doc_id", $"f", $"c",
+        $"v0".bitwiseXOR($"flip".cast("long")).as("v"))
+    // cross-snapshot candidates only; two-sided ball capture can see a
+    // pair through several (m1, m2) splits — distinct collapses them
+    val candidates = probe.as("a").join(priorIndexB16.as("b"),
+        $"a.c" === $"b.c" && $"a.v" === $"b.v" &&
+          expr("bit_count(a.f ^ b.f)") <= MaxPairHamming)
+      .select($"b.doc_id".as("doc_a"), $"a.doc_id".as("doc_b"))
+      .distinct()
+      .repartition(spark.sparkContext.defaultParallelism, $"doc_a")
+    candidates.as("cd")
+      .join(priorSigs.select($"doc_id", $"shc").as("sa"),
+        $"cd.doc_a" === $"sa.doc_id")
+      .join(hf.as("sb"), $"cd.doc_b" === $"sb.doc_id")
+      .select($"cd.doc_a".as("doc_a"), $"cd.doc_b".as("doc_b"),
+        graft.functions.SetJaccardSorted($"sa.shc", $"sb.shc").as("jacc"))
+      .filter($"jacc" >= JaccardThreshold)
+      .select($"doc_a", $"doc_b", round($"jacc", 3).as("jaccard"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** [[dedupSimHashIncremental]] at the 16-BIT band geometry — the
+    * form the 8-bit incremental's scaladoc promises "drops in
+    * unchanged when prior occupancy saturates", now a key WITH ITS
+    * CROSSOVER MEASURED instead of a sentence: the prior index is the
+    * 4·65536-cell radius-1 ball artifact (68 rows/doc vs 8, the price
+    * of moving one probe radius to the index side), the delta probes
+    * with the radius-2 ball. Measured paired sf0.1 → ×10 (SCALING
+    * r18): the b16 form is slightly FASTER at sf0.1 (1.10 vs 1.38 s)
+    * but ×6.5 at ×10 against the 8-bit's ×2.3 — in the INCREMENTAL
+    * setting the 20% delta factor shrinks the 8-bit quadratic
+    * occupancy term ~25× relative to the self-join pair search, so
+    * the b16 ball's ~8× band-join row volume (68·prior + 548·delta vs
+    * 8·prior + 72·delta) dominates far past the pair search's
+    * n ≈ 1.5×10⁵ crossover — the incremental crossover sits around
+    * n ≈ millions of prior docs at this delta fraction. The key
+    * exists for exactly that regime (a year of daily crawls against a
+    * 10⁷-doc prior); below it, run the 8-bit incremental. Same
+    * deterministic ≤ 15 capture, same verify, output and oracle
+    * IDENTICAL to the 8-bit incremental (DedupSpec pins the two
+    * engines row-for-row). */
+  def dedupSimHashIncrementalB16(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    dedupSimHashIncrementalB16On(
+      docs.filter(pmod($"doc_id", lit(SnapshotMod)) < SnapshotNewMin),
+      docs.filter(pmod($"doc_id", lit(SnapshotMod)) >= SnapshotNewMin))
+  }
+
+  /** The transform of [[dedupSimHashIncrementalB16]] over any (prior,
+    * fresh) pair of (doc_id, text) frames (spec entry point). */
+  private[graft] def dedupSimHashIncrementalB16On(
+      prior: DataFrame, fresh: DataFrame): DataFrame = {
+    val hp = simhashHashed(prior)
+    simhashIncrementalB16Tail(hp, simhashChunkIndexB16(hp), simhashHashed(fresh))
+  }
+
+  /** [[dedupSimHashIncrementalB16]] in its STEADY-STATE form: the
+    * prior signatures and the 16-bit radius-1 ball index read from the
+    * parquet artifact (ball index partitioned by `c`, derived FROM the
+    * read-back signatures so the round-trip is under the oracle),
+    * delta-only shingling + voting — the artifact layout a b16-tier
+    * daily ingest actually maintains. */
+  def dedupSimHashStoredB16(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.IndexStore
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val sigs = IndexStore.readOrBuild(spark,
+      IndexStore.artifactPath(spark, sfDir, "simhash_sigs", "documents",
+        Seq(SnapshotMod, SnapshotNewMin)),
+      simhashHashed(
+        docs.filter(pmod($"doc_id", lit(SnapshotMod)) < SnapshotNewMin)))
+    val index = IndexStore.readOrBuild(spark,
+      IndexStore.artifactPath(spark, sfDir, "simhash_chunks_b16", "documents",
+        Seq(SimHashB16Chunks, SimHashB16Bits, SnapshotMod, SnapshotNewMin)),
+      simhashChunkIndexB16(sigs), partitionCols = Seq("c"))
+    simhashIncrementalB16Tail(sigs, index,
+      simhashHashed(
+        docs.filter(pmod($"doc_id", lit(SnapshotMod)) >= SnapshotNewMin)))
+  }
+
   /** Embedding-space near-dup/similarity pairs: same-label blocked
     * self-join, cosine in double precision, top-20 most similar pairs.
     * (The data's max cosine is ~0.51, so a fixed high threshold would be
@@ -2253,7 +2377,9 @@ object Dedup {
     "dedup_simhash_pairs_wide" -> dedupSimHashPairsWide,
     "dedup_simhash_pairs_b16" -> dedupSimHashPairsB16,
     "dedup_simhash_incremental" -> dedupSimHashIncremental,
+    "dedup_simhash_incremental_b16" -> dedupSimHashIncrementalB16,
     "dedup_simhash_stored" -> dedupSimHashStored,
+    "dedup_simhash_stored_b16" -> dedupSimHashStoredB16,
     "dedup_embed_cosine" -> dedupEmbedCosine,
     "dedup_embed_cosine_blocked" -> dedupEmbedCosineBlocked,
     "dedup_embed_cosine_incremental" -> dedupEmbedCosineIncremental,
@@ -2756,6 +2882,10 @@ object Dedup {
     // ≤15 oracle IS the claim that the 16-bit banding loses nothing
     "dedup_simhash_pairs_b16" -> simhashPairsSqlAt(MaxPairHamming),
     "dedup_simhash_incremental" -> simhashIncrementalSql,
+    // the b16 tier's capture is deterministic for the identical Hamming
+    // cut, so both geometries share the 8-bit incremental's oracle
+    "dedup_simhash_incremental_b16" -> simhashIncrementalSql,
+    "dedup_simhash_stored_b16" -> simhashIncrementalSql,
     // the stored twin reads the prior signatures + chunk index from
     // the parquet artifact — round-trip semantically invisible, so it
     // shares the inline oracle VERBATIM

@@ -339,6 +339,21 @@ class DedupSpec extends AnyFunSuite {
       Seq("simhash_sigs", "simhash_chunks"))
   }
 
+  test("b16 incremental ≡ 8-bit incremental, row-for-row (both geometries, one contract)") {
+    // capture is deterministic at BOTH band geometries for the identical
+    // Hamming ≤ 15 cut (pigeonhole at 8 bits, mask-split at 16), so the
+    // two engines must emit exactly the same cross-snapshot pairs
+    val narrow = Dedup.dedupSimHashIncremental(spark, sf).collect().map(_.toSeq).toSeq
+    val b16 = Dedup.dedupSimHashIncrementalB16(spark, sf).collect().map(_.toSeq).toSeq
+    assert(narrow.nonEmpty)
+    assert(b16 === narrow)
+  }
+
+  test("stored b16 ball index round-trips: build ≡ read-back ≡ inline") {
+    storedRoundTrip(Dedup.dedupSimHashIncrementalB16, Dedup.dedupSimHashStoredB16,
+      Seq("simhash_sigs", "simhash_chunks_b16"))
+  }
+
   test("stored winnow fps + df counter round-trips: build ≡ read-back ≡ inline") {
     storedRoundTrip(Dedup.dedupWinnowIncremental, Dedup.dedupWinnowStored,
       Seq("winnow_fps", "winnow_df"))
