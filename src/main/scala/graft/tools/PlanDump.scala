@@ -129,6 +129,8 @@ object PlanDump {
       "Training-shard assignment: the samples pipeline runs once into a checkpoint; the assignment is two lightweight jobs over it (per-partition sizes collect + offset map) — the final plan is a Scan ExistingRDD + sort, no second pipeline execution.",
     "dedup_simhash_stored" ->
       "The r17 steady-state shape: the prior side is TWO parquet artifact scans (signatures + the c-partitioned chunk index) — no document text, no shingling, no fingerprint voting on the prior side; only the delta runs the text pipeline.",
+    "dedup_simhash_incremental_b16" ->
+      "The 16-bit incremental (r18): the prior's radius-1 ball index (68 rows/doc) joined by the delta's radius-2 ball — the mask-split capture of the b16 pair search in the prior×delta orientation; measured crossover vs the 8-bit form is millions of prior docs (band-join row volume dominates below it — SCALING r18), which is what the stored ball artifact targets.",
     "dedup_winnow_stored" ->
       "Stored MOSS index: the (doc_id, g) fingerprint artifact and the UNCAPPED (g, df) counter read back; the df cap applies to the full-outer combined stored + delta count — the plan's only corpus-text work is the delta's Karp–Rabin expansion.",
     "text_bpe_encode" ->
