@@ -430,6 +430,33 @@ object TextAnalysis {
       .groupBy($"w").agg(count(lit(1)).as("cnt"))
       .select(concat(array_join(split($"w", ""), " "), lit(" </w>")).as("seq"),
         $"cnt")
+    bpeFitBatchedLoop(words, iters, batch, stopAtMerges, progress)
+  }
+
+  /** The batched fit over BYTE symbols — [[textBpeFitBatchedOn]]'s
+    * alphabet swapped for the [[BytePretokenPattern]] pretokens'
+    * hex-pair sequences (the loop is shared, so the two modes cannot
+    * drift): the trainer shape a production 32k-merge BYTE vocabulary
+    * is actually fit with. Measurement tool surface (BpeScaleProbe
+    * `bytes` mode), not a driver-contract key — the contract byte fit
+    * is the sequential [[textBpeFitBytesOn]]. */
+  private[graft] def textBpeFitBatchedBytesOn(docs: DataFrame, iters: Int,
+      batch: Int, stopAtMerges: Int = Int.MaxValue,
+      progress: (Int, Int, Int) => Unit = (_, _, _) => ()): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = bytePretokens(docs).select(byteSeq($"w").as("seq"), $"cnt")
+    bpeFitBatchedLoop(words, iters, batch, stopAtMerges, progress)
+  }
+
+  /** The alphabet-agnostic batched-fit loop body shared by the word
+    * and byte trainers (pool agg → greedy keep → chained rewrite per
+    * pass; see [[textBpeFitBatched]]'s rule). */
+  private def bpeFitBatchedLoop(words: DataFrame, iters: Int, batch: Int,
+      stopAtMerges: Int,
+      progress: (Int, Int, Int) => Unit): DataFrame = {
+    val spark = words.sparkSession
+    import spark.implicits._
     var cur = Materialize.frame(words)
     val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
     var step = 1

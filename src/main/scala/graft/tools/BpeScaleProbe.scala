@@ -29,6 +29,7 @@ object BpeScaleProbe {
     val (iters, batch) = (itersS.toInt, batchS.toInt)
     val maxMerges = args.lift(3).map(_.toInt).getOrElse(Int.MaxValue)
     val curveEvery = args.lift(4).map(_.toInt).getOrElse(40)
+    val byteMode = args.lift(5).contains("bytes")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .appName("graft-bpe-scale-probe")
@@ -51,9 +52,10 @@ object BpeScaleProbe {
           .map { case (t, i) => (i, t) }.toDF("doc_id", "text")
       } else Tables.documents(spark, sfDir)
     val t0 = System.nanoTime()
-    val merges = TextAnalysis.textBpeFitBatchedOn(docs, iters, batch,
-      stopAtMerges = maxMerges,
-      progress = (pass, keptNow, total) =>
+    val fit = if (byteMode) TextAnalysis.textBpeFitBatchedBytesOn _
+              else TextAnalysis.textBpeFitBatchedOn _
+    val merges = fit(docs, iters, batch, maxMerges,
+      (pass, keptNow, total) =>
         if (pass % curveEvery == 0 || total >= maxMerges)
           println(f"""{"curve_pass":$pass,"kept_this_pass":$keptNow,""" +
             f""""merges":$total,"wall_sec":${(System.nanoTime() - t0) / 1e9}%.1f}""")

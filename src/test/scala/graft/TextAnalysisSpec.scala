@@ -532,6 +532,18 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(rr.nonEmpty && rr.forall(_.getBoolean(2)))
   }
 
+  test("byte batched fit at batch = 1 ≡ the sequential byte fit") {
+    // the same no-conflict differential that pins the word-mode batched
+    // trainer, one alphabet down: the shared loop + byte w0 must reduce
+    // structurally to the sequential byte fit at batch = 1
+    val docs = graft.sources.Tables.documents(spark, SparkTestSession.sf0001)
+    val seqFit = TextAnalysis.textBpeFitBytesOn(docs, 6).collect().map(_.toSeq).toSeq
+    val batched = TextAnalysis.textBpeFitBatchedBytesOn(docs, iters = 6, batch = 1)
+      .collect().map(_.toSeq).toSeq
+    assert(batched === seqFit)
+    assert(seqFit.nonEmpty)
+  }
+
   test("byte BPE encode: merged symbols stay hex-pair-aligned; counts add up") {
     import spark.implicits._
     val docs = Seq((1L, "low low low lower lows"), (2L, "low club")).toDF("doc_id", "text")
