@@ -41,10 +41,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * everywhere.
   *
   * Concurrency contract: ONE writer per artifact path (the daily-ingest
-  * owner); readers are unrestricted. [[append]] is crash-safe under
-  * that contract — see its staged-commit protocol — but two concurrent
-  * appenders can still interleave their staging, exactly like two
-  * concurrent jobs appending to the same parquet directory. */
+  * owner); readers are unrestricted. [[append]] and [[compact]] are
+  * crash-safe under that contract — see their staged-commit /
+  * sibling-recovery protocols — but two concurrent appenders can still
+  * interleave their staging, exactly like two concurrent jobs appending
+  * to the same parquet directory. Crash RECOVERY runs only from the
+  * writer entry points (r18 ADVICE): readers never delete, promote, or
+  * move anything — a reader racing the writer's in-flight staging or
+  * compact swap must not be able to abort it or double-promote a
+  * committed delta, so [[readOrBuild]] ignores `_staging` (invisible to
+  * parquet scans anyway) and redirect-reads a completed compact sibling
+  * instead of repairing it. */
 object IndexStore {
   /** Artifact root override (default: `<java.io.tmpdir>/graft-index`). */
   final val DirKey = "spark.graft.index.dir"
@@ -69,10 +76,17 @@ object IndexStore {
   /** Digest of the algorithm constants an artifact is built under —
     * the cache key's second half (see the layout scaladoc). Values
     * render via toString; order matters (callers pass a fixed
-    * sequence). */
+    * sequence). Each rendered param is LENGTH-PREFIXED before
+    * digesting (r18 ADVICE) so the encoding is injective: a bare
+    * ';'-join would alias Seq("a;b") with Seq("a","b") — harmless for
+    * today's numeric constants, a silent stale-serve if a future
+    * artifact keys on a string constant containing the separator. */
   private[graft] def paramsFingerprint(params: Seq[Any]): String = {
     val md = MessageDigest.getInstance("MD5")
-    params.foreach(p => md.update(s"$p;".getBytes("UTF-8")))
+    params.foreach { p =>
+      val s = p.toString
+      md.update(s"${s.length}:$s;".getBytes("UTF-8"))
+    }
     md.digest().map("%02x".format(_)).mkString.take(8)
   }
 
@@ -89,19 +103,42 @@ object IndexStore {
   /** Read the artifact at `path`, building and writing it first if no
     * completed write (`_SUCCESS`) is present. `build` runs AT MOST on
     * the first call per corpus; every later call is a plain parquet
-    * scan — the steady-state read path. A pending crashed append is
-    * rolled forward first (see [[append]]) so a reader never sees a
-    * half-committed delta alongside `_SUCCESS`. */
+    * scan — the steady-state read path.
+    *
+    * This is a READER entry point and therefore MUTATES NOTHING that
+    * belongs to the writer (r18 ADVICE — it used to run append
+    * recovery, and a reader racing the single writer's in-flight
+    * append could delete its staging mid-write or double-promote a
+    * committed delta): a pending `_staging` dir is simply ignored —
+    * underscore-prefixed dirs are invisible to parquet scans, so the
+    * reader sees the pre-append artifact, never a partial delta; the
+    * writer's own next [[append]]/[[compact]] rolls a committed delta
+    * forward. Likewise a crashed [[compact]] (artifact momentarily
+    * missing, full data in a `_compact`/`_old` sibling) is
+    * REDIRECT-READ, not repaired: the reader scans whichever completed
+    * sibling exists instead of re-running `build` — rebuilding from
+    * the original closure would silently drop every appended delta.
+    * Only when no completed copy exists anywhere does `build` run. */
   def readOrBuild(spark: SparkSession, path: String, build: => DataFrame,
       partitionCols: Seq[String] = Nil): DataFrame = {
-    recoverPendingAppend(path)
     if (!new File(s"$path/_SUCCESS").exists()) {
-      val w = build.write.mode("overwrite")
-      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
-        .parquet(path)
+      completedSibling(path) match {
+        case Some(sibling) => return spark.read.parquet(sibling)
+        case None =>
+          val w = build.write.mode("overwrite")
+          (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+            .parquet(path)
+      }
     }
     spark.read.parquet(path)
   }
+
+  /** The completed crashed-compact sibling of a missing artifact, if
+    * any — `_compact` (post-swap crash: the freshly packed copy) wins
+    * over `_old` (pre-swap crash: the original tree). Read-only. */
+  private def completedSibling(path: String): Option[String] =
+    Seq(s"${path}_compact", s"${path}_old")
+      .find(p => new File(s"$p/_SUCCESS").exists())
 
   /** Append a delta's index rows to an EXISTING artifact — the day-2
     * maintenance write of the daily loop the `*_stored` twins read
@@ -125,13 +162,14 @@ object IndexStore {
     * filesystem). Crash windows: before `_COMMIT` → the staging dir is
     * discarded on the next call and the caller's retry rewrites the
     * delta (no partial rows ever served); after `_COMMIT` → the next
-    * [[append]]/[[readOrBuild]] on this path rolls the move FORWARD
+    * WRITER call ([[append]]/[[compact]]) on this path rolls the move FORWARD
     * (file-level moves are idempotent — each file is either still
     * staged or already live), so the retrying writer must NOT re-append
     * the same delta. Exactly-once under the single-writer contract
     * above. */
   def append(spark: SparkSession, path: String, delta: DataFrame,
       partitionCols: Seq[String] = Nil): Unit = {
+    recoverCrashedCompact(path)
     recoverPendingAppend(path)
     val stage = stagingDir(path)
     // One file per TOUCHED PARTITION per append, not one per shuffle
@@ -152,6 +190,19 @@ object IndexStore {
       .parquet(stage)
     Files.createFile(Paths.get(stage, CommitMarker))
     promoteStaging(path)
+    // Auto-compaction cadence (r18 VERDICT #7): K appends leave K + 1
+    // files per touched partition and the probe wall creeps with
+    // per-file scan overhead (IndexSoakProbe's curve). Rather than
+    // trusting the owner to remember a manual maintenance slot, the
+    // append itself compacts once the artifact's data-file count
+    // crosses [[CompactFilesKey]] — this IS the writer (same ownership
+    // as a manual call), the threshold amortizes the rewrite over many
+    // appends, and file count stays bounded by
+    // threshold + files-per-append. Set ≤ 0 to disable and run
+    // [[compact]] manually.
+    val threshold = spark.conf.get(CompactFilesKey, "64").toInt
+    if (threshold > 0 && dataFileCount(new File(path)) > threshold)
+      compact(spark, path, partitionCols)
   }
 
   /** Rewrite an artifact into freshly-packed part files — the
@@ -164,19 +215,37 @@ object IndexStore {
     * moved aside, new not yet in place) is NOT reader-transparent —
     * run compaction from the single writer in its maintenance slot,
     * same ownership contract as [[append]]; a reader racing the swap
-    * sees a missing dir and rebuilds, which is wasteful but never
-    * wrong. A crash mid-compact leaves `<path>_compact`/`<path>_old`
-    * siblings that the next compact call clears. */
+    * redirect-reads whichever completed sibling exists (see
+    * [[readOrBuild]]) — never a rebuild, never a partial tree. A crash
+    * mid-compact leaves `<path>_compact`/`<path>_old` siblings that
+    * the next writer call RECOVERS from before clearing anything (r18
+    * ADVICE — the old code deleted both siblings first, so a crash
+    * between the two swap moves, which leaves the data ONLY in the
+    * siblings, lost the artifact permanently): a completed `_compact`
+    * rolls forward into place, else a completed `_old` rolls back;
+    * only then are leftovers deleted. */
   def compact(spark: SparkSession, path: String,
       partitionCols: Seq[String] = Nil): Unit = {
+    recoverCrashedCompact(path)
     recoverPendingAppend(path)
     val tmp = new File(s"${path}_compact")
     val old = new File(s"${path}_old")
     deleteRecursively(tmp)
     deleteRecursively(old)
-    val w = spark.read.parquet(path)
-      .repartition(spark.sparkContext.defaultParallelism)
-      .write.mode("overwrite")
+    // Cluster the rewrite on the partition key (one packed file per
+    // partition value — an UNCLUSTERED repartition leaves up to
+    // #tasks files per value after partitionBy, and the "compacted"
+    // tree can then exceed the very threshold that triggered it):
+    // same parallelism-vs-file-count trade as append's clustering. A
+    // partition too large for one file should carry a finer partition
+    // key (band → band × hash prefix), not a fatter compact.
+    val df = spark.read.parquet(path)
+    val packed =
+      if (partitionCols.isEmpty)
+        df.repartition(spark.sparkContext.defaultParallelism)
+      else df.repartition(spark.sparkContext.defaultParallelism,
+        partitionCols.map(org.apache.spark.sql.functions.col): _*)
+    val w = packed.write.mode("overwrite")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(tmp.getPath)
     Files.move(Paths.get(path), old.toPath, StandardCopyOption.ATOMIC_MOVE)
@@ -184,8 +253,52 @@ object IndexStore {
     deleteRecursively(old)
   }
 
+  /** Data-file count above which [[append]] auto-compacts (≤ 0
+    * disables; default 64). */
+  final val CompactFilesKey = "spark.graft.index.compactFiles"
+
   private final val CommitMarker = "_COMMIT"
   private def stagingDir(path: String): String = s"$path/_staging"
+
+  /** Parquet data files under `dir`, recursively (markers and staging
+    * excluded — underscore/dot prefixes). */
+  private def dataFileCount(dir: File): Int = {
+    def walk(d: File): Int = d.listFiles() match {
+      case null => 0
+      case fs => fs.map { f =>
+        if (f.getName.startsWith("_") || f.getName.startsWith(".")) 0
+        else if (f.isDirectory) walk(f)
+        else 1
+      }.sum
+    }
+    walk(dir)
+  }
+
+  /** WRITER-ONLY recovery from a crash inside [[compact]]'s swap: when
+    * the live dir has no completed write, a completed `_compact`
+    * sibling (the freshly packed full copy) rolls FORWARD into place,
+    * else a completed `_old` sibling (the pre-compact tree) rolls
+    * BACK; the loser and any partial live dir are cleared. No-op when
+    * the live artifact is intact — compact's normal flow then clears
+    * stale siblings itself. Idempotent (both moves are atomic and
+    * re-checked from the markers), and never called from a reader —
+    * the single-writer contract is what makes the moves race-free. */
+  private def recoverCrashedCompact(path: String): Unit = {
+    if (!new File(s"$path/_SUCCESS").exists()) {
+      val live = new File(path)
+      val tmp = new File(s"${path}_compact")
+      val old = new File(s"${path}_old")
+      if (new File(tmp, "_SUCCESS").exists()) {
+        deleteRecursively(live)
+        Files.move(tmp.toPath, live.toPath, StandardCopyOption.ATOMIC_MOVE)
+        deleteRecursively(old)
+      } else if (new File(old, "_SUCCESS").exists()) {
+        deleteRecursively(live)
+        Files.move(old.toPath, live.toPath, StandardCopyOption.ATOMIC_MOVE)
+        deleteRecursively(tmp)
+      }
+    }
+  }
 
   /** Roll a committed-but-unmoved staging dir forward, or discard an
     * uncommitted one (crashed mid-write — its delta was never fully
@@ -220,7 +333,7 @@ object IndexStore {
   }
 
   private def deleteRecursively(f: File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
     f.delete()
   }
 }

@@ -76,13 +76,108 @@ class IndexStoreSpec extends AnyFunSuite {
     Seq((2L, "b")).toDF("id", "band").write.mode("overwrite")
       .parquet(s"$path/_staging")
     Files.createFile(Paths.get(path, "_staging", "_COMMIT"))
-    // next read rolls the committed delta forward — no row lost …
+    // a READER does not repair writer state (r18 ADVICE — reader-side
+    // recovery could race the live writer): the committed delta stays
+    // staged and invisible, the pre-append artifact is served whole …
     val got = IndexStore.readOrBuild(spark, path,
       sys.error("must not rebuild"): org.apache.spark.sql.DataFrame)
-    assert(got.collect().map(_.getLong(0)).sorted === Seq(1L, 2L))
+    assert(got.collect().map(_.getLong(0)).toSeq === Seq(1L))
+    assert(new File(path, "_staging/_COMMIT").exists())
+    // … and the WRITER's next call rolls it forward — no row lost …
+    IndexStore.append(spark, path, Seq((3L, "c")).toDF("id", "band"))
+    assert(spark.read.parquet(path).collect().map(_.getLong(0)).sorted
+      === Seq(1L, 2L, 3L))
     assert(!new File(path, "_staging").exists())
     // … and no row doubled (file-level moves are idempotent)
-    assert(spark.read.parquet(path).count() === 2)
+    assert(spark.read.parquet(path).count() === 3)
+  }
+
+  test("compact crash between the swap moves: writer recovers, reader redirects") {
+    import org.apache.spark.sql.functions.col
+    val path = s"${tmp()}/idx"
+    IndexStore.readOrBuild(spark, path,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "band"), Seq("band"))
+    IndexStore.append(spark, path, Seq((3L, "a")).toDF("id", "band"), Seq("band"))
+    // simulate the worst crash window (r18 ADVICE): compact completed
+    // its packed copy AND moved the live tree aside, then died before
+    // installing the copy — the live path is GONE, all data lives only
+    // in the two siblings
+    spark.read.parquet(path).repartition(1).write.partitionBy("band")
+      .parquet(s"${path}_compact")
+    Files.move(Paths.get(path), Paths.get(s"${path}_old"))
+    assert(!new File(path).exists())
+    // a reader neither rebuilds (dropping the appended delta) nor
+    // repairs: it redirect-reads the completed compacted copy …
+    val seen = IndexStore.readOrBuild(spark, path,
+      sys.error("must not rebuild"): org.apache.spark.sql.DataFrame)
+    assert(seen.collect().map(_.getLong(0)).sorted === Seq(1L, 2L, 3L))
+    assert(!new File(path).exists()) // reader moved nothing
+    // … and the writer's next compact call recovers THEN packs — the
+    // old code deleted both siblings first and lost the artifact
+    IndexStore.compact(spark, path, Seq("band"))
+    assert(spark.read.parquet(path).collect().map(_.getLong(0)).sorted
+      === Seq(1L, 2L, 3L))
+    assert(!new File(s"${path}_compact").exists())
+    assert(!new File(s"${path}_old").exists())
+  }
+
+  test("compact crash BEFORE the packed copy completed: writer rolls back") {
+    val path = s"${tmp()}/idx"
+    IndexStore.readOrBuild(spark, path,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "band"), Seq("band"))
+    // crash after moving the live tree aside with the packed copy only
+    // partially written (no _SUCCESS in _compact)
+    new File(s"${path}_compact").mkdirs()
+    Files.createFile(Paths.get(s"${path}_compact", "part-junk.parquet"))
+    Files.move(Paths.get(path), Paths.get(s"${path}_old"))
+    IndexStore.append(spark, path, Seq((3L, "c")).toDF("id", "band"), Seq("band"))
+    // the append recovered the original tree first — the delta landed
+    // on prior ∪ today, not on an empty path
+    assert(spark.read.parquet(path).collect().map(_.getLong(0)).sorted
+      === Seq(1L, 2L, 3L))
+    assert(!new File(s"${path}_compact").exists())
+    assert(!new File(s"${path}_old").exists())
+  }
+
+  test("params fingerprint is injective across the separator") {
+    // a bare ';'-join would alias these two param vectors (r18 ADVICE)
+    assert(IndexStore.paramsFingerprint(Seq("a;b"))
+      !== IndexStore.paramsFingerprint(Seq("a", "b")))
+    assert(IndexStore.paramsFingerprint(Seq(12, 3))
+      !== IndexStore.paramsFingerprint(Seq(1, 23)))
+  }
+
+  test("auto-compaction soak: file count stays bounded with no manual compact") {
+    val path = s"${tmp()}/idx"
+    val prev = spark.conf.getOption(IndexStore.CompactFilesKey)
+    spark.conf.set(IndexStore.CompactFilesKey, "12")
+    try {
+      IndexStore.readOrBuild(spark, path,
+        Seq((1L, "a"), (2L, "b")).toDF("id", "band"), Seq("band"))
+      def partFiles = {
+        def walk(d: File): Seq[File] = Option(d.listFiles()).toSeq.flatten
+          .flatMap(f => if (f.isDirectory) walk(f) else Seq(f))
+        walk(new File(path)).count(_.getName.endsWith(".parquet"))
+      }
+      // a month of daily appends across three partitions; every append
+      // checks the threshold, so the count can never run away
+      var maxFiles = 0
+      (3L to 32L).foreach { d =>
+        IndexStore.append(spark, path,
+          Seq((d, if (d % 3 == 0) "a" else if (d % 3 == 1) "b" else "c"))
+            .toDF("id", "band"), Seq("band"))
+        maxFiles = math.max(maxFiles, partFiles)
+      }
+      // bounded by threshold + files-per-append, NOT by append count
+      assert(maxFiles <= 12 + 3,
+        s"soak max $maxFiles files — auto-compaction did not bound growth")
+      // and no row was lost or doubled across the automatic rewrites
+      assert(spark.read.parquet(path).select("id").as[Long].collect().sorted
+        === (1L to 32L).toArray)
+    } finally prev match {
+      case Some(v) => spark.conf.set(IndexStore.CompactFilesKey, v)
+      case None => spark.conf.unset(IndexStore.CompactFilesKey)
+    }
   }
 
   test("compact collapses append-accumulated files, content identical") {
