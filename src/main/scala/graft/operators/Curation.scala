@@ -1376,6 +1376,33 @@ object Curation {
     noveltyTail(noveltyPerDocAgg(fresh, priorIdx))
   }
 
+  /** [[textNovelty]] in its STEADY-STATE form (r18 VERDICT #6 — the
+    * one prior-snapshot artifact still recomputed inline each run):
+    * the prior corpus's DISTINCT gram-hash set — the same 8 B/gram
+    * write-once shape as `dedup_substring_stored`'s index, and in
+    * production hash-bucketed by `h`, the probe join key — is read
+    * from the parquet artifact a previous run wrote
+    * ([[graft.sources.IndexStore]]); only the FRESH slice is
+    * gram-expanded at probe time. First run per corpus writes; every
+    * later run is read + probe with no prior-side tokenization at
+    * all — the wall a daily crawl-freshness report actually pays.
+    * Output contract and oracle are IDENTICAL to the inline query. */
+  def textNoveltyStored(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.IndexStore
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val priorIdx = IndexStore.readOrBuild(spark,
+      IndexStore.artifactPath(spark, sfDir, "novelty_grams", "documents",
+        Seq(DecontamGram, Dedup.SnapshotMod, Dedup.SnapshotNewMin)),
+      noveltyGrams(
+        docs.filter(pmod($"doc_id", lit(Dedup.SnapshotMod)) < Dedup.SnapshotNewMin))
+        .select(explode($"g").as("h")).distinct())
+      .select($"h", lit(1).as("hit"))
+    noveltyTail(noveltyPerDocAgg(
+      docs.filter(pmod($"doc_id", lit(Dedup.SnapshotMod)) >= Dedup.SnapshotNewMin),
+      priorIdx))
+  }
+
   /** Decontamination STRIP — [[decontaminate]] upgraded from flagging
     * to SURGERY: instead of dropping a training document that shares a
     * [[DecontamGram]]-token window with the eval set, remove exactly
@@ -2241,7 +2268,34 @@ object Curation {
     "cur_dsir_select" -> dsirSelect,
     "cur_pipeline_samples_dsir" -> pipelineCurateSamplesDsir,
     "cur_novelty" -> textNovelty,
+    "cur_novelty_stored" -> textNoveltyStored,
   )
+
+  /** `cur_novelty` / `cur_novelty_stored` oracle — shared by both so
+    * the stored twin cannot drift from the inline contract. */
+  private[graft] val noveltyOracleSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |),
+       |grams AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    range(1, len(t) - ${DecontamGram - 2}),
+       |    i -> array_to_string(t[i : i + ${DecontamGram - 1}], ' '))) AS g
+       |  FROM toks WHERE len(t) >= $DecontamGram
+       |),
+       |pr AS (SELECT DISTINCT unnest(g) AS h FROM grams
+       |       WHERE doc_id % ${Dedup.SnapshotMod} < ${Dedup.SnapshotNewMin}),
+       |fr AS (SELECT doc_id, len(g) AS n_grams, unnest(g) AS h
+       |       FROM grams WHERE doc_id % ${Dedup.SnapshotMod} >= ${Dedup.SnapshotNewMin}),
+       |j AS (
+       |  SELECT fr.doc_id, max(fr.n_grams) AS n_grams,
+       |    CAST(sum(CASE WHEN pr.h IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+       |  FROM fr LEFT JOIN pr ON fr.h = pr.h
+       |  GROUP BY fr.doc_id
+       |)
+       |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams, n_novel,
+       |  n_novel::DOUBLE / n_grams::DOUBLE AS novelty
+       |FROM j ORDER BY doc_id""".stripMargin
 
   /** The chunk expansion as a reusable SQL body (no ORDER BY) over any
     * (doc_id, text) source relation, shared by the `cur_text_chunks`,
@@ -2796,29 +2850,10 @@ object Curation {
     // novelty mirrored with the decontam gram definition (distinct
     // string grams stand in for the engine's distinct xxh64 set — the
     // same no-collision contract cur_decontam already relies on)
-    "cur_novelty" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
-         |),
-         |grams AS (
-         |  SELECT doc_id, list_distinct(list_transform(
-         |    range(1, len(t) - ${DecontamGram - 2}),
-         |    i -> array_to_string(t[i : i + ${DecontamGram - 1}], ' '))) AS g
-         |  FROM toks WHERE len(t) >= $DecontamGram
-         |),
-         |pr AS (SELECT DISTINCT unnest(g) AS h FROM grams
-         |       WHERE doc_id % ${Dedup.SnapshotMod} < ${Dedup.SnapshotNewMin}),
-         |fr AS (SELECT doc_id, len(g) AS n_grams, unnest(g) AS h
-         |       FROM grams WHERE doc_id % ${Dedup.SnapshotMod} >= ${Dedup.SnapshotNewMin}),
-         |j AS (
-         |  SELECT fr.doc_id, max(fr.n_grams) AS n_grams,
-         |    CAST(sum(CASE WHEN pr.h IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
-         |  FROM fr LEFT JOIN pr ON fr.h = pr.h
-         |  GROUP BY fr.doc_id
-         |)
-         |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams, n_novel,
-         |  n_novel::DOUBLE / n_grams::DOUBLE AS novelty
-         |FROM j ORDER BY doc_id""".stripMargin,
+    "cur_novelty" -> noveltyOracleSql,
+    // the stored twin's contract IS the inline query's (only the
+    // prior-side plumbing differs), so the oracle is shared verbatim
+    "cur_novelty_stored" -> noveltyOracleSql,
     "cur_decontam" ->
       s"""WITH toks AS (
          |  SELECT doc_id, string_split(text, ' ') AS t FROM documents

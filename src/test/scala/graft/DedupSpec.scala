@@ -329,6 +329,11 @@ class DedupSpec extends AnyFunSuite {
       Seq("exact_hash_idx"))
   }
 
+  test("stored novelty gram index round-trips: build ≡ read-back ≡ inline") {
+    storedRoundTrip(graft.operators.Curation.textNovelty,
+      graft.operators.Curation.textNoveltyStored, Seq("novelty_grams"))
+  }
+
   test("stored substring gram index round-trips: build ≡ read-back ≡ inline") {
     storedRoundTrip(Dedup.dedupSubstringIncremental, Dedup.dedupSubstringStored,
       Seq("substr_grams"))
