@@ -1486,6 +1486,64 @@ object TextAnalysis {
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** [[bpeEncodeSql]] with the STREAMING encode's OOV fallback
+    * mirrored (r18 ADVICE — the stream keys shared the batch oracle
+    * VERBATIM, whose inner join DROPS out-of-vocabulary words; on the
+    * driver feed the two agree because the vocab is fit on the feed
+    * itself, but a future feed with OOV words would then diverge from
+    * the oracle silently instead of flagging the intentional semantic
+    * difference): the vocab join goes LEFT and an unmatched word
+    * encodes as its base character decomposition + `</w>` — exactly
+    * the streaming fallback, so oracle parity no longer depends on the
+    * feed being vocab-covered. */
+  private[graft] def bpeEncodeOovSql(k: Int): String = {
+    val w0 =
+      s"""w0 AS (
+         |  SELECT w, array_to_string(string_split(w, ''), ' ') || ' </w>' AS seq, cnt
+         |  FROM (SELECT w, count(*) AS cnt
+         |        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |        WHERE len(w) > 0 GROUP BY w))""".stripMargin
+    s"""WITH ${Seq(w0, bpeStepCtes(k, carryW = true)).mkString(",\n")},
+       |tok AS (
+       |  SELECT doc_id, j AS pos, t[j] AS w
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS t,
+       |               unnest(range(1, len(string_split(text, ' ')) + 1)) AS j
+       |        FROM documents)
+       |  WHERE len(t[j]) > 0),
+       |enc AS (
+       |  SELECT doc_id, pos, coalesce(seq,
+       |    array_to_string(string_split(w, ''), ' ') || ' </w>') AS seq
+       |  FROM tok LEFT JOIN w$k USING (w))
+       |SELECT doc_id,
+       |  CAST(sum(len(string_split(seq, ' '))) AS BIGINT) AS bpe_tokens,
+       |  string_agg(seq, ' ' ORDER BY pos) AS token_seq
+       |FROM enc
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  /** [[bpeEncodeBytesSql]] with the streaming byte fallback mirrored
+    * (see [[bpeEncodeOovSql]]): unmatched pretokens decompose into
+    * their base hex-pair byte symbols — at byte level the fallback is
+    * total (every symbol is in-alphabet), which is the mode's whole
+    * point. */
+  private[graft] def bpeEncodeBytesOovSql(k: Int): String =
+    s"""WITH ${byteW0(carryW = true)},
+       |${bpeStepCtes(k, carryW = true)},
+       |tok AS (
+       |  SELECT doc_id, j AS pos, t[j] AS w
+       |  FROM (SELECT doc_id, regexp_extract_all(text, '$bytePatSql', 0) AS t,
+       |               unnest(range(1, len(regexp_extract_all(text, '$bytePatSql', 0)) + 1)) AS j
+       |        FROM documents)),
+       |enc AS (
+       |  SELECT doc_id, pos, coalesce(seq,
+       |    trim(regexp_replace(lower(hex(encode(w))), '(..)', '\\1 ', 'g'))) AS seq
+       |  FROM tok LEFT JOIN w$k USING (w))
+       |SELECT doc_id,
+       |  CAST(sum(len(string_split(seq, ' '))) AS BIGINT) AS bpe_tokens,
+       |  string_agg(seq, ' ' ORDER BY pos) AS token_seq
+       |FROM enc
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** `text_bpe_decode` mirror: the encode query as a CTE, the two
     * decode rewrites, and the round-trip comparison against the
     * empty-token-dropped original. */

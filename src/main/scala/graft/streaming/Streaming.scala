@@ -1961,19 +1961,81 @@ object Streaming {
     * but the update-mode groupBy(doc_id) KEEPS a state-store entry per
     * doc_id ever seen, with no watermark to expire it (corrected r17
     * scaladoc: "no state store" was wrong). Unbounded KEY count is the
-    * same hazard the windowed queries' `_ttl` twins bound; a
-    * production tokenizer service adds an event-time watermark on
-    * arrival time exactly like [[streamDedupExactTTL]]'s discipline —
-    * kept out of this query only because the driver feed carries no
-    * event-time column to watermark on. Batch re-fit stays
-    * authoritative for vocab updates, exactly the near-dup lambda
-    * argument. */
+    * same hazard the windowed queries' `_ttl` twins bound — the
+    * production service runs [[streamBpeEncodeTTL]], whose event-time
+    * eviction caps state at the docs active in the last `ttl`; this
+    * unbounded form remains the exactness baseline for bounded
+    * replays. Batch re-fit stays authoritative for vocab updates,
+    * exactly the near-dup lambda argument. */
   def streamBpeEncode(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
     runBpeEncodeStream(stream, graft.sources.Tables.documents(spark, sfDir))
+  }
+
+  /** The per-token piece stream of the WORD-mode streaming encode —
+    * (doc_id [, carried cols], pos, seq, n_sub): space-split word
+    * stream LEFT-joined against the frozen encoded vocab with the
+    * character-decomposition OOV fallback. Shared by the unbounded and
+    * TTL reassembly tails so the encode semantics cannot drift. */
+  private def bpeWordPieces(stream: DataFrame, enc: DataFrame,
+      carry: Seq[String]): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val cs = carry.map(col)
+    stream
+      .filter($"doc_id".isNotNull && $"text".isNotNull)
+      .select(($"doc_id" +: cs) :+
+        posexplode(split($"text", " ")).as(Seq("pos", "w")): _*)
+      .filter(length($"w") > 0)
+      .join(enc, Seq("w"), "left")
+      // OOV fallback (see the scaladoc): unmatched words encode as their
+      // base character decomposition instead of silently dropping
+      .select(($"doc_id" +: cs) ++ Seq($"pos",
+        coalesce($"seq",
+          concat(array_join(split($"w", ""), " "), lit(" </w>"))).as("seq"),
+        coalesce($"n_sub", (length($"w") + 1).cast("long")).as("n_sub")): _*)
+  }
+
+  /** The byte-mode twin of [[bpeWordPieces]]: GPT-2-family pretokens
+    * LEFT-joined against the byte vocab, base byte decomposition as
+    * the (always-in-alphabet) fallback. */
+  private def bpeBytePieces(stream: DataFrame, enc: DataFrame,
+      carry: Seq[String]): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val cs = carry.map(col)
+    stream
+      .filter($"doc_id".isNotNull && $"text".isNotNull)
+      .select(($"doc_id" +: cs) :+ posexplode(regexp_extract_all($"text",
+        lit(TextAnalysis.BytePretokenPattern), lit(0))).as(Seq("pos", "w")): _*)
+      .join(enc, Seq("w"), "left")
+      // OOV fallback: the base byte decomposition — always in-alphabet
+      .select(($"doc_id" +: cs) ++ Seq($"pos",
+        coalesce($"seq", TextAnalysis.byteSeq($"w")).as("seq"),
+        coalesce($"n_sub", octet_length($"w").cast("long")).as("n_sub")): _*)
+  }
+
+  /** The UNBOUNDED-state reassembly tail shared by both encode modes:
+    * per-doc streaming agg in update mode + the final memory-sink
+    * fold (max over re-emissions = the most complete reassembly). */
+  private def bpeReassembly(pieces: DataFrame): DataFrame = {
+    val spark = pieces.sparkSession
+    import spark.implicits._
+    val perDoc = pieces
+      .groupBy($"doc_id")
+      .agg(sum($"n_sub").as("bpe_tokens"),
+        array_join(transform(array_sort(collect_list(struct($"pos", $"seq"))),
+          s => s.getField("seq")), " ").as("token_seq"))
+    runToMemory(perDoc, "update")
+      .groupBy($"doc_id")
+      .agg(max(struct($"bpe_tokens", $"token_seq")).as("s"))
+      .select($"doc_id", $"s.bpe_tokens".as("bpe_tokens"),
+        $"s.token_seq".as("token_seq"))
+      .orderBy($"doc_id")
   }
 
   /** The transform of [[streamBpeEncode]] on any streaming docs frame +
@@ -1985,27 +2047,7 @@ object Streaming {
     import graft.operators.{Materialize, TextAnalysis}
     val enc = Materialize.frame(TextAnalysis.bpeEncodedVocab(
       corpus.filter($"text".isNotNull), TextAnalysis.BpeFitMerges))
-    val perDoc = stream
-      .filter($"doc_id".isNotNull && $"text".isNotNull)
-      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "w")))
-      .filter(length($"w") > 0)
-      .join(enc, Seq("w"), "left")
-      // OOV fallback (see the scaladoc): unmatched words encode as their
-      // base character decomposition instead of silently dropping
-      .select($"doc_id", $"pos",
-        coalesce($"seq",
-          concat(array_join(split($"w", ""), " "), lit(" </w>"))).as("seq"),
-        coalesce($"n_sub", (length($"w") + 1).cast("long")).as("n_sub"))
-      .groupBy($"doc_id")
-      .agg(sum($"n_sub").as("bpe_tokens"),
-        array_join(transform(array_sort(collect_list(struct($"pos", $"seq"))),
-          s => s.getField("seq")), " ").as("token_seq"))
-    runToMemory(perDoc, "update")
-      .groupBy($"doc_id")
-      .agg(max(struct($"bpe_tokens", $"token_seq")).as("s"))
-      .select($"doc_id", $"s.bpe_tokens".as("bpe_tokens"),
-        $"s.token_seq".as("token_seq"))
-      .orderBy($"doc_id")
+    bpeReassembly(bpeWordPieces(stream, enc, Nil))
   }
 
   /** STREAMING BYTE-LEVEL BPE encode — [[streamBpeEncode]] at
@@ -2040,25 +2082,126 @@ object Streaming {
     import graft.operators.{Materialize, TextAnalysis}
     val enc = Materialize.frame(TextAnalysis.bpeEncodedVocabBytes(
       corpus.filter($"text".isNotNull), TextAnalysis.BpeFitMerges))
-    val perDoc = stream
-      .filter($"doc_id".isNotNull && $"text".isNotNull)
-      .select($"doc_id", posexplode(regexp_extract_all($"text",
-        lit(TextAnalysis.BytePretokenPattern), lit(0))).as(Seq("pos", "w")))
-      .join(enc, Seq("w"), "left")
-      // OOV fallback: the base byte decomposition — always in-alphabet
-      .select($"doc_id", $"pos",
-        coalesce($"seq", TextAnalysis.byteSeq($"w")).as("seq"),
-        coalesce($"n_sub", octet_length($"w").cast("long")).as("n_sub"))
-      .groupBy($"doc_id")
-      .agg(sum($"n_sub").as("bpe_tokens"),
-        array_join(transform(array_sort(collect_list(struct($"pos", $"seq"))),
-          s => s.getField("seq")), " ").as("token_seq"))
-    runToMemory(perDoc, "update")
+    bpeReassembly(bpeBytePieces(stream, enc, Nil))
+  }
+
+  /** The TTL-BOUNDED reassembly tail — the r18 VERDICT #1 closure of
+    * the ONE stateful family that still lacked a bounded-state twin:
+    * the unbounded tail's update-mode `groupBy(doc_id)` keeps a state
+    * entry per doc_id EVER seen, so a tokenizer service running for
+    * months accumulates keys without bound. Here the per-document
+    * reassembly is a [[runDedupStreamTTL]]-style
+    * `flatMapGroupsWithState` keyed by doc_id with an EVENT-TIME
+    * timeout: state holds the doc's (pos, seq, n_sub) pieces plus the
+    * max event time ever seen (the MONOTONE deadline discipline — a
+    * later micro-batch carrying older non-late pieces must not pull
+    * the eviction forward), each batch re-emits the doc's current full
+    * reassembly (the memory-sink fold keeps the most complete one, max
+    * over (bpe_tokens, token_seq) — identical to the unbounded tail's
+    * fold), and when the source watermark passes newest-arrival + ttl
+    * the state drops. State is O(docs active in the last `ttl` of
+    * event time) × O(doc length) — the honest cost of cross-batch
+    * document reassembly — not O(docs ever seen).
+    *
+    * Accuracy contract, same as every `_ttl` twin: pieces of a doc
+    * arriving within `ttl` of each other reassemble exactly as in the
+    * unbounded form; a doc_id recurring AFTER eviction starts a fresh
+    * epoch whose reassembly covers only post-eviction pieces, and the
+    * final fold keeps the more complete epoch. Watermark delay = `ttl`
+    * keeps the Spark timeout-validity invariant. */
+  private[graft] def runBpeReassemblyTTL(pieces: DataFrame,
+      ttl: String): DataFrame = {
+    val spark = pieces.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val ds = pieces
+      .withWatermark("ts", ttl)
+      .select($"doc_id", $"pos", $"seq", $"n_sub", $"ts")
+      .as[(Long, Int, String, Long, java.sql.Timestamp)]
+    val updated = ds.groupByKey(_._1)
+      .flatMapGroupsWithState[(Seq[(Int, String, Long)], Long),
+        (Long, Long, String)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) { (docId, rows, state) =>
+          if (state.hasTimedOut) {
+            state.remove() // watermark passed newest piece + ttl: evict
+            Iterator.empty
+          } else {
+            var (pieces, maxTs) = state.getOption
+              .getOrElse((Seq.empty[(Int, String, Long)], Long.MinValue))
+            val buf = scala.collection.mutable.ArrayBuffer.from(pieces)
+            rows.foreach { r =>
+              buf += ((r._2, r._3, r._4))
+              val t = r._5.getTime
+              if (t > maxTs) maxTs = t
+            }
+            val all = buf.sortBy(_._1).toSeq
+            state.update((all, maxTs))
+            state.setTimeoutTimestamp(maxTs, ttl)
+            Iterator((docId, all.map(_._3).sum, all.map(_._2).mkString(" ")))
+          }
+        }
+      .toDF("doc_id", "bpe_tokens", "token_seq")
+    runToMemory(updated, "append")
       .groupBy($"doc_id")
       .agg(max(struct($"bpe_tokens", $"token_seq")).as("s"))
       .select($"doc_id", $"s.bpe_tokens".as("bpe_tokens"),
         $"s.token_seq".as("token_seq"))
       .orderBy($"doc_id")
+  }
+
+  /** [[streamBpeEncode]] through the bounded-state TTL path. The
+    * driver feed carries no event-time column, so arrival time is
+    * synthesized exactly like [[streamDedupExactTTL]]'s (all ts inside
+    * the TTL window ⇒ no eviction fires on the single-batch feed) and
+    * the result equals the batch `text_bpe_encode` verbatim — same
+    * oracle; multi-batch eviction is StreamingSpec's to pin. */
+  def streamBpeEncodeTTL(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+      .withColumn("ts",
+        timestamp_seconds(lit(1700000000L) + pmod($"doc_id", lit(3600))))
+    runBpeEncodeStreamTTL(stream, graft.sources.Tables.documents(spark, sfDir),
+      "1 hour")
+  }
+
+  /** The transform of [[streamBpeEncodeTTL]] on any streaming docs
+    * frame carrying a `ts` event-time column (spec entry point). */
+  private[graft] def runBpeEncodeStreamTTL(stream: DataFrame,
+      corpus: DataFrame, ttl: String): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    import graft.operators.{Materialize, TextAnalysis}
+    val enc = Materialize.frame(TextAnalysis.bpeEncodedVocab(
+      corpus.filter($"text".isNotNull), TextAnalysis.BpeFitMerges))
+    runBpeReassemblyTTL(bpeWordPieces(stream, enc, Seq("ts")), ttl)
+  }
+
+  /** [[streamBpeEncodeBytes]] through the bounded-state TTL path —
+    * same synthesized in-window arrival time, same shared batch
+    * oracle, byte-mode pieces. */
+  def streamBpeEncodeBytesTTL(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+      .withColumn("ts",
+        timestamp_seconds(lit(1700000000L) + pmod($"doc_id", lit(3600))))
+    runBpeEncodeBytesStreamTTL(stream,
+      graft.sources.Tables.documents(spark, sfDir), "1 hour")
+  }
+
+  /** The transform of [[streamBpeEncodeBytesTTL]] on any streaming
+    * docs frame carrying a `ts` event-time column (spec entry point). */
+  private[graft] def runBpeEncodeBytesStreamTTL(stream: DataFrame,
+      corpus: DataFrame, ttl: String): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    import graft.operators.{Materialize, TextAnalysis}
+    val enc = Materialize.frame(TextAnalysis.bpeEncodedVocabBytes(
+      corpus.filter($"text".isNotNull), TextAnalysis.BpeFitMerges))
+    runBpeReassemblyTTL(bpeBytePieces(stream, enc, Seq("ts")), ttl)
   }
 
   /** STREAMING semantic decontamination — the embedding-space
@@ -2259,6 +2402,8 @@ object Streaming {
     "stream_badwords_big" -> streamBadwordsBig,
     "stream_bpe_encode" -> streamBpeEncode,
     "stream_bpe_encode_bytes" -> streamBpeEncodeBytes,
+    "stream_bpe_encode_ttl" -> streamBpeEncodeTTL,
+    "stream_bpe_encode_bytes_ttl" -> streamBpeEncodeBytesTTL,
     "stream_decontam_semantic" -> streamDecontamSemantic,
     "stream_substring_incremental" -> streamSubstringIncremental,
     "stream_substring_incremental_ttl" -> streamSubstringIncrementalTtl,
@@ -2433,10 +2578,24 @@ object Streaming {
     "stream_badwords" -> graft.operators.Curation.oracles("cur_badwords"),
     "stream_badwords_big" -> graft.operators.Curation.oracles("cur_badwords_big"),
     // frozen-vocab encode at ingest ≡ the batch encode on a
-    // single-batch feed — the batch oracle VERBATIM
-    "stream_bpe_encode" -> graft.operators.TextAnalysis.oracles("text_bpe_encode"),
+    // single-batch feed — the batch encode with the streaming OOV
+    // fallback mirrored (r18 ADVICE: values are identical on the
+    // vocab-covered driver feed, but the mirrored form stays the
+    // contract if a future feed carries unseen words)
+    "stream_bpe_encode" ->
+      graft.operators.TextAnalysis.bpeEncodeOovSql(
+        graft.operators.TextAnalysis.BpeFitMerges),
     "stream_bpe_encode_bytes" ->
-      graft.operators.TextAnalysis.oracles("text_tokencount_bpe_bytes"),
+      graft.operators.TextAnalysis.bpeEncodeBytesOovSql(
+        graft.operators.TextAnalysis.BpeFitMerges),
+    // the TTL twins: one in-window micro-batch ⇒ no eviction ⇒
+    // batch-equal, same mirrored oracle
+    "stream_bpe_encode_ttl" ->
+      graft.operators.TextAnalysis.bpeEncodeOovSql(
+        graft.operators.TextAnalysis.BpeFitMerges),
+    "stream_bpe_encode_bytes_ttl" ->
+      graft.operators.TextAnalysis.bpeEncodeBytesOovSql(
+        graft.operators.TextAnalysis.BpeFitMerges),
     "stream_decontam_semantic" ->
       graft.operators.Curation.oracles("cur_decontam_semantic"),
     "stream_substring_incremental" ->

@@ -173,6 +173,51 @@ class StreamingSpec extends AnyFunSuite {
         s"(expected (10, 3)), got $got")
   }
 
+  test("TTL BPE encode: in-window pieces reassemble across batches, evicted doc restarts an epoch") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions.{expr => fexpr}
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_bpe_ttl_in_").toString
+    val t0 = 1700000000L
+    def docs(rows: Seq[(Long, String, Long)]): DataFrame =
+      rows.toDF("doc_id", "text", "sec")
+        .select($"doc_id", $"text", fexpr("timestamp_seconds(sec)").as("ts"))
+    val base = System.currentTimeMillis()
+    // fit corpus shares no word with the feed, so every feed word takes
+    // the OOV character-decomposition path: n_sub = len(w) + 1, exactly
+    // predictable without replaying the fit
+    val corpus = Seq((1L, "zzz")).toDF("doc_id", "text")
+    // b1: doc 10's first piece + doc 11's first piece
+    writeOneFile(docs(Seq((10L, "hello", t0), (11L, "foo", t0))),
+      s"$in/b1.parquet", base)
+    // b2: doc 11's SECOND piece, in-window (t0+5) — must fold into the
+    // same epoch and extend the reassembly
+    writeOneFile(docs(Seq((11L, "bar", t0 + 5))), s"$in/b2.parquet", base + 60000)
+    // b3: far-future singleton advances the watermark way past
+    // (t0 + 5) + 60s — docs 10/11 become evictable
+    writeOneFile(docs(Seq((20L, "w", t0 + 10000))), s"$in/b3.parquet", base + 120000)
+    // b4: key-absent singleton — the batch in which 10/11's event-time
+    // timeouts actually fire (a keyed arrival would be processed with
+    // its old state instead of timing out)
+    writeOneFile(docs(Seq((25L, "x", t0 + 10010))), s"$in/b4.parquet", base + 180000)
+    // b5: doc 10 AGAIN after eviction — a fresh epoch reassembling only
+    // this piece; with unbounded state it would extend the old one
+    writeOneFile(docs(Seq((10L, "hi", t0 + 10020))), s"$in/b5.parquet", base + 240000)
+    val schema = spark.read.parquet(in).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val got = Streaming.runBpeEncodeStreamTTL(stream, corpus, "60 seconds")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // doc 11: cross-batch IN-WINDOW fold — both pieces, arrival order
+    assert(got(11L) === (8L, "f o o </w> b a r </w>"),
+      s"in-window pieces must reassemble across batches, got ${got(11L)}")
+    // doc 10: the fold keeps the more complete epoch (6 tokens from
+    // "hello"); unbounded state would have concatenated into 9
+    assert(got(10L) === (6L, "h e l l o </w>"),
+      s"post-eviction arrival must start a fresh epoch, got ${got(10L)}")
+    assert(got(20L)._1 === 2L && got(25L)._1 === 2L)
+  }
+
   test("near-dup dedup pairs a later batch's re-crawl with the original document") {
     import org.apache.spark.sql.DataFrame
     import spark.implicits._
