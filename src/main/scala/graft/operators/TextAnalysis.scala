@@ -191,15 +191,32 @@ object TextAnalysis {
     * ONE corpus-sized shuffle — every fit iteration and the encode
     * rewrite run over this vocabulary-sized result, never the corpus
     * again. */
-  private def bpeWordSeqs(docs: DataFrame): DataFrame = {
+  private def bpeWordSeqs(docs: DataFrame): DataFrame =
+    bpeWordSeqsWith(docs, Nil)
+
+  /** [[bpeWordSeqs]] with SPECIAL-TOKEN RESERVATION (r18 VERDICT #5 —
+    * production tokenizers reserve control tokens): a word in
+    * `specials` enters the vocab frame as ONE atomic symbol
+    * (`<tok></w>`, no internal spaces) instead of its character
+    * decomposition, so the fit can never learn a merge inside it (a
+    * single-symbol sequence yields zero adjacent pairs — reservation
+    * falls out of the pair counter, no special-casing in the loop),
+    * the encode emits it as exactly one token, and the standard
+    * marker-based decode round-trips it verbatim. */
+  private def bpeWordSeqsWith(docs: DataFrame,
+      specials: Seq[String]): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    val charSeq = concat(array_join(split($"w", ""), " "), lit(" </w>"))
+    val seq =
+      if (specials.isEmpty) charSeq
+      else when($"w".isin(specials: _*), concat($"w", lit("</w>")))
+        .otherwise(charSeq)
     docs.filter($"text".isNotNull)
       .select(explode(split($"text", " ")).as("w"))
       .filter(length($"w") > 0)
       .groupBy($"w").agg(count(lit(1)).as("cnt"))
-      .select($"w",
-        concat(array_join(split($"w", ""), " "), lit(" </w>")).as("seq"), $"cnt")
+      .select($"w", seq.as("seq"), $"cnt")
   }
 
   /** The sequential fit loop shared by [[textBpeFitOn]] (which keeps
@@ -286,7 +303,14 @@ object TextAnalysis {
     val spark = docs.sparkSession
     import spark.implicits._
     val d = docs.filter($"doc_id".isNotNull && $"text".isNotNull)
-    val enc = bpeEncodedVocab(d, k)
+    bpeEncodeTail(d, bpeEncodedVocab(d, k))
+  }
+
+  /** The word-stream → vocab join + per-doc reassembly shared by the
+    * plain and special-token encodes. */
+  private def bpeEncodeTail(d: DataFrame, enc: DataFrame): DataFrame = {
+    val spark = d.sparkSession
+    import spark.implicits._
     d.select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "w")))
       .filter(length($"w") > 0)
       .join(enc, "w")
@@ -296,6 +320,63 @@ object TextAnalysis {
           s => s.getField("seq")), " ").as("token_seq"))
       .select($"doc_id", $"bpe_tokens", $"token_seq")
       .orderBy($"doc_id")
+  }
+
+  /** The reserved control tokens of the tokenizer-service surface —
+    * `text_bpe_encode_special` prepends [[BpeDocToken]] to every
+    * document (the document-boundary marker a training pipeline
+    * actually inserts between packed documents) and reserves it
+    * through fit, encode, and decode. */
+  final val BpeDocToken = "<|doc|>"
+  final val BpeSpecialTokens: Seq[String] = Seq(BpeDocToken)
+
+  /** SPECIAL-TOKEN BPE encode — [[textBpeEncode]] with the reserved
+    * control tokens of a production tokenizer service: every document
+    * arrives with the [[BpeDocToken]] boundary marker prepended, the
+    * fit sees the marker as ONE atomic vocab symbol (never merged
+    * into or out of — see [[bpeWordSeqsWith]]), the encode emits it
+    * as exactly one token (n_sub 1), and the standard `</w>`-marker
+    * decode round-trips it verbatim (spec-pinned). Same two
+    * corpus-sized touches and vocab-sized fit iterations as the plain
+    * encode — reservation is a projection predicate, not a new
+    * exchange. */
+  def textBpeEncodeSpecial(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", concat(lit(BpeDocToken + " "), $"text").as("text"))
+    textBpeEncodeSpecialOn(docs, BpeFitMerges, BpeSpecialTokens)
+  }
+
+  private[graft] def textBpeEncodeSpecialOn(docs: DataFrame, k: Int,
+      specials: Seq[String]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val d = docs.filter($"doc_id".isNotNull && $"text".isNotNull)
+    val (encoded, _) = bpeFitLoop(bpeWordSeqsWith(d, specials), k)
+    bpeEncodeTail(d, encoded.select($"w", $"seq",
+      size(split($"seq", " ")).cast("long").as("n_sub")))
+  }
+
+  /** VOCAB-SIZE-CAPPED fit (r18 VERDICT #5's other half — production
+    * trainers budget TOTAL vocabulary, alphabet included, not a merge
+    * count): count the base alphabet (distinct symbols of the initial
+    * vocab frame — characters, `</w>`, reserved specials), then run at
+    * most `vocabCap − |alphabet|` merges; each merge mints exactly one
+    * new symbol, so alphabet + merges ≤ cap by construction (the spec
+    * pins the accounting, including the cap-below-alphabet → zero
+    * merges edge). The alphabet count is one distinct-agg over the
+    * vocab-sized frame — nothing corpus-sized. Returns
+    * (alphabet size, merge table). */
+  private[graft] def textBpeFitCappedOn(docs: DataFrame, vocabCap: Int,
+      specials: Seq[String] = Nil): (Int, DataFrame) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = bpeWordSeqsWith(docs, specials).select($"seq", $"cnt")
+    val alphabet = words.select(explode(split($"seq", " ")).as("s"))
+      .distinct().count().toInt
+    val allowed = math.max(0, vocabCap - alphabet)
+    val (_, merges) = bpeFitLoop(words, allowed)
+    (alphabet, merges.toDF("step", "lhs", "rhs", "pair_count").orderBy($"step"))
   }
 
   /** BPE DECODE — the lossless inverse of [[textBpeEncode]], closing
@@ -1233,6 +1314,7 @@ object TextAnalysis {
     "text_bpe_fit" -> ((s, dir) => textBpeFit(s, dir)),
     "text_bpe_fit_batched" -> ((s, dir) => textBpeFitBatched(s, dir)),
     "text_bpe_encode" -> ((s, dir) => textBpeEncode(s, dir)),
+    "text_bpe_encode_special" -> ((s, dir) => textBpeEncodeSpecial(s, dir)),
     "text_bpe_decode" -> ((s, dir) => textBpeDecode(s, dir)),
     "text_bpe_fit_bytes" -> ((s, dir) => textBpeFitBytes(s, dir)),
     "text_tokencount_bpe_bytes" -> ((s, dir) => textTokenCountBpeBytes(s, dir)),
@@ -1521,6 +1603,35 @@ object TextAnalysis {
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** `text_bpe_encode_special` unrolled: [[bpeEncodeSql]] over the
+    * boundary-marked documents with the special token entering w0 as
+    * ONE atomic symbol — reservation falls out of the generic pair
+    * CTEs exactly as it does engine-side (a single-symbol sequence
+    * yields no adjacent pairs). */
+  private[graft] def bpeEncodeSpecialSql(k: Int): String = {
+    val sp = BpeDocToken
+    val w0 =
+      s"""sdocs AS (SELECT doc_id, '$sp ' || text AS text FROM documents),
+         |w0 AS (
+         |  SELECT w, CASE WHEN w = '$sp' THEN w || '</w>'
+         |    ELSE array_to_string(string_split(w, ''), ' ') || ' </w>' END AS seq, cnt
+         |  FROM (SELECT w, count(*) AS cnt
+         |        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM sdocs)
+         |        WHERE len(w) > 0 GROUP BY w))""".stripMargin
+    s"""WITH ${Seq(w0, bpeStepCtes(k, carryW = true)).mkString(",\n")},
+       |tok AS (
+       |  SELECT doc_id, j AS pos, t[j] AS w
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS t,
+       |               unnest(range(1, len(string_split(text, ' ')) + 1)) AS j
+       |        FROM sdocs)
+       |  WHERE len(t[j]) > 0)
+       |SELECT doc_id,
+       |  CAST(sum(len(string_split(seq, ' '))) AS BIGINT) AS bpe_tokens,
+       |  string_agg(seq, ' ' ORDER BY pos) AS token_seq
+       |FROM tok JOIN w$k USING (w)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   /** [[bpeEncodeBytesSql]] with the streaming byte fallback mirrored
     * (see [[bpeEncodeOovSql]]): unmatched pretokens decompose into
     * their base hex-pair byte symbols — at byte level the fallback is
@@ -1778,6 +1889,7 @@ object TextAnalysis {
     // then joins the document word stream against the encoded vocab —
     // fit and apply under ONE oracle
     "text_bpe_encode" -> bpeEncodeSql(BpeFitMerges),
+    "text_bpe_encode_special" -> bpeEncodeSpecialSql(BpeFitMerges),
     // decode inverts the encode inside the same oracle — the
     // round-trip flag is hash-checked per document
     "text_bpe_decode" -> bpeDecodeSql(BpeFitMerges),

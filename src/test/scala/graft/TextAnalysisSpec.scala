@@ -366,6 +366,58 @@ class TextAnalysisSpec extends AnyFunSuite {
       (3L, 7L, "n e w e s t </w>")))
   }
 
+  test("special tokens: reserved atom survives fit/encode/decode, fit never merges into it") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val sp = TextAnalysis.BpeDocToken
+    // the special appears between real words AND adjacent to the very
+    // pairs the fit will merge — the temptation case for a non-reserved
+    // trainer ("o <" or "> l" cross-boundary merges)
+    val docs = Seq(
+      (1L, s"$sp low low low"), (2L, s"$sp lower lower"), (3L, s"$sp newest"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.textBpeEncodeSpecialOn(docs, 3, Seq(sp)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    // the special encodes as EXACTLY ONE token and the learned merges
+    // are the same hand-fit three as the plain corpus (reservation
+    // keeps the marker out of the pair statistics)
+    assert(got === Seq(
+      (1L, 4L, s"$sp</w> low</w> low</w> low</w>"),
+      (2L, 9L, s"$sp</w> low e r </w> low e r </w>"),
+      (3L, 8L, s"$sp</w> n e w e s t </w>")))
+    // no learned merge touches the special's characters: its atom never
+    // appears as a merge side even though '<','|','>' appear nowhere else
+    val (_, merges) = (TextAnalysis.textBpeFitCappedOn(docs, 1000, Seq(sp)))
+    assert(merges.collect().forall(r =>
+      !r.getString(1).contains("<|") && !r.getString(2).contains("<|")))
+    // decode round-trips the special verbatim through the standard
+    // marker rewrites (one symbol, no internal spaces)
+    val decoded = got.map(t =>
+      t._3.replace(" ", "").replace("</w>", " ").trim)
+    assert(decoded === Seq(
+      s"$sp low low low", s"$sp lower lower", s"$sp newest"))
+  }
+
+  test("vocab-capped fit: alphabet + merges ≤ cap, cap at/below alphabet fits zero merges") {
+    import spark.implicits._
+    val docs = Seq((1L, "low low low"), (2L, "lower lower"), (3L, "newest"))
+      .toDF("doc_id", "text")
+    // base alphabet of this corpus: l o w e r n s t </w> = 9 symbols
+    val (alpha9, m0) = TextAnalysis.textBpeFitCappedOn(docs, 9)
+    assert(alpha9 === 9)
+    assert(m0.count() === 0L) // cap == alphabet: no merge budget
+    val (_, m2) = TextAnalysis.textBpeFitCappedOn(docs, 11)
+    // two merges minted: the hand-fit first two, (l,o) then (lo,w)
+    assert(m2.collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      === Seq(("l", "o"), ("lo", "w")))
+    assert(alpha9 + m2.count() <= 11)
+    // a generous cap degenerates to the uncapped fit
+    val (_, mAll) = TextAnalysis.textBpeFitCappedOn(docs, 1000)
+    val uncapped = TextAnalysis.textBpeFitOn(docs, 1000 - 9)
+    assert(mAll.collect().map(_.toSeq).toSeq
+      === uncapped.collect().map(_.toSeq).toSeq)
+  }
+
   test("BPE decode inverts the encode: roundtrip_ok on every real document") {
     import spark.implicits._
     val docs = graft.sources.Tables.documents(spark, SparkTestSession.sf0001)
