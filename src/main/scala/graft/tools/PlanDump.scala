@@ -95,6 +95,8 @@ object PlanDump {
       "Perceptual dedup: decode+aHash is per-row map work behind the round-robin decode exchange; ONE shuffle on the 4-byte hash key (partial min/count below it) collapses the corpus to visual-signature groups — no pair enumeration, no second corpus pass.",
     "cur_novelty" ->
       "Freshness metric: prior distinct-gram index (one shuffle-dedup) joined by a plain hash exchange on the gram key against the fresh expansion — the corpus-sized reference is NEVER broadcast (decontamination's eval set is benchmark-sized; this one is not); one per-doc agg after the join.",
+    "cur_novelty_stored" ->
+      "Steady-state freshness (r19): the prior side is ONE parquet artifact scan (the 8 B/gram distinct index) — no prior-side tokenization, no gram Generate, no shuffle-dedup; the fresh slice's expansion is the only corpus-text work. At this dump SF the artifact is broadcast-sized and AQE elects a BroadcastHashJoin; at corpus scale it exceeds the threshold and the join falls back to the gram-key hash exchange (the index hash-bucketed by h in production, so the probe re-reads it exchange-free).",
     "cur_pipeline_samples_dsir" ->
       "DSIR-gated pipeline (r14 barrier-cut staging): the pair search reads the scan direct (its expansion repartitions internally — no upfront text exchange), the side-tagged gram frame localCheckpoints once and feeds one union-collect (BOTH <=4096-row models come back in a single job, quantized on the driver) plus the scoring join, where the models re-enter as LOCAL-RELATION broadcasts (no broadcast-build jobs); the rank is one sizes pass + an emit that replays the sort's map outputs; drop list checkpoints without distinct (left-anti is duplicate-tolerant).",
     "dedup_lines" ->
@@ -135,6 +137,10 @@ object PlanDump {
       "Stored MOSS index: the (doc_id, g) fingerprint artifact and the UNCAPPED (g, df) counter read back; the df cap applies to the full-outer combined stored + delta count — the plan's only corpus-text work is the delta's Karp–Rabin expansion.",
     "text_bpe_encode" ->
       "Merge-order apply: k vocab-sized rewrite stages (localCheckpoint scans, NOT corpus re-reads), then ONE documents scan exploded to words and hash-joined against the encoded vocab; the per-doc reassembly shuffles token rows keyed by doc_id only.",
+    "text_bpe_encode_special" ->
+      "Reserved-token encode (r19): reservation is one CASE branch in the vocab-frame projection — ZERO new exchanges vs text_bpe_encode; the boundary marker rides the k vocab-sized rewrites as an atomic symbol (no pair it participates in exists) and the doc join emits it as exactly one token.",
+    "stream_bpe_encode_ttl" ->
+      "TTL-bounded streaming encode (r19, post-run fold shown): the per-doc reassembly is flatMapGroupsWithState keyed by doc_id under an event-time timeout — state is the doc's piece list + one long (the monotone deadline), O(docs active in the TTL window), not O(docs seen); the frozen-vocab join is a stream-static broadcast AHEAD of the state operator, so OOV fallback work never enters state.",
     "text_tokencount_bpe_bytes" ->
       "Byte-level tokenizer (r18): the identical two-corpus-touch shape as the word encode — pretokenizer Generate over one documents scan builds the pretoken-frequency vocab, k rewrites run vocab-sized, one more scan joins the pretoken stream; the regex pretokenize and hex byte-render are per-row map work inside the Generate stage, nothing new crosses an exchange.",
     "stream_dedup_chunks_ngram" ->
