@@ -240,6 +240,12 @@ object Bench {
     "mm_dedup_ahash",
     // crawl freshness: fresh grams shuffle-joined vs the prior index
     "cur_novelty",
+    // its STEADY-STATE form: the prior distinct-gram artifact read from
+    // parquet, only the fresh slice gram-expanded (r19)
+    "cur_novelty_stored",
+    // tokenizer-service reservation: boundary marker as an atomic vocab
+    // symbol through fit + encode (r19)
+    "text_bpe_encode_special",
   )
 
   /** Aggregates per-stage task metrics between reset() and snapshot(). */
