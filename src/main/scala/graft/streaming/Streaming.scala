@@ -2126,9 +2126,9 @@ object Streaming {
             state.remove() // watermark passed newest piece + ttl: evict
             Iterator.empty
           } else {
-            var (pieces, maxTs) = state.getOption
+            var (stored, maxTs) = state.getOption
               .getOrElse((Seq.empty[(Int, String, Long)], Long.MinValue))
-            val buf = scala.collection.mutable.ArrayBuffer.from(pieces)
+            val buf = scala.collection.mutable.ArrayBuffer.from(stored)
             rows.foreach { r =>
               buf += ((r._2, r._3, r._4))
               val t = r._5.getTime
