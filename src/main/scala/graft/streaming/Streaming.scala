@@ -2113,12 +2113,29 @@ object Streaming {
       ttl: String): DataFrame = {
     val spark = pieces.sparkSession
     import spark.implicits._
+    runToMemory(bpeReassemblyTTLStream(pieces, ttl), "append")
+      .groupBy($"doc_id")
+      .agg(max(struct($"bpe_tokens", $"token_seq")).as("s"))
+      .select($"doc_id", $"s.bpe_tokens".as("bpe_tokens"),
+        $"s.token_seq".as("token_seq"))
+      .orderBy($"doc_id")
+  }
+
+  /** The STREAMING frame of the TTL reassembly (pre-sink) — exposed so
+    * CheckpointResumeSpec can drive it through a real file sink +
+    * checkpoint: the state-store contents (a doc's accumulated pieces)
+    * must survive a stop/restart, which the memory-sink harness above
+    * cannot show. */
+  private[graft] def bpeReassemblyTTLStream(pieces: DataFrame,
+      ttl: String): DataFrame = {
+    val spark = pieces.sparkSession
+    import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     val ds = pieces
       .withWatermark("ts", ttl)
       .select($"doc_id", $"pos", $"seq", $"n_sub", $"ts")
       .as[(Long, Int, String, Long, java.sql.Timestamp)]
-    val updated = ds.groupByKey(_._1)
+    ds.groupByKey(_._1)
       .flatMapGroupsWithState[(Seq[(Int, String, Long)], Long),
         (Long, Long, String)](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) { (docId, rows, state) =>
@@ -2141,12 +2158,19 @@ object Streaming {
           }
         }
       .toDF("doc_id", "bpe_tokens", "token_seq")
-    runToMemory(updated, "append")
-      .groupBy($"doc_id")
-      .agg(max(struct($"bpe_tokens", $"token_seq")).as("s"))
-      .select($"doc_id", $"s.bpe_tokens".as("bpe_tokens"),
-        $"s.token_seq".as("token_seq"))
-      .orderBy($"doc_id")
+  }
+
+  /** [[bpeReassemblyTTLStream]] with the word-mode piece projection in
+    * front — the full TTL-encode streaming frame over any docs stream
+    * carrying `ts` (CheckpointResumeSpec's entry point). */
+  private[graft] def bpeEncodeTTLStreamFrame(stream: DataFrame,
+      corpus: DataFrame, ttl: String): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    import graft.operators.{Materialize, TextAnalysis}
+    val enc = Materialize.frame(TextAnalysis.bpeEncodedVocab(
+      corpus.filter($"text".isNotNull), TextAnalysis.BpeFitMerges))
+    bpeReassemblyTTLStream(bpeWordPieces(stream, enc, Seq("ts")), ttl)
   }
 
   /** [[streamBpeEncode]] through the bounded-state TTL path. The
