@@ -246,6 +246,9 @@ object Bench {
     // tokenizer-service reservation: boundary marker as an atomic vocab
     // symbol through fit + encode (r19)
     "text_bpe_encode_special",
+    // its byte-mode production twin: segmentation-first pretokenize,
+    // marker atomic at the byte level (r20)
+    "text_bpe_encode_special_bytes",
   )
 
   /** Aggregates per-stage task metrics between reset() and snapshot(). */
@@ -512,8 +515,16 @@ object Bench {
       val (gate, rest) = results.toSeq.partition(_._1 == "wordcount_corpus_15mb")
       gate ++ rest.sortBy(-_._2)
     }
+    // canary + canary-normalized total IN the stdout line (r19 VERDICT
+    // #3): BENCH_r{N}.json is captured from stdout, so round-over-round
+    // comparisons of the official number need the normalizer in the
+    // same artifact — a ±50%-wall host makes a raw total un-adjudicable
+    // on its own (r18 183.5 s → r19 207.5 s was flat work at ×1.40 host).
+    val canaryHead = canary.fold("") { c =>
+      f""","canary_sec":$c%.4f,"total_norm":${total / c}%.2f"""
+    }
     val head =
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","protocol":"median-of-3-escalate-5","n_queries":${results.size},"full":"bench.json"$annJson,"sf":"$sfDir","queries":{"""
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","protocol":"median-of-3-escalate-5","n_queries":${results.size}$canaryHead,"full":"bench.json"$annJson,"sf":"$sfDir","queries":{"""
     val tail0 = "}}"
     val entries = gateFirst.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
     val kept = scala.collection.mutable.ArrayBuffer[String]()

@@ -700,6 +700,118 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** The byte-mode pretoken STREAM with reserved specials recognized
+    * BEFORE the regex pretokenizer — the tiktoken/GPT-2 sequencing
+    * (special tokens segment the text first; the regex only ever sees
+    * the text BETWEEN them). Regex alternation alone cannot express
+    * this: a special preceded by a space or punctuation would be
+    * swallowed into a ` ?punct+` run (" <|" matches before the
+    * special alternative is tried at the `<`), so the text is SPLIT on
+    * the specials and each segment pretokenized independently.
+    * Returns (doc_id, pos, w) where pos is a single long ordering key:
+    * segment i's pretokens at (2i) · 2³² + offset, the special after
+    * segment i at (2i+1) · 2³² — total order by construction, no
+    * window function, no per-doc state. One corpus-sized projection;
+    * the union's two branches both prune to (doc_id, text). */
+  private def byteSpecialPretokenStream(docs: DataFrame,
+      specials: Seq[String]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val alt = specials.map(java.util.regex.Pattern.quote).mkString("|")
+    // limit −1 keeps trailing empty segments: segment i is then ALWAYS
+    // followed by matched special i (except the last), which is what
+    // makes the interleaved position key correct
+    val content = docs
+      .select($"doc_id", posexplode(split($"text", alt, -1)).as(Seq("seg", "st")))
+      .select($"doc_id", $"seg", posexplode(regexp_extract_all($"st",
+        lit(BytePretokenPattern), lit(0))).as(Seq("i", "w")))
+      .select($"doc_id",
+        (($"seg".cast("long") * 2) * lit(1L << 32) + $"i").as("pos"), $"w")
+    val markers = docs
+      .select($"doc_id", posexplode(regexp_extract_all($"text",
+        lit(alt), lit(0))).as(Seq("i", "w")))
+      .select($"doc_id",
+        (($"i".cast("long") * 2 + 1) * lit(1L << 32)).as("pos"), $"w")
+    content.unionByName(markers)
+  }
+
+  /** [[byteSeq]] with SPECIAL-TOKEN RESERVATION — byte mode's analogue
+    * of [[bpeWordSeqsWith]]'s atomic-symbol trick: a reserved pretoken
+    * enters the vocab frame as ONE symbol (its full UTF-8 hex string,
+    * unspaced) instead of its per-byte decomposition, so its seq has
+    * zero adjacent pairs and the fit can never learn a merge inside it
+    * — reservation falls out of the generic pair counter here exactly
+    * as in word mode. The atomic symbol is still an even-length hex
+    * string, so the standard byte decode (strip spaces + unhex)
+    * round-trips it verbatim with no special-casing. */
+  private[graft] def byteSeqWith(w: Column, specials: Seq[String]): Column =
+    if (specials.isEmpty) byteSeq(w)
+    else when(w.isin(specials: _*), lower(hex(encode(w, "UTF-8"))))
+      .otherwise(byteSeq(w))
+
+  /** SPECIAL-TOKEN BYTE-LEVEL BPE encode (r19 VERDICT #4 — the word
+    * reservation proved the mechanism; THIS is the production
+    * artifact: GPT-2-family tokenizers reserve `<|endoftext|>`-style
+    * controls at the byte/pretokenizer level): every document arrives
+    * with [[BpeDocToken]] prepended, segmentation-first pretokenizing
+    * ([[byteSpecialPretokenStream]]) keeps the marker atomic at ANY
+    * position, the fit sees it as one symbol (never merged into or
+    * out of), the encode emits it as exactly one token (n_sub 1), and
+    * the standard unhex decode round-trips the marked document
+    * byte-exactly (spec-pinned). Same scale shape as the plain byte
+    * encode — two corpus-sized touches, vocab-sized fit iterations;
+    * segmentation adds one projection, not an exchange. */
+  def textBpeEncodeSpecialBytes(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", concat(lit(BpeDocToken + " "), $"text").as("text"))
+    textBpeEncodeSpecialBytesOn(docs, BpeFitMerges, BpeSpecialTokens)
+  }
+
+  private[graft] def textBpeEncodeSpecialBytesOn(docs: DataFrame, k: Int,
+      specials: Seq[String]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val d = docs.filter($"doc_id".isNotNull && $"text".isNotNull)
+    val stream = byteSpecialPretokenStream(d, specials)
+    val words = stream.groupBy($"w").agg(count(lit(1)).as("cnt"))
+      .select($"w", byteSeqWith($"w", specials).as("seq"), $"cnt")
+    val (encoded, _) = bpeFitLoop(words, k)
+    val enc = encoded.select($"w", $"seq",
+      size(split($"seq", " ")).cast("long").as("n_sub"))
+    stream.join(enc, "w")
+      .groupBy($"doc_id")
+      .agg(sum($"n_sub").as("bpe_tokens"),
+        array_join(transform(array_sort(collect_list(struct($"pos", $"seq"))),
+          s => s.getField("seq")), " ").as("token_seq"))
+      .select($"doc_id", $"bpe_tokens", $"token_seq")
+      .orderBy($"doc_id")
+  }
+
+  /** VOCAB-SIZE-CAPPED byte fit — [[textBpeFitCappedOn]]'s production
+    * twin (r19 VERDICT #4's other half): total byte vocabulary =
+    * base alphabet (distinct byte symbols present, ≤256, plus one
+    * atomic symbol per reserved special) + merges ≤ `vocabCap`, the
+    * budget a GPT-2-family trainer actually sets. Same accounting
+    * through the same shared loop: one distinct-agg over the
+    * vocab-sized frame, then at most `vocabCap − |alphabet|` merges. */
+  private[graft] def textBpeFitCappedBytesOn(docs: DataFrame, vocabCap: Int,
+      specials: Seq[String] = Nil): (Int, DataFrame) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val d = docs.filter($"text".isNotNull)
+    val pre =
+      if (specials.isEmpty) bytePretokens(d).select($"w", $"cnt")
+      else byteSpecialPretokenStream(d, specials)
+        .groupBy($"w").agg(count(lit(1)).as("cnt"))
+    val words = pre.select(byteSeqWith($"w", specials).as("seq"), $"cnt")
+    val alphabet = words.select(explode(split($"seq", " ")).as("s"))
+      .distinct().count().toInt
+    val allowed = math.max(0, vocabCap - alphabet)
+    val (_, merges) = bpeFitLoop(words, allowed)
+    (alphabet, merges.toDF("step", "lhs", "rhs", "pair_count").orderBy($"step"))
+  }
+
   /** Content fingerprint: minimum md5 over all character 8-grams —
     * winnowing-style document fingerprinting with an exactly mirrorable
     * SQL form (the rolling-FNV fast path at scale is SimHash64; this
@@ -1315,6 +1427,8 @@ object TextAnalysis {
     "text_bpe_fit_batched" -> ((s, dir) => textBpeFitBatched(s, dir)),
     "text_bpe_encode" -> ((s, dir) => textBpeEncode(s, dir)),
     "text_bpe_encode_special" -> ((s, dir) => textBpeEncodeSpecial(s, dir)),
+    "text_bpe_encode_special_bytes" ->
+      ((s, dir) => textBpeEncodeSpecialBytes(s, dir)),
     "text_bpe_decode" -> ((s, dir) => textBpeDecode(s, dir)),
     "text_bpe_fit_bytes" -> ((s, dir) => textBpeFitBytes(s, dir)),
     "text_tokencount_bpe_bytes" -> ((s, dir) => textTokenCountBpeBytes(s, dir)),
@@ -1655,6 +1769,46 @@ object TextAnalysis {
        |FROM enc
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** `text_bpe_encode_special_bytes` unrolled — the byte twin of
+    * [[bpeEncodeSpecialSql]]: the marker is prepended, enters w0 as
+    * ONE atomic symbol (its full unspaced hex string — zero adjacent
+    * pairs, so reservation falls out of the generic step CTEs), and
+    * heads every document's token stream at pos 0 while the regex
+    * pretokens of the REMAINDER (`' ' || text` — the space after the
+    * marker stays with the text, exactly the engine's segment) follow
+    * at pos ≥ 1. The flagship query only ever places the marker at the
+    * front, so the oracle segments by construction; the engine side
+    * segments GENERALLY ([[byteSpecialPretokenStream]]) and its
+    * any-position atomicity is spec-pinned. */
+  private[graft] def bpeEncodeSpecialBytesSql(k: Int): String = {
+    val sp = BpeDocToken
+    val w0 =
+      s"""sdocs AS (SELECT doc_id, ' ' || text AS rest FROM documents),
+         |w0 AS (
+         |  SELECT w, CASE WHEN w = '$sp' THEN lower(hex(encode(w)))
+         |    ELSE trim(regexp_replace(lower(hex(encode(w))), '(..)', '\\1 ', 'g')) END AS seq, cnt
+         |  FROM (SELECT w, count(*) AS cnt
+         |        FROM (SELECT unnest(regexp_extract_all(rest, '$bytePatSql', 0)) AS w
+         |              FROM sdocs
+         |              UNION ALL
+         |              SELECT '$sp' AS w FROM sdocs)
+         |        GROUP BY w))""".stripMargin
+    s"""WITH $w0,
+       |${bpeStepCtes(k, carryW = true)},
+       |tok AS (
+       |  SELECT doc_id, 0 AS pos, '$sp' AS w FROM sdocs
+       |  UNION ALL
+       |  SELECT doc_id, j AS pos, t[j] AS w
+       |  FROM (SELECT doc_id, regexp_extract_all(rest, '$bytePatSql', 0) AS t,
+       |               unnest(range(1, len(regexp_extract_all(rest, '$bytePatSql', 0)) + 1)) AS j
+       |        FROM sdocs))
+       |SELECT doc_id,
+       |  CAST(sum(len(string_split(seq, ' '))) AS BIGINT) AS bpe_tokens,
+       |  string_agg(seq, ' ' ORDER BY pos) AS token_seq
+       |FROM tok JOIN w$k USING (w)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   /** `text_bpe_decode` mirror: the encode query as a CTE, the two
     * decode rewrites, and the round-trip comparison against the
     * empty-token-dropped original. */
@@ -1890,6 +2044,8 @@ object TextAnalysis {
     // fit and apply under ONE oracle
     "text_bpe_encode" -> bpeEncodeSql(BpeFitMerges),
     "text_bpe_encode_special" -> bpeEncodeSpecialSql(BpeFitMerges),
+    // the byte twin: atomic marker through the byte w0 + shared steps
+    "text_bpe_encode_special_bytes" -> bpeEncodeSpecialBytesSql(BpeFitMerges),
     // decode inverts the encode inside the same oracle — the
     // round-trip flag is hash-checked per document
     "text_bpe_decode" -> bpeDecodeSql(BpeFitMerges),

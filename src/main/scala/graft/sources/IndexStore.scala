@@ -80,7 +80,21 @@ object IndexStore {
     * digesting (r18 ADVICE) so the encoding is injective: a bare
     * ';'-join would alias Seq("a;b") with Seq("a","b") — harmless for
     * today's numeric constants, a silent stale-serve if a future
-    * artifact keys on a string constant containing the separator. */
+    * artifact keys on a string constant containing the separator.
+    *
+    * CACHE-KEY BREAK (r19 ADVICE, for the record): adding the length
+    * prefix in r19 changed the digest of every parameterized artifact
+    * path, so artifacts written before it were orphaned — each
+    * `*_stored` query rebuilt once under the new key, and the old
+    * fingerprint dirs linger under `<root>/<name>/` until cleaned.
+    * Orphans are NOT garbage-collected automatically and deliberately
+    * so: two sibling dirs with the same corpus fingerprint can be two
+    * concurrently-LIVE artifacts built under different constants (the
+    * b8/b16 simhash geometries), so a build-time sibling sweep would
+    * delete an index another query still serves and set up rebuild
+    * thrash. Lifecycle of dead fingerprints belongs to the root's
+    * owner (the default root is a tmpdir; a production root is an
+    * object-store prefix with its own expiry policy). */
   private[graft] def paramsFingerprint(params: Seq[Any]): String = {
     val md = MessageDigest.getInstance("MD5")
     params.foreach { p =>
@@ -118,7 +132,20 @@ object IndexStore {
     * REDIRECT-READ, not repaired: the reader scans whichever completed
     * sibling exists instead of re-running `build` — rebuilding from
     * the original closure would silently drop every appended delta.
-    * Only when no completed copy exists anywhere does `build` run. */
+    * Only when no completed copy exists anywhere does `build` run.
+    *
+    * Redirect-read STABILITY (r19 ADVICE): the returned frame is a
+    * LAZY scan of the sibling path, and the single writer's next call
+    * ([[append]]/[[compact]] → [[recoverCrashedCompact]]) moves or
+    * deletes exactly that sibling — a reader holding a redirected
+    * frame across the writer's next maintenance call can hit
+    * FileNotFound mid-scan. A redirected read is therefore stable only
+    * until the writer's next writer-entry-point call; a reader that
+    * must outlive one (a long-running report over a crashed-compact
+    * artifact) should localCheckpoint()/write out the frame promptly.
+    * The normal-path read (live `_SUCCESS` present) has no such
+    * window: [[compact]] swaps via whole-directory atomic moves and an
+    * in-flight scan keeps its open file handles on POSIX. */
   def readOrBuild(spark: SparkSession, path: String, build: => DataFrame,
       partitionCols: Seq[String] = Nil): DataFrame = {
     if (!new File(s"$path/_SUCCESS").exists()) {
@@ -200,7 +227,15 @@ object IndexStore {
     // appends, and file count stays bounded by
     // threshold + files-per-append. Set ≤ 0 to disable and run
     // [[compact]] manually.
-    val threshold = spark.conf.get(CompactFilesKey, "64").toInt
+    // tolerant parse (r19 ADVICE): a malformed conf value must not turn
+    // a routine append into a NumberFormatException after the delta has
+    // already committed — fall back to the default and warn
+    val raw = spark.conf.get(CompactFilesKey, "64")
+    val threshold = scala.util.Try(raw.trim.toInt).getOrElse {
+      System.err.println(
+        s"[IndexStore] ignoring malformed $CompactFilesKey='$raw'; using 64")
+      64
+    }
     if (threshold > 0 && dataFileCount(new File(path)) > threshold)
       compact(spark, path, partitionCols)
   }
@@ -254,7 +289,27 @@ object IndexStore {
   }
 
   /** Data-file count above which [[append]] auto-compacts (≤ 0
-    * disables; default 64). */
+    * disables; default 64; a malformed value is ignored with a warning,
+    * never thrown from inside a routine append).
+    *
+    * OPERATOR CONTRACT (r19 VERDICT #8): the threshold is a FILE-COUNT
+    * bound, amortizing one full-artifact rewrite over
+    * ~threshold / files-per-append appends; worst-case files on disk =
+    * threshold + partitions-touched-per-append (the append that crosses
+    * the threshold lands first, then compacts — IndexStoreSpec pins
+    * max 15 = 12 + 3 over a 30-append soak, and the 8-day
+    * IndexSoakProbe holds a flat probe wall across the automatic
+    * rewrites). Latency/visibility implications of firing inside
+    * [[append]]: the crossing append pays the full rewrite wall
+    * (size the threshold so rewrite cost ≈ threshold × per-append cost
+    * is acceptable in the maintenance slot — the DEFAULT 64 ≈ two
+    * months of daily single-partition appends), and it opens
+    * [[compact]]'s swap window at a moment the owner did not schedule:
+    * readers racing the swap redirect-read the completed
+    * `_compact`/`_old` sibling ([[readOrBuild]]), which keeps them
+    * correct but momentarily scanning the sibling path. Owners that
+    * need scheduled-only swaps set ≤ 0 and call [[compact]] from their
+    * own maintenance slot. */
   final val CompactFilesKey = "spark.graft.index.compactFiles"
 
   private final val CommitMarker = "_COMMIT"

@@ -2095,11 +2095,14 @@ object Streaming {
     * timeout: state holds the doc's (pos, seq, n_sub) pieces plus the
     * max event time ever seen (the MONOTONE deadline discipline — a
     * later micro-batch carrying older non-late pieces must not pull
-    * the eviction forward), each batch re-emits the doc's current full
-    * reassembly (the memory-sink fold keeps the most complete one, max
-    * over (bpe_tokens, token_seq) — identical to the unbounded tail's
-    * fold), and when the source watermark passes newest-arrival + ttl
-    * the state drops. State is O(docs active in the last `ttl` of
+    * the eviction forward), a doc TOUCHED in the batch re-emits its
+    * current full reassembly (the memory-sink fold keeps the most
+    * complete one, max over (bpe_tokens, token_seq) — identical to the
+    * unbounded tail's fold; `flatMapGroupsWithState` only invokes keys
+    * present in the batch or timing out, so an untouched resident
+    * costs ZERO sink rows per batch — emission is O(batch docs), not
+    * O(resident docs), spec-pinned), and when the source watermark
+    * passes newest-arrival + ttl the state drops. State is O(docs active in the last `ttl` of
     * event time) × O(doc length) — the honest cost of cross-batch
     * document reassembly — not O(docs ever seen).
     *
@@ -2108,7 +2111,19 @@ object Streaming {
     * unbounded form; a doc_id recurring AFTER eviction starts a fresh
     * epoch whose reassembly covers only post-eviction pieces, and the
     * final fold keeps the more complete epoch. Watermark delay = `ttl`
-    * keeps the Spark timeout-validity invariant. */
+    * keeps the Spark timeout-validity invariant.
+    *
+    * Piece ordering contract (r19 ADVICE): pieces reassemble in
+    * (pos, seq) order — the SAME total order as the unbounded tail's
+    * `array_sort(collect_list(struct(pos, seq)))` — so the two twins
+    * agree on EVERY feed, including multi-word pieces split across
+    * micro-batches (spec-pinned). `pos` is the producer's reassembly
+    * key: a producer splitting one document into fragments must assign
+    * monotone positions across fragments if it wants concatenation
+    * order; fragments that each restart pos at 0 interleave
+    * deterministically by (pos, seq) in BOTH twins (the prior
+    * stable-sortBy(pos) broke pos ties by ARRIVAL order here, which
+    * silently diverged from the unbounded fold's seq tie-break). */
   private[graft] def runBpeReassemblyTTL(pieces: DataFrame,
       ttl: String): DataFrame = {
     val spark = pieces.sparkSession
@@ -2151,7 +2166,10 @@ object Streaming {
               val t = r._5.getTime
               if (t > maxTs) maxTs = t
             }
-            val all = buf.sortBy(_._1).toSeq
+            // (pos, seq) — the unbounded fold's exact total order; a
+            // bare sortBy(pos) would tie-break by arrival order and
+            // diverge from the twin on cross-batch pos collisions
+            val all = buf.sortBy(t => (t._1, t._2)).toSeq
             state.update((all, maxTs))
             state.setTimeoutTimestamp(maxTs, ttl)
             Iterator((docId, all.map(_._3).sum, all.map(_._2).mkString(" ")))

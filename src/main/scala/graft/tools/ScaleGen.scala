@@ -64,6 +64,10 @@ object ScaleGen {
     val out = args.lift(1).getOrElse("/tmp/graft_sf1")
     val replicas = args.lift(2).map(_.toInt).getOrElse(10)
     val vecMode = args.lift(3).contains("vecmode")
+    // documents-only mode (r20, for the ×100 spot runs): the document-
+    // table pipelines don't read the relational tables, and ×100
+    // lineitem would dominate the generation wall for nothing
+    val docsMode = args.lift(3).contains("docsmode")
     val spark = SparkSession.builder()
       .master("local[32]")
       .appName("graft-scale-gen")
@@ -119,6 +123,12 @@ object ScaleGen {
     }.reduce(_ unionByName _)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    if (docsMode) {
+      println(s"SCALEGEN_DONE out=$out replicas=$replicas mode=docs")
+      spark.stop()
+      return
+    }
 
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     (0 until replicas).map { k =>

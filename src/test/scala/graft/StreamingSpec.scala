@@ -208,14 +208,105 @@ class StreamingSpec extends AnyFunSuite {
       .option("maxFilesPerTrigger", "1").parquet(in)
     val got = Streaming.runBpeEncodeStreamTTL(stream, corpus, "60 seconds")
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
-    // doc 11: cross-batch IN-WINDOW fold — both pieces, arrival order
-    assert(got(11L) === (8L, "f o o </w> b a r </w>"),
-      s"in-window pieces must reassemble across batches, got ${got(11L)}")
+    // doc 11: cross-batch IN-WINDOW fold — both pieces, in the twins'
+    // shared (pos, seq) order (both pieces are pos 0, so seq breaks the
+    // tie: "b a r </w>" < "f o o </w>" — the unbounded fold's answer,
+    // NOT arrival order)
+    assert(got(11L) === (8L, "b a r </w> f o o </w>"),
+      s"in-window pieces must reassemble across batches in (pos, seq) " +
+        s"order, got ${got(11L)}")
     // doc 10: the fold keeps the more complete epoch (6 tokens from
     // "hello"); unbounded state would have concatenated into 9
     assert(got(10L) === (6L, "h e l l o </w>"),
       s"post-eviction arrival must start a fresh epoch, got ${got(10L)}")
     assert(got(20L)._1 === 2L && got(25L)._1 === 2L)
+  }
+
+  test("TTL BPE encode: multi-word cross-batch pieces reassemble exactly as the unbounded twin") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions.{expr => fexpr}
+    import spark.implicits._
+    val t0 = 1700000000L
+    val base = System.currentTimeMillis()
+    val corpus = Seq((1L, "zzz")).toDF("doc_id", "text")
+    // MULTI-WORD pieces of one document split across batches, each
+    // restarting pos at 0 (the posexplode-per-text shape the r19 ADVICE
+    // flagged as unpinned): piece1 "hello world" (pos 0,1), piece2
+    // "foo bar" (pos 0,1), both in-window
+    val frags = Seq((10L, "hello world", t0), (10L, "foo bar", t0 + 5))
+    val inT = Files.createTempDirectory("graft_bpe_ttl_mw_").toString
+    def docs(rows: Seq[(Long, String, Long)]): DataFrame =
+      rows.toDF("doc_id", "text", "sec")
+        .select($"doc_id", $"text", fexpr("timestamp_seconds(sec)").as("ts"))
+    writeOneFile(docs(frags.take(1)), s"$inT/b1.parquet", base)
+    writeOneFile(docs(frags.drop(1)), s"$inT/b2.parquet", base + 60000)
+    val schemaT = spark.read.parquet(inT).schema
+    val streamT = spark.readStream.schema(schemaT)
+      .option("maxFilesPerTrigger", "1").parquet(inT)
+    val ttl = Streaming.runBpeEncodeStreamTTL(streamT, corpus, "60 seconds")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    // the unbounded twin over the SAME fragments (no ts column — its
+    // feed shape), same two-batch split
+    val inU = Files.createTempDirectory("graft_bpe_unb_mw_").toString
+    writeOneFile(frags.take(1).map(t => (t._1, t._2)).toDF("doc_id", "text"),
+      s"$inU/b1.parquet", base)
+    writeOneFile(frags.drop(1).map(t => (t._1, t._2)).toDF("doc_id", "text"),
+      s"$inU/b2.parquet", base + 60000)
+    val schemaU = spark.read.parquet(inU).schema
+    val streamU = spark.readStream.schema(schemaU)
+      .option("maxFilesPerTrigger", "1").parquet(inU)
+    val unb = Streaming.runBpeEncodeStream(streamU, corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(ttl === unb,
+      s"TTL and unbounded twins must share the (pos, seq) piece order:\n  ttl $ttl\n  unb $unb")
+    // and the shared order is the DOCUMENTED one: (pos, seq) — pos ties
+    // break by seq, NOT by arrival (arrival order would put hello first)
+    assert(ttl === Seq((10L, 20L,
+      "f o o </w> h e l l o </w> b a r </w> w o r l d </w>")),
+      s"expected (pos, seq) interleaving, got $ttl")
+  }
+
+  test("TTL BPE encode: a batch emits only the docs it touches (no resident re-emission)") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions.{expr => fexpr}
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_bpe_ttl_emit_").toString
+    val t0 = 1700000000L
+    val base = System.currentTimeMillis()
+    val corpus = Seq((1L, "zzz")).toDF("doc_id", "text")
+    def docs(rows: Seq[(Long, String, Long)]): DataFrame =
+      rows.toDF("doc_id", "text", "sec")
+        .select($"doc_id", $"text", fexpr("timestamp_seconds(sec)").as("ts"))
+    // b1 touches docs 10 and 11; b2 touches ONLY doc 12 (in-window, so
+    // 10/11 stay RESIDENT in state); b3 touches only doc 10 again
+    writeOneFile(docs(Seq((10L, "aa", t0), (11L, "bb", t0))),
+      s"$in/b1.parquet", base)
+    writeOneFile(docs(Seq((12L, "cc", t0 + 5))), s"$in/b2.parquet", base + 60000)
+    writeOneFile(docs(Seq((10L, "dd", t0 + 10))), s"$in/b3.parquet", base + 120000)
+    val schema = spark.read.parquet(in).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    // RAW append-sink rows (not the folded tail): emission economy is a
+    // sink-traffic property, visible only before the fold. Expected
+    // traffic: b1 → 2 rows (docs 10, 11), b2 → 1 row (doc 12 only —
+    // residents 10/11 are NOT re-emitted), b3 → 1 row (doc 10's
+    // extended reassembly). A per-batch full-resident re-emission
+    // would write 2 + 3 + 4 = 9 rows; touched-only writes 4.
+    val name = s"graft_emit_pin_${System.nanoTime()}"
+    val q = Streaming.bpeEncodeTTLStreamFrame(stream, corpus, "60 seconds")
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val rows = spark.table(name)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSeq
+    assert(rows.length === 4,
+      s"sink traffic must be O(docs touched per batch), got ${rows.toSeq}")
+    assert(rows.count(_._1 == 10L) === 2 && rows.count(_._1 == 11L) === 1 &&
+      rows.count(_._1 == 12L) === 1,
+      s"untouched residents must not re-emit, got ${rows.toSeq}")
+    // the b3 re-emission carries doc 10's FULL current reassembly
+    assert(rows.filter(_._1 == 10L).map(_._2).toSet ===
+      Set("a a </w>", "a a </w> d d </w>"), s"got ${rows.toSeq}")
   }
 
   test("near-dup dedup pairs a later batch's re-crawl with the original document") {

@@ -418,6 +418,65 @@ class TextAnalysisSpec extends AnyFunSuite {
       === uncapped.collect().map(_.toSeq).toSeq)
   }
 
+  test("byte special tokens: marker atomic at ANY position, fit never merges into it, decode exact") {
+    import spark.implicits._
+    val sp = TextAnalysis.BpeDocToken
+    val spHex = sp.getBytes("UTF-8").map("%02x".format(_)).mkString
+    // the marker at the FRONT, MID-TEXT after a space (the case regex
+    // alternation alone cannot keep atomic: ' <|' is a punct-run match
+    // before the special alternative is ever tried), and BETWEEN punct
+    val docs = Seq(
+      (1L, s"$sp low low low"),
+      (2L, s"lower $sp lower"),
+      (3L, s"!$sp!")).toDF("doc_id", "text")
+    val got = TextAnalysis.textBpeEncodeSpecialBytesOn(docs, 3, Seq(sp))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    // the marker is EXACTLY ONE token (one unspaced hex symbol) in
+    // every position, and the byte decode round-trips each document
+    // VERBATIM — marker, spaces, punctuation included
+    got.foreach { case (id, _, seq) =>
+      val symbols = seq.split(" ").toSeq
+      assert(symbols.count(_ == spHex) === 1,
+        s"doc $id must carry the marker as one atomic symbol, got $seq")
+      val decoded = new String(
+        symbols.mkString("").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray,
+        "UTF-8")
+      val original = docs.filter($"doc_id" === id).head().getString(1)
+      assert(decoded === original, s"byte decode must be exact for doc $id")
+    }
+    // no learned merge contains the marker's hex atom on either side
+    val (_, merges) = TextAnalysis.textBpeFitCappedBytesOn(docs, 1000, Seq(sp))
+    assert(merges.collect().forall(r =>
+      !r.getString(1).contains(spHex) && !r.getString(2).contains(spHex)))
+  }
+
+  test("byte special tokens: flagship reservation costs nothing — merges track the plain fit") {
+    import spark.implicits._
+    val sp = TextAnalysis.BpeDocToken
+    val plain = Seq((1L, "low low low"), (2L, "lower lower"), (3L, "newest"))
+      .toDF("doc_id", "text")
+    val marked = plain.select($"doc_id",
+      org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit(sp + " "), $"text").as("text"))
+    // the reserved marker contributes no pairs, so the learned merge
+    // table over the marked corpus equals the plain corpus's exactly —
+    // but for the segment-leading space the marker introduces (' low'
+    // vs 'low' pretokens), so compare at the hex level via the capped
+    // fits over the SAME pretoken multiset: plain text pre-split
+    val (alpha, merges) = TextAnalysis.textBpeFitCappedBytesOn(marked, 1000, Seq(sp))
+    // alphabet = distinct byte symbols + exactly ONE atomic marker symbol
+    val spHex = sp.getBytes("UTF-8").map("%02x".format(_)).mkString
+    val (alphaPlain, _) = TextAnalysis.textBpeFitCappedBytesOn(marked.select($"doc_id",
+      org.apache.spark.sql.functions.expr(s"substring(text, ${sp.length + 1})").as("text")), 1000)
+    assert(alpha === alphaPlain + 1,
+      s"marker must add exactly one atomic symbol: $alpha vs $alphaPlain")
+    assert(merges.collect().forall(r =>
+      !r.getString(1).contains(spHex) && !r.getString(2).contains(spHex)))
+    // capped accounting: cap at alphabet → zero merges
+    val (a2, m0) = TextAnalysis.textBpeFitCappedBytesOn(marked, 1, Seq(sp))
+    assert(a2 === alpha && m0.count() === 0L)
+  }
+
   test("BPE decode inverts the encode: roundtrip_ok on every real document") {
     import spark.implicits._
     val docs = graft.sources.Tables.documents(spark, SparkTestSession.sf0001)
