@@ -711,8 +711,11 @@ object TextAnalysis {
     * Returns (doc_id, pos, w) where pos is a single long ordering key:
     * segment i's pretokens at (2i) · 2³² + offset, the special after
     * segment i at (2i+1) · 2³² — total order by construction, no
-    * window function, no per-doc state. One corpus-sized projection;
-    * the union's two branches both prune to (doc_id, text). */
+    * window function, no per-doc state. The whole interleave is ONE
+    * higher-order-function projection + ONE explode Generate over ONE
+    * scan (a union of a content branch and a marker branch would scan
+    * the corpus twice per touch — at 100 TB that doubles the encode's
+    * scan bill for nothing). */
   private def byteSpecialPretokenStream(docs: DataFrame,
       specials: Seq[String]): DataFrame = {
     val spark = docs.sparkSession
@@ -721,18 +724,17 @@ object TextAnalysis {
     // limit −1 keeps trailing empty segments: segment i is then ALWAYS
     // followed by matched special i (except the last), which is what
     // makes the interleaved position key correct
-    val content = docs
-      .select($"doc_id", posexplode(split($"text", alt, -1)).as(Seq("seg", "st")))
-      .select($"doc_id", $"seg", posexplode(regexp_extract_all($"st",
-        lit(BytePretokenPattern), lit(0))).as(Seq("i", "w")))
-      .select($"doc_id",
-        (($"seg".cast("long") * 2) * lit(1L << 32) + $"i").as("pos"), $"w")
-    val markers = docs
-      .select($"doc_id", posexplode(regexp_extract_all($"text",
-        lit(alt), lit(0))).as(Seq("i", "w")))
-      .select($"doc_id",
-        (($"i".cast("long") * 2 + 1) * lit(1L << 32)).as("pos"), $"w")
-    content.unionByName(markers)
+    val segs = split($"text", alt, -1)
+    val sps = regexp_extract_all($"text", lit(alt), lit(0))
+    val interleaved = flatten(transform(segs, (st, i) => concat(
+      transform(regexp_extract_all(st, lit(BytePretokenPattern), lit(0)),
+        (w, j) => struct(
+          ((i.cast("long") * 2) * lit(1L << 32) + j).as("pos"), w.as("w"))),
+      // the marker AFTER segment i — slice yields [] on the last segment
+      transform(slice(sps, i + 1, lit(1)), w => struct(
+        ((i.cast("long") * 2 + 1) * lit(1L << 32)).as("pos"), w.as("w"))))))
+    docs.select($"doc_id", explode(interleaved).as("p"))
+      .select($"doc_id", $"p.pos".as("pos"), $"p.w".as("w"))
   }
 
   /** [[byteSeq]] with SPECIAL-TOKEN RESERVATION — byte mode's analogue

@@ -139,6 +139,8 @@ object PlanDump {
       "Merge-order apply: k vocab-sized rewrite stages (localCheckpoint scans, NOT corpus re-reads), then ONE documents scan exploded to words and hash-joined against the encoded vocab; the per-doc reassembly shuffles token rows keyed by doc_id only.",
     "text_bpe_encode_special" ->
       "Reserved-token encode (r19): reservation is one CASE branch in the vocab-frame projection — ZERO new exchanges vs text_bpe_encode; the boundary marker rides the k vocab-sized rewrites as an atomic symbol (no pair it participates in exists) and the doc join emits it as exactly one token.",
+    "text_bpe_encode_special_bytes" ->
+      "Byte-mode reserved-token encode (r20): segmentation-first pretokenizing is ONE higher-order-function projection (split + per-segment regexp transform + marker interleave) + ONE explode Generate per corpus touch — same two-scan bill as the plain byte encode (a content/marker UNION would scan twice per touch); the atomic unspaced-hex symbol rides the k vocab-sized rewrites pair-free and the (2i/2i+1)·2^32 long position key totals the stream order with no window function.",
     "stream_bpe_encode_ttl" ->
       "TTL-bounded streaming encode (r19, post-run fold shown): the per-doc reassembly is flatMapGroupsWithState keyed by doc_id under an event-time timeout — state is the doc's piece list + one long (the monotone deadline), O(docs active in the TTL window), not O(docs seen); the frozen-vocab join is a stream-static broadcast AHEAD of the state operator, so OOV fallback work never enters state.",
     "text_tokencount_bpe_bytes" ->
