@@ -83,17 +83,23 @@ class CheckpointResumeSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
     assert(r1.toSeq === Seq((10L, 6L, "h e l l o </w>")))
 
-    // STOP, then a second piece of the SAME document arrives after the
-    // restart (in-window, t0+5): the resumed query must reassemble it
-    // WITH the pre-restart piece — possible only if the state store's
-    // contents came back from the checkpoint, not just the offsets
-    writeBatch("b2", Seq((10L, "there", t0 + 5)))
+    // STOP, then a MULTI-WORD second piece of the SAME document arrives
+    // after the restart (in-window, t0+5): the resumed query must
+    // reassemble it WITH the pre-restart piece — possible only if the
+    // state store's contents came back from the checkpoint, not just
+    // the offsets — and in the twins' (pos, seq) order: the restart
+    // piece restarts pos at 0, so its first word ties pos 0 with the
+    // checkpointed "hello" and seq breaks the tie ("h…" < "o…"),
+    // pinning the r20 ordering contract across a restart
+    writeBatch("b2", Seq((10L, "out there", t0 + 5)))
     runOnce()
     val r2 = spark.read.parquet(out)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
       .sortBy(_._2)
     assert(r2.length === 2, s"append sink keeps both emissions: ${r2.toSeq}")
-    assert(r2.last === (10L, 12L, "h e l l o </w> t h e r e </w>"),
-      s"restart must resume the doc's piece state, got ${r2.toSeq}")
+    assert(r2.last === (10L, 16L,
+      "h e l l o </w> o u t </w> t h e r e </w>"),
+      s"restart must resume the doc's piece state in (pos, seq) order, " +
+        s"got ${r2.toSeq}")
   }
 }
