@@ -720,7 +720,14 @@ object TextAnalysis {
       specials: Seq[String]): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val alt = specials.map(java.util.regex.Pattern.quote).mkString("|")
+    require(specials.nonEmpty,
+      "byteSpecialPretokenStream needs >= 1 special; use bytePretokens")
+    // LONGEST-FIRST alternation (tiktoken's rule): regex alternation is
+    // leftmost-first in declaration order, so a special that prefixes a
+    // longer one would otherwise shadow it and silently break the
+    // longer token's atomicity
+    val alt = specials.sortBy(-_.length)
+      .map(java.util.regex.Pattern.quote).mkString("|")
     // limit −1 keeps trailing empty segments: segment i is then ALWAYS
     // followed by matched special i (except the last), which is what
     // makes the interleaved position key correct
@@ -772,6 +779,9 @@ object TextAnalysis {
 
   private[graft] def textBpeEncodeSpecialBytesOn(docs: DataFrame, k: Int,
       specials: Seq[String]): DataFrame = {
+    // no specials → exactly the plain byte encode (an empty alternation
+    // would otherwise split per character)
+    if (specials.isEmpty) return textBpeEncodeBytesOn(docs, k)
     val spark = docs.sparkSession
     import spark.implicits._
     val d = docs.filter($"doc_id".isNotNull && $"text".isNotNull)
@@ -1784,8 +1794,12 @@ object TextAnalysis {
     * any-position atomicity is spec-pinned. */
   private[graft] def bpeEncodeSpecialBytesSql(k: Int): String = {
     val sp = BpeDocToken
+    // the null guard mirrors the engine's isNotNull filter: without it
+    // the unconditional marker branches below would emit a (doc_id, 1,
+    // marker-hex) row for a null-text document the engine drops
     val w0 =
-      s"""sdocs AS (SELECT doc_id, ' ' || text AS rest FROM documents),
+      s"""sdocs AS (SELECT doc_id, ' ' || text AS rest FROM documents
+         |          WHERE doc_id IS NOT NULL AND text IS NOT NULL),
          |w0 AS (
          |  SELECT w, CASE WHEN w = '$sp' THEN lower(hex(encode(w)))
          |    ELSE trim(regexp_replace(lower(hex(encode(w))), '(..)', '\\1 ', 'g')) END AS seq, cnt

@@ -2136,6 +2136,23 @@ object Streaming {
       .orderBy($"doc_id")
   }
 
+  /** Unsigned-UTF-8-byte string comparison — the exact order Spark's
+    * `array_sort`/UTF8String uses, so the TTL state's JVM-side sort
+    * cannot drift from the unbounded fold's Catalyst sort on any
+    * input (they differ from String.compareTo for supplementary-plane
+    * vs high-BMP characters). */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
   /** The STREAMING frame of the TTL reassembly (pre-sink) — exposed so
     * CheckpointResumeSpec can drive it through a real file sink +
     * checkpoint: the state-store contents (a doc's accumulated pieces)
@@ -2168,8 +2185,16 @@ object Streaming {
             }
             // (pos, seq) — the unbounded fold's exact total order; a
             // bare sortBy(pos) would tie-break by arrival order and
-            // diverge from the twin on cross-batch pos collisions
-            val all = buf.sortBy(t => (t._1, t._2)).toSeq
+            // diverge from the twin on cross-batch pos collisions.
+            // seq compares as UNSIGNED UTF-8 BYTES, not Scala's UTF-16
+            // chars: Spark's array_sort orders UTF8String binary, and
+            // the two diverge between supplementary-plane text (UTF-16
+            // surrogates 0xD800–DFFF, UTF-8 0xF0+) and high-BMP text
+            // (UTF-16 ≥ 0xE000, UTF-8 0xEE–EF) — String.compareTo puts
+            // the surrogate first, byte order puts it last
+            val all = buf.sortWith { (p, q) =>
+              p._1 < q._1 || (p._1 == q._1 && utf8Lt(p._2, q._2))
+            }.toSeq
             state.update((all, maxTs))
             state.setTimeoutTimestamp(maxTs, ttl)
             Iterator((docId, all.map(_._3).sum, all.map(_._2).mkString(" ")))

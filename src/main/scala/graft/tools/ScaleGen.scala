@@ -76,20 +76,24 @@ object ScaleGen {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // well under the 2^43 packed-chunk-key doc_id bound at any realistic R
-    val idStride = 1000000L
-    // a source corpus with ids at or past the stride would silently
-    // interleave replica id ranges — merging cross-replica documents and
-    // corrupting the ×R linear-pairs claim this generator exists to test
-    def assertIdsUnderStride(table: String, idCol: String): Unit = {
-      val maxId = spark.read.parquet(s"$src/$table.parquet")
+    // The stride GROWS with the source's id range (r20: a fixed stride
+    // failed chained runs — ScaleGen output fed back in as a source for
+    // ×10 → ×100 — because the grown ids already exceeded it): replica
+    // id ranges can then never interleave, which would merge
+    // cross-replica documents and corrupt the ×R linear-pairs claim
+    // this generator exists to test. docsMode sources may themselves be
+    // docsMode outputs carrying no embeddings table, so only the tables
+    // about to be read contribute.
+    def tableMaxId(table: String, idCol: String): Long =
+      spark.read.parquet(s"$src/$table.parquet")
         .agg(max(col(idCol))).head().getLong(0)
-      require(maxId < idStride,
-        s"ScaleGen: max($idCol) = $maxId in $table >= idStride $idStride — " +
-          "replica id ranges would overlap; raise idStride")
-    }
-    assertIdsUnderStride("documents", "doc_id")
-    assertIdsUnderStride("embeddings", "vec_id")
+    val srcMax = tableMaxId("documents", "doc_id") max
+      (if (docsMode) 0L else tableMaxId("embeddings", "vec_id"))
+    val idStride = math.max(1000000L, srcMax + 1)
+    // stay under the 2^43 packed-chunk-key doc_id bound
+    require(idStride * replicas < (1L << 43),
+      s"ScaleGen: idStride $idStride x $replicas replicas exceeds the " +
+        "2^43 packed-chunk-key doc_id bound")
 
     if (vecMode) {
       // grown-corpus embeddings for the embed dedup family (scaladoc):

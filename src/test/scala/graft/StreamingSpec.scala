@@ -232,14 +232,21 @@ class StreamingSpec extends AnyFunSuite {
     // MULTI-WORD pieces of one document split across batches, each
     // restarting pos at 0 (the posexplode-per-text shape the r19 ADVICE
     // flagged as unpinned): piece1 "hello world" (pos 0,1), piece2
-    // "foo bar" (pos 0,1), both in-window
-    val frags = Seq((10L, "hello world", t0), (10L, "foo bar", t0 + 5))
+    // "foo bar" (pos 0,1), both in-window. Doc 20 pins the COMPARATOR
+    // itself: a high-BMP char (U+FB00 'ﬀ', UTF-8 EF…) vs a
+    // supplementary char (U+1D11E '𝄞', UTF-8 F0…, UTF-16 surrogate
+    // 0xD834) tie at pos 0 — Scala String order puts the surrogate
+    // FIRST, Spark's UTF8String byte order puts it LAST, so a
+    // String-keyed state sort diverges from the unbounded fold here
+    val frags = Seq((10L, "hello world", t0), (10L, "foo bar", t0 + 5),
+      (20L, "ﬀ", t0), (20L, "𝄞", t0 + 5))
     val inT = Files.createTempDirectory("graft_bpe_ttl_mw_").toString
     def docs(rows: Seq[(Long, String, Long)]): DataFrame =
       rows.toDF("doc_id", "text", "sec")
         .select($"doc_id", $"text", fexpr("timestamp_seconds(sec)").as("ts"))
-    writeOneFile(docs(frags.take(1)), s"$inT/b1.parquet", base)
-    writeOneFile(docs(frags.drop(1)), s"$inT/b2.parquet", base + 60000)
+    val (b1, b2) = frags.partition(_._3 == t0)
+    writeOneFile(docs(b1), s"$inT/b1.parquet", base)
+    writeOneFile(docs(b2), s"$inT/b2.parquet", base + 60000)
     val schemaT = spark.read.parquet(inT).schema
     val streamT = spark.readStream.schema(schemaT)
       .option("maxFilesPerTrigger", "1").parquet(inT)
@@ -248,9 +255,9 @@ class StreamingSpec extends AnyFunSuite {
     // the unbounded twin over the SAME fragments (no ts column — its
     // feed shape), same two-batch split
     val inU = Files.createTempDirectory("graft_bpe_unb_mw_").toString
-    writeOneFile(frags.take(1).map(t => (t._1, t._2)).toDF("doc_id", "text"),
+    writeOneFile(b1.map(t => (t._1, t._2)).toDF("doc_id", "text"),
       s"$inU/b1.parquet", base)
-    writeOneFile(frags.drop(1).map(t => (t._1, t._2)).toDF("doc_id", "text"),
+    writeOneFile(b2.map(t => (t._1, t._2)).toDF("doc_id", "text"),
       s"$inU/b2.parquet", base + 60000)
     val schemaU = spark.read.parquet(inU).schema
     val streamU = spark.readStream.schema(schemaU)
@@ -261,9 +268,14 @@ class StreamingSpec extends AnyFunSuite {
       s"TTL and unbounded twins must share the (pos, seq) piece order:\n  ttl $ttl\n  unb $unb")
     // and the shared order is the DOCUMENTED one: (pos, seq) — pos ties
     // break by seq, NOT by arrival (arrival order would put hello first)
-    assert(ttl === Seq((10L, 20L,
-      "f o o </w> h e l l o </w> b a r </w> w o r l d </w>")),
+    assert(ttl.head === (10L, 20L,
+      "f o o </w> h e l l o </w> b a r </w> w o r l d </w>"),
       s"expected (pos, seq) interleaving, got $ttl")
+    // the comparator pin: byte order puts 'ﬀ' (EF…) before '𝄞' (F0…);
+    // a UTF-16 String sort would reverse them and fail the twin match
+    val seq20 = ttl.find(_._1 == 20L).get._3
+    assert(seq20.indexOf("ﬀ") >= 0 && seq20.indexOf("ﬀ") < seq20.indexOf("𝄞"),
+      s"pos-tied pieces must order by UTF-8 bytes, got $seq20")
   }
 
   test("TTL BPE encode: a batch emits only the docs it touches (no resident re-emission)") {

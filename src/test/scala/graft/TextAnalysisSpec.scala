@@ -466,10 +466,17 @@ class TextAnalysisSpec extends AnyFunSuite {
     val (alpha, merges) = TextAnalysis.textBpeFitCappedBytesOn(marked, 1000, Seq(sp))
     // alphabet = distinct byte symbols + exactly ONE atomic marker symbol
     val spHex = sp.getBytes("UTF-8").map("%02x".format(_)).mkString
-    val (alphaPlain, _) = TextAnalysis.textBpeFitCappedBytesOn(marked.select($"doc_id",
+    val (alphaPlain, mergesPlain) = TextAnalysis.textBpeFitCappedBytesOn(marked.select($"doc_id",
       org.apache.spark.sql.functions.expr(s"substring(text, ${sp.length + 1})").as("text")), 1000)
     assert(alpha === alphaPlain + 1,
       s"marker must add exactly one atomic symbol: $alpha vs $alphaPlain")
+    // zero-cost PINNED: the generous-cap fit runs both corpora to pair
+    // exhaustion, and since the reserved marker contributes no pairs the
+    // LEARNED MERGE TABLES are identical — marked vs marker-stripped
+    // (same remainder pretoken multiset, segment-leading space included)
+    assert(merges.collect().map(_.toSeq).toSeq
+      === mergesPlain.collect().map(_.toSeq).toSeq,
+      "reservation must not perturb the learned merges")
     assert(merges.collect().forall(r =>
       !r.getString(1).contains(spHex) && !r.getString(2).contains(spHex)))
     // capped accounting: cap at alphabet → zero merges
