@@ -297,9 +297,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val spark = SessionTuning.tuned(SparkSession.builder()
       .master(s"local[$cpus]")
-      .appName("graft-bench")
+      .appName("graft-bench"))
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
@@ -347,6 +347,21 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
     val selected = only.fold(headline)(s => headline.filter(s.contains))
+    // JVM warm-up, OUTSIDE every timer (r21 measurement fix, guide §1 —
+    // steady-state means steady-state of the RUNTIME too): on a fresh
+    // JVM the first ~60 s of the battery measure C2-compiling Spark's
+    // own scheduler/shuffle/codegen paths, not the queries — r20's
+    // battery shows q1 (first slot) at [2.19, 2.08, 1.35, 0.70, 0.79]
+    // monotone-improving across its OWN measured runs while late-battery
+    // queries of the same shape sit at 0.2–0.4 s. Three throwaway
+    // executions of the first selected queries warm the common machinery
+    // once; per-query cold runs below still absorb per-plan codegen.
+    // Timed measurements are unchanged in number and protocol.
+    selected.filter(queries.contains).take(3).foreach { name =>
+      try execute(queries(name)(spark, sfDir))
+      catch { case _: Throwable => () }
+    }
+    drain()
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     val minWall = scala.collection.mutable.LinkedHashMap[String, Double]()
     val cpu = scala.collection.mutable.LinkedHashMap[String, Long]()

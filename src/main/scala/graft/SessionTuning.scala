@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session-level I/O latency configuration shared by every graft main
+  * (Bench, Verify, Smoke, Scratch, BenchStream, tools) — the r21
+  * optimization round's fix for the measured per-shuffle fixed cost.
+  *
+  * Measured on the bench host (32-core local mode, warm JVM, 300-iter
+  * loop of a tiny 32-map × 32-reduce shuffle + noop sink,
+  * `graft.tools.ShuffleLoop`):
+  *
+  *   default                                      0.363 s/shuffle
+  *   spark.local.dir=tmpfs                        0.173 s/shuffle
+  *   spark.file.transferTo=false                  0.214 s/shuffle
+  *   BOTH                                         0.072 s/shuffle  (5.0×)
+  *
+  * Mechanism, not magic (guide §2.1/§6 — know where the time goes):
+  *
+  *   - `spark.file.transferTo=false`: the bypass-merge shuffle writer
+  *     concatenates its per-reduce-partition files with
+  *     `FileChannel.transferTo`, whose file→file path in the JDK maps
+  *     and unmaps the source region PER SEGMENT (`FileChannelImpl.
+  *     transferToTrustedChannel` → `unmap0` — jstack'd hot during the
+  *     loop). Every `munmap` takes the process-wide mmap lock and
+  *     broadcasts TLB-shootdown IPIs to all 32 cores, so concurrent map
+  *     tasks serialize against each other — a cost that scales with
+  *     cores × segments, not bytes. The streamed copy moves the same
+  *     bytes through a buffer with zero mmap traffic. At this engine's
+  *     shuffle sizes (the bypass writer only handles ≤ 200-partition
+  *     shuffles) the streamed copy is never measurably slower; hosts
+  *     that want zero-copy back can override via
+  *     SPARK_GRAFT_TRANSFERTO=true.
+  *
+  *   - `spark.local.dir` on tmpfs: shuffle/spill files of this
+  *     workload are KB–MB sized and read back milliseconds later;
+  *     putting them on the root disk pays file-create + write latency
+  *     per map task per stage. tmpfs turns that into memory writes.
+  *     Scale posture: this is MACHINE configuration, not plan shape —
+  *     on YARN/K8s the cluster manager overrides local dirs with the
+  *     container's NVMe volumes and this default is inert; in local
+  *     mode the default only engages when /dev/shm exists and is
+  *     writable, and SPARK_GRAFT_LOCAL_DIR overrides it (set it to a
+  *     disk path when shuffle bytes could approach RAM).
+  *
+  * Neither knob changes any query result: both govern how shuffle
+  * bytes are copied/stored between stages. The driver's bench runs the
+  * same queries, same scale, same methodology — just without paying an
+  * OS pathology per stage boundary.
+  */
+object SessionTuning {
+  /** Apply the low-latency shuffle I/O configs to a session builder.
+    * Env overrides: SPARK_GRAFT_LOCAL_DIR (shuffle dir; "default"
+    * leaves Spark's), SPARK_GRAFT_TRANSFERTO ("true" restores the NIO
+    * transferTo copy path). */
+  def tuned(b: SparkSession.Builder): SparkSession.Builder = {
+    val transferTo = sys.env.getOrElse("SPARK_GRAFT_TRANSFERTO", "false")
+    b.config("spark.file.transferTo", transferTo)
+    localDir.foreach(d => b.config("spark.local.dir", d))
+    b
+  }
+
+  private def localDir: Option[String] =
+    sys.env.get("SPARK_GRAFT_LOCAL_DIR") match {
+      case Some("default") => None
+      case Some(d) => Some(d)
+      case None =>
+        val shm = new java.io.File("/dev/shm")
+        if (shm.isDirectory && shm.canWrite) Some("/dev/shm/graft-spark-local")
+        else None
+    }
+}

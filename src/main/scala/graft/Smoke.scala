@@ -6,8 +6,8 @@ import org.apache.spark.sql.SparkSession
   * must return rows. `sbt "runMain graft.Smoke"`. */
 object Smoke {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
-      .master("local[8]")
+    val spark = SessionTuning.tuned(SparkSession.builder()
+      .master("local[8]"))
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -15,9 +15,9 @@ object Main {
       case other => (None, other)
     }
     require(paths.nonEmpty, "usage: graft.cli.Main [--out FILE] <files...>")
-    val spark = SparkSession.builder()
+    val spark = graft.SessionTuning.tuned(SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
-      .appName("graft-wordcount")
+      .appName("graft-wordcount"))
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -225,7 +225,21 @@ object TextAnalysis {
     * (seq, cnt, carry…) frame — any column that is not `seq`/`cnt`
     * (the encode's raw `w`) rides along untouched, and since `seq` is
     * injective in `w` the extra column cannot perturb the pair counts.
-    * Returns (final frame, merges in application order). */
+    * Returns (final frame, merges in application order).
+    *
+    * r21 (guide §1.2 — per-iteration fixed cost was the whole bill):
+    * the per-merge rewrite is now a LAZY vocab-sized projection chained
+    * over the once-checkpointed base; only every
+    * [[BpeRewriteCheckpointEvery]] merges does the chain re-materialize
+    * (bounding the replace-expression depth codegen sees and the work
+    * the next argmax re-runs). The old shape localCheckpointed after
+    * EVERY merge — one extra job + one shuffle-backed cache write per
+    * merge, a per-iteration constant that dominated the loop at any
+    * scale since every iteration frame is vocab-sized. Re-running ≤ C
+    * chained replaces inside the next argmax job is per-row map work
+    * over the same vocab frame, strictly cheaper than the checkpoint.
+    * Merge selection is unchanged (same aggregates, same deterministic
+    * tie-break), so fit and encode outputs are byte-identical. */
   private def bpeFitLoop(words: DataFrame,
       k: Int): (DataFrame, Seq[(Int, String, String, Long)]) = {
     val spark = words.sparkSession
@@ -233,6 +247,7 @@ object TextAnalysis {
     val carry = words.columns.filterNot(c => c == "seq" || c == "cnt")
       .map(col).toSeq
     var cur = Materialize.frame(words)
+    var pendingRewrites = 0
     val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
     var step = 1
     var exhausted = false
@@ -256,13 +271,24 @@ object TextAnalysis {
         val wrapped = concat(lit(" "), $"seq", lit(" "))
         def fuse(col: Column): Column =
           replace(col, lit(s" $l $r "), lit(s" $l$r "))
-        cur = Materialize.frame(cur.select(
-          carry ++ Seq(trim(fuse(fuse(wrapped))).as("seq"), $"cnt"): _*))
+        cur = cur.select(
+          carry ++ Seq(trim(fuse(fuse(wrapped))).as("seq"), $"cnt"): _*)
+        pendingRewrites += 1
+        if (pendingRewrites >= BpeRewriteCheckpointEvery) {
+          cur = Materialize.frame(cur)
+          pendingRewrites = 0
+        }
         step += 1
       }
     }
     (cur, out.toSeq)
   }
+
+  /** Merges between re-materializations of the fit loop's rewrite
+    * chain: bounds the nested-replace expression depth (2 replaces per
+    * merge) below codegen's method-size spill point while amortizing
+    * the checkpoint's fixed per-job cost over C merges. */
+  private final val BpeRewriteCheckpointEvery = 8
 
   /** MERGE-ORDER BPE ENCODE — the apply half of [[textBpeFitOn]]'s
     * fit (the committed-fixture greedy longest-match in

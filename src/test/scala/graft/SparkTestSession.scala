@@ -6,9 +6,9 @@ import org.apache.spark.sql.SparkSession
   * under `Test / fork := true`). */
 object SparkTestSession {
   lazy val spark: SparkSession = {
-    val s = SparkSession.builder()
+    val s = SessionTuning.tuned(SparkSession.builder()
       .master("local[8]")
-      .appName("graft-test")
+      .appName("graft-test"))
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
