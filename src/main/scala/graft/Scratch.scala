@@ -15,9 +15,13 @@ import org.apache.spark.sql.SparkSession
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val spark = SessionTuning.tuned(SparkSession.builder()
+    val b0 = SessionTuning.tuned(SparkSession.builder()
       .master("local[32]")
       .appName("graft-scratch"))
+    // dev-only extra confs for A/B runs: SCRATCH_EXTRA="k=v;k=v"
+    sys.env.get("SCRATCH_EXTRA").foreach(_.split(";").filter(_.nonEmpty)
+      .foreach { kv => val Array(k, v) = kv.split("=", 2); b0.config(k, v) })
+    val spark = (b0)
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
@@ -28,8 +32,11 @@ object Scratch {
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
         val si = e.stageInfo
         val m = si.taskMetrics
-        if (m != null && m.executorRunTime > 200) {
-          println(f"[stage ${si.stageId}%3d] tasks=${si.numTasks}%3d " +
+        if (m != null && (m.executorRunTime > 200 || sys.env.contains("SCRATCH_ALL_STAGES"))) {
+          val sub = si.submissionTime.getOrElse(0L)
+          val done = si.completionTime.getOrElse(0L)
+          println(f"[stage ${si.stageId}%3d] t=${sub % 100000}%6d..${done % 100000}%6d " +
+            f"tasks=${si.numTasks}%3d " +
             f"run=${m.executorRunTime}%6d ms cpu=${m.executorCpuTime / 1000000L}%6d ms " +
             f"gc=${m.jvmGCTime}%5d in=${m.inputMetrics.bytesRead}%9d " +
             f"sr=${m.shuffleReadMetrics.localBytesRead + m.shuffleReadMetrics.remoteBytesRead}%9d " +
@@ -57,6 +64,12 @@ object Scratch {
       println(if (cut >= 0) p.substring(0, cut) else p)
     }
     Thread.sleep(1000)
+    if (sys.env.contains("SCRATCH_CLEAN_BETWEEN")) {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      System.gc()
+      Thread.sleep(500)
+    }
     println("=== run2 (warm — what Bench measures) ===")
     val t1 = System.nanoTime()
     SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()

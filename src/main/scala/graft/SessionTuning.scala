@@ -57,6 +57,29 @@ object SessionTuning {
     val transferTo = sys.env.getOrElse("SPARK_GRAFT_TRANSFERTO", "false")
     b.config("spark.file.transferTo", transferTo)
     localDir.foreach(d => b.config("spark.local.dir", d))
+    // AQE sizes stages by BYTES; this engine's text stages are regex-
+    // CPU-dense at tiny byte sizes, and the bench corpus is a single-
+    // row-group file (scans are structurally one task), so the two
+    // byte-blind AQE demotions measurably serialize CPU work (r21,
+    // full-battery A/B on a quiet host, 106 queries):
+    //   - the LOCAL shuffle reader rewrites an explicit doc_id spread
+    //     feeding a broadcast join into map-local reads — 1 map task ⇒
+    //     1 reduce task, 31 cores idle through the redact stack
+    //     (battery 97.1 → 89.8 s with it off);
+    //   - partition coalescing's 1 MB floor packs a CPU-dense 4 MB
+    //     frame into 4 tasks (89.8 → 84.3 s with a 16 KB floor —
+    //     dedup_simhash_pairs 1.59 → 0.97 s, dedup_ngram_jaccard
+    //     1.13 → 0.86 s).
+    // Both knobs only bind when post-shuffle partitions are tiny; at
+    // cluster scale partitions sit at the advisory size and neither
+    // engages. Env-overridable for hosts that want the stock behavior.
+    b.config("spark.sql.adaptive.localShuffleReader.enabled",
+      sys.env.getOrElse("SPARK_GRAFT_LOCAL_SHUFFLE_READER", "false"))
+    b.config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+      sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "16k"))
+    // experiment passthrough (dev A/B runs): SPARK_GRAFT_CONF_EXTRA="k=v;k=v"
+    sys.env.get("SPARK_GRAFT_CONF_EXTRA").foreach(_.split(";").filter(_.nonEmpty)
+      .foreach { kv => val Array(k, v) = kv.split("=", 2); b.config(k, v) })
     b
   }
 

@@ -427,11 +427,16 @@ object Curation {
   private[graft] def pipelineCurateFullOn(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val red = docs
+    // spread-first redact (r21, the cc pipeline's staging): the regex
+    // stack runs above the upfront doc_id exchange instead of inside
+    // the one-task scan stage
+    val width = spark.sparkContext.defaultParallelism
+    val red = docs.filter($"doc_id".isNotNull)
+      .repartition(width, $"doc_id")
       .select($"doc_id", $"lang",
         TextAnalysis.piiCount($"text").as("n_pii"),
         TextAnalysis.redactedCol($"text").as("text"))
-    val drop = Dedup.dedupNgramJaccardOnDocs(red.select($"doc_id", $"text"))
+    val drop = Dedup.dedupNgramJaccardOnSpread(red.select($"doc_id", $"text"))
       .select($"doc_b".as("doc_id")).distinct()
     val kept = red.join(drop, Seq("doc_id"), "left_anti")
     val good = kept.filter(TextAnalysis.qualityScore($"text") >= QualityCut)
@@ -467,11 +472,15 @@ object Curation {
   private[graft] def pipelineCurateSamplesOn(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val red = docs.select($"doc_id",
-      TextAnalysis.redactedCol($"text").as("text"))
-    val drop = Dedup.dedupNgramJaccardOnDocs(red)
+    // spread-first redact + OnSpread search: the cc pipeline's r21
+    // staging (see there)
+    val width = spark.sparkContext.defaultParallelism
+    val red = docs.filter($"doc_id".isNotNull)
+      .repartition(width, $"doc_id")
+      .select($"doc_id", TextAnalysis.redactedCol($"text").as("text"))
+    val drop = Dedup.dedupNgramJaccardOnSpread(red)
       .select($"doc_b".as("doc_id")).distinct()
-    samplesOfKept(red.join(drop, Seq("doc_id"), "left_anti"))
+    samplesOfKept(redactedKept(docs, drop))
   }
 
   /** [[pipelineCurateSamples]] with the heuristic quality gate replaced
@@ -617,10 +626,13 @@ object Curation {
     // over two checkpoints — rescanning it three times is cheaper than
     // one more checkpoint-write barrier on the serial tail
     val selected = dsirSelectFrom(wKept, materialize = false).select($"doc_id")
-    // redact ONLY the selected third, then the shared chunk tail. No
-    // repartition: the survivor set is selection-sized and the window
-    // exchange inside the tail spreads the chunk frame anyway.
+    // redact ONLY the selected third, then the shared chunk tail. The
+    // survivor set is selection-sized, but hung directly off the scan
+    // the redact runs INSIDE the one-task scan stage (single-row-group
+    // corpus file — r21 profile); one selection-sized doc_id exchange
+    // spreads the regex stack across cores before it runs.
     val good = docs.join(selected, Seq("doc_id"), "left_semi")
+      .repartition(width, $"doc_id")
       .select($"doc_id", TextAnalysis.redactedCol($"text").as("text"))
     samplesOfGood(good)
   }
@@ -746,19 +758,27 @@ object Curation {
   private[graft] def pipelineCurateSamplesCcOn(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val red = docs.select($"doc_id",
-      TextAnalysis.redactedCol($"text").as("text"))
+    // redact ABOVE an upfront doc_id exchange (r21): hung off the scan,
+    // the regex stack runs inside the scan stage — ONE task on a small
+    // corpus (measured 0.6 s serialized per consumer) — and the pair
+    // search would then pay its own text exchange anyway. Spread first,
+    // redact 32-way, and the search (OnSpread) + the chunk tail both
+    // ride the same exchange.
+    val width = spark.sparkContext.defaultParallelism
+    val red = docs.filter($"doc_id".isNotNull)
+      .repartition(width, $"doc_id")
+      .select($"doc_id", TextAnalysis.redactedCol($"text").as("text"))
     // materialize the union pair search ONCE: `nodes` below and the edge
     // frame inside dedupClustersOn both consume `pairs`, and without this
     // checkpoint each consumer re-runs the whole shingle-expansion + two
     // prefix-filtered searches (the dominant cost of the query). The
     // checkpointed frame is pair-count-sized (bytes).
-    val pairs = Materialize.frame(Dedup.unionPairsOnDocs(red))
+    val pairs = Materialize.frame(Dedup.unionPairsOnSpread(red))
     val nodes = pairs.select($"doc_a".as("doc_id"))
       .union(pairs.select($"doc_b".as("doc_id"))).distinct()
     val drop = Dedup.dedupClustersOn(nodes, pairs)
       .filter($"cluster" =!= $"doc_id").select($"doc_id")
-    samplesOfKept(red.join(drop, Seq("doc_id"), "left_anti"))
+    samplesOfKept(redactedKept(docs, drop))
   }
 
   /** [[pipelineCurateSamplesCc]] with a QUALITY-AWARE representative:
@@ -783,10 +803,14 @@ object Curation {
   private[graft] def pipelineCurateSamplesCcqOn(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val red = docs.select($"doc_id",
-      TextAnalysis.redactedCol($"text").as("text"))
+    // spread-first redact + OnSpread search: the cc pipeline's r21
+    // staging (see there)
+    val width = spark.sparkContext.defaultParallelism
+    val red = docs.filter($"doc_id".isNotNull)
+      .repartition(width, $"doc_id")
+      .select($"doc_id", TextAnalysis.redactedCol($"text").as("text"))
     // same materialize-once plumbing as the cc pipeline (see there)
-    val pairs = Materialize.frame(Dedup.unionPairsOnDocs(red))
+    val pairs = Materialize.frame(Dedup.unionPairsOnSpread(red))
     val nodes = pairs.select($"doc_a".as("doc_id"))
       .union(pairs.select($"doc_b".as("doc_id"))).distinct()
     val labels = Dedup.dedupClustersOn(nodes, pairs)
@@ -805,7 +829,7 @@ object Curation {
       .agg(max(struct($"q", (-$"doc_id").as("nid"))).as("k"))
       .select((-$"k.nid").as("doc_id"))
     val drop = labels.select($"doc_id").join(reps, Seq("doc_id"), "left_anti")
-    samplesOfKept(red.join(drop, Seq("doc_id"), "left_anti"))
+    samplesOfKept(redactedKept(docs, drop))
   }
 
   /** INCREMENTAL materializing pipeline — the daily-crawl form of
@@ -862,8 +886,15 @@ object Curation {
     // ingested; building them inline keeps the driver-contract query
     // self-contained, and the FromArtifacts seam below (pinned by
     // CurationSpec's written-artifact round-trip) is the production
-    // entry where they are read back from storage instead
-    val redP = prior.select($"doc_id", TextAnalysis.redactedCol($"text").as("text"))
+    // entry where they are read back from storage instead.
+    // Spread-first redact (r21): three consumers (doc-hash, minhash,
+    // chunk-hash) each re-derive this frame; with the redact hung off
+    // the scan it ran one-task per consumer (single-row-group corpus
+    // file), and the upfront exchange is shared via ReusedExchange.
+    val width = spark.sparkContext.defaultParallelism
+    val redP = prior.filter($"doc_id".isNotNull)
+      .repartition(width, $"doc_id")
+      .select($"doc_id", TextAnalysis.redactedCol($"text").as("text"))
     pipelineCurateSamplesIncrementalFromArtifacts(
       redP.select(md5($"text").as("h")).distinct(),
       Dedup.minhashHashed(redP),
@@ -882,7 +913,12 @@ object Curation {
       fresh: DataFrame): DataFrame = {
     val spark = fresh.sparkSession
     import spark.implicits._
-    val redF = fresh.select($"doc_id", TextAnalysis.redactedCol($"text").as("text"))
+    // spread-first redact on the delta too (r21): the keep-first window
+    // exchanges on the content hash, so scan-hung redaction ran inside
+    // the one-task scan stage
+    val redF = fresh.filter($"doc_id".isNotNull)
+      .repartition(spark.sparkContext.defaultParallelism, $"doc_id")
+      .select($"doc_id", TextAnalysis.redactedCol($"text").as("text"))
     // stage 1: exact-incremental — keep-first per content hash WITHIN
     // the delta (row_number, the keep-first form samplesOfKept uses),
     // then the prior hash-index anti-join
@@ -965,6 +1001,32 @@ object Curation {
 
   private[graft] def probeSamplesOfGood(good: DataFrame): DataFrame =
     samplesOfGood(good)
+
+  /** The keep-branch redact staged ABOVE a doc_id exchange (r21): the
+    * drop-list anti-join runs on the RAW frame (its key is doc_id only,
+    * so the optimizer would push it below any repartition+projection
+    * anyway — PushDownLeftSemiAntiJoin, the dedup_semantic note), THEN
+    * the survivors spread across cores, THEN the redact regex stack
+    * runs. The previous shape (`red.join(drop)` with red =
+    * exchange→redact) let the join pushdown re-derive the branch from
+    * the scan with the redact BELOW the exchange — one task on a small
+    * corpus (measured 0.5 s serialized per pipeline tail at sf0.1).
+    * Row set and bytes are identical: redaction is per-row and the
+    * join key ignores text. */
+  private def redactedKept(docs: DataFrame, dropIds: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val width = spark.sparkContext.defaultParallelism
+    // Opaque = the §4.4 optimizer barrier: without it the downstream
+    // quality FILTER substitutes the redact chain per reference and
+    // pushes the whole thing into the one-task scan stage (see
+    // graft.functions.Opaque). Values are unchanged.
+    docs.filter($"doc_id".isNotNull)
+      .join(dropIds, Seq("doc_id"), "left_anti")
+      .repartition(width, $"doc_id")
+      .select($"doc_id",
+        graft.functions.Opaque(TextAnalysis.redactedCol($"text")).as("text"))
+  }
 
   /** The shared tail of both materializing pipelines: quality gate →
     * chunk fan-out → chunk-level exact dedup (keep-first) → ordered

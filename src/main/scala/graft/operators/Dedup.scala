@@ -1144,13 +1144,40 @@ object Dedup {
     val spark = docs.sparkSession
     import spark.implicits._
     val width = spark.sparkContext.defaultParallelism
-    docs
+    explodedHashesSpread(docs
       .filter($"doc_id".isNotNull)
-      .repartition(width, $"doc_id")
+      .repartition(width, $"doc_id"))
+  }
+
+  /** [[explodedHashes]] over a frame the CALLER has already
+    * null-filtered and doc_id-repartitioned — the entry for pipelines
+    * that hang an expensive projection (the redact regex stack) off the
+    * same upfront exchange (r21): routing them through
+    * [[explodedHashes]] would both serialize the projection below the
+    * exchange (the scan of a small corpus is ONE task — measured 0.6 s
+    * single-threaded redact per consumer at sf0.1) and then pay a
+    * second corpus-text exchange. Same expansion expression, same
+    * downstream subtree, so exchange-reuse canonicalization is
+    * unchanged. */
+  private[graft] def explodedHashesSpread(spread: DataFrame): DataFrame = {
+    val spark = spread.sparkSession
+    import spark.implicits._
+    val width = spark.sparkContext.defaultParallelism
+    spread
       .select($"doc_id", explode_outer(graft.functions.ShingleXxh64($"text")).as("h"))
       .filter($"h".isNotNull)
       .repartition(width, $"h")
   }
+
+  /** The prefix-filtered Jaccard pair search over a pre-spread frame —
+    * see [[explodedHashesSpread]]. */
+  private[graft] def dedupNgramJaccardOnSpread(spread: DataFrame): DataFrame =
+    dedupNgramJaccardOnHashes(explodedHashesSpread(spread), MaxShingleDF)
+
+  /** The union pair graph over a pre-spread frame — see
+    * [[explodedHashesSpread]]. */
+  private[graft] def unionPairsOnSpread(spread: DataFrame): DataFrame =
+    unionPairsOnHashes(explodedHashesSpread(spread), MaxShingleDF)
 
   /** The UNION pair graph — symmetric (Jaccard) ∪ asymmetric
     * (containment) edges — over ONE shared shingle expansion of any
@@ -2113,10 +2140,20 @@ object Dedup {
       // lbl(l) ≤ l (monotone min), every lbl value is itself a labeled
       // node, and lbl(l) stays in l's component — so the inner join is
       // total, monotone, and component-preserving, and it halves the
-      // label-chain depth each round (O(log diameter) total).
+      // label-chain depth each round. TWO jumps per round (r21): the
+      // second jump is one more equi-join INSIDE the same materialized
+      // plan — zero extra jobs, while chain depth drops ~4× per round
+      // instead of ~2×, so the loop converges in fewer rounds. Each
+      // round costs ~0.4 s of driver fixed cost on byte-sized frames
+      // (measured — job submission + planning dominates, the data work
+      // is microseconds), so rounds are the unit to optimize. The
+      // fixpoint and its detection (prev = pre-round label) are
+      // unchanged — extra jumps only accelerate convergence.
       val target = stepped.select($"doc_id", $"lbl")
+      val once = stepped.as("x").join(target.as("y"), $"x.lbl" === $"y.doc_id")
+        .select($"x.doc_id".as("doc_id"), $"x.prev".as("prev"), $"y.lbl".as("lbl"))
       val jumped = Materialize.frame(
-        stepped.as("x").join(target.as("y"), $"x.lbl" === $"y.doc_id")
+        once.as("x").join(target.as("y"), $"x.lbl" === $"y.doc_id")
           .select($"x.doc_id".as("doc_id"), $"x.prev".as("prev"), $"y.lbl".as("lbl")))
       changed = jumped.filter($"lbl" < $"prev").limit(1).count() > 0
       labels = jumped.select($"doc_id", $"lbl")
