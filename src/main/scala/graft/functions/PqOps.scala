@@ -131,11 +131,45 @@ object PqOpsImpl {
   }
 }
 
+/** Content-digested codebook payload for the PQ expressions (r21).
+  *
+  * The codebooks USED to live in the expression case classes as bare
+  * Seq[Seq[Seq[Double]]] fields. Case-class equality/hashCode over that
+  * is a 16k-double walk at the 32×256 geometry — and the driver runs
+  * expression equality constantly: every optimizer rule batch, every
+  * AQE re-optimization between stages, every exchange-reuse probe. The
+  * sim_ann_ivfpq_32x8 profile showed ~2.5 s of its 4.5 s wall as
+  * BETWEEN-stage driver gaps (32 PqAdcTable columns × 16k doubles
+  * hashed per re-planning pass). This wrapper digests the content once
+  * at construction: hashCode is O(1), equals short-circuits on
+  * reference or digest, and deep-compares only on a digest match —
+  * equality stays STRUCTURAL (exchange reuse between identical
+  * subtrees keeps working), just no longer O(model size) per call. */
+final class CodebookRef(val codebooks: Seq[Seq[Seq[Double]]], val scale: Double)
+    extends Serializable {
+  @transient lazy val model: PqOpsImpl.Model = PqOpsImpl.model(codebooks, scale)
+  private val digest: Long = {
+    var h = java.lang.Double.doubleToLongBits(scale) * 0x9E3779B97F4A7C15L
+    codebooks.foreach(_.foreach(_.foreach { x =>
+      h = (h ^ java.lang.Double.doubleToLongBits(x)) * 0x100000001B3L
+    }))
+    h
+  }
+  override def hashCode: Int = (digest ^ (digest >>> 32)).toInt
+  override def equals(o: Any): Boolean = o match {
+    case r: CodebookRef => (this eq r) ||
+      (digest == r.digest && scale == r.scale && codebooks == r.codebooks)
+    case _ => false
+  }
+  override def toString: String =
+    s"codebooks(${codebooks.length}x${codebooks.headOption.fold(0)(_.length)}, scale=$scale)"
+}
+
 /** `pq_encode(array<double>) -> array<int>` — all-subspace codeword
   * assignment against plan-constant codebooks in one codegen'd call. */
-case class PqEncode(child: Expression, codebooks: Seq[Seq[Seq[Double]]],
-    scale: Double) extends UnaryExpression {
-  @transient private lazy val m: PqOpsImpl.Model = PqOpsImpl.model(codebooks, scale)
+case class PqEncode(child: Expression, ref: CodebookRef)
+    extends UnaryExpression {
+  @transient private lazy val m: PqOpsImpl.Model = ref.model
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
@@ -168,15 +202,15 @@ case class PqEncode(child: Expression, codebooks: Seq[Seq[Seq[Double]]],
 
 object PqEncode {
   def apply(v: Column, codebooks: Seq[Seq[Seq[Double]]], scale: Double): Column =
-    Shim.column(PqEncode(Shim.expression(v), codebooks, scale))
+    Shim.column(PqEncode(Shim.expression(v), new CodebookRef(codebooks, scale)))
 }
 
 /** `pq_adc_table(array<double>; m) -> array<long>` — subspace m's
   * per-query ADC lookup table against plan-constant codebooks. */
-case class PqAdcTable(child: Expression, codebooks: Seq[Seq[Seq[Double]]],
-    scale: Double, sub: Int) extends UnaryExpression {
-  require(sub >= 0 && sub < codebooks.length, s"subspace $sub out of range")
-  @transient private lazy val m: PqOpsImpl.Model = PqOpsImpl.model(codebooks, scale)
+case class PqAdcTable(child: Expression, ref: CodebookRef, sub: Int)
+    extends UnaryExpression {
+  require(sub >= 0 && sub < ref.codebooks.length, s"subspace $sub out of range")
+  @transient private lazy val m: PqOpsImpl.Model = ref.model
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
@@ -208,5 +242,10 @@ case class PqAdcTable(child: Expression, codebooks: Seq[Seq[Seq[Double]]],
 object PqAdcTable {
   def apply(v: Column, codebooks: Seq[Seq[Seq[Double]]], scale: Double,
       sub: Int): Column =
-    Shim.column(PqAdcTable(Shim.expression(v), codebooks, scale, sub))
+    Shim.column(PqAdcTable(Shim.expression(v), new CodebookRef(codebooks, scale), sub))
+
+  /** Shared-ref form: one [[CodebookRef]] across a query's 32 table
+    * columns keeps every cross-expression equality a reference hit. */
+  def apply(v: Column, ref: CodebookRef, sub: Int): Column =
+    Shim.column(PqAdcTable(Shim.expression(v), ref, sub))
 }
