@@ -2152,10 +2152,26 @@ object Dedup {
       val target = stepped.select($"doc_id", $"lbl")
       val once = stepped.as("x").join(target.as("y"), $"x.lbl" === $"y.doc_id")
         .select($"x.doc_id".as("doc_id"), $"x.prev".as("prev"), $"y.lbl".as("lbl"))
-      val jumped = Materialize.frame(
+      // LAZY localCheckpoint + changed-count in ONE job (r21): the
+      // count's full scan materializes every partition of the
+      // checkpointed round AND answers convergence; the old shape paid
+      // an eager-checkpoint job AND a count job per round, and at
+      // ~0.1 s of fixed driver cost per job on byte-sized frames the
+      // loop's wall IS its job count. NOT `.persist()`: that registers
+      // the plan in the CacheManager, where an identical next RUN of
+      // the same query would silently reuse this run's cached rounds —
+      // a localCheckpoint is RDD-scoped, so every run recomputes from
+      // the parquet inputs (the bench-honesty contract). The reliable-
+      // checkpoint tier (dir configured) keeps the eager Materialize
+      // form — durability there is worth the extra job.
+      val jumpedPlan =
         once.as("x").join(target.as("y"), $"x.lbl" === $"y.doc_id")
-          .select($"x.doc_id".as("doc_id"), $"x.prev".as("prev"), $"y.lbl".as("lbl")))
-      changed = jumped.filter($"lbl" < $"prev").limit(1).count() > 0
+          .select($"x.doc_id".as("doc_id"), $"x.prev".as("prev"), $"y.lbl".as("lbl"))
+      val jumped =
+        if (spark.sparkContext.getCheckpointDir.isDefined)
+          Materialize.frame(jumpedPlan)
+        else jumpedPlan.localCheckpoint(eager = false)
+      changed = jumped.filter($"lbl" < $"prev").count() > 0
       labels = jumped.select($"doc_id", $"lbl")
       iter += 1
     }
