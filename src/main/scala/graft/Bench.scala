@@ -357,9 +357,12 @@ object Bench {
     // executions of the first selected queries warm the common machinery
     // once; per-query cold runs below still absorb per-plan codegen.
     // Timed measurements are unchanged in number and protocol.
+    // NonFatal only (ADVICE r21): a fatal error here (OOM, LinkageError)
+    // means the session is corrupt — abort rather than proceed to a
+    // battery that would report misleading numbers.
     selected.filter(queries.contains).take(3).foreach { name =>
       try execute(queries(name)(spark, sfDir))
-      catch { case _: Throwable => () }
+      catch { case scala.util.control.NonFatal(_) => () }
     }
     drain()
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
@@ -541,7 +544,12 @@ object Bench {
     // canary to ~0.26–0.33 on this host; a canary beyond ~1.5× that
     // band means the host was co-loaded and the normalized total is the
     // number to compare. Threshold env-overridable for future hosts.
-    val loadedThreshold = sys.env.getOrElse("SPARK_GRAFT_CANARY_LOADED", "0.5").toDouble
+    val loadedThreshold = {
+      val raw = sys.env.getOrElse("SPARK_GRAFT_CANARY_LOADED", "0.5")
+      try raw.toDouble
+      catch { case _: NumberFormatException => sys.error(
+        s"SPARK_GRAFT_CANARY_LOADED: not a number: '$raw'") }
+    }
     val canaryHead = canary.fold("") { c =>
       val flag = if (c > loadedThreshold) ""","loaded":true""" else ""
       f""","canary_sec":$c%.4f,"total_norm":${total / c}%.2f$flag"""

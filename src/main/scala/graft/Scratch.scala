@@ -19,8 +19,7 @@ object Scratch {
       .master("local[32]")
       .appName("graft-scratch"))
     // dev-only extra confs for A/B runs: SCRATCH_EXTRA="k=v;k=v"
-    sys.env.get("SCRATCH_EXTRA").foreach(_.split(";").filter(_.nonEmpty)
-      .foreach { kv => val Array(k, v) = kv.split("=", 2); b0.config(k, v) })
+    SessionTuning.applyExtra(b0, "SCRATCH_EXTRA")
     val spark = (b0)
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")

@@ -78,10 +78,32 @@ object SessionTuning {
     b.config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
       sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "16k"))
     // experiment passthrough (dev A/B runs): SPARK_GRAFT_CONF_EXTRA="k=v;k=v"
-    sys.env.get("SPARK_GRAFT_CONF_EXTRA").foreach(_.split(";").filter(_.nonEmpty)
-      .foreach { kv => val Array(k, v) = kv.split("=", 2); b.config(k, v) })
+    applyExtra(b, "SPARK_GRAFT_CONF_EXTRA")
     b
   }
+
+  /** Parse an env var of the form "k=v;k=v" into session configs,
+    * failing with a message that NAMES the variable on a malformed
+    * entry (ADVICE r21: the bare `val Array(k, v) = …` pattern threw an
+    * opaque MatchError). Shared by Bench/Verify (via [[tuned]]) and the
+    * dev probes (SCRATCH_EXTRA / PROBE_EXTRA). */
+  def applyExtra(b: SparkSession.Builder, envVar: String): Unit =
+    sys.env.get(envVar).foreach(_.split(";").filter(_.nonEmpty).foreach { kv =>
+      val i = kv.indexOf('=')
+      require(i > 0, s"$envVar: malformed entry '$kv' (expected key=value)")
+      b.config(kv.substring(0, i), kv.substring(i + 1))
+    })
+
+  /** Require this much free tmpfs headroom before defaulting shuffle
+    * files onto /dev/shm (ADVICE r21: an unconditional tmpfs default
+    * could let a large shuffle exhaust RAM mid-job — and a killed JVM
+    * leaves its files resident at the shared path). 16 GiB is ~3 orders
+    * of magnitude above this engine's measured per-query shuffle bytes
+    * at sf0.1 (KB–MB), so the default engages on the bench hosts
+    * (126 GiB free) and stays off on small-tmpfs machines, where
+    * Spark's disk default is the safe choice. SPARK_GRAFT_LOCAL_DIR
+    * still overrides in both directions. */
+  private final val TmpfsMinFreeBytes: Long = 16L << 30
 
   private def localDir: Option[String] =
     sys.env.get("SPARK_GRAFT_LOCAL_DIR") match {
@@ -89,7 +111,9 @@ object SessionTuning {
       case Some(d) => Some(d)
       case None =>
         val shm = new java.io.File("/dev/shm")
-        if (shm.isDirectory && shm.canWrite) Some("/dev/shm/graft-spark-local")
+        if (shm.isDirectory && shm.canWrite &&
+            shm.getUsableSpace >= TmpfsMinFreeBytes)
+          Some("/dev/shm/graft-spark-local")
         else None
     }
 }

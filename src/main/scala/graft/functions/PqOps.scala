@@ -206,8 +206,15 @@ object PqEncode {
 }
 
 /** `pq_adc_table(array<double>; m) -> array<long>` — subspace m's
-  * per-query ADC lookup table against plan-constant codebooks. */
-case class PqAdcTable(child: Expression, ref: CodebookRef, sub: Int)
+  * per-query ADC lookup table against plan-constant codebooks.
+  *
+  * Field order matters (ADVICE r21): the generated case-class equals
+  * compares fields in declaration order, and a query carries up to 32
+  * of these columns differing ONLY in `sub` over the same digest-equal
+  * codebooks — with `ref` declared before `sub`, every cross-column
+  * equality probe deep-compared the 16k-double codebooks before
+  * reaching the int that differs. `sub` first makes those probes O(1). */
+case class PqAdcTable(child: Expression, sub: Int, ref: CodebookRef)
     extends UnaryExpression {
   require(sub >= 0 && sub < ref.codebooks.length, s"subspace $sub out of range")
   @transient private lazy val m: PqOpsImpl.Model = ref.model
@@ -242,10 +249,10 @@ case class PqAdcTable(child: Expression, ref: CodebookRef, sub: Int)
 object PqAdcTable {
   def apply(v: Column, codebooks: Seq[Seq[Seq[Double]]], scale: Double,
       sub: Int): Column =
-    Shim.column(PqAdcTable(Shim.expression(v), new CodebookRef(codebooks, scale), sub))
+    Shim.column(PqAdcTable(Shim.expression(v), sub, new CodebookRef(codebooks, scale)))
 
   /** Shared-ref form: one [[CodebookRef]] across a query's 32 table
     * columns keeps every cross-expression equality a reference hit. */
   def apply(v: Column, ref: CodebookRef, sub: Int): Column =
-    Shim.column(PqAdcTable(Shim.expression(v), ref, sub))
+    Shim.column(PqAdcTable(Shim.expression(v), sub, ref))
 }

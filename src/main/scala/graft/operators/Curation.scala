@@ -1011,8 +1011,15 @@ object Curation {
     * exchange→redact) let the join pushdown re-derive the branch from
     * the scan with the redact BELOW the exchange — one task on a small
     * corpus (measured 0.5 s serialized per pipeline tail at sf0.1).
-    * Row set and bytes are identical: redaction is per-row and the
-    * join key ignores text. */
+    * Null discipline (ADVICE r21): the keep branch drops null-doc_id
+    * rows explicitly. A LEFT ANTI join alone would KEEP them (a null
+    * key matches nothing), but such a row is un-keyable everywhere
+    * downstream — it can't be deduplicated, shard-assigned or joined —
+    * so the pipelines treat doc_id as required and discard null-id rows
+    * up front (CurationSpec pins this; the oracle corpus has none, so
+    * both engines see the same row set either way). For non-null rows
+    * the branch is value-identical to the pre-r21 shape: redaction is
+    * per-row and the join key ignores text. */
   private def redactedKept(docs: DataFrame, dropIds: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._

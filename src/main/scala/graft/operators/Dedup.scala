@@ -2080,6 +2080,29 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** Edge-count ceiling below which the component labels are folded
+    * DRIVER-SIDE (union–find over the collected pair list) instead of
+    * by the distributed label-propagation loop (r22). The pair frame is
+    * already materialized and counted (the loop-width clamp needs the
+    * count), so the gate costs nothing; below it the collect is a
+    * bounded model-frame-sized pull — ≤ cap × 16 B (16 MB at the 1M
+    * default, far under any maxResultSize) — and the whole O(log d)
+    * round loop (2+ jobs × ~6 serialized byte-sized stages, ~1.2 s of
+    * pure per-stage fixed cost at bench scale) collapses into one tiny
+    * collect + a broadcast re-attach. Above the cap the distributed
+    * loop runs unchanged — the 100 TB shape, where the pair graph can
+    * exceed driver memory. Outputs are IDENTICAL by construction:
+    * union-by-min-root makes every tree root its component minimum
+    * (attaching the larger root under the smaller preserves the
+    * invariant regardless of edge order), exactly the min-label
+    * fixpoint the loop converges to — DedupSpec pins the two paths
+    * equal on a planted graph, and the shared recursive-SQL oracle
+    * checks whichever path the corpus size selects.
+    * Override: `spark.graft.dedup.cc.driverMaxEdges` (0 forces the
+    * distributed loop). */
+  final val CcDriverMaxEdgesKey = "spark.graft.dedup.cc.driverMaxEdges"
+  final val CcDriverMaxEdgesDefault = 1000000L
+
   private[graft] def dedupClustersOn(docs: DataFrame, pairs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -2110,8 +2133,46 @@ object Dedup {
     // not a collect). ~100k edges per partition keeps a partition's
     // join state comfortably in executor memory; at cluster scale
     // (billions of edges) the clamp returns the session width.
+    val edgeCount = p.count()
+    // driver union–find below the edge cap (see CcDriverMaxEdgesKey):
+    // one bounded collect replaces the whole propagation loop
+    val driverCap = spark.conf
+      .get(CcDriverMaxEdgesKey, CcDriverMaxEdgesDefault.toString).toLong
+    if (edgeCount <= driverCap) {
+      val es = p.collect()
+      val parent = new java.util.HashMap[Long, java.lang.Long](
+        math.max(16, es.length * 2))
+      def find(x: Long): Long = {
+        var r = x
+        while ({ val px = parent.get(r); px != null && px != r }) r = parent.get(r)
+        var c = x // path compression — roots (component minima) unchanged
+        while ({ val pc = parent.get(c); pc != null && pc != c }) {
+          val nxt: Long = parent.get(c); parent.put(c, r); c = nxt
+        }
+        r
+      }
+      es.foreach { row =>
+        val ra = find(row.getLong(0)); val rb = find(row.getLong(1))
+        if (ra != rb) {
+          // union by MIN root: the root of every tree is the minimum of
+          // its members, so find(x) ends at the component minimum — the
+          // exact fixpoint of the distributed min-label loop
+          if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+        }
+      }
+      val nodeLbl = es.iterator
+        .flatMap(r => Iterator(r.getLong(0), r.getLong(1)))
+        .toSet.toSeq.map((n: Long) => (n, find(n)))
+        .toDF("doc_id", "cl")
+      // re-attach to the (possibly corpus-sized) node frame by broadcast
+      // — singletons (no edges) keep their own id, as in the loop
+      return docs.select($"doc_id")
+        .join(broadcast(nodeLbl), Seq("doc_id"), "left")
+        .select($"doc_id", coalesce($"cl", $"doc_id").as("cluster"))
+        .orderBy($"doc_id")
+    }
     val loopWidth = math.max(1L, math.min(width.toLong,
-       p.count() / 100000L + 1L)).toInt
+       edgeCount / 100000L + 1L)).toInt
     // coalesce the checkpointed pair frame to the loop width too: its
     // blocks were written at the session width, and every loop-side
     // consumer (the union's two branches, nodes in the callers) would

@@ -507,8 +507,11 @@ object Similarity {
     val codes = e
       .repartition(spark.sparkContext.defaultParallelism, $"vec_id")
       .select($"vec_id", pqCodesCol(cb, $"v").as("code"))
+    // ONE CodebookRef across the 8 table columns (ADVICE r21): every
+    // cross-expression equality probe is a reference hit
+    val ref = new graft.functions.CodebookRef(cb, ScoreScale)
     def tabCol(m: Int): Column =
-      graft.functions.PqAdcTable($"qv", cb, ScoreScale, m)
+      graft.functions.PqAdcTable($"qv", ref, m)
     val q = e.filter($"vec_id" < NumQueries)
       .select($"vec_id".as("query_id"), $"v".as("qv"))
       .select($"query_id" +: (0 until PqSubspaces).map(m => tabCol(m).as(s"tab$m")): _*)
@@ -720,8 +723,10 @@ object Similarity {
       .select($"query_id", $"cell",
         floor(VectorOps.dot($"qv", element_at(centLit, $"cell" + 1)) * lit(ScoreScale))
           .cast("long").as("coarse"))
+    // ONE CodebookRef across the up-to-32 table columns (ADVICE r21)
+    val ref = new graft.functions.CodebookRef(cb, ScoreScale)
     def tabCol(m: Int): Column =
-      graft.functions.PqAdcTable($"qv", cb, ScoreScale, m)
+      graft.functions.PqAdcTable($"qv", ref, m)
     val qt = e.filter($"vec_id" < NumQueries)
       .select($"vec_id".as("query_id"), $"v".as("qv"))
       .select($"query_id" +: cb.indices.map(m => tabCol(m).as(s"tab$m")): _*)

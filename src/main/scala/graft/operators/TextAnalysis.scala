@@ -274,7 +274,14 @@ object TextAnalysis {
         cur = cur.select(
           carry ++ Seq(trim(fuse(fuse(wrapped))).as("seq"), $"cnt"): _*)
         pendingRewrites += 1
-        if (pendingRewrites >= BpeRewriteCheckpointEvery) {
+        // Re-materialize only when ANOTHER argmax will actually re-run
+        // the chain (r22): the old `step <= k` guard also checkpointed
+        // after the FINAL merge — one wasted localCheckpoint job + cache
+        // write per query, paid by every fit/encode form. The returned
+        // frame stays a lazy ≤C-deep rewrite chain over the last
+        // checkpoint, which each consumer (the encode's one vocab join;
+        // the fit discards it) evaluates at most once.
+        if (pendingRewrites >= BpeRewriteCheckpointEvery && step < k) {
           cur = Materialize.frame(cur)
           pendingRewrites = 0
         }
@@ -590,7 +597,12 @@ object TextAnalysis {
             replace(col, lit(s" $l $r "), lit(s" $l$r "))
           fused = fuse(fuse(fused))
         }
-        cur = Materialize.frame(cur.select(trim(fused).as("seq"), $"cnt"))
+        val rewritten = cur.select(trim(fused).as("seq"), $"cnt")
+        // materialize only when another pass will re-aggregate it — on
+        // the final pass `cur` is never read again (the merges are the
+        // output), so the checkpoint job would be pure waste (r22)
+        cur = if (pass < iters && out.size < stopAtMerges)
+          Materialize.frame(rewritten) else rewritten
       }
       progress(pass, kept.size, out.size)
     }

@@ -21,9 +21,7 @@ object LatencyProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     sys.env.get("PROBE_LOCAL_DIR").foreach(d => b.config("spark.local.dir", d))
-    sys.env.get("PROBE_EXTRA").foreach(_.split(";").filter(_.nonEmpty).foreach { kv =>
-      val Array(k, v) = kv.split("=", 2); b.config(k, v)
-    })
+    graft.SessionTuning.applyExtra(b, "PROBE_EXTRA")
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._

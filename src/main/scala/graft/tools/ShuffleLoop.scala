@@ -12,9 +12,7 @@ object ShuffleLoop {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
-    sys.env.get("PROBE_EXTRA").foreach(_.split(";").filter(_.nonEmpty).foreach { kv =>
-      val Array(k, v) = kv.split("=", 2); b.config(k, v)
-    })
+    graft.SessionTuning.applyExtra(b, "PROBE_EXTRA")
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val n = args.headOption.map(_.toInt).getOrElse(300)

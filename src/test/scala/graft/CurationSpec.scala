@@ -138,6 +138,24 @@ class CurationSpec extends AnyFunSuite {
     assert(got.exists(c => c._1 == 2L && c._2 > 0), s"got ${got.toSeq}")
   }
 
+  test("samples pipeline null discipline: a null-doc_id row is dropped, not passed through") {
+    import spark.implicits._
+    // ADVICE r21: the keep branch filters doc_id.isNotNull explicitly —
+    // a bare LEFT ANTI would KEEP a null-keyed row (null matches
+    // nothing), but such a row is un-keyable downstream (dedup, shard
+    // assignment, joins). Pin the documented discipline: null-id rows
+    // contribute no samples and don't disturb the others.
+    val stop = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+    def stops(n: Int, from: Int) = (0 until n).map(i => stop((from + i) % 10))
+    val text = (stops(60, 0) ++ (0 until 40).map(i => s"a$i")).mkString(" ")
+    val docs = Seq((Some(1L), text), (None, text))
+      .toDF("doc_id", "text")
+    val got = Curation.pipelineCurateSamplesOn(docs).collect()
+    assert(got.nonEmpty && got.forall(!_.isNullAt(0)),
+      s"null-doc_id rows must be dropped: ${got.toSeq}")
+    assert(got.map(_.getLong(0)).distinct.toSeq === Seq(1L), s"got ${got.toSeq}")
+  }
+
   test("cluster keep retains one representative per excerpt chain; pair-drop keeps the excerpt") {
     import spark.implicits._
     // an excerpt CHAIN: 1 = source (300 tokens), 2 = contiguous excerpt

@@ -158,11 +158,38 @@ class DedupSpec extends AnyFunSuite {
     // plain min-label propagation needs 63 rounds; the pointer-jumping
     // step makes it O(log diameter), so this must converge (and the loop
     // now fails loudly instead of silently emitting partial labels).
-    val docs = (0L to 63L).toDF("doc_id")
-    val pairs = (0L until 63L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val got = Dedup.dedupClustersOn(docs, pairs).collect()
-      .map(r => r.getLong(0) -> r.getLong(1))
-    assert(got.forall(_._2 == 0L), s"unconverged labels: ${got.filter(_._2 != 0L).toSeq}")
+    // Cap forced to 0 so the DISTRIBUTED loop (not the r22 driver
+    // union–find gate) is what this test exercises.
+    spark.conf.set(Dedup.CcDriverMaxEdgesKey, "0")
+    try {
+      val docs = (0L to 63L).toDF("doc_id")
+      val pairs = (0L until 63L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+      val got = Dedup.dedupClustersOn(docs, pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+      assert(got.forall(_._2 == 0L), s"unconverged labels: ${got.filter(_._2 != 0L).toSeq}")
+    } finally spark.conf.unset(Dedup.CcDriverMaxEdgesKey)
+  }
+
+  test("driver union–find gate ≡ distributed label loop (differential)") {
+    import spark.implicits._
+    // a graph with a chain, a triangle-with-tail, cross-order edges and
+    // singletons — both paths must emit identical component minima.
+    val docs = (0L to 30L).toDF("doc_id")
+    val pairs = Seq(
+      (7L, 3L), (3L, 12L), (12L, 9L),           // component min 3, cross-order
+      (20L, 21L), (21L, 22L), (22L, 20L), (22L, 25L), // triangle + tail, min 20
+      (30L, 1L),                                 // min 1
+      (15L, 16L)).toDF("doc_a", "doc_b")
+    val viaDriver = Dedup.dedupClustersOn(docs, pairs).collect().toSeq
+    spark.conf.set(Dedup.CcDriverMaxEdgesKey, "0")
+    val viaLoop =
+      try Dedup.dedupClustersOn(docs, pairs).collect().toSeq
+      finally spark.conf.unset(Dedup.CcDriverMaxEdgesKey)
+    assert(viaDriver === viaLoop,
+      s"driver union-find diverged from the loop:\n$viaDriver\n$viaLoop")
+    val got = viaDriver.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(9L) == 3L && got(7L) == 3L && got(25L) == 20L &&
+      got(30L) == 1L && got(16L) == 15L && got(0L) == 0L && got(2L) == 2L)
   }
 
   test("ngram jaccard handles a single very long document (10k+ shingles)") {
