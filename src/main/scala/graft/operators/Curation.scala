@@ -1916,7 +1916,7 @@ object Curation {
     import graft.functions.VectorOps
     val e = Similarity.embeddings(spark, sfDir)
     val cents = Similarity.seedCentroids(e)
-    val scoreArr = array(cents.map(cv => VectorOps.cosine($"v", typedLit(cv))): _*)
+    val scoreArr = Similarity.cosineScores(cents)
     val train = Similarity.assignedCells(
         e.filter(pmod($"vec_id", lit(EvalSliceMod)) =!= EvalSliceRem), scoreArr)
       .select($"vec_id".as("train_id"), $"v".as("tv"), $"cell")

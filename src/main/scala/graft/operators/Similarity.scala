@@ -156,7 +156,7 @@ object Similarity {
     // SET, not just a rank tie — which output rounding cannot mask; the
     // Lloyd-fitted variant below hardens this by rounding scores to
     // AssignRound decimals on both engines before the argmax.
-    val scoreArr = array(cents.map(cv => VectorOps.cosine($"v", typedLit(cv))): _*)
+    val scoreArr = cosineScores(cents)
     ivfSearchWith(e, scoreArr, nprobe)
   }
 
@@ -185,7 +185,7 @@ object Similarity {
     import spark.implicits._
     val e = embeddings(spark, sfDir)
     val cents = seedCentroids(e)
-    val scoreArr = array(cents.map(cv => VectorOps.cosine($"v", typedLit(cv))): _*)
+    val scoreArr = cosineScores(cents)
     val assigned = assignedCells(
         e.filter(pmod($"vec_id", lit(Dedup.SnapshotMod)) < Dedup.SnapshotNewMin),
         scoreArr)
@@ -264,7 +264,7 @@ object Similarity {
     import spark.implicits._
     val e = embeddings(spark, sfDir)
     val cents = seedCentroids(e)
-    val scoreArr = array(cents.map(cv => VectorOps.cosine($"v", typedLit(cv))): _*)
+    val scoreArr = cosineScores(cents)
     candidatePairs(e, assignedCells(e, scoreArr), scoreArr, nprobe)
   }
 
@@ -280,7 +280,7 @@ object Similarity {
     import spark.implicits._
     val e = embeddings(spark, sfDir)
     val cents = seedCentroids(e)
-    val scoreArr = array(cents.map(cv => VectorOps.cosine($"v", typedLit(cv))): _*)
+    val scoreArr = cosineScores(cents)
     candidatePairs(e, ivfResidFrame(e, cents).select($"vec_id", $"cell"),
       scoreArr, nprobe)
   }
@@ -360,6 +360,26 @@ object Similarity {
   /** Quantized per-row score vector against baked centroids:
     * floor(cosine·[[ScoreScale]]) as LONG (see the constant's note). */
   private def quantScores(cents: Seq[Seq[Double]]): Column =
+    graft.functions.CentroidQuantScores(col("v"), cents, ScoreScale)
+
+  /** Fused per-row centroid cosine vector (r22): ONE expression node
+    * over a digest-equality payload instead of the 16-branch
+    * cosine-vs-typedLit tree — same values bit-for-bit
+    * (CentroidOpsSpec pins both output types against the literal
+    * trees, which survive there as the differential oracle). Plans
+    * that embed several copies (assignment + routing + incremental
+    * slices) stop paying analyzer/optimizer/codegen walks per copy. */
+  private[graft] def cosineScores(cents: Seq[Seq[Double]]): Column =
+    graft.functions.CentroidCosines(col("v"), cents)
+
+  /** The literal-tree formulation — retained test-only as the
+    * differential oracle for [[cosineScores]] (CentroidOpsSpec). */
+  private[graft] def cosineScoresUnfused(cents: Seq[Seq[Double]]): Column =
+    array(cents.map(cv => VectorOps.cosine(col("v"), typedLit(cv))): _*)
+
+  /** Literal-tree quantized scores — test-only differential oracle for
+    * [[quantScores]]'s fused form. */
+  private[graft] def quantScoresUnfused(cents: Seq[Seq[Double]]): Column =
     array(cents.map(cv =>
       floor(VectorOps.cosine(col("v"), typedLit(cv)) * lit(ScoreScale)).cast("long")): _*)
 
@@ -677,7 +697,7 @@ object Similarity {
     val spark = e.sparkSession
     import spark.implicits._
     val centLit = typedLit(cents)
-    val scoreArr = array(cents.map(cv => VectorOps.cosine($"v", typedLit(cv))): _*)
+    val scoreArr = cosineScores(cents)
     val resid = zip_with($"v", element_at(centLit, $"cell" + 1), (a, b) => a - b)
     Materialize.frame(
       assignedCells(e, scoreArr).select($"vec_id", $"cell", resid.as("r")))
@@ -716,7 +736,7 @@ object Similarity {
     val spark = e.sparkSession
     import spark.implicits._
     val centLit = typedLit(cents)
-    val scoreArr = array(cents.map(cv => VectorOps.cosine($"v", typedLit(cv))): _*)
+    val scoreArr = cosineScores(cents)
     val probeCells = probeCellsExpr(scoreArr, nprobe)
     val probes = e.filter($"vec_id" < NumQueries)
       .select($"vec_id".as("query_id"), $"v".as("qv"), explode(probeCells).as("cell"))
@@ -963,7 +983,7 @@ object Similarity {
     val spark = rows.sparkSession
     import spark.implicits._
     val centLit = typedLit(cents)
-    val scoreArr = array(cents.map(cv => VectorOps.cosine($"v", typedLit(cv))): _*)
+    val scoreArr = cosineScores(cents)
     val resid = zip_with($"v", element_at(centLit, $"cell" + 1), (a, b) => a - b)
     assignedCells(rows, scoreArr)
       .select($"vec_id", $"cell", resid.as("r"))

@@ -896,7 +896,15 @@ object TextAnalysis {
     * longer the headline bench entry. */
   def textFingerprintWinnow(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // explicit-width spread BEFORE the Karp–Rabin expansion (r22): the
+    // bench corpus is a single-row-group file, so without it the whole
+    // per-byte rolling-hash pass runs in the scan's ONE task (measured
+    // ~0.8 s serialized at sf0.1 against ~0.1 s spread); the dedup
+    // winnow searches already spread their identical expansion. The
+    // final range sort re-shuffles regardless, so this only moves the
+    // map work off the single scan task.
     Tables.documents(spark, sfDir)
+      .repartition(spark.sparkContext.defaultParallelism, $"doc_id")
       .select($"doc_id",
         explode(array_sort(array_distinct(
           graft.functions.GramWindowMins($"text")))).as("gram_min"))
