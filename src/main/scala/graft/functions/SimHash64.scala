@@ -87,6 +87,34 @@ object SimHashImpl {
     }
     out
   }
+
+  /** Flip masks of Hamming weight ≤ radius over `bits` positions,
+    * ascending — the same enumeration order the former literal arrays
+    * used. Cached per (bits, radius); tiny (≤ ~1k ints here). */
+  private val ballMasks = new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Int]]()
+  private def masksFor(bits: Int, radius: Int): Array[Int] =
+    ballMasks.computeIfAbsent((bits, radius), { case (b, r) =>
+      (0 until (1 << b)).filter(Integer.bitCount(_) <= r).toArray
+    })
+
+  /** All (chunk << bits) | (chunkValue ^ flip) combined ball keys of a
+    * fingerprint — see [[SimHashBallKeys]]. */
+  def ballKeys(f: Long, chunks: Int, bits: Int, radius: Int):
+      org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val masks = masksFor(bits, radius)
+    val valueMask = (1L << bits) - 1
+    val out = new Array[Long](chunks * masks.length)
+    var c = 0
+    var i = 0
+    while (c < chunks) {
+      val v = (f >>> (c * bits)) & valueMask
+      val base = c.toLong << bits
+      var m = 0
+      while (m < masks.length) { out(i) = base | (v ^ masks(m)); m += 1; i += 1 }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }
 
 /** `simhash64(array<string>) -> long`, codegen'd via static call (stays
@@ -139,4 +167,52 @@ case class SimHash64FromHashes(child: Expression) extends UnaryExpression {
 
 object SimHash64FromHashes {
   def apply(c: Column): Column = Shim.column(SimHash64FromHashes(Shim.expression(c)))
+}
+
+/** `simhash_ball_keys(bigint; chunks, bits, radius) -> array<bigint>` —
+  * the banded-SimHash probe/index ball as ONE generator input (r22).
+  *
+  * For each of the fingerprint's `chunks` aligned `bits`-bit chunks it
+  * emits every Hamming-radius-≤`radius` perturbation of the chunk
+  * value, combined with the chunk index into a single join key
+  * `(c << bits) | (v ^ flip)`. The (c, v) → key mapping is a bijection
+  * (v < 2^bits by construction), so an equi-join on the combined key is
+  * EXACTLY the former `a.c = b.c AND a.v = b.v` two-column join, and
+  * the ball sets are the former posexplode(chunkVals) × explode(flips)
+  * cross — DedupSpec's b16 ≡ 8-bit differential and the banded-capture
+  * property test pin the searches' outputs unchanged.
+  *
+  * WHY: the b16 probe side generates 548 rows per document through TWO
+  * chained Generate operators (4-way chunk posexplode, then a 137-mask
+  * literal-array explode + XOR projection) — every intermediate and
+  * final row a full UnsafeRow copy, ~2.7M rows at sf0.1, the GC center
+  * of the query's profile. One expression computing the final key array
+  * halves the copies (one Generate) and narrows the join key to one
+  * long. The flip masks are derived from `radius` inside the expression
+  * (lazily, per evaluator) so the task binary carries three ints, not a
+  * 137-element array literal. */
+case class SimHashBallKeys(child: Expression, chunks: Int, bits: Int, radius: Int)
+    extends UnaryExpression {
+  require(chunks > 0 && bits > 0 && chunks * bits <= 64, s"bad geometry $chunks x $bits")
+  require(radius >= 0 && radius <= bits, s"bad radius $radius")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash_ball_keys requires BIGINT, got ${other.sql}")
+  }
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "simhash_ball_keys"
+  override def nullSafeEval(input: Any): Any =
+    SimHashImpl.ballKeys(input.asInstanceOf[Long], chunks, bits, radius)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.SimHashImpl.ballKeys($c, $chunks, $bits, $radius)")
+  override protected def withNewChildInternal(newChild: Expression): SimHashBallKeys =
+    copy(child = newChild)
+}
+
+object SimHashBallKeys {
+  def apply(f: Column, chunks: Int, bits: Int, radius: Int): Column =
+    Shim.column(SimHashBallKeys(Shim.expression(f), chunks, bits, radius))
 }

@@ -1047,26 +1047,22 @@ object Dedup {
   def dedupSimHashPairs(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val (cappedSets, fp) = simHashCappedBase(spark, sfDir)
-    val mask = (1L << SimHashChunkBits) - 1
-    def chunk(c: Int): Column =
-      shiftrightunsigned($"f", c * SimHashChunkBits).bitwiseAND(lit(mask))
     // index side: the 8 exact chunk values; probe side: each chunk's
     // radius-1 Hamming ball (the value itself + its 8 one-bit flips).
     // The index stays 1 row per (doc, chunk), so AQE can broadcast it at
     // bench scale while the 9x probe expansion never crosses a shuffle;
-    // at cluster scale both sides shuffle on (c, v) with n/256 fan-in.
-    val indexKeys = (0 until SimHashChunks).map { c =>
-      struct(lit(c).as("c"), chunk(c).as("v"))
-    }
-    val probeKeys = (0 until SimHashChunks).flatMap { c =>
-      (Seq(0L) ++ (0 until SimHashChunkBits).map(1L << _)).map { flip =>
-        struct(lit(c).as("c"), chunk(c).bitwiseXOR(lit(flip)).as("v"))
-      }
-    }
-    val index = fp.select($"doc_id", $"f", explode(array(indexKeys: _*)).as("k"))
-      .select($"doc_id", $"f", $"k.c".as("c"), $"k.v".as("v"))
-    val probe = fp.select($"doc_id", $"f", explode(array(probeKeys: _*)).as("k"))
-      .select($"doc_id", $"f", $"k.c".as("c"), $"k.v".as("v"))
+    // at cluster scale both sides shuffle on the band key with n/256
+    // fan-in. r22: both balls are ONE fused generator input each
+    // ([[graft.functions.SimHashBallKeys]], combined (c << bits) | v
+    // keys — the former per-row array of 8/72 struct expressions is a
+    // bijection of these, so candidates are identical; radius 0 = the
+    // exact chunk values).
+    val index = fp.select($"doc_id", $"f",
+      explode(graft.functions.SimHashBallKeys(
+        $"f", SimHashChunks, SimHashChunkBits, 0)).as("k"))
+    val probe = fp.select($"doc_id", $"f",
+      explode(graft.functions.SimHashBallKeys(
+        $"f", SimHashChunks, SimHashChunkBits, 1)).as("k"))
     // Optional fan-in bound (see SimHash8CellCapKey): drop index cells
     // whose occupancy exceeds the cap BEFORE any pairing — the b16
     // tier's left-semi discipline one geometry down. Default (MaxValue)
@@ -1074,10 +1070,10 @@ object Dedup {
     // capped SUBSET (a pair survives iff some under-cap cell captures it).
     val cellCap = spark.conf.get(SimHash8CellCapKey, Int.MaxValue.toString).toInt
     val boundedIndex = if (cellCap == Int.MaxValue) index else {
-      val keep = index.groupBy($"c", $"v")
+      val keep = index.groupBy($"k")
         .agg(count(lit(1)).as("occ")).filter($"occ" <= cellCap)
-        .select($"c", $"v")
-      index.join(keep, Seq("c", "v"), "left_semi")
+        .select($"k")
+      index.join(keep, Seq("k"), "left_semi")
     }
     // carry the full fingerprint through the band join: the exact-Hamming
     // cut (long XOR + popcount) runs INSIDE the join, so the distinct
@@ -1085,7 +1081,7 @@ object Dedup {
     // probe is the smaller-doc_id side; the ball is symmetric, so every
     // qualifying pair is seen in this orientation.
     val candidates = probe.as("a").join(boundedIndex.as("b"),
-        $"a.c" === $"b.c" && $"a.v" === $"b.v" && $"a.doc_id" < $"b.doc_id" &&
+        $"a.k" === $"b.k" && $"a.doc_id" < $"b.doc_id" &&
           expr("bit_count(a.f ^ b.f)") <= MaxPairHamming)
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .distinct()
@@ -1417,26 +1413,18 @@ object Dedup {
   def dedupSimHashPairsWide(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val (cappedSets, fp) = simHashCappedBase(spark, sfDir)
-    val mask = (1L << SimHashChunkBits) - 1
-    def chunk(c: Int): Column =
-      shiftrightunsigned($"f", c * SimHashChunkBits).bitwiseAND(lit(mask))
-    // all chunk-value perturbations of Hamming weight ≤ 2
-    val flips: Seq[Long] = 0L +:
-      (0 until SimHashChunkBits).map(1L << _) ++:
-      (for (i <- 0 until SimHashChunkBits; j <- i + 1 until SimHashChunkBits)
-        yield (1L << i) | (1L << j))
-    require(flips.size == WideProbeBallSize)
-    // index side: the 8 exact chunk values; probe side: each chunk's
-    // radius-2 Hamming ball. Keys are (chunk, value) structs; the join
-    // is a struct-equality hash join, n/256 fan-in per key as in the
-    // narrow search.
-    val indexKeys = (0 until SimHashChunks).map { c =>
-      struct(lit(c).as("c"), chunk(c).as("v"))
-    }
-    val probeKeys = for (c <- 0 until SimHashChunks; flip <- flips)
-      yield struct(lit(c).as("c"), chunk(c).bitwiseXOR(lit(flip)).as("v"))
-    val index = fp.select($"doc_id", $"f", explode(array(indexKeys: _*)).as("k"))
-    val probe = fp.select($"doc_id", $"f", explode(array(probeKeys: _*)).as("k"))
+    // index side: the 8 exact chunk values (radius 0); probe side: each
+    // chunk's radius-2 Hamming ball (37 masks per chunk,
+    // [[WideProbeBallSize]]). r22: both balls are one fused generator
+    // input each (SimHashBallKeys combined keys — see
+    // dedupSimHashPairs); the join is a single-long hash join, n/256
+    // fan-in per key as in the narrow search.
+    val index = fp.select($"doc_id", $"f",
+      explode(graft.functions.SimHashBallKeys(
+        $"f", SimHashChunks, SimHashChunkBits, 0)).as("k"))
+    val probe = fp.select($"doc_id", $"f",
+      explode(graft.functions.SimHashBallKeys(
+        $"f", SimHashChunks, SimHashChunkBits, 2)).as("k"))
     // exact-Hamming cut INSIDE the join (long XOR + popcount), so the
     // distinct dedupes only surviving pairs, not every chunk collision;
     // the probe ball is symmetric, so the a.doc_id < b.doc_id
@@ -1462,13 +1450,13 @@ object Dedup {
   /** 16-bit-band SimHash search parameters: 4 aligned chunks of 16 bits.
     * Pigeonhole at [[MaxPairHamming]] = 15: some chunk of any qualifying
     * pair differs in ≤ ⌊15/4⌋ = 3 bits, so the two-sided radius-1 ×
-    * radius-2 ball pair (see b16FlipsIdx/b16FlipsProbe) deterministically
+    * radius-2 ball pair (SimHashBallKeys radii 1 and 2) deterministically
     * captures it — the same guarantee shape as the 8-bit search, one
     * band-width step up. */
   final val SimHashB16Chunks = 4
   final val SimHashB16Bits = 16
 
-  /** The TWO-SIDED probe-ball masks (r16 — was a one-sided radius-3
+  /** The TWO-SIDED probe-ball geometry (r16 — was a one-sided radius-3
     * ball of 697 masks on the probe side): index rows carry each
     * chunk's radius-1 ball (17 masks), probes carry radius-2 (137).
     * Any chunk pair differing in d ≤ 3 bits is captured: split diff =
@@ -1476,11 +1464,9 @@ object Dedup {
     * → one bit on the index side, the rest on the probe side). Probe
     * fan-out drops 2788 → 548 rows/doc (the row population whose
     * allocation was the battery's 9.3 s GC flag, r15 VERDICT #8) for a
-    * 17× larger — still trivially broadcastable — index side. */
-  private lazy val b16FlipsIdx: Array[Int] =
-    (0 until (1 << SimHashB16Bits)).filter(Integer.bitCount(_) <= 1).toArray
-  private lazy val b16FlipsProbe: Array[Int] =
-    (0 until (1 << SimHashB16Bits)).filter(Integer.bitCount(_) <= 2).toArray
+    * 17× larger — still trivially broadcastable — index side. r22: the
+    * masks are enumerated inside [[graft.functions.SimHashBallKeys]]
+    * (per radius) rather than as literal arrays in the plan. */
 
   /** Document-count ceiling below which the b16 radius-1 index ball is
     * broadcast (68 rows/doc, ~5 KB/doc of hashed-relation memory → ~100 MB
@@ -1524,7 +1510,7 @@ object Dedup {
     * r16: a TWO-SIDED ball (radius-1 index × radius-2 probe, 68 + 548
     * keys/doc) instead of the original one-sided radius-3 probe ball
     * (4 + 2788): same deterministic capture by the mask-split argument
-    * at b16FlipsIdx, 5× fewer allocated probe rows (the r15 battery's
+    * on the two-sided ball, 5× fewer allocated probe rows (the r15 battery's
     * 9.3 s GC flag). Join-side policy is SIZE-GATED in our code (see
     * [[B16BroadcastMaxDocsKey]]): below the doc ceiling the radius-1
     * index ball is broadcast and probe rows are generated and consumed
@@ -1543,26 +1529,25 @@ object Dedup {
   def dedupSimHashPairsB16(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val (cappedSets, fp) = simHashCappedBase(spark, sfDir)
-    val mask = (1L << SimHashB16Bits) - 1
-    def chunk(c: Int): Column =
-      shiftrightunsigned($"f", c * SimHashB16Bits).bitwiseAND(lit(mask))
-    // posexplode of a plain value array (c = pos) — no per-row struct
-    // allocation; the ball masks are ONE array literal in codegen, not
-    // inlined expressions (which would blow the generated method past
-    // Janino's limit and fall back to interpreted eval).
-    val chunkVals = array((0 until SimHashB16Chunks).map(chunk): _*)
     // TWO-SIDED ball (see the mask constants): the index side emits the
     // radius-1 ball — 68 rows/doc, still trivially broadcastable — so
     // the probe side only needs radius 2 (548 rows/doc, down from the
     // one-sided radius-3 ball's 2788). The probe fan-out is the row
     // population the whole query allocates; shrinking it 5× is the GC
     // fix (r15: 9.3 s GC in the median battery run).
+    //
+    // r22: each side's ball is ONE fused generator input
+    // ([[graft.functions.SimHashBallKeys]]) emitting combined
+    // (chunk << bits) | value join keys — the former shape was two
+    // chained Generates (chunk posexplode, then a 137-mask
+    // literal-array explode + XOR projection), which copied every
+    // intermediate AND final row (~2.7M UnsafeRows at sf0.1, the
+    // query's GC center) and joined on two columns. The (c, v) → key
+    // mapping is a bijection, so candidates are IDENTICAL (DedupSpec's
+    // b16 ≡ 8-bit differential and both join-shape pins re-run green).
     val index = fp.select($"doc_id", $"f",
-        posexplode(chunkVals).as(Seq("c", "v0")))
-      .select($"doc_id", $"f", $"c",
-        explode(lit(b16FlipsIdx)).as("flip"), $"v0")
-      .select($"doc_id", $"f", $"c",
-        $"v0".bitwiseXOR($"flip".cast("long")).as("v"))
+      explode(graft.functions.SimHashBallKeys(
+        $"f", SimHashB16Chunks, SimHashB16Bits, 1)).as("k"))
     // Explicit-width repartition BEFORE the 548× fan-out: fp is a
     // 1-row-per-doc aggregate output that AQE coalesces to ~1 partition
     // at this byte size, and without the exchange the whole probe
@@ -1571,21 +1556,19 @@ object Dedup {
     // repartition below, on the input side
     val probe = fp
       .repartition(spark.sparkContext.defaultParallelism, $"doc_id")
-      .select($"doc_id", $"f", posexplode(chunkVals).as(Seq("c", "v0")))
-      .select($"doc_id", $"f", $"c",
-        explode(lit(b16FlipsProbe)).as("flip"), $"v0")
-      .select($"doc_id", $"f", $"c",
-        $"v0".bitwiseXOR($"flip".cast("long")).as("v"))
+      .select($"doc_id", $"f",
+        explode(graft.functions.SimHashBallKeys(
+          $"f", SimHashB16Chunks, SimHashB16Bits, 2)).as("k"))
     // Optional fan-in bound (see B16CellCapKey): drop index cells whose
     // occupancy exceeds the cap before any pairing — the same left-semi
     // discipline MaxShingleDF applies to the inverted shingle index. The
     // default (MaxValue) leaves the plan untouched.
     val cellCap = spark.conf.get(B16CellCapKey, Int.MaxValue.toString).toInt
     val boundedIndex = if (cellCap == Int.MaxValue) index else {
-      val keep = index.groupBy($"c", $"v")
+      val keep = index.groupBy($"k")
         .agg(count(lit(1)).as("occ")).filter($"occ" <= cellCap)
-        .select($"c", $"v")
-      index.join(keep, Seq("c", "v"), "left_semi")
+        .select($"k")
+      index.join(keep, Seq("k"), "left_semi")
     }
     // SIZE-GATED broadcast of the index (see B16BroadcastMaxDocsKey): an
     // explicit broadcast() hint is honored at ANY size, so the choice is
@@ -1608,7 +1591,7 @@ object Dedup {
     val rhs = if (nDocs <= maxDocs) broadcast(boundedIndex.as("b"))
               else boundedIndex.as("b").hint("shuffle_merge")
     val candidates = probe.as("a").join(rhs,
-        $"a.c" === $"b.c" && $"a.v" === $"b.v" && $"a.doc_id" < $"b.doc_id" &&
+        $"a.k" === $"b.k" && $"a.doc_id" < $"b.doc_id" &&
           expr("bit_count(a.f ^ b.f)") <= MaxPairHamming)
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .distinct()
@@ -1823,15 +1806,16 @@ object Dedup {
   private[graft] def simhashChunkIndexB16(hashed: DataFrame): DataFrame = {
     val spark = hashed.sparkSession
     import spark.implicits._
-    val mask = (1L << SimHashB16Bits) - 1
-    def chunk(c: Int): Column =
-      shiftrightunsigned($"f", c * SimHashB16Bits).bitwiseAND(lit(mask))
-    val chunkVals = array((0 until SimHashB16Chunks).map(chunk): _*)
+    // r22: one fused generator input (SimHashBallKeys) decomposed into
+    // the (c, v) columns the artifact is partitioned by — identical
+    // rows (bijection), identical stored schema
     simhashFpOf(hashed)
-      .select($"doc_id", $"f", posexplode(chunkVals).as(Seq("c", "v0")))
-      .select($"doc_id", $"f", $"c", explode(lit(b16FlipsIdx)).as("flip"), $"v0")
-      .select($"doc_id", $"f", $"c",
-        $"v0".bitwiseXOR($"flip".cast("long")).as("v"))
+      .select($"doc_id", $"f",
+        explode(graft.functions.SimHashBallKeys(
+          $"f", SimHashB16Chunks, SimHashB16Bits, 1)).as("k"))
+      .select($"doc_id", $"f",
+        shiftrightunsigned($"k", SimHashB16Bits).cast("int").as("c"),
+        $"k".bitwiseAND(lit((1L << SimHashB16Bits) - 1)).as("v"))
   }
 
   /** The b16 probe + verify tail (the 16-bit twin of
@@ -1847,16 +1831,19 @@ object Dedup {
       priorIndexB16: DataFrame, hf: DataFrame): DataFrame = {
     val spark = priorSigs.sparkSession
     import spark.implicits._
-    val mask = (1L << SimHashB16Bits) - 1
-    def chunk(c: Int): Column =
-      shiftrightunsigned($"f", c * SimHashB16Bits).bitwiseAND(lit(mask))
-    val chunkVals = array((0 until SimHashB16Chunks).map(chunk): _*)
+    // r22: the radius-2 delta ball is ONE fused generator input
+    // (SimHashBallKeys — see dedupSimHashPairsB16) decomposed back into
+    // the (c, v) columns the prior ARTIFACT is keyed/partitioned by, so
+    // the stored index schema is untouched while the probe side stops
+    // paying two chained Generates per row. Bijective: identical keys.
     val probe = simhashFpOf(hf)
       .repartition(spark.sparkContext.defaultParallelism, $"doc_id")
-      .select($"doc_id", $"f", posexplode(chunkVals).as(Seq("c", "v0")))
-      .select($"doc_id", $"f", $"c", explode(lit(b16FlipsProbe)).as("flip"), $"v0")
-      .select($"doc_id", $"f", $"c",
-        $"v0".bitwiseXOR($"flip".cast("long")).as("v"))
+      .select($"doc_id", $"f",
+        explode(graft.functions.SimHashBallKeys(
+          $"f", SimHashB16Chunks, SimHashB16Bits, 2)).as("k"))
+      .select($"doc_id", $"f",
+        shiftrightunsigned($"k", SimHashB16Bits).cast("int").as("c"),
+        $"k".bitwiseAND(lit((1L << SimHashB16Bits) - 1)).as("v"))
     // cross-snapshot candidates only; two-sided ball capture can see a
     // pair through several (m1, m2) splits — distinct collapses them
     val candidates = probe.as("a").join(priorIndexB16.as("b"),

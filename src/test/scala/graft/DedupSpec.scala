@@ -304,6 +304,31 @@ class DedupSpec extends AnyFunSuite {
     assert(!captured(balanced24, 2))
   }
 
+  test("SimHashBallKeys ≡ the (chunk, value^flip) column composition (all geometries)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // differential for the r22 fused generator input: combined keys must
+    // enumerate exactly the former posexplode(chunks) × explode(flips)
+    // cross, as a set, for every (chunks, bits, radius) the searches use
+    val fps = Seq(0L, -1L, 0x0123456789abcdefL, 0xdeadbeefcafebabeL,
+      Long.MinValue, 42L).toDF("f")
+    for ((chunks, bits, radius) <- Seq((8, 8, 0), (8, 8, 1), (8, 8, 2),
+        (4, 16, 1), (4, 16, 2))) {
+      val mask = (1L << bits) - 1
+      val flips = (0 until (1 << bits)).filter(Integer.bitCount(_) <= radius)
+      val got = fps.select($"f",
+          graft.functions.SimHashBallKeys($"f", chunks, bits, radius).as("ks"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+      fps.collect().map(_.getLong(0)).foreach { f =>
+        val expect = (for (c <- 0 until chunks; fl <- flips)
+          yield (c.toLong << bits) | (((f >>> (c * bits)) & mask) ^ fl)).toSet
+        assert(got(f) == expect, s"geometry ($chunks,$bits,$radius) f=$f")
+        assert(got(f).size == chunks * flips.size ||
+          got(f).size < chunks * flips.size) // set collapse only when keys collide
+      }
+    }
+  }
+
   test("16-bit-band simhash search equals the 8-bit search row-for-row") {
     // same output contract, different band geometry (the 100 TB key-space
     // knob): both are deterministic-capture searches over the identical
