@@ -1705,15 +1705,16 @@ object Dedup {
   private[graft] def simhashChunkIndex(hashed: DataFrame): DataFrame = {
     val spark = hashed.sparkSession
     import spark.implicits._
-    val mask = (1L << SimHashChunkBits) - 1
-    def chunk(c: Int): Column =
-      shiftrightunsigned($"f", c * SimHashChunkBits).bitwiseAND(lit(mask))
-    val indexKeys = (0 until SimHashChunks).map { c =>
-      struct(lit(c).as("c"), chunk(c).as("v"))
-    }
+    // r22: one fused generator input (SimHashBallKeys, radius 0 = the
+    // exact chunk values) decomposed into the (c, v) columns the
+    // artifact is partitioned by — identical rows, identical schema
     simhashFpOf(hashed)
-      .select($"doc_id", $"f", explode(array(indexKeys: _*)).as("k"))
-      .select($"doc_id", $"f", $"k.c".as("c"), $"k.v".as("v"))
+      .select($"doc_id", $"f",
+        explode(graft.functions.SimHashBallKeys(
+          $"f", SimHashChunks, SimHashChunkBits, 0)).as("k"))
+      .select($"doc_id", $"f",
+        shiftrightunsigned($"k", SimHashChunkBits).cast("int").as("c"),
+        $"k".bitwiseAND(lit((1L << SimHashChunkBits) - 1)).as("v"))
   }
 
   /** The probe + verify tail both incremental SimHash forms funnel
@@ -1727,18 +1728,16 @@ object Dedup {
       priorIndex: DataFrame, hf: DataFrame): DataFrame = {
     val spark = priorSigs.sparkSession
     import spark.implicits._
-    val mask = (1L << SimHashChunkBits) - 1
-    def chunk(c: Int): Column =
-      shiftrightunsigned($"f", c * SimHashChunkBits).bitwiseAND(lit(mask))
-    val probeKeys = (0 until SimHashChunks).flatMap { c =>
-      (Seq(0L) ++ (0 until SimHashChunkBits).map(1L << _)).map { flip =>
-        struct(lit(c).as("c"), chunk(c).bitwiseXOR(lit(flip)).as("v"))
-      }
-    }
     val index = priorIndex
+    // r22: the radius-1 delta ball as one fused generator input
+    // (SimHashBallKeys) decomposed into the artifact's (c, v) columns
     val probe = simhashFpOf(hf)
-      .select($"doc_id", $"f", explode(array(probeKeys: _*)).as("k"))
-      .select($"doc_id", $"f", $"k.c".as("c"), $"k.v".as("v"))
+      .select($"doc_id", $"f",
+        explode(graft.functions.SimHashBallKeys(
+          $"f", SimHashChunks, SimHashChunkBits, 1)).as("k"))
+      .select($"doc_id", $"f",
+        shiftrightunsigned($"k", SimHashChunkBits).cast("int").as("c"),
+        $"k".bitwiseAND(lit((1L << SimHashChunkBits) - 1)).as("v"))
     // cross-snapshot candidates ONLY — prior index left, delta probe
     // right; the slices are disjoint, so no a < b self-pairing games.
     // The exact-Hamming cut runs INSIDE the join (long XOR + popcount),
